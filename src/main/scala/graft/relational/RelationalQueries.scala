@@ -1,0 +1,301 @@
+package graft.relational
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.{AsOfJoin, RangeJoin}
+
+/** The reference's relational operator surface (SURVEY.md §2) re-expressed on
+  * the driver's TPC-H-ish tables, each with a DuckDB-equivalent oracle.
+  *
+  * Determinism rules (so Spark and DuckDB hash-match bit-for-bit):
+  *   - money/quantity sums go through `centsSum` — per-row `round(x*100)` is
+  *     IEEE-identical in both engines and the resulting integer-valued doubles
+  *     sum exactly in any order (no float-order sensitivity);
+  *   - every query ends in a total order (unique sort key);
+  *   - output dtypes matched: Spark Int↔INTEGER, Long↔BIGINT, Double↔DOUBLE.
+  */
+object RelationalQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Order-independent exact sum of a 2-decimal money column, as cents. */
+  private def centsSum(c: Column): Column = sum(round(c * 100)).cast("long")
+
+  val queries: Map[String, Q] = Map(
+    // A1: distribution count + pct (reference neighbor_analysis.py:138-153)
+    "a1_distribution_count" -> { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("pct", round($"cnt" * 100.0 / sum($"cnt").over(Window.partitionBy()), 2))
+        .orderBy($"cnt".desc, $"l_returnflag")
+    },
+
+    // A2: cluster cardinality + member list (reference cluster_match.py:101-103)
+    "a2_group_members" -> { (s, d) =>
+      import s.implicits._
+      Tables.nation(s, d)
+        .groupBy($"n_regionkey")
+        .agg(count(lit(1)).as("cnt"),
+             array_join(sort_array(collect_list($"n_name")), ",").as("members"))
+        .orderBy($"n_regionkey")
+    },
+
+    // A5: order-violation count (reference ncbi_database.py:104-110 —
+    // intervals starting before the running max end)
+    "a5_order_violations" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"l_suppkey")
+        .orderBy($"l_orderkey", $"l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.lineitem(s, d)
+        .withColumn("prev_max", max($"l_shipdate").over(w))
+        .where($"prev_max".isNotNull && $"l_shipdate" < $"prev_max")
+        .groupBy($"l_suppkey").agg(count(lit(1)).as("violations"))
+        .orderBy($"l_suppkey")
+    },
+
+    // F1: semi-join filter (reference gene_location_analysis.py:32-37)
+    "f1_semi_filter" -> { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .join(Tables.part(s, d).where($"p_size" > 40),
+              $"l_partkey" === $"p_partkey", "left_semi")
+        .select($"l_orderkey", $"l_linenumber", $"l_partkey")
+        .orderBy($"l_orderkey", $"l_linenumber")
+    },
+
+    // F6: apply-expand projection (reference gentamycin.py:34-36)
+    "f6_apply_expand" -> { (s, d) =>
+      import s.implicits._
+      Tables.orders(s, d).select(
+        $"o_orderkey",
+        year($"o_orderdate").as("o_year"),
+        month($"o_orderdate").as("o_month"),
+        substring($"o_orderpriority", 1, 1).as("prio"),
+        floor($"o_totalprice" / 1000).cast("long").as("price_kbucket"))
+        .orderBy($"o_orderkey")
+    },
+
+    // J1 (scale path): bin-bucketed range join (SURVEY §2.4 J1 "at 100 TB")
+    "j1_range_join" -> { (s, d) =>
+      import s.implicits._
+      val iv = Tables.orders(s, d)
+        .select($"o_orderkey", $"o_orderkey".as("iv_start"), ($"o_orderkey" + 9L).as("iv_end"))
+      val pts = Tables.lineitem(s, d).select($"l_orderkey", $"l_quantity")
+      RangeJoin.pointInInterval(pts, "l_orderkey", iv, "iv_start", "iv_end", 10L)
+        .groupBy($"o_orderkey")
+        .agg(count(lit(1)).as("n_pts"), centsSum($"l_quantity").as("qty_cents"))
+        .orderBy($"o_orderkey")
+    },
+
+    // J2: as-of join (reference neighbor_analysis.py:171-199 nearest-left)
+    "j2_asof_join" -> { (s, d) =>
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val purchases = ev.where($"event_type" === "purchase")
+      val clicks = ev.where($"event_type" === "click")
+        .select($"user_id", $"ts", $"event_id".as("click_event_id"))
+      AsOfJoin.join(purchases, clicks, "user_id", "ts",
+                    Seq("click_event_id"), "", "click_event_id")
+        .select($"event_id", $"user_id", $"click_event_id")
+        .orderBy($"event_id")
+    },
+
+    // J4: multi-way equi-join star query (reference name→segment joins,
+    // ncbi_database.py:106-113) — the bench headline join.
+    "j4_star_revenue" -> { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+        .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
+        .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(Tables.region(s, d)), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name", $"n_name")
+        .agg(count(lit(1)).as("n_items"),
+             centsSum($"l_extendedprice" * (lit(1) - $"l_discount")).as("revenue_cents"))
+        .orderBy($"r_name", $"n_name")
+    },
+
+    // J5: left-outer enrichment lookup (reference ecocyc_data_loader.py:36-40)
+    "j5_left_outer" -> { (s, d) =>
+      import s.implicits._
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), $"c_custkey" === $"o_custkey", "left_outer")
+        .groupBy($"c_custkey")
+        .agg(count($"o_orderkey").as("n_orders"),
+             coalesce(centsSum($"o_totalprice"), lit(0L)).as("spent_cents"))
+        .orderBy($"c_custkey")
+    },
+
+    // J6: ordered index reorder join (reference location_reorder.py:18-45)
+    "j6_ordered_reorder" -> { (s, d) =>
+      import s.implicits._
+      val idx = Tables.part(s, d)
+        .select($"p_partkey", $"p_name")
+        .withColumn("ord", row_number().over(Window.orderBy($"p_name", $"p_partkey")))
+      val sizes = Tables.lineitem(s, d)
+        .groupBy($"l_partkey").agg(count(lit(1)).as("n_lines"))
+      idx.join(sizes, $"p_partkey" === $"l_partkey", "left_outer")
+        .select($"ord", $"p_partkey", coalesce($"n_lines", lit(0L)).as("n_lines"))
+        .orderBy($"ord")
+    },
+
+    // J7: equality clustering via groupBy == exact dedup
+    // (reference cluster_match.py:83-113 O(n²) loop → hash aggregation)
+    "j7_dedup_exact" -> { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .groupBy($"text")
+        .agg(min($"doc_id").as("rep_doc_id"), count(lit(1)).as("n_dups"))
+        .select($"rep_doc_id", $"n_dups", length($"text").as("text_len"))
+        .orderBy($"rep_doc_id")
+    },
+
+    // T1 (relational form): top-k per group via window rank
+    // (reference gene_similarity_match.py:203-208 bounded heap)
+    "t1_topk_per_group" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"l_returnflag")
+        .orderBy($"l_extendedprice".desc, $"l_orderkey", $"l_linenumber")
+      Tables.lineitem(s, d)
+        .withColumn("rn", row_number().over(w))
+        .where($"rn" <= 3)
+        .select($"l_returnflag", $"rn", $"l_orderkey", $"l_linenumber", $"l_extendedprice")
+        .orderBy($"l_returnflag", $"rn")
+    },
+
+    // T2: global sort + limit (reference gene_similarity_match.py:106)
+    "t2_global_sort" -> { (s, d) =>
+      import s.implicits._
+      Tables.orders(s, d)
+        .select($"o_orderkey", $"o_totalprice", $"o_orderpriority")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+        .limit(100)
+    },
+
+    // W3: gap emission between consecutive ordered rows
+    // (reference gene_range_analysis.py:24-39 inter-genic regions)
+    "w3_gap_emission" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"l_suppkey")
+        .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+      Tables.lineitem(s, d)
+        .withColumn("prev_date", lag($"l_shipdate", 1).over(w))
+        .where($"prev_date".isNotNull)
+        .select($"l_suppkey", datediff($"l_shipdate", $"prev_date").as("gap_days"))
+        .groupBy($"l_suppkey")
+        .agg(max($"gap_days").as("max_gap_days"), count(lit(1)).as("n_gaps"))
+        .orderBy($"l_suppkey")
+    },
+
+    // G2-style generator: explode + count (reference explode patterns §2.8)
+    "g2_explode_tokens" -> { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(explode(split($"text", " ")).as("token"))
+        .where($"token" =!= "")
+        .groupBy($"token").agg(count(lit(1)).as("cnt"))
+        .orderBy($"cnt".desc, $"token")
+        .limit(20)
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "a1_distribution_count" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS cnt,
+         ROUND(count(*) * 100.0 / SUM(count(*)) OVER (), 2) AS pct
+         FROM lineitem GROUP BY l_returnflag ORDER BY cnt DESC, l_returnflag""",
+    "a2_group_members" ->
+      """SELECT n_regionkey, CAST(count(*) AS BIGINT) AS cnt,
+         string_agg(n_name, ',' ORDER BY n_name) AS members
+         FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
+    "a5_order_violations" ->
+      """SELECT l_suppkey, CAST(count(*) AS BIGINT) AS violations FROM (
+           SELECT l_suppkey, l_shipdate,
+                  MAX(l_shipdate) OVER (PARTITION BY l_suppkey
+                    ORDER BY l_orderkey, l_linenumber
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+           FROM lineitem) t
+         WHERE prev_max IS NOT NULL AND l_shipdate < prev_max
+         GROUP BY l_suppkey ORDER BY l_suppkey""",
+    "f1_semi_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem
+         WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size > 40)
+         ORDER BY l_orderkey, l_linenumber""",
+    "f6_apply_expand" ->
+      """SELECT o_orderkey,
+                CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
+                CAST(EXTRACT(MONTH FROM o_orderdate) AS INTEGER) AS o_month,
+                substr(o_orderpriority, 1, 1) AS prio,
+                CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS price_kbucket
+         FROM orders ORDER BY o_orderkey""",
+    "j1_range_join" ->
+      """SELECT o_orderkey, CAST(count(*) AS BIGINT) AS n_pts,
+                CAST(SUM(ROUND(l_quantity * 100)) AS BIGINT) AS qty_cents
+         FROM orders JOIN lineitem
+           ON l_orderkey >= o_orderkey AND l_orderkey <= o_orderkey + 9
+         GROUP BY o_orderkey ORDER BY o_orderkey""",
+    "j2_asof_join" ->
+      """SELECT p.event_id, p.user_id, c.event_id AS click_event_id
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+           ON p.user_id = c.user_id AND p.ts >= c.ts
+         ORDER BY p.event_id""",
+    "j4_star_revenue" ->
+      """SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_items,
+                CAST(SUM(ROUND(l_extendedprice * (1 - l_discount) * 100)) AS BIGINT) AS revenue_cents
+         FROM lineitem
+         JOIN orders   ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation   ON c_nationkey = n_nationkey
+         JOIN region   ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+    "j5_left_outer" ->
+      """SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+                CAST(COALESCE(SUM(ROUND(o_totalprice * 100)), 0) AS BIGINT) AS spent_cents
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_custkey ORDER BY c_custkey""",
+    "j6_ordered_reorder" ->
+      """SELECT ord, p_partkey, CAST(COALESCE(n_lines, 0) AS BIGINT) AS n_lines
+         FROM (SELECT p_partkey,
+                      CAST(ROW_NUMBER() OVER (ORDER BY p_name, p_partkey) AS INTEGER) AS ord
+               FROM part) i
+         LEFT JOIN (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_lines
+                    FROM lineitem GROUP BY l_partkey) s
+           ON p_partkey = l_partkey
+         ORDER BY ord""",
+    "j7_dedup_exact" ->
+      """SELECT MIN(doc_id) AS rep_doc_id, CAST(count(*) AS BIGINT) AS n_dups,
+                CAST(LENGTH(text) AS INTEGER) AS text_len
+         FROM documents GROUP BY text ORDER BY rep_doc_id""",
+    "t1_topk_per_group" ->
+      """SELECT l_returnflag, rn, l_orderkey, l_linenumber, l_extendedprice FROM (
+           SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS INTEGER) AS rn
+           FROM lineitem) t
+         WHERE rn <= 3 ORDER BY l_returnflag, rn""",
+    "t2_global_sort" ->
+      """SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+    "w3_gap_emission" ->
+      """SELECT l_suppkey, CAST(MAX(gap_days) AS INTEGER) AS max_gap_days,
+                CAST(count(*) AS BIGINT) AS n_gaps
+         FROM (SELECT l_suppkey,
+                      date_diff('day',
+                        CAST(LAG(l_shipdate) OVER (PARTITION BY l_suppkey
+                          ORDER BY l_shipdate, l_orderkey, l_linenumber) AS DATE),
+                        CAST(l_shipdate AS DATE)) AS gap_days
+               FROM lineitem) t
+         WHERE gap_days IS NOT NULL
+         GROUP BY l_suppkey ORDER BY l_suppkey""",
+    "g2_explode_tokens" ->
+      """SELECT token, CAST(count(*) AS BIGINT) AS cnt
+         FROM (SELECT UNNEST(string_split(text, ' ')) AS token FROM documents) t
+         WHERE token <> '' GROUP BY token ORDER BY cnt DESC, token LIMIT 20"""
+  )
+}

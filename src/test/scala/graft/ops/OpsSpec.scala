@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class OpsSpec extends SparkSpec {
+
+  test("RangeJoin.pointInInterval matches brute-force non-equi join") {
+    import spark.implicits._
+    val points = Seq.tabulate(200)(i => (i.toLong, (i * 7 % 97).toLong)).toDF("pid", "p")
+    val intervals = Seq.tabulate(30) { i =>
+      val s = (i * 11 % 80).toLong; (i.toLong, s, s + (i % 13).toLong)
+    }.toDF("iid", "s", "e")
+
+    val got = RangeJoin.pointInInterval(points, "p", intervals, "s", "e", 8L)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    val want = points.join(intervals, $"p" >= $"s" && $"p" <= $"e")
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  test("RangeJoin.intervalOverlap matches brute-force, no duplicate pairs") {
+    import spark.implicits._
+    val l = Seq.tabulate(40) { i =>
+      val s = (i * 13 % 100).toLong; (i.toLong, s, s + (i % 17).toLong)
+    }.toDF("lid", "ls", "le")
+    val r = Seq.tabulate(40) { i =>
+      val s = (i * 7 % 90).toLong; (i.toLong, s, s + (i % 11).toLong)
+    }.toDF("rid", "rs", "re")
+
+    val got = RangeJoin.intervalOverlap(l, "ls", "le", r, "rs", "re", 6L)
+      .select("lid", "rid").as[(Long, Long)].collect().toList
+    val want = l.join(r, $"ls" <= $"re" && $"rs" <= $"le")
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(got.toSet === want)
+    assert(got.size === got.toSet.size, "bucket dedup guard must emit each pair once")
+  }
+
+  test("AsOfJoin.join picks latest right row with rightTime <= leftTime") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"), (3L, 7L, "d"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 9L, 100L), (1L, 10L, 101L), (1L, 15L, 102L), (2L, 6L, 200L))
+      .toDF("k", "t", "v")
+
+    val got = AsOfJoin.join(left, right, "k", "t", Seq("v"))
+      .select($"tag", $"asof_v").as[(String, Option[Long])].collect().toMap
+    // tag a: t=10 -> right t=10 (equal counts), v=101
+    // tag b: t=20 -> right t=15, v=102
+    // tag c: t=5  -> no right <= 5 -> null
+    // tag d: k=3 has no right rows -> null
+    assert(got === Map("a" -> Some(101L), "b" -> Some(102L), "c" -> None, "d" -> None))
+  }
+
+  test("AsOfJoin tiebreak: greatest tiebreak wins among equal times") {
+    import spark.implicits._
+    val left = Seq((1L, 10L)).toDF("k", "t")
+    val right = Seq((1L, 10L, 1L), (1L, 10L, 3L), (1L, 10L, 2L)).toDF("k", "t", "v")
+    val got = AsOfJoin.join(left, right, "k", "t", Seq("v"), tiebreakCol = "v")
+      .select($"asof_v").as[Long].collect()
+    assert(got.toSeq === Seq(3L))
+  }
+}

@@ -1,0 +1,95 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB correctness gate.
+
+Usage: python3 tools/crosscheck.py <sfDir> <verifyOutDir>
+Reads <verifyOutDir>/<name>/ parquet (written by graft.Verify) and
+<verifyOutDir>/oracle_sql.json, runs each oracle in DuckDB against the
+testdata parquet tables, and compares (schema column names, row count,
+sorted-row value hash). Driver-side tooling only — not part of the library.
+"""
+import sys, json, glob, os
+import duckdb
+import pandas as pd
+import numpy as np
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # canonicalize dtypes for value-compare
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    fails = 0
+    for name, sql in sorted(oracle.items()):
+        spark_files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not spark_files:
+            print(f"FAIL {name}: no spark output")
+            fails += 1
+            continue
+        got = pd.concat([pd.read_parquet(f) for f in spark_files])
+        try:
+            want = con.execute(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}")
+            fails += 1
+            continue
+        g, w = norm(got), norm(want)
+        if list(g.columns) != list(w.columns):
+            print(f"FAIL {name}: cols {list(g.columns)} != {list(w.columns)}")
+            fails += 1
+            continue
+        if len(g) != len(w):
+            print(f"FAIL {name}: rows {len(g)} != {len(w)}")
+            fails += 1
+            continue
+        ok = True
+        for c in g.columns:
+            a, b = g[c].values, w[c].values
+            if pd.api.types.is_float_dtype(g[c]):
+                eq = np.array_equal(a, b, equal_nan=True)
+            else:
+                eq = (pd.Series(a).fillna("\x00") == pd.Series(b).fillna("\x00")).all()
+            if not eq:
+                mism = None
+                for i in range(len(a)):
+                    av, bv = a[i], b[i]
+                    same = (av == bv) or (pd.isna(av) and pd.isna(bv))
+                    if not same:
+                        mism = (i, av, bv)
+                        break
+                print(f"FAIL {name}: col {c} differs, first at row {mism[0]}: spark={mism[1]!r} duck={mism[2]!r}")
+                ok = False
+                fails += 1
+                break
+        if ok:
+            print(f"OK   {name}: {len(g)} rows")
+    # rows-only queries (no oracle)
+    for d in sorted(glob.glob(f"{out_dir}/*/")):
+        name = os.path.basename(d.rstrip("/"))
+        if name not in oracle:
+            files = glob.glob(f"{d}/*.parquet")
+            n = sum(pd.read_parquet(f).shape[0] for f in files) if files else 0
+            print(f"{'OK  ' if n > 0 else 'WARN'} {name}: rows-only, {n} rows")
+    print(f"\n{'ALL GREEN' if fails == 0 else f'{fails} FAILURES'}")
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
