@@ -1,0 +1,82 @@
+package graft.bio
+
+import graft.SparkSpec
+
+/** W1 end-to-end scan on a synthetic genome: a planted motif must surface as
+  * the top hit on the correct strand with the reference's coordinate algebra.
+  */
+class GenomeScanSpec extends SparkSpec {
+
+  private val rnd = new scala.util.Random(11)
+  private def randomDna(n: Int): String = List.fill(n)("acgt"(rnd.nextInt(4))).mkString
+
+  test("planted forward motif is the top hit with exact coordinates") {
+    val motif = "acgtacgtacgtacgtttcc" // 20 bp
+    val pos = 1234                     // 0-based plant position
+    val genome = randomDna(pos) + motif + randomDna(3000 - pos - motif.length)
+    val cfg = ScanConfig(weights = Map("consistency" -> 1.0), topK = 5,
+      candidateDistance = 5, patience = 2, numChunks = 4)
+    val hits = GenomeScan.scan(spark, genome, Seq("m1" -> motif), cfg).collect()
+
+    assert(hits.nonEmpty)
+    val best = hits.maxBy(_.weightedSimilarity)
+    assert(best.weightedSimilarity === motif.length.toDouble)
+    assert(!best.isReverse)
+    assert(best.start === pos + 1)            // 1-based inclusive
+    assert(best.end === pos + motif.length)
+    assert(hits.length <= 2 * cfg.topK)       // ≤ topK per gene (both strands merged)
+  }
+
+  test("planted reverse-complement motif surfaces with start>end") {
+    val motif = "aacgtgcatgcatgggtcaa"
+    val pos = 2000
+    val rc = Dna.reverseComplement(motif)
+    val genome = randomDna(pos) + rc + randomDna(3000 - pos - rc.length)
+    val cfg = ScanConfig(weights = Map("consistency" -> 1.0), topK = 3,
+      candidateDistance = 5, patience = 2, numChunks = 4)
+    val hits = GenomeScan.scan(spark, genome, Seq("m2" -> motif), cfg).collect()
+
+    val best = hits.maxBy(_.weightedSimilarity)
+    assert(best.weightedSimilarity === motif.length.toDouble)
+    assert(best.isReverse)
+    assert(best.start > best.end)
+    // reverse coords: start = N - left maps back to the forward plant site:
+    // the motif's revcomp occupies [pos+1, pos+len] forward; a reverse-strand
+    // hit over it reports start = pos+len, end = pos+1 (1-based, swapped).
+    assert(best.start === pos + motif.length)
+    assert(best.end === pos + 1)
+  }
+
+  test("top-k bound and per-gene grouping hold for multiple genes") {
+    val genome = randomDna(2000)
+    val genes = Seq("g1" -> randomDna(15), "g2" -> randomDna(15))
+    val cfg = ScanConfig(weights = Map("direct" -> 1.0), topK = 7,
+      candidateDistance = 3, numChunks = 3)
+    val hits = GenomeScan.scan(spark, genome, genes, cfg).collect()
+    val byGene = hits.groupBy(_.name)
+    assert(byGene.keySet === Set("g1", "g2"))
+    byGene.values.foreach(hs => assert(hs.length === 7))
+  }
+
+  test("ascending mode surfaces the WORST matches") {
+    val genome = randomDna(1500)
+    val gene = randomDna(12)
+    val asc = ScanConfig(weights = Map("direct" -> 1.0), topK = 5,
+      candidateDistance = 3, ascending = true, numChunks = 2)
+    val desc = asc.copy(ascending = false)
+    val ah = GenomeScan.scan(spark, genome, Seq("g" -> gene), asc).collect()
+    val dh = GenomeScan.scan(spark, genome, Seq("g" -> gene), desc).collect()
+    assert(ah.nonEmpty && dh.nonEmpty)
+    // ascending surfaces low scores, reported un-negated
+    assert(ah.forall(_.weightedSimilarity >= 0))
+    assert(ah.map(_.weightedSimilarity).max < dh.map(_.weightedSimilarity).min)
+  }
+
+  test("chunks replicate the reference next_interval split") {
+    assert(GenomeScan.chunks(100, 4) === Seq((0, 25), (25, 50), (50, 75), (75, 100)))
+    // remainder spills into an extra short chunk (size // n division)
+    assert(GenomeScan.chunks(10, 3) === Seq((0, 3), (3, 6), (6, 9), (9, 10)))
+    // degenerate: size smaller than chunk count
+    assert(GenomeScan.chunks(2, 32) === Seq((0, 1), (1, 2)))
+  }
+}
