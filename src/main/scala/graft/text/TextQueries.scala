@@ -1,0 +1,213 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ann.Ann
+import graft.multimodal.Multimodal
+
+/** Training-data pipeline operators (dedup / similarity search / text
+  * analysis / multimodal plumbing) as driver-gate queries over the
+  * `documents` and `embeddings` tables, each with a DuckDB oracle that
+  * replicates the arithmetic exactly (same fold order, same rounding).
+  */
+object TextQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val qualityStopwords = Seq("the", "a", "of", "and", "to", "is")
+
+  val queries: Map[String, Q] = Map(
+
+    // ---- text analysis -------------------------------------------------
+
+    "tx_token_count" -> { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(TextOps.whitespaceTokens(col("text"))).as("n_ws"),
+        size(TextOps.regexTokens(col("text"))).as("n_re"))
+        .orderBy("doc_id")
+    },
+
+    "tx_quality_score" -> { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(TextOps.whitespaceTokens(col("text"))).as("n_tokens"),
+        TextOps.qualityScore(col("text"), qualityStopwords).as("quality"))
+        .orderBy("doc_id")
+    },
+
+    "tx_lang_id" -> { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"), col("lang"),
+        TextOps.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    },
+
+    "tx_fingerprint" -> { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextOps.polyHash(col("text")).as("fp"))
+        .orderBy("doc_id")
+    },
+
+    // ---- deduplication -------------------------------------------------
+
+    "dd_ngram_jaccard" -> { (s, d) =>
+      Dedup.jaccardPairs(
+        Dedup.shingleDocs(Tables.documents(s, d), "doc_id", "text"), 0.5)
+    },
+
+    "dd_minhash_lsh" -> { (s, d) =>
+      Dedup.minhashLshPairs(
+        Dedup.shingleDocs(Tables.documents(s, d), "doc_id", "text"), 0.5)
+    },
+
+    "dd_simhash" -> { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        Dedup.simhash(col("text")).as("simhash"))
+        .orderBy("doc_id")
+    },
+
+    "dd_cosine_neardup" -> { (s, d) =>
+      Ann.cosinePairs(Tables.embeddings(s, d), "vec_id", "embedding", 0.4)
+    },
+
+    // ---- similarity search ----------------------------------------------
+
+    "ann_cosine_topk" -> { (s, d) =>
+      Ann.cosineTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+        col("vec_id") < 20, k = 5)
+    },
+
+    // ---- multimodal plumbing --------------------------------------------
+
+    "mm_payload_stats" -> { (s, d) =>
+      Multimodal.payloadStats(Tables.documents(s, d), "doc_id", "text", frameSize = 256)
+    }
+  )
+
+  // ------------------------------------------------------------ oracles
+
+  private val tokensSql = """regexp_split_to_array(trim(text), '\s+')"""
+  private val polyHashSql =
+    """list_reduce(list_prepend(0::BIGINT,
+         list_transform(string_split(%s, ''), c -> ascii(c)::BIGINT)),
+         (a, x) -> (a*%d + x) %% 1000000007)"""
+  private def ph(e: String, base: Int) = polyHashSql.format(e, base)
+
+  private val shingleCte =
+    s"""WITH toks AS (
+          SELECT doc_id, $tokensSql AS w FROM documents
+        ), sh AS (
+          SELECT doc_id, list_distinct(list_transform(
+            generate_series(1, len(w)-2),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+          FROM toks
+        ), ex AS (
+          SELECT doc_id, unnest(shingles) AS s FROM sh
+        ), pairs AS (
+          SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+          FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ), sz AS (SELECT doc_id, len(shingles) AS n FROM sh)
+        SELECT d1, d2, CAST(inter AS BIGINT) AS inter,
+               ROUND(inter / (s1.n + s2.n - inter), 6) AS j
+        FROM pairs JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+        WHERE inter / (s1.n + s2.n - inter) >= 0.5
+        ORDER BY d1, d2"""
+
+  private val dotSql =
+    """list_reduce(list_prepend(0.0, list_transform(
+         generate_series(1, len(%s)), i -> %s[i]::DOUBLE * %s[i]::DOUBLE)),
+         (x, y) -> x + y)"""
+  private def dot(a: String, b: String) = dotSql.format(a, a, b)
+
+  val oracles: Map[String, String] = Map(
+    "tx_token_count" ->
+      s"""SELECT doc_id, CAST(len($tokensSql) AS INTEGER) AS n_ws,
+          CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]')) AS INTEGER) AS n_re
+          FROM documents ORDER BY doc_id""",
+
+    "tx_quality_score" ->
+      s"""SELECT doc_id, CAST(len($tokensSql) AS INTEGER) AS n_tokens,
+          ROUND(
+            0.4 * LEAST(len($tokensSql) / 200.0, 1.0) +
+            0.3 * (len(list_filter($tokensSql,
+                     t -> list_contains(['the','a','of','and','to','is'], t)))
+                   / GREATEST(len($tokensSql), 1)) +
+            0.3 * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                   / GREATEST(length(text), 1)), 4) AS quality
+          FROM documents ORDER BY doc_id""",
+
+    "tx_lang_id" -> {
+      val hits = TextOps.langProfiles.map { case (lang, words) =>
+        val lst = words.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> list_contains([$lst], t))) AS ${lang}_hits"
+      }.mkString(",\n             ")
+      val langs = TextOps.langProfiles.map(_._1)
+      val best = s"GREATEST(${langs.map(_ + "_hits").mkString(", ")})"
+      val cases = langs.map(l => s"WHEN ${l}_hits = $best THEN '$l'").mkString(" ")
+      s"""SELECT doc_id, lang,
+            CASE WHEN $best <= 0 THEN 'unknown' $cases ELSE 'unknown' END AS lang_pred
+          FROM (SELECT doc_id, lang, text, $hits FROM documents)
+          ORDER BY doc_id"""
+    },
+
+    "tx_fingerprint" ->
+      s"""SELECT doc_id, ${ph("text", 31)} AS fp FROM documents ORDER BY doc_id""",
+
+    "dd_ngram_jaccard" -> shingleCte,
+    "dd_minhash_lsh" -> shingleCte, // LSH must find exactly the true pairs
+
+    "dd_simhash" ->
+      s"""WITH toks AS (
+            SELECT doc_id, unnest(list_distinct($tokensSql)) AS t FROM documents
+          ), th AS (
+            SELECT doc_id, ${ph("t", 31)} AS h1, ${ph("t", 131)} AS h2 FROM toks
+          ), sig AS (
+            SELECT doc_id, list(h1) AS h1s, list(h2) AS h2s FROM th GROUP BY doc_id
+          )
+          SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 59), b ->
+            CASE WHEN list_sum(list_transform(
+                CASE WHEN b < 30 THEN h1s ELSE h2s END, h ->
+                CASE WHEN (h // (1::BIGINT << (CASE WHEN b < 30 THEN b ELSE b - 30 END))) % 2 = 1
+                     THEN 1 ELSE -1 END)) > 0
+                 THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS simhash
+          FROM sig ORDER BY doc_id""",
+
+    "dd_cosine_neardup" ->
+      s"""SELECT a.vec_id AS a, b.vec_id AS b,
+            ROUND(${dot("a.embedding", "b.embedding")} /
+              (SQRT(${dot("a.embedding", "a.embedding")}) *
+               SQRT(${dot("b.embedding", "b.embedding")})), 4) AS score
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          WHERE ${dot("a.embedding", "b.embedding")} /
+              (SQRT(${dot("a.embedding", "a.embedding")}) *
+               SQRT(${dot("b.embedding", "b.embedding")})) >= 0.4
+          ORDER BY a, b""",
+
+    "ann_cosine_topk" ->
+      s"""WITH s AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+              ${dot("q.embedding", "c.embedding")} /
+                (SQRT(${dot("q.embedding", "q.embedding")}) *
+                 SQRT(${dot("c.embedding", "c.embedding")})) AS cos
+            FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+            WHERE q.vec_id < 20
+          )
+          SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+                 ROUND(cos, 4) AS score
+          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY cos DESC, neighbor_id) AS rank FROM s)
+          WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    "mm_payload_stats" ->
+      s"""SELECT doc_id,
+            CAST(octet_length(encode(text)) AS INTEGER) AS payload_len,
+            CAST(FLOOR(octet_length(encode(text)) / 256) AS INTEGER) AS n_frames,
+            ${ph("text", 31)} AS checksum
+          FROM documents ORDER BY doc_id"""
+  )
+}

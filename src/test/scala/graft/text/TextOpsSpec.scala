@@ -1,0 +1,145 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.ann.Ann
+import graft.multimodal.{MediaAsset, Multimodal}
+
+class TextOpsSpec extends SparkSpec {
+
+  private def docDf(texts: String*) = {
+    import spark.implicits._
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+  }
+
+  test("polyHash matches a reference fold computed in plain Scala") {
+    import spark.implicits._
+    def scalaHash(s: String, base: Int = 31): Long =
+      s.foldLeft(0L)((acc, c) => (acc * base + c.toLong) % 1000000007L)
+    val texts = Seq("hello world", "a", "spark data pipeline", "")
+    val got = docDf(texts: _*)
+      .select(TextOps.polyHash(col("text")).as("h")).as[Long].collect()
+    assert(got.toSeq === texts.map(scalaHash(_)))
+  }
+
+  test("wordShingles: distinct k-shingles, short docs empty") {
+    import spark.implicits._
+    val got = docDf("a b c d", "a b", "x y z x y z")
+      .select(TextOps.wordShingles(TextOps.whitespaceTokens(col("text")), 3).as("s"))
+      .as[Seq[String]].collect()
+    assert(got(0) === Seq("a b c", "b c d"))
+    assert(got(1) === Seq.empty)
+    assert(got(2) === Seq("x y z", "y z x", "z x y")) // distinct keeps first occurrences
+  }
+
+  test("langId picks the profile with most stopword hits, unknown on zero") {
+    import spark.implicits._
+    val got = docDf(
+      "the cat and the dog is a pet",
+      "der hund und die katze ist ein tier",
+      "el perro y la casa de un que",
+      "qqq www zzz")
+      .select(TextOps.langId(col("text")).as("l")).as[String].collect()
+    assert(got.toSeq === Seq("en", "de", "es", "unknown"))
+  }
+
+  test("qualityScore is bounded and rewards stopword-rich alpha text") {
+    import spark.implicits._
+    val stop = Seq("the", "a", "of", "and", "to", "is")
+    val got = docDf("the cat is a pet and it is nice", "@#$ 123 !!! ???")
+      .select(TextOps.qualityScore(col("text"), stop).as("q")).as[Double].collect()
+    assert(got.forall(q => q >= 0.0 && q <= 1.0))
+    assert(got(0) > got(1))
+  }
+
+  test("jaccardPairs finds planted near-dups and nothing else") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val nearDup = base.replace("kappa", "lambda")
+    val other = "one two three four five six seven eight nine ten"
+    val sh = Dedup.shingleDocs(docDf(base, nearDup, other), "doc_id", "text")
+    val pairs = Dedup.jaccardPairs(sh, 0.5).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((0L, 1L)))
+    assert(pairs.head.getDouble(3) > 0.5)
+  }
+
+  test("minhashLshPairs equals exact jaccardPairs on seeded corpus") {
+    val rnd = new scala.util.Random(5)
+    val vocab = Vector("data", "spark", "query", "join", "scan", "agg", "row",
+      "col", "sort", "hash", "merge", "batch", "stream", "window")
+    def doc(): String = Seq.fill(40)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val docs = Seq.tabulate(30)(_ => doc())
+    // plant 3 near-dup pairs by light mutation
+    val mutated = docs.take(3).map(d => d.replaceFirst("data", "datum"))
+    val all = docs ++ mutated
+    val df = docDf(all: _*)
+    val sh = Dedup.shingleDocs(df, "doc_id", "text")
+    val exact = Dedup.jaccardPairs(sh, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+    val lsh = Dedup.minhashLshPairs(sh, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+    assert(exact.nonEmpty, "planted near-dups must surface")
+    assert(lsh === exact)
+  }
+
+  test("simhash: near-identical docs have small hamming distance, unrelated large") {
+    import spark.implicits._
+    val df = docDf(
+      "the quick brown fox jumps over the lazy dog again and again today",
+      "the quick brown fox jumps over the lazy dog again and again tonight",
+      "zebra xylophone quartz vortex jumble klaxon wharf dunes sphinx gizmo")
+      .select(Dedup.simhash(col("text")).as("h")).as[Long].collect()
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(df(0), df(1)) < ham(df(0), df(2)))
+    assert(ham(df(0), df(1)) <= 12)
+  }
+
+  test("cosineTopK: identical vector is rank-1 with score 1.0") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f, 0.0f)),   // duplicate of 0
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.7f, 0.7f, 0.0f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val top = Ann.cosineTopK(df, "vec_id", "embedding", col("vec_id") === 0, 2).collect()
+    assert(top.length === 2)
+    assert(top(0).getLong(2) === 1L)         // duplicate first
+    assert(top(0).getDouble(3) === 1.0)
+    assert(top(1).getLong(2) === 3L)         // 45° vector second
+  }
+
+  test("lshTopK recall >= 0.6 vs brute force on random vectors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val dim = 16
+    val df = Seq.tabulate(120)(i => (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val brute = Ann.cosineTopK(df, "vec_id", "embedding", col("vec_id") < 10, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val lsh = Ann.lshTopK(df, "vec_id", "embedding", col("vec_id") < 10, 3, dim,
+      numPlanes = 4, tables = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    assert(recall >= 0.6, s"recall $recall too low")
+  }
+
+  test("multimodal: stub decode features are deterministic; frame sampling strides") {
+    import spark.implicits._
+    val assets = Seq(
+      MediaAsset(1L, "image", Array.tabulate(2048)(i => (i % 251).toByte), 64, 32, 0),
+      MediaAsset(2L, "audio", Array.tabulate(500)(i => (i % 17).toByte), 0, 0, 16000))
+    val feats = Multimodal.extractFeatures(assets.toDS(), frameSize = 1024)
+      .collect().sortBy(_.assetId)
+    assert(feats(0).payloadLen === 2048)
+    assert(feats(0).nFrames === 2)
+    assert(feats(0).byteHistogramHead.sum === 2048)
+    assert(feats(1).nFrames === 0)
+    // determinism
+    val again = Multimodal.extractFeatures(assets.toDS(), frameSize = 1024)
+      .collect().sortBy(_.assetId)
+    assert(again.map(_.checksum).toSeq === feats.map(_.checksum).toSeq)
+
+    // 10000/1024 = 9 whole frames (0..8); stride 3 → frames 0,3,6
+    assert(Multimodal.sampleFrameOffsets(10000, 1024, 3) === Seq(0, 3072, 6144))
+  }
+}
