@@ -17,11 +17,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.relational.RelationalQueries.queries ++
+      graft.relational.CoverageQueries.queries ++
       graft.text.TextQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.relational.RelationalQueries.oracles ++
+      graft.relational.CoverageQueries.oracles ++
       graft.text.TextQueries.oracles
 }

@@ -59,6 +59,13 @@ object SimilarityKernels {
     * occur (counting substitutions that are true mismatches and all
     * insert/delete steps; a match resets the run).
     *
+    * NOT standard Levenshtein: the reference's INF-initialized borders
+    * (`text_edit_similarity.py:16-18` — only dp[0][0]=0) force every
+    * alignment path to enter at (1,1), i.e. the FIRST characters of gene
+    * and window always align. Equivalently:
+    * `anchored(g,w) = cost(g(0),w(0)) + levenshtein(g[1:], w[1:])`.
+    * Verified by differential tests; preserved as parity semantics.
+    *
     * The backtrace tie order (diagonal, then delete-from-gene, then
     * insert) matches the reference exactly — it changes which path is
     * reported, hence the render and the mismatch-limit outcome.

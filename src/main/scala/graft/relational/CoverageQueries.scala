@@ -1,0 +1,238 @@
+package graft.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.bio.SimilarityKernels
+
+/** Second tranche of SURVEY §2 coverage: alphabet filters (F2), char
+  * histograms (A3/A4), ascending top-k (T4), flanking extraction (W2),
+  * chained explode (G5), directional next-event (J3), range
+  * classification (J8), and the X1/X2 similarity kernels exposed through
+  * registered SQL UDFs — each with an exact DuckDB oracle.
+  */
+object CoverageQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Register the kernel family for the SQL surface (SURVEY §7.3: every
+    * pipeline stage also expressible via `spark.sql`).
+    */
+  def registerKernels(spark: SparkSession): Unit = {
+    spark.udf.register("direct_similarity",
+      (gene: String, window: String) => SimilarityKernels.directScore(gene, window, 0))
+    spark.udf.register("text_edit_similarity",
+      (gene: String, window: String) => SimilarityKernels.textEditScore(gene, window, 0))
+    spark.udf.register("consistency_similarity",
+      (gene: String, window: String, patience: Int) =>
+        SimilarityKernels.consistencyScore(gene, window, 0, patience).score)
+    spark.udf.register("revcomp",
+      (s: String) => graft.bio.Dna.reverseComplement(s))
+  }
+
+  private val x2Probe = "sparkland data jobs" // no 'c' → wobble can't fire → plain edit distance
+  private val x1Probe = "the quick brown fox"
+
+  val queries: Map[String, Q] = Map(
+
+    // F2: alphabet filter (reference cluster_match.py:120-131 AUCG-only)
+    "f2_alphabet_filter" -> { (s, d) =>
+      Tables.documents(s, d)
+        .where(col("text").rlike("^[a-z ]+$"))
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+
+    // A3: char histogram (reference gene_similarity_match.py:294-301)
+    "a3_char_histogram" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), "")).as("ch"))
+        .where(col("ch") =!= "")
+        .groupBy("ch").agg(count(lit(1)).as("cnt"))
+        .orderBy("ch")
+    },
+
+    // A4: distinct invalid-char set (reference cluster_match.py:117-124)
+    "a4_invalid_chars" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(split(upper(col("text")), "")).as("ch"))
+        .where(col("ch") =!= "" && !col("ch").isin("A", "U", "C", "G", " "))
+        .select("ch").distinct()
+        .orderBy("ch")
+    },
+
+    // T4: ascending-order top-k (reference OrderType.Increment,
+    // gene_similarity_match.py:108-110)
+    "t4_ascending_topk" -> { (s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").asc, col("o_orderkey"))
+        .limit(100)
+    },
+
+    // W2: flanking extraction (reference gene_stream_analysis.py:30-45)
+    "w2_flanking" -> { (s, d) =>
+      Tables.documents(s, d)
+        .where(col("n_chars") >= 140)
+        .select(
+          col("doc_id"),
+          substring(col("text"), 81, 20).as("upstream"),
+          substring(col("text"), 101, 20).as("site"),
+          substring(col("text"), 121, 20).as("downstream"),
+          translate(reverse(substring(col("text"), 101, 20)), "acgt", "tgca").as("site_rc"))
+        .orderBy("doc_id")
+    },
+
+    // G5: two-level chained explode (reference kegg_analysis.py:59-80)
+    "g5_chained_explode" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+        .where(length(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(w)-1), i -> substring(w, i, 2))")).as("bg"))
+        .groupBy("bg").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("bg"))
+        .limit(20)
+    },
+
+    // J3: directional next-event selection (reference
+    // neighbor_analysis.py:201-214 — nearest strictly-downstream)
+    "j3_directional_next" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("c_ts"), col("event_id").as("click_event_id"))
+      val w = Window.partitionBy("event_id").orderBy(col("c_ts"), col("click_event_id"))
+      purchases.join(clicks, Seq("user_id"))
+        .where(col("c_ts") > col("ts"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("event_id"), col("user_id"), col("click_event_id"))
+        .orderBy("event_id")
+    },
+
+    // J8: range→gene classification (reference gene_position_helper.py:93-117,
+    // overlap quirk preserved: overlap measured from geneLeft)
+    "j8_range_classify" -> { (s, d) =>
+      val li = Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("r_left"),
+        (col("l_orderkey") * 10 + col("l_linenumber") + col("l_quantity").cast("int")).as("r_right"))
+      val g = Tables.orders(s, d).select(
+        col("o_orderkey"),
+        (col("o_orderkey") * 10).as("g_left"),
+        (col("o_orderkey") * 10 + 20).as("g_right"))
+      li.join(g, col("l_orderkey") === col("o_orderkey"))
+        .withColumn("overlap",
+          when(col("r_right") < col("g_left") || col("r_left") > col("g_right"), 0)
+            .when(col("r_right") < col("g_right"), col("r_right") - col("g_left") + 1)
+            .otherwise(col("g_right") - col("r_left") + 1))
+        .withColumn("rate", col("overlap") * 100.0 / (col("r_right") - col("r_left") + 1))
+        .withColumn("cls",
+          when(col("r_left") === col("g_left") && col("r_right") === col("g_right"), "hit")
+            .when(col("rate") >= 90.0, "homology")
+            .when(col("g_left") <= col("r_left") && col("r_right") <= col("g_right"), "include")
+            .otherwise("related"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("cls"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // X1: direct-match kernel over the SQL surface
+    "x1_direct_text" -> { (s, d) =>
+      registerKernels(s)
+      Tables.documents(s, d).createOrReplaceTempView("docs_x1")
+      s.sql(
+        s"""SELECT doc_id,
+              direct_similarity('$x1Probe', substring(lower(text), 1, ${x1Probe.length})) AS score
+            FROM docs_x1 WHERE n_chars >= ${x1Probe.length} ORDER BY doc_id""")
+    },
+
+    // X2: wobble edit-distance kernel over the SQL surface
+    "x2_edit_text" -> { (s, d) =>
+      registerKernels(s)
+      Tables.documents(s, d).createOrReplaceTempView("docs_x2")
+      s.sql(
+        s"""SELECT doc_id,
+              text_edit_similarity('$x2Probe', substring(lower(text), 1, ${x2Probe.length})) AS score
+            FROM docs_x2 WHERE n_chars >= ${x2Probe.length} ORDER BY doc_id""")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "f2_alphabet_filter" ->
+      """SELECT doc_id, n_chars FROM documents
+         WHERE regexp_matches(text, '^[a-z ]+$') ORDER BY doc_id""",
+    "a3_char_histogram" ->
+      """SELECT ch, CAST(count(*) AS BIGINT) AS cnt
+         FROM (SELECT unnest(string_split(text, '')) AS ch FROM documents) t
+         WHERE ch <> '' GROUP BY ch ORDER BY ch""",
+    "a4_invalid_chars" ->
+      """SELECT DISTINCT ch FROM
+           (SELECT unnest(string_split(upper(text), '')) AS ch FROM documents) t
+         WHERE ch <> '' AND ch NOT IN ('A','U','C','G',' ') ORDER BY ch""",
+    "t4_ascending_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice ASC, o_orderkey LIMIT 100""",
+    "w2_flanking" ->
+      """SELECT doc_id,
+            substr(text, 81, 20) AS upstream,
+            substr(text, 101, 20) AS site,
+            substr(text, 121, 20) AS downstream,
+            translate(reverse(substr(text, 101, 20)), 'acgt', 'tgca') AS site_rc
+         FROM documents WHERE n_chars >= 140 ORDER BY doc_id""",
+    "g5_chained_explode" ->
+      """SELECT bg, CAST(count(*) AS BIGINT) AS cnt FROM (
+           SELECT unnest(list_transform(generate_series(1, length(w)-1),
+                                        i -> substr(w, i, 2))) AS bg
+           FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+                 FROM documents) t
+           WHERE length(w) >= 2) g
+         GROUP BY bg ORDER BY cnt DESC, bg LIMIT 20""",
+    "j3_directional_next" ->
+      """SELECT event_id, user_id, click_event_id FROM (
+           SELECT p.event_id, p.user_id, c.event_id AS click_event_id,
+                  ROW_NUMBER() OVER (PARTITION BY p.event_id
+                    ORDER BY c.ts, c.event_id) AS rn
+           FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+           JOIN (SELECT * FROM events WHERE event_type = 'click') c
+             ON p.user_id = c.user_id AND c.ts > p.ts) t
+         WHERE rn = 1 ORDER BY event_id""",
+    "j8_range_classify" ->
+      """SELECT l_orderkey, l_linenumber,
+            CASE WHEN r_left = g_left AND r_right = g_right THEN 'hit'
+                 WHEN rate >= 90.0 THEN 'homology'
+                 WHEN g_left <= r_left AND r_right <= g_right THEN 'include'
+                 ELSE 'related' END AS cls
+         FROM (
+           SELECT l_orderkey, l_linenumber, r_left, r_right, g_left, g_right,
+                  (CASE WHEN r_right < g_left OR r_left > g_right THEN 0
+                        WHEN r_right < g_right THEN r_right - g_left + 1
+                        ELSE g_right - r_left + 1 END) * 100.0
+                    / (r_right - r_left + 1) AS rate
+           FROM (
+             SELECT l_orderkey, l_linenumber,
+                    l_orderkey*10 + l_linenumber AS r_left,
+                    l_orderkey*10 + l_linenumber + CAST(l_quantity AS INTEGER) AS r_right,
+                    o_orderkey*10 AS g_left, o_orderkey*10 + 20 AS g_right
+             FROM lineitem JOIN orders ON l_orderkey = o_orderkey) t) c
+         ORDER BY l_orderkey, l_linenumber""",
+    "x1_direct_text" ->
+      """SELECT doc_id, CAST(len(list_filter(generate_series(1, 19), i ->
+            substr(lower(text), i, 1) = substr('the quick brown fox', i, 1)
+            OR (substr('the quick brown fox', i, 1) = 'c'
+                AND substr(lower(text), i, 1) = 't'))) AS DOUBLE) AS score
+         FROM documents WHERE n_chars >= 19 ORDER BY doc_id""",
+    // The reference DP (and our kernel) is ANCHORED edit distance: its
+    // INF-bordered table forces g[0]/w[0] to align first, so
+    // anchored(g,w) = cost(g1,w1) + levenshtein(g[1:], w[1:]) — probe has
+    // no 'c', so wobble never fires and plain equality is the cost.
+    "x2_edit_text" ->
+      """SELECT doc_id,
+            CAST(19 - ((CASE WHEN substr(lower(text), 1, 1) = 's' THEN 0 ELSE 1 END)
+                       + levenshtein('parkland data jobs',
+                                     substr(lower(text), 2, 18))) AS DOUBLE) AS score
+         FROM documents WHERE n_chars >= 19 ORDER BY doc_id"""
+  )
+}
