@@ -191,4 +191,28 @@ object GeneOps {
       .agg(count(lit(1)).as("cnt"))
       .withColumn("pct", round(col("cnt") * 100.0 / total, 4))
       .orderBy(col("cnt").desc, col(keyCol))
+
+  // ----------------------------------------------------- misc utilities
+
+  /** `name:left-right(±)` locus parse (reference `gentamycin.py:88-93`). */
+  private val locusRe = """(.+):(\d+)-(\d+)\((.)\)""".r
+
+  def parseLocus(locus: String): (String, Int, Int, Char) = locus.trim match {
+    case locusRe(name, l, r, d) => (name, l.toInt, r.toInt, d.head)
+    case other => throw new IllegalArgumentException(s"bad locus: $other")
+  }
+
+  /** Synthetic jittered triples (reference `run_random_generate.py:17-23`):
+    * two draws in `[0.975, 1.025]·target`, third balances to `3·target`.
+    * Seeded for reproducibility (the reference uses an unseeded RNG —
+    * determinism is an engine improvement, not a divergence the tests pin).
+    */
+  def randomTriples(targets: Seq[Double], seed: Long): Seq[(Double, Double, Double)] = {
+    val rnd = new scala.util.Random(seed)
+    targets.map { t =>
+      val a = (19.5 + rnd.nextDouble()) / 20 * t
+      val b = (19.5 + rnd.nextDouble()) / 20 * t
+      (a, b, 3 * t - a - b)
+    }
+  }
 }

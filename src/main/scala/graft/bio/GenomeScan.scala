@@ -71,6 +71,14 @@ object GenomeScan {
   /** Scan one chunk of one strand for one gene — the reference's
     * `match_gene` loop (`gene_similarity_match.py:157-235`) as a pure
     * function. Returns the chunk's suppressed, locally-top-k candidates.
+    *
+    * Hot path: scores evaluate through the allocation-free kernel variants
+    * with per-chunk scratch buffers, and the suppression deque runs over
+    * primitive arrays — candidate objects (with their per-kernel score
+    * maps) materialize only for the ≤ topK survivors, whose kernels are
+    * re-evaluated once. Equivalence with the object-based
+    * [[Suppression.suppress]] is asserted by GenomeScanSpec, and the whole
+    * path is pinned by ScanDifferentialSpec against the executed reference.
     */
   def scanChunk(
       gene: String,
@@ -90,15 +98,111 @@ object GenomeScan {
       continuousMismatchLimit = cfg.continuousMismatchLimit,
       pattern = pattern)
 
-    val raw = Iterator.range(chunkStart, end).map { offset =>
-      val (blended, scores) =
-        SimilarityKernels.blendedScore(cfg.weights, gene, db, offset, kcfg)
-      val signed = if (cfg.ascending) -blended else blended
-      MatchCandidate(offset, offset + geneLength - 1, isReverse, dbLength, signed, scores)
+    // per-chunk scratch buffers for the score-only kernel paths
+    val runLen = new Array[Int](geneLength + 1)
+    val runEnd = new Array[Int](geneLength + 1)
+    val dpBuf =
+      if (cfg.weights.getOrElse("text_edit", 0.0) > 0 && cfg.continuousMismatchLimit <= 0)
+        new Array[Int]((geneLength + 1) * (geneLength + 1))
+      else null
+    val kernels = cfg.weights.toArray.filter(_._2 > 0)
+    var totalWeight = 0.0
+    kernels.foreach(totalWeight += _._2)
+    require(totalWeight > 0, "at least one kernel must have positive weight")
+
+    def blendedAt(offset: Int): Double = {
+      var weighted = 0.0
+      var i = 0
+      while (i < kernels.length) {
+        val (k, w) = kernels(i)
+        val s = k match {
+          case "direct" => SimilarityKernels.directScore(gene, db, offset)
+          case "consistency" =>
+            SimilarityKernels.consistencyScoreOnly(gene, db, offset, cfg.patience, runLen, runEnd)
+          case "text_edit" =>
+            if (dpBuf != null) SimilarityKernels.textEditScoreOnly(gene, db, offset, dpBuf)
+            else SimilarityKernels.textEditScore(gene, db, offset, cfg.continuousMismatchLimit)
+          case "pattern" =>
+            pattern.map(_.score(db.substring(offset, math.min(offset + geneLength, dbLength))))
+              .getOrElse(0).toDouble
+          case "blat" =>
+            if (SimilarityKernels.blatSimilarity(gene, db, offset,
+                kcfg.midLimit, kcfg.endLimit)._1) 1.0 else 0.0
+          case other => throw new IllegalArgumentException(s"unknown kernel: $other")
+        }
+        weighted += s * w
+        i += 1
+      }
+      weighted / totalWeight
     }
-    Suppression.topK(
-      Suppression.suppress(raw, cfg.candidateDistance, dropNonPositive = !cfg.ascending),
-      cfg.topK)
+
+    // primitive-array ring deque (capacity candidateDistance+1): the
+    // reference's update_candidate_list over (left, score, ignored)
+    val cap = cfg.candidateDistance + 2
+    val dqLeft = new Array[Int](cap)
+    val dqScore = new Array[Double](cap)
+    val dqIgnored = new Array[Boolean](cap)
+    var dqHead = 0
+    var dqSize = 0
+    val dropNonPositive = !cfg.ascending
+
+    // survivors feed a bounded top-k heap ranked (-score, left); the java
+    // heap holds WORST-first so poll() evicts the current worst. Survivors
+    // are far fewer than offsets (suppression keeps ~local maxima), so
+    // tuple boxing here is off the hot path.
+    val heap = new java.util.PriorityQueue[(Double, Int)](math.max(cfg.topK, 1),
+      new java.util.Comparator[(Double, Int)] {
+        def compare(a: (Double, Int), b: (Double, Int)): Int = {
+          val c = java.lang.Double.compare(a._1, b._1) // lower score = worse
+          if (c != 0) c else java.lang.Integer.compare(b._2, a._2) // larger left = worse
+        }
+      })
+
+    def emit(left: Int, score: Double): Unit = {
+      heap.add((score, left))
+      if (heap.size > cfg.topK) heap.poll()
+    }
+
+    def update(newLeft: Int, newScore: Double, hasNew: Boolean, keepSize: Int): Unit = {
+      while (dqSize >= keepSize ||
+             (dqSize > 0 && hasNew && math.abs(dqLeft(dqHead) - newLeft) >= keepSize)) {
+        if (!dqIgnored(dqHead)) emit(dqLeft(dqHead), dqScore(dqHead))
+        dqHead = (dqHead + 1) % cap
+        dqSize -= 1
+      }
+      if (hasNew) {
+        var ignored = dropNonPositive && newScore <= 0.0
+        var i = 0
+        while (i < dqSize) {
+          val pos = (dqHead + i) % cap
+          if (dqScore(pos) > newScore) ignored = true
+          else if (dqScore(pos) < newScore) dqIgnored(pos) = true
+          i += 1
+        }
+        val tail = (dqHead + dqSize) % cap
+        dqLeft(tail) = newLeft
+        dqScore(tail) = newScore
+        dqIgnored(tail) = ignored
+        dqSize += 1
+      }
+    }
+
+    var offset = chunkStart
+    while (offset < end) {
+      val blended = blendedAt(offset)
+      val signed = if (cfg.ascending) -blended else blended
+      update(offset, signed, hasNew = true, cfg.candidateDistance)
+      offset += 1
+    }
+    while (dqSize > 0) update(0, 0.0, hasNew = false, 1)
+
+    val survivors = new Array[(Double, Int)](heap.size)
+    var i = survivors.length - 1
+    while (i >= 0) { survivors(i) = heap.poll(); i -= 1 } // drains worst-first
+    survivors.sortBy { case (score, left) => (-score, left) }.toVector.map { case (signed, left) =>
+      val (_, scores) = SimilarityKernels.blendedScore(cfg.weights, gene, db, left, kcfg)
+      MatchCandidate(left, left + geneLength - 1, isReverse, dbLength, signed, scores)
+    }
   }
 
   /** Distributed scan of `genes` (name → lowercase sequence) against a

@@ -398,6 +398,85 @@ object SimilarityKernels {
     (weighted / totalWeight, scores.result())
   }
 
+  // ---------------------------------------------- allocation-free hot paths
+
+  /** Score-only consistency kernel with caller-provided scratch arrays
+    * (size ≥ gene.length+1): identical result to [[consistencyScore]]
+    * (asserted by tests) without building the run vectors — the genome
+    * scan calls this ~10⁷ times per gene, where per-offset allocation is
+    * the dominant cost.
+    */
+  def consistencyScoreOnly(
+      gene: String, db: String, offset: Int, maxPatience: Int,
+      runLen: Array[Int], runEnd: Array[Int]): Double = {
+    val n = gene.length
+    var score = 0
+    var curScore = 0
+    var nRuns = 0
+    var i = 0
+    while (i < n) {
+      if (Dna.baseMatches(gene.charAt(i), db.charAt(offset + i))) {
+        curScore += 1
+        if (i == n - 1) { runLen(nRuns) = curScore; runEnd(nRuns) = n; nRuns += 1 }
+      } else {
+        runLen(nRuns) = curScore; runEnd(nRuns) = i; nRuns += 1
+        curScore = 0
+      }
+      if (curScore > score) score = curScore
+      i += 1
+    }
+    var idx = 0
+    while (idx < nRuns) {
+      val left = runEnd(idx) - runLen(idx)
+      var totalScore = 0
+      var width = 0
+      var continue = true
+      while (continue && width <= maxPatience) {
+        if (width + idx < nRuns) {
+          val totalLen = runEnd(idx + width) - left
+          totalScore += runLen(idx + width)
+          if (totalLen - totalScore > maxPatience) continue = false
+          else if (score < totalScore) score = totalScore
+        }
+        width += 1
+      }
+      idx += 1
+    }
+    score.toDouble
+  }
+
+  /** Score-only edit-distance kernel over a caller-provided flattened DP
+    * buffer (size ≥ (n+1)²) — same values as [[textEditScore]] without the
+    * limit backtrace (the scan path never sets the limit; configs that do
+    * use the allocating variant).
+    */
+  def textEditScoreOnly(gene: String, db: String, offset: Int, dp: Array[Int]): Double = {
+    val n = gene.length
+    val w = n + 1
+    val INF = 999999
+    java.util.Arrays.fill(dp, 0, w * w, INF)
+    dp(0) = 0
+    var i = 1
+    while (i <= n) {
+      val ga = gene.charAt(i - 1)
+      val row = i * w
+      val prev = row - w
+      var j = 1
+      while (j <= n) {
+        val gb = db.charAt(offset + j - 1)
+        var best = dp(prev + j) + 1
+        val left = dp(row + j - 1) + 1
+        if (left < best) best = left
+        val diag = dp(prev + j - 1) + Dna.changeCost(ga, gb)
+        if (diag < best) best = diag
+        dp(row + j) = best
+        j += 1
+      }
+      i += 1
+    }
+    (n - dp(n * w + n)).toDouble
+  }
+
   // -------------------------------------------------------- X8 fast_skip
 
   /** Per-base counts of a sequence (reference `count_acgt`). */

@@ -72,6 +72,27 @@ class GenomeScanSpec extends SparkSpec {
     assert(ah.map(_.weightedSimilarity).max < dh.map(_.weightedSimilarity).min)
   }
 
+  test("fast scanChunk equals the object-based suppression + topK path") {
+    val genome = randomDna(3000)
+    for (kernel <- Seq("direct", "consistency", "text_edit"); ascending <- Seq(false, true)) {
+      val gene = randomDna(14)
+      val cfg = ScanConfig(weights = Map(kernel -> 1.0), topK = 50,
+        candidateDistance = 4, patience = 2, ascending = ascending, numChunks = 1)
+      val fast = GenomeScan.scanChunk(gene, genome, isReverse = false, 0, genome.length, cfg)
+        .map(c => (c.left, c.weightedSimilarity))
+      val kcfg = SimilarityKernels.KernelConfig(maxPatience = cfg.patience)
+      val raw = Iterator.range(0, genome.length - gene.length + 1).map { off =>
+        val (b, s) = SimilarityKernels.blendedScore(cfg.weights, gene, genome, off, kcfg)
+        MatchCandidate(off, off + gene.length - 1, false, genome.length,
+          if (ascending) -b else b, s)
+      }
+      val slow = Suppression.topK(
+        Suppression.suppress(raw, cfg.candidateDistance, dropNonPositive = !ascending),
+        cfg.topK).map(c => (c.left, c.weightedSimilarity))
+      assert(fast === slow, s"kernel=$kernel ascending=$ascending")
+    }
+  }
+
   test("chunks replicate the reference next_interval split") {
     assert(GenomeScan.chunks(100, 4) === Seq((0, 25), (25, 50), (50, 75), (75, 100)))
     // remainder spills into an extra short chunk (size // n division)
