@@ -57,8 +57,14 @@ object BlockText {
   /** Parse one assembled block (reference `parse_similarity_data`,
     * `gene_location_analysis.py:242-264`): header `file/start-end\tk=v,...`;
     * `direction=±` is dropped; keys containing ':' join their value without
-    * a tab (they are the render tracks); direction re-derives from
-    * start/end order.
+    * a tab (they are the render tracks).
+    *
+    * QUIRK PRESERVED: the reference derives the direction track by
+    * comparing start/end as STRINGS (`'>' if start < end else '<'` runs
+    * before the int() casts, `gene_location_analysis.py:262`), so e.g.
+    * '1012' < '998' is TRUE lexicographically and renders '>' for a
+    * reverse hit. Downstream sense/antisense labeling consumes this line,
+    * so byte parity requires the string comparison.
     */
   def parseSimilarityBlock(buff: Vector[String]): SimilarityBlock = {
     val Array(primary, matchRaw) = buff.head.split("\t", 2)
@@ -77,7 +83,7 @@ object BlockText {
       fileInfo, start, end,
       header = s"$fileInfo/$start-$end",
       matchInfo = lines.mkString("\n"),
-      direction = (if (start < end) ">" else "<") * 10,
+      direction = (if (s < e) ">" else "<") * 10, // STRING comparison — see scaladoc
       additional = buff.tail)
   }
 }
