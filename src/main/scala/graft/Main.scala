@@ -1,0 +1,173 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+import graft.bio._
+import graft.io.{EcocycTsv, GenBank}
+import graft.pipelines.{LocationReorder, NeighborPipeline, SimilarityMatchPipeline}
+
+/** CLI — the reference's `run_*.py` entry points as subcommands with
+  * arguments instead of module constants (SURVEY §7.1 step 6). A user of
+  * the reference toolkit runs the same analyses here, file-to-file:
+  *
+  * {{{
+  * graft.Main similarity-match --genome g.gb --genes genes.tsv --out dir
+  *     [--top-k 20 --distance 5 --patience 2 --weights consistency=1,direct=2
+  *      --chunks 32 --ascending]
+  * graft.Main location-analysis --match m.txt --ecocyc e.tsv --out dir
+  *     [--sub-span 45,25 --no-sub]
+  * graft.Main cluster-match --input x.fna --rna-tag TAG --out dir
+  * graft.Main gene-extract --genome g.gb --genes list.txt --out file
+  * graft.Main gene-range --genome g.gb --out file
+  * graft.Main location-reorder --location l.txt --index i.txt --out file
+  * graft.Main neighbor --input req.txt --cache dir --out dir
+  * }}}
+  */
+object Main {
+
+  private def parseArgs(args: Array[String]): Map[String, String] = {
+    val out = Map.newBuilder[String, String]
+    var i = 0
+    while (i < args.length) {
+      val a = args(i)
+      require(a.startsWith("--"), s"unexpected argument: $a")
+      if (i + 1 < args.length && !args(i + 1).startsWith("--")) {
+        out += a.drop(2) -> args(i + 1); i += 2
+      } else {
+        out += a.drop(2) -> "true"; i += 1
+      }
+    }
+    out.result()
+  }
+
+  private def session(): SparkSession = {
+    val s = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def read(path: String): String = Files.readString(Paths.get(path))
+  private def write(path: String, text: String): Unit = {
+    Option(Paths.get(path).getParent).foreach(Files.createDirectories(_))
+    Files.writeString(Paths.get(path), text)
+  }
+
+  private def parseWeights(s: String): Map[String, Double] =
+    s.split(",").map { kv => val Array(k, v) = kv.split("="); k -> v.toDouble }.toMap
+
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty) { println(usage); sys.exit(1) }
+    val cmd = args.head
+    val opts = parseArgs(args.tail)
+    def req(k: String): String =
+      opts.getOrElse(k, { System.err.println(s"missing --$k\n$usage"); sys.exit(2); "" })
+
+    cmd match {
+      case "similarity-match" =>
+        val spark = session()
+        val gb = GenBank.parse(read(req("genome")))
+        val geneLines = read(req("genes")).linesIterator.toVector
+        val header = geneLines.head.split("\t").zipWithIndex.toMap
+        val genes = geneLines.tail.filter(_.nonEmpty).map { l =>
+          val c = l.split("\t")
+          (c(header("name")), c(header("gene")).toLowerCase)
+        }
+        val cfg = ScanConfig(
+          weights = parseWeights(opts.getOrElse("weights", "consistency=1")),
+          topK = opts.getOrElse("top-k", "20").toInt,
+          candidateDistance = opts.getOrElse("distance", "5").toInt,
+          patience = opts.getOrElse("patience", "2").toInt,
+          ascending = opts.contains("ascending"),
+          numChunks = opts.getOrElse("chunks", "32").toInt)
+        val dataName = Paths.get(req("genome")).getFileName.toString.replace(".txt", "")
+        val out = SimilarityMatchPipeline.run(spark, gb.dna, genes, cfg, dataName)
+        write(s"${req("out")}/match_result.txt", out)
+        spark.stop()
+
+      case "location-analysis" =>
+        val spark = session()
+        val records = EcocycTsv.loadInterRecords(spark, req("ecocyc"))
+        val span = opts.get("sub-span").map { s =>
+          val Array(a, b) = s.split(","); (a.toInt, b.toInt)
+        }
+        val (main, sub) = LocationAnalysis.run(
+          read(req("match")), records,
+          processSubData = !opts.contains("no-sub"), filterSubSpan = span)
+        write(s"${req("out")}/location_result.txt", main)
+        if (!opts.contains("no-sub")) write(s"${req("out")}/sub_location_result.txt", sub)
+        spark.stop()
+
+      case "cluster-match" =>
+        val blocks = ClusterMatch.parse(read(req("input")), req("rna-tag"))
+        val clusters = ClusterMatch.cluster(blocks)
+        val (all, only, _) = ClusterMatch.renderMemberResults(clusters)
+        val dir = req("out")
+        write(s"$dir/cluster_result.txt", ClusterMatch.renderClusterResult(clusters))
+        write(s"$dir/sample_result.txt", ClusterMatch.renderSampleResult(clusters))
+        write(s"$dir/all_result.txt", all)
+        write(s"$dir/only_result.txt", only)
+
+      case "gene-extract" =>
+        val gb = GenBank.parse(read(req("genome")))
+        val sb = new StringBuilder("No\tgene\tfrom\t\tend\tproduct\tsequence\n")
+        read(req("genes")).linesIterator.map(_.trim).filter(_.nonEmpty)
+          .zipWithIndex.foreach { case (gene, i) =>
+            gb.segments.filter(_.gene.contains(gene)).foreach { seg =>
+              val seq = gb.dna.substring(seg.left - 1, seg.right)
+              sb.append(s"d${i + 1}\t$gene\t${seg.left}\t${seg.right}\t${seg.product.getOrElse("None")}\t$seq\n")
+            }
+          }
+        write(req("out"), sb.toString)
+
+      case "gene-range" =>
+        val gb = GenBank.parse(read(req("genome")))
+        val rows = GeneOps.rangeRows(gb.segments, gb.dna.length)
+        val sb = new StringBuilder("name\trange\tlocus_tag\n")
+        rows.foreach { r =>
+          sb.append(s"${r.name}\t${r.left}-${r.right}")
+          r.locusTag.foreach(lt => sb.append(s"\t$lt"))
+          if (r.name.startsWith("gene_") && r.locusTag.isEmpty) sb.append("\tnull")
+          sb.append('\n')
+        }
+        write(req("out"), sb.toString)
+
+      case "location-reorder" =>
+        val (out, missing) = LocationReorder.run(
+          read(req("location")),
+          read(req("index")).linesIterator.toSeq)
+        missing.foreach(m => System.err.println(s"$m not found in location file"))
+        write(req("out"), out)
+
+      case "neighbor" =>
+        val cacheDir = req("cache")
+        val requests = read(req("input")).linesIterator
+          .filter(_.startsWith(">")).map(NeighborPipeline.parseRequest).toSeq
+        val (nb, next, srcCounts, geneCounts) = NeighborPipeline.run(requests, { key =>
+          val p = Paths.get(cacheDir, s"$key.txt")
+          if (Files.exists(p)) Some(Files.readString(p)) else None
+        })
+        val dir = req("out")
+        write(s"$dir/neighbor_result.txt", nb)
+        write(s"$dir/next_neighbor_result.txt", next)
+        write(s"$dir/source_count_result.txt", srcCounts)
+        write(s"$dir/gene_count_result.txt", geneCounts)
+
+      case other =>
+        System.err.println(s"unknown command: $other\n$usage")
+        sys.exit(2)
+    }
+  }
+
+  private val usage: String =
+    """usage: graft.Main <command> --arg value ...
+      |commands: similarity-match, location-analysis, cluster-match,
+      |          gene-extract, gene-range, location-reorder, neighbor
+      |(see Scaladoc for per-command arguments)""".stripMargin
+}
