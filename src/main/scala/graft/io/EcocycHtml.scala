@@ -71,8 +71,19 @@ object EcocycHtml {
   def tokenize(html: String): Vector[Event] = {
     val out = Vector.newBuilder[Event]
     var i = 0
+    // '<' only opens a tag when followed by a letter or '/': a bare '<'
+    // (e.g. the '<-' arrows in EcoCyc map positions) is literal data,
+    // matching Python HTMLParser's recovery behavior
+    def tagStartFrom(from: Int): Int = {
+      var p = html.indexOf('<', from)
+      while (p >= 0 && p + 1 < html.length &&
+             !html.charAt(p + 1).isLetter && html.charAt(p + 1) != '/') {
+        p = html.indexOf('<', p + 1)
+      }
+      if (p >= 0 && p + 1 >= html.length) -1 else p
+    }
     while (i < html.length) {
-      val lt = html.indexOf('<', i)
+      val lt = tagStartFrom(i)
       if (lt < 0) {
         out += Data(html.substring(i))
         i = html.length
