@@ -138,6 +138,18 @@ object Main {
         }
         write(req("out"), sb.toString)
 
+      case "gene-stream" =>
+        val gb = GenBank.parse(read(req("genome")))
+        val mode = opts.getOrElse("mode", "rna")
+        val out =
+          if (mode == "rna")
+            graft.pipelines.GeneStreamPipeline.runRna(
+              read(req("input")), gb, opts.getOrElse("limit", "200").toInt)
+          else
+            graft.pipelines.GeneStreamPipeline.runInter(
+              read(req("input")).linesIterator.toSeq, gb)
+        write(req("out"), out)
+
       case "location-reorder" =>
         val (out, missing) = LocationReorder.run(
           read(req("location")),
@@ -168,6 +180,7 @@ object Main {
   private val usage: String =
     """usage: graft.Main <command> --arg value ...
       |commands: similarity-match, location-analysis, cluster-match,
-      |          gene-extract, gene-range, location-reorder, neighbor
+      |          gene-extract, gene-range, gene-stream, location-reorder,
+      |          neighbor
       |(see Scaladoc for per-command arguments)""".stripMargin
 }

@@ -190,4 +190,74 @@ object Dedup {
 
   /** Hamming distance between two simhash values (bit_count of xor). */
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Connected components over near-dup pairs — the canonical-document
+    * selection step of a dedup pipeline (clusters of transitively-similar
+    * docs collapse to their min id).
+    *
+    * Input: (d1, d2) pair rows. Output: (doc_id, component) with
+    * component = min doc id of the cluster, sorted.
+    *
+    * Hybrid execution: thresholded near-dup EDGES are orders of magnitude
+    * smaller than the corpus (they are the duplicates), so up to
+    * `smallEdgeLimit` edges a driver-side union-find resolves components
+    * in one pass — no per-round Spark jobs. Above the limit the
+    * distributed min-label propagation below takes over (one join + one
+    * aggregation per round, O(diameter) rounds, counted fixpoint).
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      maxIterations: Int = 25,
+      smallEdgeLimit: Long = 10000000L): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edgeDs = pairs.select(col("d1").cast("long"), col("d2").cast("long")).as[(Long, Long)]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (edgeDs.count() <= smallEdgeLimit) {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val next = parent(c); parent(c) = r; c = next }
+        r
+      }
+      edgeDs.collect().foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a)
+        parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val labels = parent.keys.toSeq.map(id => (id, find(id))).sortBy(_._1)
+      edgeDs.unpersist()
+      labels.toDF("doc_id", "component").orderBy("doc_id")
+    } else iterativeComponents(edgeDs.toDF("d1", "d2"), maxIterations)
+  }
+
+  /** Distributed min-label propagation (the > smallEdgeLimit path). */
+  private def iterativeComponents(pairs: DataFrame, maxIterations: Int): DataFrame = {
+    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+      .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIterations) {
+      val propagated = edges.join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("comp"))
+      val next = labels.select(col("id"), col("comp")).union(propagated)
+        .groupBy("id").agg(min("comp").as("comp"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(labels.select(col("id"), col("comp").as("old")), "id")
+        .where(col("comp") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("comp").as("component"))
+      .orderBy("doc_id")
+  }
 }

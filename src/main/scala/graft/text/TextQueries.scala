@@ -74,6 +74,12 @@ object TextQueries {
       Ann.cosinePairs(Tables.embeddings(s, d), "vec_id", "embedding", 0.4)
     },
 
+    "dd_components" -> { (s, d) =>
+      Dedup.connectedComponents(
+        Dedup.jaccardPairs(
+          Dedup.shingleDocs(Tables.documents(s, d), "doc_id", "text"), 0.5))
+    },
+
     // ---- similarity search ----------------------------------------------
 
     "ann_cosine_topk" -> { (s, d) =>
@@ -160,6 +166,21 @@ object TextQueries {
 
     "dd_ngram_jaccard" -> shingleCte,
     "dd_minhash_lsh" -> shingleCte, // LSH must find exactly the true pairs
+
+    "dd_components" ->
+      s"""WITH RECURSIVE pairs AS ($shingleCte),
+          edges AS (
+            SELECT d1 AS src, d2 AS dst FROM pairs
+            UNION ALL SELECT d2, d1 FROM pairs
+          ),
+          cc AS (
+            SELECT DISTINCT src AS id, src AS comp FROM edges
+            UNION
+            SELECT e.dst AS id, cc.comp
+            FROM cc JOIN edges e ON e.src = cc.id
+          )
+          SELECT id AS doc_id, MIN(comp) AS component
+          FROM cc GROUP BY id ORDER BY doc_id""",
 
     "dd_simhash" ->
       s"""WITH toks AS (

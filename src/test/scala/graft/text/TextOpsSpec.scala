@@ -81,6 +81,15 @@ class TextOpsSpec extends SparkSpec {
     assert(lsh === exact)
   }
 
+  test("connectedComponents: chains collapse transitively to the min id") {
+    import spark.implicits._
+    // components: {1,2,3,4} via chain, {10,11}, singleton edges only
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("d1", "d2")
+    val got = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (10L, 10L), (11L, 10L)))
+  }
+
   test("simhash: near-identical docs have small hamming distance, unrelated large") {
     import spark.implicits._
     val df = docDf(
