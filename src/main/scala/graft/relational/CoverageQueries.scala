@@ -139,13 +139,15 @@ object CoverageQueries {
         .orderBy("l_orderkey", "l_linenumber")
     },
 
-    // X1: direct-match kernel over the SQL surface
+    // X1: direct-match kernel through the NATIVE codegen'd Catalyst
+    // expression (graft.functions.DirectSimilarity) — the whole-stage-
+    // codegen tier of the §7.3 preference ladder, exercised by the gate
     "x1_direct_text" -> { (s, d) =>
-      registerKernels(s)
+      graft.functions.GraftExtensions.register(s)
       Tables.documents(s, d).createOrReplaceTempView("docs_x1")
       s.sql(
         s"""SELECT doc_id,
-              direct_similarity('$x1Probe', substring(lower(text), 1, ${x1Probe.length})) AS score
+              direct_similarity_native('$x1Probe', substring(lower(text), 1, ${x1Probe.length})) AS score
             FROM docs_x1 WHERE n_chars >= ${x1Probe.length} ORDER BY doc_id""")
     },
 
