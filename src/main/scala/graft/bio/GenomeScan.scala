@@ -205,6 +205,45 @@ object GenomeScan {
     }
   }
 
+  /** Multi-genome scan — the many-accessions scale shape (one row per
+    * genome, e.g. every downloaded accession of the neighbor pipeline):
+    * genomes stay DISTRIBUTED as Dataset rows, genes broadcast (the small
+    * side), each (genome × gene × strand) scans locally and keeps its
+    * per-genome-per-gene top-k. No genome string ever shuffles; the only
+    * movement is the tiny survivor set. For genomes too large for one row,
+    * pre-chunk with `candidateDistance + |gene|` overlap margins and feed
+    * the chunks as rows — suppression state is per-chunk exactly like the
+    * reference's thread split, so chunk boundaries are already semantic
+    * boundaries.
+    */
+  def scanGenomes(
+      genomes: org.apache.spark.sql.Dataset[(String, String)],
+      genes: Seq[(String, String)],
+      cfg: ScanConfig): Dataset[(String, ScanHit)] = {
+    val spark = genomes.sparkSession
+    import spark.implicits._
+    val genesB = spark.sparkContext.broadcast(genes)
+    val cfgB = spark.sparkContext.broadcast(cfg)
+    genomes.flatMap { case (genomeId, genome) =>
+      val cfg = cfgB.value
+      val rev = Dna.reverseComplement(genome)
+      genesB.value.flatMap { case (name, gene) =>
+        val candidates =
+          Seq(false, true).flatMap { isReverse =>
+            val db = if (isReverse) rev else genome
+            chunks(genome.length, cfg.numChunks).flatMap { case (s, e) =>
+              scanChunk(gene, db, isReverse, s, e, cfg)
+            }
+          }
+        Suppression.topK(candidates.iterator, cfg.topK).map { c =>
+          val score = if (cfg.ascending) -c.weightedSimilarity else c.weightedSimilarity
+          (genomeId,
+            ScanHit(name, c.isReverse, c.left, c.right, c.start, c.end, score, c.similarityScores))
+        }
+      }
+    }
+  }
+
   /** Distributed scan of `genes` (name → lowercase sequence) against a
     * genome. Result: top-k [[ScanHit]]s per gene, deterministic order
     * (gene, score desc, strand, left).

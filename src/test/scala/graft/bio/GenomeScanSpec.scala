@@ -93,6 +93,21 @@ class GenomeScanSpec extends SparkSpec {
     }
   }
 
+  test("scanGenomes: per-genome results equal single-genome scans") {
+    import spark.implicits._
+    val g1 = randomDna(1200)
+    val g2 = randomDna(900)
+    val genes = Seq("m" -> randomDna(12))
+    val cfg = ScanConfig(weights = Map("consistency" -> 1.0), topK = 8,
+      candidateDistance = 4, patience = 1, numChunks = 3)
+    val multi = GenomeScan.scanGenomes(Seq(("a", g1), ("b", g2)).toDS(), genes, cfg)
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val singleA = GenomeScan.scan(spark, g1, genes, cfg).collect().toSet
+    val singleB = GenomeScan.scan(spark, g2, genes, cfg).collect().toSet
+    assert(multi("a") === singleA)
+    assert(multi("b") === singleB)
+  }
+
   test("chunks replicate the reference next_interval split") {
     assert(GenomeScan.chunks(100, 4) === Seq((0, 25), (25, 50), (50, 75), (75, 100)))
     // remainder spills into an extra short chunk (size // n division)
