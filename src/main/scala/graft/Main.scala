@@ -171,6 +171,29 @@ object Main {
         write(s"$dir/source_count_result.txt", srcCounts)
         write(s"$dir/gene_count_result.txt", geneCounts)
 
+      case "ecocyc-enrich" =>
+        val cacheDir = req("cache")
+        val (result, errors) = graft.pipelines.EcocycEnrichPipeline.run(
+          read(req("input")), { name =>
+            val p = Paths.get(cacheDir, name)
+            if (Files.exists(p)) Some(Files.readString(p)) else None
+          })
+        write(s"${req("out")}/ecocyc_result.txt", result)
+        write(s"${req("out")}/ecocyc_error.txt", errors)
+
+      case "kegg" =>
+        val cacheDir = req("cache")
+        val cache = { name: String =>
+          val p = Paths.get(cacheDir, name)
+          if (Files.exists(p)) Some(Files.readString(p)) else None
+        }
+        val inputs = read(req("input")).linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+        val (result, errors) =
+          if (opts.contains("by-kegg-id")) graft.pipelines.KeggPipeline.runForKeggIds(inputs, cache)
+          else graft.pipelines.KeggPipeline.runForGenes(inputs, cache)
+        write(s"${req("out")}/kegg_result.txt", result)
+        write(s"${req("out")}/kegg_error.txt", errors)
+
       case other =>
         System.err.println(s"unknown command: $other\n$usage")
         sys.exit(2)
@@ -181,6 +204,6 @@ object Main {
     """usage: graft.Main <command> --arg value ...
       |commands: similarity-match, location-analysis, cluster-match,
       |          gene-extract, gene-range, gene-stream, location-reorder,
-      |          neighbor
+      |          neighbor, ecocyc-enrich, kegg
       |(see Scaladoc for per-command arguments)""".stripMargin
 }

@@ -1,0 +1,38 @@
+package graft
+
+import graft.bio.{InterRecord, IntervalLocation}
+
+/** SQL surface bootstrap + the distributed locate operator. */
+class GraftSqlSpec extends SparkSpec {
+
+  test("registerAll exposes tables, kernel UDFs, and the native expression to SQL") {
+    GraftSql.registerAll(spark, sf0001)
+    val n = spark.sql("SELECT count(*) FROM lineitem").head.getLong(0)
+    assert(n > 0)
+    val row = spark.sql(
+      """SELECT direct_similarity('acgt', 'acgg') AS udf_score,
+                direct_similarity_native('acgt', 'acgg') AS native_score,
+                consistency_similarity('aaaa', 'aata', 1) AS cons,
+                revcomp('acgt') AS rc""").head
+    assert(row.getDouble(0) === 3.0)
+    assert(row.getDouble(1) === 3.0)
+    assert(row.getDouble(2) === 3.0)
+    assert(row.getString(3) === "acgt")
+    // events view readable (nanos-as-long path)
+    assert(spark.sql("SELECT count(*) FROM events").head.getLong(0) > 0)
+  }
+
+  test("locateHits distributes the J1 probe over a hits DataFrame") {
+    import spark.implicits._
+    val anns = Seq(
+      InterRecord("g1", "p1", 100, 300, isGene = true),
+      InterRecord("g2", "p2", 500, 700, isGene = true))
+    val hits = Seq((150, 180), (400, 450), (650, 800)).toDF("start", "end")
+    val got = IntervalLocation.locateHits(spark, hits, anns).collect()
+      .map { case (s, _, h) => (s, h.kind, h.name) }.toSet
+    assert(got === Set(
+      (150, "cds", "g1"),
+      (400, "inter-genic", "g1, g2"),
+      (650, "3'", "g2")))
+  }
+}
