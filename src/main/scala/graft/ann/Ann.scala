@@ -77,51 +77,57 @@ object Ann {
       .orderBy("query_id", "rank")
   }
 
+  /** Half-up 4dp rounding matching DuckDB's ROUND on the same double. */
+  private val round4Udf = udf { (x: Double) =>
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
   /** All pairs (a<b) with cosine >= threshold — embedding near-dup dedup.
-    * Brute force at test scale; at 100 TB the LSH bucketing below prunes
-    * the cross join to bucket-local pairs.
+    *
+    * Exact all-pairs is inherently O(n²) work; the scalable shape is to
+    * DISTRIBUTE that work with bounded memory, not to collect the corpus
+    * on the driver. Triangle block partitioning: each vector lands in
+    * block `id mod B`; the upper-triangular cell grid {(bi,bj) : bi<=bj}
+    * becomes the equi-join key, with each side replicated to the ~B/2
+    * cells it participates in. Every unordered pair meets in exactly one
+    * cell (same-block cells filter ida<idb), cells shuffle-partition the
+    * O(n²) sweep across executors, and per-task memory is two blocks —
+    * tune `numBlocks` so n/B fits an executor. Norms are computed once
+    * per vector before replication; the per-pair cost is a single
+    * compiled dot product. For corpora where even distributed O(n²) is
+    * too much, [[hyperplaneSignature]]-bucketed candidates (the
+    * [[lshTopK]] shape) are the approximate fallback.
     */
   def cosinePairs(
       embeddings: DataFrame,
       idCol: String,
       vecCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      numBlocks: Int = 8): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val rows = embeddings.select(col(idCol).cast("long"), col(vecCol))
-      .as[(Long, Array[Float])]
-    // Broadcast the corpus as primitive matrices and sweep each partition's
-    // rows against the ids above them — a block of the upper-triangular
-    // outer product. A join-based plan materializes all |V|²/2 row pairs
-    // through the executor row pipeline; this shape touches each pair once
-    // in a tight numeric loop. At 100 TB the broadcast side becomes a
-    // block-partitioned loop over corpus tiles — the structure is the same.
-    val corpus = rows.collect().sortBy(_._1).map { case (id, v) =>
-      val dv = new Array[Double](v.length)
-      var i = 0; var n = 0.0
-      while (i < v.length) { dv(i) = v(i).toDouble; n += dv(i) * dv(i); i += 1 }
-      (id, dv, math.sqrt(n))
-    }
-    val bc = spark.sparkContext.broadcast(corpus)
-    rows.flatMap { case (ida, va) =>
-      val all = bc.value
-      val dv = new Array[Double](va.length)
-      var i = 0; var n = 0.0
-      while (i < va.length) { dv(i) = va(i).toDouble; n += dv(i) * dv(i); i += 1 }
-      val na = math.sqrt(n)
-      val out = Vector.newBuilder[(Long, Long, Double)]
-      all.foreach { case (idb, vb, nb) =>
-        if (idb > ida) {
-          var dot = 0.0
-          var j = 0
-          while (j < dv.length) { dot += dv(j) * vb(j); j += 1 }
-          val cos = dot / (na * nb)
-          if (cos >= threshold)
-            out += ((ida, idb, BigDecimal(cos).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
-        }
-      }
-      out.result()
-    }.toDF("a", "b", "score").orderBy("a", "b")
+    // (id, v, nrm, blk) computed ONCE and persisted: the cell-grid join is
+    // a self-join, and self-joins duplicate lineage rather than share it
+    val prepped = embeddings.select(
+        col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", sqrt(dotUdf(col("v"), col("v"))))
+      .withColumn("blk", pmod(col("id"), lit(numBlocks)).cast("int"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cells = (for { bi <- 0 until numBlocks; bj <- bi until numBlocks }
+      yield (bi, bj)).toDF("bi", "bj")
+    val lhs = prepped.join(broadcast(cells), col("blk") === col("bi"))
+      .select(col("bi"), col("bj"), col("id").as("ida"), col("v").as("va"), col("nrm").as("na"))
+    val rhs = prepped.join(broadcast(cells), col("blk") === col("bj"))
+      .select(col("bi"), col("bj"), col("id").as("idb"), col("v").as("vb"), col("nrm").as("nb"))
+    lhs.join(rhs, Seq("bi", "bj"))
+      .where(col("bi") < col("bj") || col("ida") < col("idb"))
+      .withColumn("cos", dotUdf(col("va"), col("vb")) / (col("na") * col("nb")))
+      .where(col("cos") >= threshold)
+      .select(
+        least(col("ida"), col("idb")).as("a"),
+        greatest(col("ida"), col("idb")).as("b"),
+        round4Udf(col("cos")).as("score"))
+      .orderBy("a", "b")
   }
 
   /** Deterministic pseudo-random hyperplanes: component j of plane p is a

@@ -159,6 +159,20 @@ object CoverageQueries {
         s"""SELECT doc_id,
               text_edit_similarity('$x2Probe', substring(lower(text), 1, ${x2Probe.length})) AS score
             FROM docs_x2 WHERE n_chars >= ${x2Probe.length} ORDER BY doc_id""")
+    },
+
+    // X3: the flagship consistency (bridged-run) kernel. Probe has no 'c'
+    // so wobble can't fire and the match mask is plain equality; the
+    // DuckDB oracle uses the interval-max identity proven in
+    // KernelDifferentialSpec: best bridged-run score == max matches over
+    // any window containing <= patience mismatches.
+    "x3_consistency_text" -> { (s, d) =>
+      registerKernels(s)
+      Tables.documents(s, d).createOrReplaceTempView("docs_x3")
+      s.sql(
+        s"""SELECT doc_id,
+              consistency_similarity('$x2Probe', substring(lower(text), 1, ${x2Probe.length}), 2) AS score
+            FROM docs_x3 WHERE n_chars >= ${x2Probe.length} ORDER BY doc_id""")
     }
   )
 
@@ -235,6 +249,29 @@ object CoverageQueries {
             CAST(19 - ((CASE WHEN substr(lower(text), 1, 1) = 's' THEN 0 ELSE 1 END)
                        + levenshtein('parkland data jobs',
                                      substr(lower(text), 2, 18))) AS DOUBLE) AS score
-         FROM documents WHERE n_chars >= 19 ORDER BY doc_id"""
+         FROM documents WHERE n_chars >= 19 ORDER BY doc_id""",
+    // X3 identity (proven by property test): the kernel's best
+    // patience-bridged run == max #matches over windows [i,j] whose
+    // mismatch count is <= patience. pm[k+1] = matches in positions 1..k.
+    "x3_consistency_text" ->
+      """WITH m AS (
+           SELECT doc_id,
+             list_transform(generate_series(1, 19), i ->
+               CASE WHEN substr(lower(text), i, 1)
+                         = substr('sparkland data jobs', i, 1)
+                    THEN 1 ELSE 0 END) AS mask
+           FROM documents WHERE n_chars >= 19
+         ), p AS (
+           SELECT doc_id,
+             list_transform(generate_series(0, 19), k ->
+               CASE WHEN k = 0 THEN 0 ELSE list_sum(mask[1:k]) END) AS pm
+           FROM m
+         )
+         SELECT doc_id,
+           CAST(list_max(flatten(list_transform(generate_series(1, 19), i ->
+             list_transform(generate_series(i, 19), j ->
+               CASE WHEN (j - i + 1) - (pm[j+1] - pm[i]) <= 2
+                    THEN pm[j+1] - pm[i] ELSE 0 END)))) AS DOUBLE) AS score
+         FROM p ORDER BY doc_id"""
   )
 }

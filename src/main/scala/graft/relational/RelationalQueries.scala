@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{AsOfJoin, RangeJoin}
+import graft.ops.{AsOfJoin, GlobalOrder, RangeJoin}
 
 /** The reference's relational operator surface (SURVEY.md §2) re-expressed on
   * the driver's TPC-H-ish tables, each with a DuckDB-equivalent oracle.
@@ -131,12 +131,16 @@ object RelationalQueries {
         .orderBy($"c_custkey")
     },
 
-    // J6: ordered index reorder join (reference location_reorder.py:18-45)
+    // J6: ordered index reorder join (reference location_reorder.py:18-45).
+    // Numbering via GlobalOrder's two-phase distributed rank — a bare
+    // row_number() window with no partition key would funnel the whole
+    // table through ONE partition, the canonical 100× scale-killer.
     "j6_ordered_reorder" -> { (s, d) =>
       import s.implicits._
-      val idx = Tables.part(s, d)
-        .select($"p_partkey", $"p_name")
-        .withColumn("ord", row_number().over(Window.orderBy($"p_name", $"p_partkey")))
+      val idx = GlobalOrder.withRowNumber(
+          Tables.part(s, d).select($"p_partkey", $"p_name"),
+          "ord64", $"p_name", $"p_partkey")
+        .withColumn("ord", $"ord64".cast("int"))
       val sizes = Tables.lineitem(s, d)
         .groupBy($"l_partkey").agg(count(lit(1)).as("n_lines"))
       idx.join(sizes, $"p_partkey" === $"l_partkey", "left_outer")

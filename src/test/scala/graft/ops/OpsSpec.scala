@@ -61,4 +61,22 @@ class OpsSpec extends SparkSpec {
       .select($"asof_v").as[Long].collect()
     assert(got.toSeq === Seq(3L))
   }
+
+  test("GlobalOrder.withRowNumber equals a global row_number, many partitions") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val df = Seq.fill(500)((rnd.nextInt(1000), rnd.alphanumeric.take(6).mkString))
+      .zipWithIndex.map { case ((n, s), i) => (i.toLong, s, n) }
+      .toDF("id", "name", "n")
+      .repartition(7)
+    val got = GlobalOrder.withRowNumber(df, "ord", col("name"), col("id"))
+      .select($"ord", $"id").as[(Long, Long)].collect().sortBy(_._1)
+    val want = df.select($"name", $"id").as[(String, Long)].collect()
+      .sortBy(identity).map(_._2).zipWithIndex
+      .map { case (id, i) => ((i + 1).toLong, id) }
+    assert(got.toSeq === want.toSeq)
+    // (no single-partition exchange by construction: the plan is a range
+    // repartition + within-partition sort + zipWithIndex — partition count
+    // on this tiny input may still be AQE-coalesced to 1, which is fine)
+  }
 }

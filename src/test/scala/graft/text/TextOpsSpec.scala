@@ -102,6 +102,50 @@ class TextOpsSpec extends SparkSpec {
     assert(ham(df(0), df(1)) <= 12)
   }
 
+  test("simhash compiled UDF equals the Column-expression spec") {
+    import spark.implicits._
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a", "", "  spaced   out   tokens  ",
+      "dup dup dup unique", "punct! marks? and, commas.")
+    val got = docDf(texts: _*)
+      .select(Dedup.simhash(col("text")).as("u"), Dedup.simhashSpec(col("text")).as("s"))
+      .as[(Long, Long)].collect()
+    got.foreach { case (u, s) => assert(u === s) }
+  }
+
+  test("cosinePairs: distributed block join matches brute-force, no collect") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val dim = 8
+    val vecs = Seq.tabulate(40)(i => (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    // plant exact duplicates and near-duplicates
+    val planted = Seq(
+      (100L, vecs(0)._2.clone()),
+      (101L, vecs(1)._2.map(x => x * 1.001f)))
+    val all = vecs ++ planted
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < dim) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = (for {
+      (ia, va) <- all; (ib, vb) <- all
+      if ia < ib && cos(va, vb) >= 0.8
+    } yield (ia, ib,
+      BigDecimal(cos(va, vb)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)).sorted
+    val got = Ann.cosinePairs(all.toDF("vec_id", "embedding"), "vec_id", "embedding", 0.8,
+        numBlocks = 4)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got === expected)
+    assert(expected.exists { case (a, b, _) => (a, b) == (0L, 100L) })
+  }
+
   test("cosineTopK: identical vector is rank-1 with score 1.0") {
     import spark.implicits._
     val vecs = Seq(
