@@ -114,6 +114,11 @@ object Main {
         write(s"$dir/all_result.txt", all)
         write(s"$dir/only_result.txt", only)
 
+      case "gene-extract" if opts.get("mode").contains("range") =>
+        val gb = GenBank.parse(read(req("genome")))
+        write(req("out"),
+          graft.pipelines.GeneExtractRange.run(gb.dna, read(req("genes"))))
+
       case "gene-extract" =>
         val gb = GenBank.parse(read(req("genome")))
         val sb = new StringBuilder("No\tgene\tfrom\t\tend\tproduct\tsequence\n")
@@ -149,6 +154,18 @@ object Main {
             graft.pipelines.GeneStreamPipeline.runInter(
               read(req("input")).linesIterator.toSeq, gb)
         write(req("out"), out)
+
+      case "found-gene-near-range" =>
+        val gb = GenBank.parse(read(req("genome")))
+        write(req("out"),
+          graft.pipelines.FoundGenePipeline.run(read(req("input")), gb))
+
+      case "file-format" =>
+        val spark = session()
+        val eco = EcocycTsv.read(spark, req("ecocyc")).collect()
+          .map(r => r.gene -> r).toMap
+        write(req("out"), LocationTsv.formatTsv(read(req("input")), eco))
+        spark.stop()
 
       case "location-reorder" =>
         val (out, missing) = LocationReorder.run(
@@ -204,6 +221,7 @@ object Main {
     """usage: graft.Main <command> --arg value ...
       |commands: similarity-match, location-analysis, cluster-match,
       |          gene-extract, gene-range, gene-stream, location-reorder,
-      |          neighbor, ecocyc-enrich, kegg
+      |          neighbor, ecocyc-enrich, kegg, found-gene-near-range,
+      |          file-format
       |(see Scaladoc for per-command arguments)""".stripMargin
 }

@@ -42,6 +42,29 @@ object Dna {
     sb.toString
   }
 
+  /** Complement WITHOUT reversal, unknown characters dropped — the exact
+    * behavior of `get_opposite_dna` applied to a NON-reversed string, as
+    * the range→gene probe does for '−' ranges (reference
+    * `src/utils/gene_position_helper.py:47-49` — a quirk: every other
+    * call site reverses first; this one does not, and downstream
+    * consumers of `near_gene` outputs depend on it).
+    */
+  def complement(dna: String): String = {
+    val sb = new java.lang.StringBuilder(dna.length)
+    var i = 0
+    while (i < dna.length) {
+      dna.charAt(i) match {
+        case 'a' => sb.append('t')
+        case 't' => sb.append('a')
+        case 'c' => sb.append('g')
+        case 'g' => sb.append('c')
+        case _   => ()
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
   /** Strict complement map for contexts that must not drop characters
     * (our engine's recommended default; the parity path uses
     * [[reverseComplement]]).

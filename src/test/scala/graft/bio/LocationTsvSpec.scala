@@ -26,8 +26,9 @@ class LocationTsvSpec extends AnyFunSuite {
   test("locationLabel: equal directions → antisense; utr suffix for 5'/3'") {
     assert(LocationTsv.locationLabel("cds", '>', '>') === "antisense cds")
     assert(LocationTsv.locationLabel("cds", '>', '<') === "sense cds")
-    assert(LocationTsv.locationLabel("5'", '<', '<') === "antisense 5utr")
-    assert(LocationTsv.locationLabel("3'", '>', '<') === "sense 3utr")
+    // apostrophe KEPT — pinned by the executed-reference format golden
+    assert(LocationTsv.locationLabel("5'", '<', '<') === "antisense 5'utr")
+    assert(LocationTsv.locationLabel("3'", '>', '<') === "sense 3'utr")
     assert(LocationTsv.locationLabel("inter-genic", '>', '>') === "inter genic")
   }
 
@@ -40,7 +41,7 @@ class LocationTsvSpec extends AnyFunSuite {
     assert(rs(0).values("location") === "antisense cds")
     assert(rs(0).values("type") === "gene")
     assert(rs(0).values("product") === "aspartate kinase")
-    assert(rs(1).values("location") === "antisense 5utr")
+    assert(rs(1).values("location") === "antisense 5'utr")
     assert(!rs(1).values.contains("type"))
     assert(rs(0).values("site") === "400-403")
   }
