@@ -26,6 +26,12 @@ object SimilarityMatchPipeline {
   /** Run scan + render. `weights` is ordered (attribute column order).
     * `topK` etc. via cfg; `dataName` is the genome file's base name with
     * the reference's `.txt`-only strip.
+    *
+    * The per-hit render tracks (kernel re-evaluation against the genome)
+    * are computed DISTRIBUTED, in the same Dataset as the scan, against
+    * the already-broadcast genome; the driver only collects the final
+    * block strings (bounded: ≤ topK×genes rows) and stitches them in the
+    * reference's deterministic order with the per-gene running index.
     */
   def run(
       spark: SparkSession,
@@ -33,20 +39,34 @@ object SimilarityMatchPipeline {
       genes: Seq[(String, String)],
       cfg: ScanConfig,
       dataName: String): String = {
-    val hits = GenomeScan.scan(spark, genome, genes, cfg).collect()
-    val rev = Dna.reverseComplement(genome)
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val fwdB = sc.broadcast(genome)
+    val revB = sc.broadcast(Dna.reverseComplement(genome))
+    val genesB = sc.broadcast(genes.toMap)
+    val cfgB = sc.broadcast(cfg)
+    val rendered = GenomeScan.scan(spark, genome, genes, cfg)
+      .mapPartitions { it =>
+        val geneOf = genesB.value
+        val c = cfgB.value
+        it.map { h =>
+          val db = if (h.isReverse) revB.value else fwdB.value
+          (h.name, h.weightedSimilarity, h.isReverse, h.left,
+            renderBody(dataName, geneOf(h.name), h, db, c))
+        }
+      }
+      .collect()
     val batch = math.max(genome.length / cfg.numChunks, 1)
-    val byGene = hits.groupBy(_.name)
+    val byGene = rendered.groupBy(_._1)
     val sb = new StringBuilder
-    genes.foreach { case (name, gene) =>
+    genes.foreach { case (name, _) =>
       val ordered = byGene.getOrElse(name, Array.empty)
         // reference order: stable sort desc = encounter order
         // (chunkIdx, strand, offset) among ties
-        .sortBy(h => (-h.weightedSimilarity, h.left / batch, h.isReverse, h.left))
+        .sortBy { case (_, w, isRev, left, _) => (-w, left / batch, isRev, left) }
       var idx = 1
-      ordered.foreach { h =>
-        sb.append(renderBlock(idx, dataName, gene, h,
-          if (h.isReverse) rev else genome, cfg))
+      ordered.foreach { case (_, _, _, _, body) =>
+        sb.append(s"($idx)\n").append(body)
         idx += 1
       }
     }
@@ -58,6 +78,17 @@ object SimilarityMatchPipeline {
     */
   def renderBlock(
       idx: Int,
+      dataName: String,
+      gene: String,
+      h: ScanHit,
+      db: String,
+      cfg: ScanConfig): String =
+    s"($idx)\n" + renderBody(dataName, gene, h, db, cfg)
+
+  /** The block body after the `(idx)` line — everything that does not
+    * depend on the per-gene running index, so executors can render it.
+    */
+  def renderBody(
       dataName: String,
       gene: String,
       h: ScanHit,
@@ -88,6 +119,6 @@ object SimilarityMatchPipeline {
 
     val attrPart = attrs.map { case (k, v) => s"$k=$v" }.mkString(",")
     val trackPart = tracks.map { case (k, v) => s"$k=$v" }.mkString(",")
-    s"($idx)\n>$dataName/${h.start}-${h.end}\t$attrPart,$trackPart\n\n"
+    s">$dataName/${h.start}-${h.end}\t$attrPart,$trackPart\n\n"
   }
 }
