@@ -88,15 +88,20 @@ object Ann {
     * DISTRIBUTE that work with bounded memory, not to collect the corpus
     * on the driver. Triangle block partitioning: each vector lands in
     * block `id mod B`; the upper-triangular cell grid {(bi,bj) : bi<=bj}
-    * becomes the equi-join key, with each side replicated to the ~B/2
-    * cells it participates in. Every unordered pair meets in exactly one
-    * cell (same-block cells filter ida<idb), cells shuffle-partition the
-    * O(n²) sweep across executors, and per-task memory is two blocks —
-    * tune `numBlocks` so n/B fits an executor. Norms are computed once
-    * per vector before replication; the per-pair cost is a single
-    * compiled dot product. For corpora where even distributed O(n²) is
-    * too much, [[hyperplaneSignature]]-bucketed candidates (the
-    * [[lshTopK]] shape) are the approximate fallback.
+    * partitions the O(n²) sweep — every unordered pair meets in exactly
+    * one cell. Each row is replicated to the B cells its block touches
+    * (ONE shuffle of n×B rows), then one task per cell materializes its
+    * two blocks as primitive double arrays and runs the pair sweep as a
+    * compiled tight loop — no per-pair UDF invocation, no wide join rows
+    * carrying vectors through an Exchange. Per-task memory is two blocks
+    * — tune `numBlocks` so 2·n/B·dim doubles fit an executor; at larger
+    * corpora raise B (cells grow as B², tasks stay bounded). For corpora
+    * where even distributed O(n²) is too much compute,
+    * [[hyperplaneSignature]]-bucketed candidates (the [[lshTopK]] shape)
+    * are the approximate fallback.
+    *
+    * Arithmetic matches the DuckDB oracle exactly: left-to-right dot
+    * fold, cos = dot/(‖a‖·‖b‖), half-up 4dp rounding.
     */
   def cosinePairs(
       embeddings: DataFrame,
@@ -106,27 +111,57 @@ object Ann {
       numBlocks: Int = 8): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    // (id, v, nrm, blk) computed ONCE and persisted: the cell-grid join is
-    // a self-join, and self-joins duplicate lineage rather than share it
-    val prepped = embeddings.select(
+    val cellOf = Array.tabulate(numBlocks, numBlocks)((i, j) => i * numBlocks + j)
+    embeddings.select(
         col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
-      .withColumn("nrm", sqrt(dotUdf(col("v"), col("v"))))
-      .withColumn("blk", pmod(col("id"), lit(numBlocks)).cast("int"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cells = (for { bi <- 0 until numBlocks; bj <- bi until numBlocks }
-      yield (bi, bj)).toDF("bi", "bj")
-    val lhs = prepped.join(broadcast(cells), col("blk") === col("bi"))
-      .select(col("bi"), col("bj"), col("id").as("ida"), col("v").as("va"), col("nrm").as("na"))
-    val rhs = prepped.join(broadcast(cells), col("blk") === col("bj"))
-      .select(col("bi"), col("bj"), col("id").as("idb"), col("v").as("vb"), col("nrm").as("nb"))
-    lhs.join(rhs, Seq("bi", "bj"))
-      .where(col("bi") < col("bj") || col("ida") < col("idb"))
-      .withColumn("cos", dotUdf(col("va"), col("vb")) / (col("na") * col("nb")))
-      .where(col("cos") >= threshold)
-      .select(
-        least(col("ida"), col("idb")).as("a"),
-        greatest(col("ida"), col("idb")).as("b"),
-        round4Udf(col("cos")).as("score"))
+      .as[(Long, Array[Double])]
+      .flatMap { case (id, v) =>
+        // norm once per vector, BEFORE replication
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += v(i) * v(i); i += 1 }
+        val nrm = math.sqrt(s)
+        val b = (id % numBlocks).toInt
+        // this block is the LEFT side of cells (b, j>=b) and the RIGHT
+        // side of cells (i<b, b) — strict split so (b,b) emits once
+        val out = new Array[(Int, Boolean, Long, Double, Array[Double])](numBlocks)
+        var j = b; var k = 0
+        while (j < numBlocks) { out(k) = (cellOf(b)(j), true, id, nrm, v); j += 1; k += 1 }
+        var bi = 0
+        while (bi < b) { out(k) = (cellOf(bi)(b), false, id, nrm, v); bi += 1; k += 1 }
+        out
+      }
+      .groupByKey(_._1)
+      .flatMapGroups { (cell: Int, it: Iterator[(Int, Boolean, Long, Double, Array[Double])]) =>
+        val diagonal = cell / numBlocks == cell % numBlocks
+        val ls = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Array[Double])]
+        val rs = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Array[Double])]
+        it.foreach { case (_, isL, id, nrm, v) =>
+          if (isL) ls += ((id, nrm, v)) else rs += ((id, nrm, v))
+        }
+        val left = ls.toArray
+        val right = if (diagonal) left else rs.toArray
+        val dim = if (left.nonEmpty) left(0)._3.length else 0
+        val acc = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        var i = 0
+        while (i < left.length) {
+          val (ida, na, va) = left(i)
+          var j = if (diagonal) i + 1 else 0
+          while (j < right.length) {
+            val (idb, nb, vb) = right(j)
+            var dot = 0.0; var d = 0
+            while (d < dim) { dot += va(d) * vb(d); d += 1 }
+            val cos = dot / (na * nb)
+            if (cos >= threshold) {
+              val a = math.min(ida, idb); val b = math.max(ida, idb)
+              acc += ((a, b, BigDecimal(cos).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+            }
+            j += 1
+          }
+          i += 1
+        }
+        acc.iterator
+      }
+      .toDF("a", "b", "score")
       .orderBy("a", "b")
   }
 
