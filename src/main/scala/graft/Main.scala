@@ -167,6 +167,20 @@ object Main {
         write(req("out"), LocationTsv.formatTsv(read(req("input")), eco))
         spark.stop()
 
+      case "gentamycin" =>
+        // NCBI mode is reference parity; --atcc is the RECONSTRUCTED fix
+        // of the reference's unrunnable ATCC branch (explicit opt-in — see
+        // GentamycinPipeline scaladoc for the three upstream defects)
+        val (mainOut, consistency) =
+          if (opts.contains("atcc"))
+            graft.pipelines.GentamycinPipeline.runAtcc(
+              read(req("input")), graft.io.Fasta.parse(read(req("atcc-db"))))
+          else
+            graft.pipelines.GentamycinPipeline.run(
+              read(req("input")), GenBank.parse(read(req("genome"))))
+        write(s"${req("out")}/gentamycin_result.tsv", mainOut)
+        write(s"${req("out")}/gentamycin_consistency.tsv", consistency)
+
       case "location-reorder" =>
         val (out, missing) = LocationReorder.run(
           read(req("location")),
@@ -222,6 +236,6 @@ object Main {
       |commands: similarity-match, location-analysis, cluster-match,
       |          gene-extract, gene-range, gene-stream, location-reorder,
       |          neighbor, ecocyc-enrich, kegg, found-gene-near-range,
-      |          file-format
+      |          file-format, gentamycin
       |(see Scaladoc for per-command arguments)""".stripMargin
 }

@@ -35,4 +35,32 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Materialize one of the raw parquet tables as a bucketed + sorted
+    * catalog table — the 100 TB swap this loader's scaladoc promises.
+    * Queries that join or aggregate on `bucketCol` then read the bucket
+    * layout straight off disk: Catalyst treats the scan as already
+    * hash-partitioned (and sorted within buckets), so the sort-merge
+    * join's Exchange — the dominant cost of a big-×-big join — and the
+    * aggregation's re-shuffle both disappear from the plan.
+    * BucketedTablesSpec asserts exactly that (0 shuffles vs 2+ on the
+    * identical unbucketed join). On a real cluster this runs once at
+    * ingest; `numBuckets` is sized so a bucket (table size / buckets)
+    * fits an executor core's scan budget.
+    */
+  def materializeBucketed(
+      spark: SparkSession,
+      dir: String,
+      name: String,
+      bucketCol: String,
+      numBuckets: Int,
+      tableName: String,
+      path: String): Unit =
+    load(spark, dir, name).write
+      .format("parquet")
+      .mode("overwrite")
+      .option("path", path)
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(tableName)
 }
