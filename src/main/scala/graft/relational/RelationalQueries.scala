@@ -205,6 +205,31 @@ object RelationalQueries {
         .groupBy($"token").agg(count(lit(1)).as("cnt"))
         .orderBy($"cnt".desc, $"token")
         .limit(20)
+    },
+
+    // Gap-based sessionization over the events stream, batch form — the
+    // SQL-checkable twin of StreamingOps.sessionize's
+    // flatMapGroupsWithState (same boundary rule: a >6h silence starts a
+    // new session). Per-user windows partition by user_id, so the state
+    // never funnels through one task; value sums use the cents trick.
+    "ev_sessionize" -> { (s, d) =>
+      import s.implicits._
+      // microsecond precision on BOTH engines: DuckDB's parquet reader
+      // truncates TIMESTAMP(NANOS) to µs, so the µs-floored long is the
+      // value the two engines share exactly (gap classification included)
+      val gapUs = 6L * 3600 * 1000000L
+      val w = Window.partitionBy($"user_id").orderBy($"tsu", $"event_id")
+      Tables.events(s, d)
+        .withColumn("tsu", expr("ts div 1000"))
+        .withColumn("prev_ts", lag($"tsu", 1).over(w))
+        .withColumn("is_new",
+          when($"prev_ts".isNull || $"tsu" - $"prev_ts" > gapUs, 1L).otherwise(0L))
+        .withColumn("session_id", sum($"is_new").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy($"user_id", $"session_id")
+        .agg(min($"tsu").as("session_start"), max($"tsu").as("session_end"),
+             count(lit(1)).as("n_events"), centsSum($"value").as("value_cents"))
+        .orderBy($"user_id", $"session_id")
     }
   )
 
@@ -300,6 +325,21 @@ object RelationalQueries {
     "g2_explode_tokens" ->
       """SELECT token, CAST(count(*) AS BIGINT) AS cnt
          FROM (SELECT UNNEST(string_split(text, ' ')) AS token FROM documents) t
-         WHERE token <> '' GROUP BY token ORDER BY cnt DESC, token LIMIT 20"""
+         WHERE token <> '' GROUP BY token ORDER BY cnt DESC, token LIMIT 20""",
+    "ev_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, value,
+                           CAST(epoch_us(ts) AS BIGINT) AS tsu FROM events),
+         b AS (SELECT *, CASE WHEN LAG(tsu) OVER w IS NULL
+                                OR tsu - LAG(tsu) OVER w > 21600000000
+                              THEN 1 ELSE 0 END AS is_new
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+         s AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id
+                 ORDER BY tsu, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+               FROM b)
+         SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                MIN(tsu) AS session_start, MAX(tsu) AS session_end,
+                CAST(count(*) AS BIGINT) AS n_events,
+                CAST(SUM(ROUND(value * 100)) AS BIGINT) AS value_cents
+         FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id"""
   )
 }

@@ -237,6 +237,46 @@ object Dedup {
   /** Hamming distance between two simhash values (bit_count of xor). */
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** SimHash near-dup pairs: all (d1<d2) with hamming(simhash) <=
+    * `maxHamming`, found WITHOUT an all-pairs join via pigeonhole
+    * banding — split the `bits`-bit signature into `bands` contiguous
+    * bands; a pair differing in <= maxHamming bits has at least
+    * `bands − maxHamming` bands untouched, so with `bands > maxHamming`
+    * every qualifying pair collides on an exact band value. The band
+    * equi-join generates candidates (shuffle keys are (band, int) —
+    * nothing document-sized moves), exact bit_count(xor) verifies.
+    * All built-in codegen'd expressions; this is the classic
+    * Charikar/Manku-Jain-Sarma web-dedup shape.
+    *
+    * Input: (doc_id, simhash). Output: (d1, d2, hd), sorted.
+    */
+  def simhashPairs(
+      signed: DataFrame,
+      maxHamming: Int,
+      bands: Int = 4,
+      bits: Int = 60): DataFrame = {
+    require(bands > maxHamming, "pigeonhole guarantee needs bands > maxHamming")
+    require(bits % bands == 0, "bands must divide bits")
+    val width = bits / bands
+    // signature computed once; the band join is a self-join and would
+    // otherwise recompute the whole simhash lineage for both sides
+    val sig = signed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sig.select(col("doc_id"), col("simhash"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("simhash"), b * width)
+            .bitwiseAND(lit((1L << width) - 1)).as("key"))
+      }: _*)).as("cell"))
+    banded.select(col("doc_id").as("d1"), col("simhash").as("s1"), col("cell"))
+      .join(banded.select(col("doc_id").as("d2"), col("simhash").as("s2"), col("cell")), Seq("cell"))
+      .where(col("d1") < col("d2"))
+      .dropDuplicates("d1", "d2")
+      .withColumn("hd", bit_count(col("s1").bitwiseXOR(col("s2"))).cast("int"))
+      .where(col("hd") <= maxHamming)
+      .select("d1", "d2", "hd")
+      .orderBy("d1", "d2")
+  }
+
   /** Connected components over near-dup pairs — the canonical-document
     * selection step of a dedup pipeline (clusters of transitively-similar
     * docs collapse to their min id).

@@ -74,6 +74,13 @@ object TextQueries {
       Ann.cosinePairs(Tables.embeddings(s, d), "vec_id", "embedding", 0.4)
     },
 
+    "dd_hamming" -> { (s, d) =>
+      Dedup.simhashPairs(
+        Tables.documents(s, d).select(
+          col("doc_id"), Dedup.simhash(col("text")).as("simhash")),
+        maxHamming = 3)
+    },
+
     "dd_components" -> { (s, d) =>
       Dedup.connectedComponents(
         Dedup.jaccardPairs(
@@ -197,6 +204,29 @@ object TextQueries {
                      THEN 1 ELSE -1 END)) > 0
                  THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS simhash
           FROM sig ORDER BY doc_id""",
+
+    // the oracle is the brute-force pair join the pigeonhole banding
+    // provably equals (bands > maxHamming ⇒ no qualifying pair is missed)
+    "dd_hamming" ->
+      s"""WITH toks AS (
+            SELECT doc_id, unnest(list_distinct($tokensSql)) AS t FROM documents
+          ), th AS (
+            SELECT doc_id, ${ph("t", 31)} AS h1, ${ph("t", 131)} AS h2 FROM toks
+          ), sig AS (
+            SELECT doc_id, list(h1) AS h1s, list(h2) AS h2s FROM th GROUP BY doc_id
+          ), sh AS (
+          SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 59), b ->
+            CASE WHEN list_sum(list_transform(
+                CASE WHEN b < 30 THEN h1s ELSE h2s END, h ->
+                CASE WHEN (h // (1::BIGINT << (CASE WHEN b < 30 THEN b ELSE b - 30 END))) % 2 = 1
+                     THEN 1 ELSE -1 END)) > 0
+                 THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS simhash
+          FROM sig)
+          SELECT a.doc_id AS d1, b.doc_id AS d2,
+                 CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hd
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+          ORDER BY d1, d2""",
 
     "dd_cosine_neardup" ->
       s"""SELECT a.vec_id AS a, b.vec_id AS b,

@@ -114,6 +114,27 @@ class TextOpsSpec extends SparkSpec {
     got.foreach { case (u, s) => assert(u === s) }
   }
 
+  test("simhashPairs: pigeonhole banding finds exactly the brute-force pairs") {
+    import spark.implicits._
+    // corpus with planted near-identical docs (small hamming) and noise
+    val texts = (0 until 40).map(i => s"doc $i body with shared words ${i % 7}") ++
+      Seq("alpha beta gamma delta", "alpha beta gamma delta epsilon",
+        "alpha beta gamma", "completely different content here")
+    val signed = docDf(texts: _*)
+      .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+    val sigs = signed.as[(Long, Long)].collect().toMap
+    for (k <- Seq(0, 3)) {
+      val got = Dedup.simhashPairs(signed, maxHamming = k)
+        .as[(Long, Long, Int)].collect().toSet
+      val want = (for {
+        a <- sigs.keys; b <- sigs.keys if a < b
+        hd = java.lang.Long.bitCount(sigs(a) ^ sigs(b)) if hd <= k
+      } yield (a, b, hd)).toSet
+      assert(got === want, s"maxHamming=$k")
+      assert(want.nonEmpty, s"fixture must plant pairs at hamming <= $k")
+    }
+  }
+
   test("cosinePairs: distributed block join matches brute-force, no collect") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)
