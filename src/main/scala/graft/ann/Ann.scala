@@ -196,6 +196,125 @@ object Ann {
     sigUdf(vec)
   }
 
+  /** IVF (inverted-file) approximate top-k — the other classic ANN scale
+    * path next to [[lshTopK]]: a small coarse quantizer (k-means over the
+    * L2-normalized corpus) splits vectors into `numCells` inverted lists;
+    * a query scores only the `nProbe` cells whose centroids it is closest
+    * to, turning the all-pairs scan into an equi-join on cell id that
+    * touches ~nProbe/numCells of the corpus.
+    *
+    * Scale shape: centroids are K×dim doubles — broadcast-sized by
+    * construction — so training is `lloydIters` map+aggregate passes with
+    * only the centroid matrix ever moving to the driver (standard k-means
+    * orchestration); the index build is one map-only pass; the probe is a
+    * (cell, query) × (cell, vector) equi-join with exact re-ranking.
+    *
+    * Fully deterministic (gate-friendly): init centroids are the means of
+    * the `id mod numCells` groups, every group mean folds its members in
+    * ascending-id order, and argmax ties break toward the lower cell id —
+    * no RNG anywhere, so the same data always yields the same index.
+    * Recall vs [[cosineTopK]] is asserted in tests.
+    */
+  def ivfTopK(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryPred: Column,
+      k: Int,
+      numCells: Int = 16,
+      nProbe: Int = 4,
+      lloydIters: Int = 2): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val sc = spark.sparkContext
+
+    def prep(df: DataFrame) = df
+      .select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
+      .as[(Long, Array[Double])]
+      .map { case (id, v) =>
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += v(i) * v(i); i += 1 }
+        val n = math.sqrt(s)
+        val vn = if (n == 0.0) v.clone() else v.map(_ / n)
+        (id, v, n, vn)
+      }
+
+    val corpus = prep(embeddings)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    def nearestCell(vn: Array[Double], cents: Array[Array[Double]]): Int = {
+      var best = 0; var bestDot = Double.NegativeInfinity; var c = 0
+      while (c < cents.length) {
+        val ct = cents(c)
+        var dot = 0.0; var i = 0
+        while (i < ct.length) { dot += vn(i) * ct(i); i += 1 }
+        if (dot > bestDot) { bestDot = dot; best = c }
+        c += 1
+      }
+      best
+    }
+
+    // mean of each cell's members, folded in ascending-id order; cells
+    // that empty out during Lloyd keep their previous centroid
+    def groupMeans(
+        assigned: org.apache.spark.sql.Dataset[(Int, Long, Array[Double])],
+        prev: Array[Array[Double]]): Array[Array[Double]] = {
+      val computed = assigned.groupByKey(_._1).mapGroups { (cell, it) =>
+        val rows = it.toArray.sortBy(_._2)
+        val dim = rows(0)._3.length
+        val acc = new Array[Double](dim)
+        rows.foreach { r =>
+          var i = 0; while (i < dim) { acc(i) += r._3(i); i += 1 }
+        }
+        var i = 0; while (i < dim) { acc(i) /= rows.length; i += 1 }
+        (cell, acc)
+      }.collect().toMap
+      Array.tabulate(prev.length)(c => computed.getOrElse(c, prev(c)))
+    }
+
+    val initAssign = corpus.map { case (id, _, _, vn) =>
+      ((((id % numCells) + numCells) % numCells).toInt, id, vn)
+    }
+    var cents = groupMeans(initAssign, Array.fill(numCells)(Array.empty[Double]))
+    for (_ <- 1 to lloydIters) {
+      val bc = sc.broadcast(cents)
+      val assigned = corpus.map { case (id, _, _, vn) => (nearestCell(vn, bc.value), id, vn) }
+      cents = groupMeans(assigned, cents)
+      bc.destroy()
+    }
+
+    val centsB = sc.broadcast(cents)
+    val index = corpus
+      .map { case (id, v, n, vn) => (nearestCell(vn, centsB.value), id, v, n) }
+      .toDF("cell", "neighbor_id", "nvec", "nn")
+    val probes = prep(embeddings.where(queryPred))
+      .flatMap { case (id, v, n, vn) =>
+        val cs = centsB.value
+        // top nProbe cells by centroid dot, ties toward lower cell id
+        val scored = Array.tabulate(cs.length) { c =>
+          val ct = cs(c)
+          var dot = 0.0; var i = 0
+          while (i < ct.length) { dot += vn(i) * ct(i); i += 1 }
+          (c, dot)
+        }
+        scored.sortBy { case (c, dot) => (-dot, c) }.take(nProbe)
+          .map { case (c, _) => (c, id, v, n) }
+      }
+      .toDF("cell", "query_id", "qvec", "qn")
+
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    probes.join(index, Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cos", dotUdf(col("qvec"), col("nvec")) / (col("qn") * col("nn")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 4).as("score"))
+      .orderBy("query_id", "rank")
+  }
+
   /** LSH-bucketed approximate top-k with OR-amplification: `tables`
     * independent hash tables of `numPlanes` bits each; a corpus vector is a
     * candidate if it collides with the query in ANY table (the classic

@@ -94,6 +94,19 @@ object TextQueries {
         col("vec_id") < 20, k = 5)
     },
 
+    // approximate variants: no SQL oracle (bucketing/quantization is not
+    // DuckDB-expressible at reasonable cost) -> driver rows-only check;
+    // recall vs the brute-force baseline is pinned in AnnSpec instead
+    "ann_lsh_topk" -> { (s, d) =>
+      Ann.lshTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+        col("vec_id") < 20, k = 5, dim = 64)
+    },
+
+    "ann_ivf_topk" -> { (s, d) =>
+      Ann.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+        col("vec_id") < 20, k = 5)
+    },
+
     // ---- multimodal plumbing --------------------------------------------
 
     "mm_payload_stats" -> { (s, d) =>

@@ -197,6 +197,28 @@ class TextOpsSpec extends SparkSpec {
     assert(recall >= 0.6, s"recall $recall too low")
   }
 
+  test("ivfTopK: deterministic index, recall >= 0.6 vs brute force") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val dim = 16
+    // clustered data (the regime IVF is built for): 6 gaussian blobs
+    val centers = Array.fill(6)(Array.fill(dim)(rnd.nextGaussian() * 3))
+    val df = Seq.tabulate(150) { i =>
+      val c = centers(i % 6)
+      (i.toLong, Array.tabulate(dim)(j => (c(j) + rnd.nextGaussian() * 0.3).toFloat))
+    }.toDF("vec_id", "embedding")
+    val brute = Ann.cosineTopK(df, "vec_id", "embedding", col("vec_id") < 10, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    def run() = Ann.ivfTopK(df, "vec_id", "embedding", col("vec_id") < 10, 3,
+      numCells = 8, nProbe = 3, lloydIters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = run()
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall >= 0.6, s"recall $recall too low")
+    // no RNG anywhere: the whole index + probe result must reproduce
+    assert(run() === ivf)
+  }
+
   test("multimodal: stub decode features are deterministic; frame sampling strides") {
     import spark.implicits._
     val assets = Seq(
