@@ -267,12 +267,15 @@ object Dedup {
           shiftrightunsigned(col("simhash"), b * width)
             .bitwiseAND(lit((1L << width) - 1)).as("key"))
       }: _*)).as("cell"))
+    // verify (codegen'd bit_count, no data wider than two longs) BEFORE
+    // the pair dedup, so only qualifying pairs reach the dedup shuffle —
+    // candidates that fail the hamming test never leave their join task
     banded.select(col("doc_id").as("d1"), col("simhash").as("s1"), col("cell"))
       .join(banded.select(col("doc_id").as("d2"), col("simhash").as("s2"), col("cell")), Seq("cell"))
       .where(col("d1") < col("d2"))
-      .dropDuplicates("d1", "d2")
       .withColumn("hd", bit_count(col("s1").bitwiseXOR(col("s2"))).cast("int"))
       .where(col("hd") <= maxHamming)
+      .dropDuplicates("d1", "d2")
       .select("d1", "d2", "hd")
       .orderBy("d1", "d2")
   }
