@@ -77,8 +77,10 @@ case class DirectSimilarity(left: Expression, right: Expression)
   * [[GraftExtensions.register]] on an existing session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.directSimilarityDescriptor)
+    ext.injectFunction(GraftExtensions.consistencySimilarityDescriptor)
+  }
 }
 
 object GraftExtensions {
@@ -87,10 +89,20 @@ object GraftExtensions {
     new ExpressionInfo(classOf[DirectSimilarity].getName, "direct_similarity_native"),
     (children: Seq[Expression]) => DirectSimilarity(children(0), children(1)))
 
+  private val consistencySimilarityDescriptor = (
+    FunctionIdentifier("consistency_similarity_native"),
+    new ExpressionInfo(classOf[ConsistencySimilarity].getName, "consistency_similarity_native"),
+    (children: Seq[Expression]) => ConsistencySimilarity(children(0), children(1), children(2)))
+
   /** Register on a live session (same builder the extension uses). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "direct_similarity_native",
       children => DirectSimilarity(children(0), children(1)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "consistency_similarity_native",
+      children => ConsistencySimilarity(children(0), children(1), children(2)),
+      "built-in")
+  }
 }

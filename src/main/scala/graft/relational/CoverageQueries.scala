@@ -161,17 +161,19 @@ object CoverageQueries {
             FROM docs_x2 WHERE n_chars >= ${x2Probe.length} ORDER BY doc_id""")
     },
 
-    // X3: the flagship consistency (bridged-run) kernel. Probe has no 'c'
-    // so wobble can't fire and the match mask is plain equality; the
+    // X3: the flagship consistency (bridged-run) kernel through the
+    // NATIVE codegen'd expression (graft.functions.ConsistencySimilarity;
+    // equality with the UDF-tier kernel is property-tested). Probe has no
+    // 'c' so wobble can't fire and the match mask is plain equality; the
     // DuckDB oracle uses the interval-max identity proven in
     // KernelDifferentialSpec: best bridged-run score == max matches over
     // any window containing <= patience mismatches.
     "x3_consistency_text" -> { (s, d) =>
-      registerKernels(s)
+      graft.functions.GraftExtensions.register(s)
       Tables.documents(s, d).createOrReplaceTempView("docs_x3")
       s.sql(
         s"""SELECT doc_id,
-              consistency_similarity('$x2Probe', substring(lower(text), 1, ${x2Probe.length}), 2) AS score
+              consistency_similarity_native('$x2Probe', substring(lower(text), 1, ${x2Probe.length}), 2) AS score
             FROM docs_x3 WHERE n_chars >= ${x2Probe.length} ORDER BY doc_id""")
     }
   )

@@ -34,6 +34,22 @@ object StreamingOps {
         col("window.start").as("window_start"),
         col(keyCol), col("cnt"))
 
+  /** Streaming exact dedup — the streaming face of the J7/`j7_dedup_exact`
+    * operator: duplicates of `idCols` arriving within the watermark bound
+    * are dropped across micro-batches; the watermark expires the dedup
+    * state so it stays bounded on an unbounded stream (the 100 TB/day
+    * ingest shape — state size is one key per distinct id per watermark
+    * window, not per event).
+    */
+  def streamingDedup(
+      events: DataFrame,
+      tsCol: String,
+      idCols: Seq[String],
+      watermarkDelay: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+
   final case class Event(userId: Long, ts: Timestamp, eventType: String)
   final case class SessionState(start: Long, lastTs: Long, n: Int)
   final case class Session(userId: Long, startTs: Long, endTs: Long, nEvents: Int)

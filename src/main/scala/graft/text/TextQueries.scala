@@ -87,6 +87,23 @@ object TextQueries {
           Dedup.shingleDocs(Tables.documents(s, d), "doc_id", "text"), 0.5))
     },
 
+    // the end-to-end dedup a training pipeline actually runs: near-dup
+    // pairs -> components -> keep only each cluster's min-id doc (plus
+    // all never-duplicated docs). A broadcastable drop-list anti-join:
+    // the non-canonical ids are BY CONSTRUCTION the small side (they are
+    // the duplicates), so at 100 TB this is corpus-scan + broadcast.
+    "dd_canonical" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val comps = Dedup.connectedComponents(
+        Dedup.jaccardPairs(
+          Dedup.shingleDocs(docs, "doc_id", "text"), 0.5))
+      val dropList = comps.where(col("doc_id") =!= col("component"))
+        .select(col("doc_id"))
+      docs.join(broadcast(dropList), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), length(col("text")).as("text_len"))
+        .orderBy("doc_id")
+    },
+
     // ---- similarity search ----------------------------------------------
 
     "ann_cosine_topk" -> { (s, d) =>
@@ -201,6 +218,25 @@ object TextQueries {
           )
           SELECT id AS doc_id, MIN(comp) AS component
           FROM cc GROUP BY id ORDER BY doc_id""",
+
+    "dd_canonical" ->
+      s"""WITH RECURSIVE pairs AS ($shingleCte),
+          edges AS (
+            SELECT d1 AS src, d2 AS dst FROM pairs
+            UNION ALL SELECT d2, d1 FROM pairs
+          ),
+          cc AS (
+            SELECT DISTINCT src AS id, src AS comp FROM edges
+            UNION
+            SELECT e.dst AS id, cc.comp
+            FROM cc JOIN edges e ON e.src = cc.id
+          ),
+          labels AS (SELECT id AS doc_id, MIN(comp) AS component
+                     FROM cc GROUP BY id)
+          SELECT doc_id, CAST(LENGTH(text) AS INTEGER) AS text_len
+          FROM documents
+          WHERE doc_id NOT IN (SELECT doc_id FROM labels WHERE doc_id <> component)
+          ORDER BY doc_id""",
 
     "dd_simhash" ->
       s"""WITH toks AS (

@@ -79,4 +79,33 @@ class OpsSpec extends SparkSpec {
     // repartition + within-partition sort + zipWithIndex — partition count
     // on this tiny input may still be AQE-coalesced to 1, which is fine)
   }
+
+  test("Salt.saltedJoin equals the plain join on a 90%-hot-key table") {
+    import spark.implicits._
+    // 900 rows of key 7 (the hot key), 100 spread across other keys
+    val left = (Seq.fill(900)(7) ++ Seq.tabulate(100)(_ % 10))
+      .zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("k", "lv")
+    val right = Seq.tabulate(10)(k => (k, s"dim_$k")).toDF("k", "rv")
+    val got = Salt.saltedJoin(left, right, Seq("k"), salts = 8)
+      .select($"k", $"lv", $"rv").as[(Int, Long, String)].collect().sorted
+    val want = left.join(right, "k")
+      .select($"k", $"lv", $"rv").as[(Int, Long, String)].collect().sorted
+    assert(got.toSeq === want.toSeq)
+    assert(got.length === 1000)
+  }
+
+  test("Salt.saltedAgg equals direct aggregation (sum + count monoids)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val df = Seq.fill(2000)((if (rnd.nextInt(10) < 8) 1 else rnd.nextInt(50), rnd.nextInt(100)))
+      .toDF("k", "v")
+    val got = Salt.saltedAgg(df, Seq("k"), salts = 8,
+        partial = Seq(sum($"v") -> "total", count(lit(1)) -> "n"),
+        merge = n => sum(col(n)))
+      .select($"k", $"total", $"n").as[(Int, Long, Long)].collect().sorted
+    val want = df.groupBy($"k")
+      .agg(sum($"v").as("total"), count(lit(1)).as("n"))
+      .select($"k", $"total", $"n").as[(Int, Long, Long)].collect().sorted
+    assert(got.toSeq === want.toSeq)
+  }
 }

@@ -59,6 +59,28 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingDedup drops cross-batch duplicates within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val deduped = StreamingOps.streamingDedup(
+      input.toDF().toDF("ts", "doc_id", "text"), "ts", Seq("doc_id"), "10 seconds")
+
+    val q = deduped.writeStream
+      .format("memory").queryName("dedup_out").outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData((ts(1), 1L, "a"), (ts(2), 2L, "b"), (ts(3), 1L, "a-dup"))
+      q.processAllAvailable()
+      // duplicate of id 1 in a LATER micro-batch, still inside watermark
+      input.addData((ts(4), 1L, "a-dup2"), (ts(5), 3L, "c"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("doc_id")
+        .as[Long].collect().sorted
+      assert(ids.toSeq === Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("currentOpenSessions batch helper computes final sessions") {
     import spark.implicits._
     val events = Seq(
