@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Executable plan audits: the 100 TB claims each gate query's scaladoc
+  * makes, asserted against the actual optimized/physical plan rather
+  * than trusted. A regression that silently turns a broadcast join into
+  * a nested-loop join, loses a parquet filter pushdown, or widens a
+  * pruned scan fails HERE, not in a cluster bill.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def physical(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def optimized(df: DataFrame): String =
+    df.queryExecution.optimizedPlan.toString
+
+  private def q(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, sf001)
+
+  test("f1_semi_filter: the p_size predicate reaches the parquet scan") {
+    val plan = physical(q("f1_semi_filter"))
+    assert(plan.contains("PushedFilters") && plan.contains("p_size"),
+      s"expected p_size in PushedFilters:\n$plan")
+  }
+
+  test("tx_token_count: documents scan pruned to the referenced columns") {
+    val plan = physical(q("tx_token_count"))
+    val readSchemas = "ReadSchema: [^\n]+".r.findAllIn(plan).toList
+    assert(readSchemas.nonEmpty)
+    readSchemas.foreach { rs =>
+      assert(!rs.contains("lang") && !rs.contains("n_chars"),
+        s"documents scan reads unreferenced columns: $rs")
+    }
+  }
+
+  test("j4_star_revenue: dims broadcast, no shuffle on nation/region") {
+    val plan = physical(q("j4_star_revenue"))
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast dims:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("j1_range_join: bucketed range join, no nested-loop/cartesian") {
+    val plan = physical(q("j1_range_join"))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join degenerated to an all-pairs physical join:\n$plan")
+  }
+
+  test("dd_minhash_lsh: candidate generation is an equi-join, not all-pairs") {
+    val plan = physical(q("dd_minhash_lsh"))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"LSH banding must bucket-join:\n$plan")
+  }
+
+  test("dd_hamming: band join is an equi-join, verification precedes dedup") {
+    val df = q("dd_hamming")
+    val plan = physical(df)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+    // hamming filter (bit_count) must sit BELOW the pair-dedup aggregate
+    // in the optimized plan so failing candidates never reach the shuffle
+    val opt = optimized(df)
+    val filterIdx = opt.indexOf("bit_count")
+    val dedupIdx = opt.indexOf("Aggregate")
+    assert(filterIdx > dedupIdx,
+      s"bit_count verify should be under (after, in toString order) the dedup Aggregate:\n$opt")
+  }
+
+  test("j6_ordered_reorder: no single-partition Exchange in the plan") {
+    val plan = physical(q("j6_ordered_reorder"))
+    assert(!plan.contains("SinglePartition"),
+      s"global ordering must not funnel through one partition:\n$plan")
+  }
+
+  test("x1/x3 native kernels stay inside whole-stage codegen (no ScalaUDF)") {
+    assert(!physical(q("x1_direct_text")).contains("ScalaUDF"))
+    assert(!physical(q("x3_consistency_text")).contains("ScalaUDF"))
+  }
+
+  test("ev_sessionize: windows and aggregation partition by user_id") {
+    val plan = physical(q("ev_sessionize"))
+    assert(plan.contains("hashpartitioning(user_id"),
+      s"per-user windows must hash-partition on user_id:\n$plan")
+    assert(!plan.contains("SinglePartition"))
+  }
+}
