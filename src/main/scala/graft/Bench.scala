@@ -47,20 +47,27 @@ object Bench {
       name -> sec
     }
 
-    // flagship scan throughput: deterministic 1 Mbp genome, 2 genes, both strands
+    // flagship scan throughput: deterministic genome at the REFERENCE's
+    // exact scale (NC_000913.3 = 4,641,652 bp, BASELINE.md), 2 genes,
+    // both strands — the 1 Mbp toy genome measured Spark fixed overhead
+    // (256 ~10ms tasks), not scan rate; at the real size the kernel
+    // dominates and bp/s reflects the actual per-window cost
+    val genomeLen = 4641652
     val rnd = new scala.util.Random(42)
     val genome = {
-      val sb = new java.lang.StringBuilder(1000000)
+      val sb = new java.lang.StringBuilder(genomeLen)
       var i = 0
-      while (i < 1000000) { sb.append("acgt".charAt(rnd.nextInt(4))); i += 1 }
+      while (i < genomeLen) { sb.append("acgt".charAt(rnd.nextInt(4))); i += 1 }
       sb.toString
     }
-    val genes = Seq(
-      "bench_g1" -> (0 until 30).map(_ => "acgt"(rnd.nextInt(4))).mkString,
-      "bench_g2" -> (0 until 30).map(_ => "acgt"(rnd.nextInt(4))).mkString)
+    // 8 query genes (the reference's committed sample runs 47): per-gene
+    // work amortizes the fixed two-stage job cost, so bp/s converges to
+    // the true per-window kernel rate instead of scheduler latency
+    val genes = (1 to 8).map(g =>
+      s"bench_g$g" -> (0 until 30).map(_ => "acgt"(rnd.nextInt(4))).mkString)
     val cfg = graft.bio.ScanConfig(
       weights = Map("consistency" -> 1.0), topK = 1000,
-      candidateDistance = 5, patience = 2, numChunks = cpus.toInt * 2)
+      candidateDistance = 5, patience = 2, numChunks = cpus.toInt)
     val scanSec = (1 to 2).map { _ =>
       val t0 = System.nanoTime()
       graft.bio.GenomeScan.scan(spark, genome, genes, cfg).count()
