@@ -144,21 +144,25 @@ object CoverageQueries {
     // codegen tier of the §7.3 preference ladder, exercised by the gate
     "x1_direct_text" -> { (s, d) =>
       graft.functions.GraftExtensions.register(s)
-      Tables.documents(s, d).createOrReplaceTempView("docs_x1")
-      s.sql(
-        s"""SELECT doc_id,
-              direct_similarity_native('$x1Probe', substring(lower(text), 1, ${x1Probe.length})) AS score
-            FROM docs_x1 WHERE n_chars >= ${x1Probe.length} ORDER BY doc_id""")
+      // expr() on the frame, not a temp view — no catalog side effects
+      // in a long-lived session (the verdict's r2 cosmetics note)
+      Tables.documents(s, d)
+        .where(col("n_chars") >= x1Probe.length)
+        .select(col("doc_id"), expr(
+          s"direct_similarity_native('$x1Probe', substring(lower(text), 1, ${x1Probe.length}))")
+          .as("score"))
+        .orderBy("doc_id")
     },
 
     // X2: wobble edit-distance kernel over the SQL surface
     "x2_edit_text" -> { (s, d) =>
       registerKernels(s)
-      Tables.documents(s, d).createOrReplaceTempView("docs_x2")
-      s.sql(
-        s"""SELECT doc_id,
-              text_edit_similarity('$x2Probe', substring(lower(text), 1, ${x2Probe.length})) AS score
-            FROM docs_x2 WHERE n_chars >= ${x2Probe.length} ORDER BY doc_id""")
+      Tables.documents(s, d)
+        .where(col("n_chars") >= x2Probe.length)
+        .select(col("doc_id"), expr(
+          s"text_edit_similarity('$x2Probe', substring(lower(text), 1, ${x2Probe.length}))")
+          .as("score"))
+        .orderBy("doc_id")
     },
 
     // X3: the flagship consistency (bridged-run) kernel through the
@@ -170,11 +174,12 @@ object CoverageQueries {
     // any window containing <= patience mismatches.
     "x3_consistency_text" -> { (s, d) =>
       graft.functions.GraftExtensions.register(s)
-      Tables.documents(s, d).createOrReplaceTempView("docs_x3")
-      s.sql(
-        s"""SELECT doc_id,
-              consistency_similarity_native('$x2Probe', substring(lower(text), 1, ${x2Probe.length}), 2) AS score
-            FROM docs_x3 WHERE n_chars >= ${x2Probe.length} ORDER BY doc_id""")
+      Tables.documents(s, d)
+        .where(col("n_chars") >= x2Probe.length)
+        .select(col("doc_id"), expr(
+          s"consistency_similarity_native('$x2Probe', substring(lower(text), 1, ${x2Probe.length}), 2)")
+          .as("score"))
+        .orderBy("doc_id")
     }
   )
 
