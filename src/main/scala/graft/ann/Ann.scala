@@ -73,14 +73,17 @@ object Ann {
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("cos"), 4).as("score"))
+        round4(col("cos")).as("score"))
       .orderBy("query_id", "rank")
   }
 
-  /** Half-up 4dp rounding matching DuckDB's ROUND on the same double. */
-  private val round4Udf = udf { (x: Double) =>
-    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-  }
+  /** Tie-proof 4dp rounding: floor(x*1e4 + 0.5)/1e4 — the same IEEE op
+    * sequence the oracle SQL spells out, so both engines produce the
+    * identical double even when x sits a ulp from a decimal boundary
+    * (where Spark's decimal-exact HALF_UP and DuckDB's double ROUND
+    * disagree).
+    */
+  private def round4(c: Column): Column = floor(c * 10000.0 + 0.5) / 10000.0
 
   /** All pairs (a<b) with cosine >= threshold — embedding near-dup dedup.
     *
@@ -101,7 +104,7 @@ object Ann {
     * are the approximate fallback.
     *
     * Arithmetic matches the DuckDB oracle exactly: left-to-right dot
-    * fold, cos = dot/(‖a‖·‖b‖), half-up 4dp rounding.
+    * fold, cos = dot/(‖a‖·‖b‖), floor-form 4dp rounding (see [[round4]]).
     */
   def cosinePairs(
       embeddings: DataFrame,
@@ -153,7 +156,8 @@ object Ann {
             val cos = dot / (na * nb)
             if (cos >= threshold) {
               val a = math.min(ida, idb); val b = math.max(ida, idb)
-              acc += ((a, b, BigDecimal(cos).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+              // same floor-form rounding as the oracle (see round4)
+              acc += ((a, b, math.floor(cos * 10000.0 + 0.5) / 10000.0))
             }
             j += 1
           }
@@ -311,7 +315,7 @@ object Ann {
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("cos"), 4).as("score"))
+        round4(col("cos")).as("score"))
       .orderBy("query_id", "rank")
   }
 
@@ -355,7 +359,7 @@ object Ann {
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("cos"), 4).as("score"))
+        round4(col("cos")).as("score"))
       .orderBy("query_id", "rank")
   }
 }

@@ -30,7 +30,11 @@ object RelationalQueries {
       Tables.lineitem(s, d)
         .groupBy($"l_returnflag")
         .agg(count(lit(1)).as("cnt"))
-        .withColumn("pct", round($"cnt" * 100.0 / sum($"cnt").over(Window.partitionBy()), 2))
+        // floor-form 2dp rounding: pct is a rational (cnt/total), so
+        // half-boundary ties are reachable and engine ROUNDs disagree on
+        // them; floor(x*100 + 0.5)/100 is IEEE-identical in both engines
+        .withColumn("pct",
+          floor($"cnt" * 100.0 / sum($"cnt").over(Window.partitionBy()) * 100.0 + 0.5) / 100.0)
         .orderBy($"cnt".desc, $"l_returnflag")
     },
 
@@ -45,11 +49,16 @@ object RelationalQueries {
     },
 
     // A5: order-violation count (reference ncbi_database.py:104-110 —
-    // intervals starting before the running max end)
+    // intervals starting before the running max end).
+    // l_shipdate in the window ORDER: the synthetic lineitem has
+    // duplicate (l_orderkey, l_linenumber) pairs (~175 at sf0.1), so
+    // without it the running max depends on engine-private tie order;
+    // residual ties then have EQUAL shipdates, which provably cannot
+    // change any row's violation verdict.
     "a5_order_violations" -> { (s, d) =>
       import s.implicits._
       val w = Window.partitionBy($"l_suppkey")
-        .orderBy($"l_orderkey", $"l_linenumber")
+        .orderBy($"l_orderkey", $"l_linenumber", $"l_shipdate")
         .rowsBetween(Window.unboundedPreceding, -1)
       Tables.lineitem(s, d)
         .withColumn("prev_max", max($"l_shipdate").over(w))
@@ -236,7 +245,7 @@ object RelationalQueries {
   val oracles: Map[String, String] = Map(
     "a1_distribution_count" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS cnt,
-         ROUND(count(*) * 100.0 / SUM(count(*)) OVER (), 2) AS pct
+         FLOOR(count(*) * 100.0 / SUM(count(*)) OVER () * 100.0 + 0.5) / 100.0 AS pct
          FROM lineitem GROUP BY l_returnflag ORDER BY cnt DESC, l_returnflag""",
     "a2_group_members" ->
       """SELECT n_regionkey, CAST(count(*) AS BIGINT) AS cnt,
@@ -246,7 +255,7 @@ object RelationalQueries {
       """SELECT l_suppkey, CAST(count(*) AS BIGINT) AS violations FROM (
            SELECT l_suppkey, l_shipdate,
                   MAX(l_shipdate) OVER (PARTITION BY l_suppkey
-                    ORDER BY l_orderkey, l_linenumber
+                    ORDER BY l_orderkey, l_linenumber, l_shipdate
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
            FROM lineitem) t
          WHERE prev_max IS NOT NULL AND l_shipdate < prev_max

@@ -77,8 +77,13 @@ object Dedup {
     pairs
       .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
       .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
-      .withColumn("j", round(col("inter") / (col("n1") + col("n2") - col("inter")), 6))
-      .where(col("j") >= threshold)
+      // threshold on the RAW ratio (same predicate as the oracle), then
+      // tie-proof floor-form 6dp rounding for display — IEEE-identical
+      // in both engines, unlike decimal HALF_UP vs double ROUND on
+      // exact .0000005 ties (reachable: j is a small-integer rational)
+      .withColumn("jraw", col("inter") / (col("n1") + col("n2") - col("inter")))
+      .where(col("jraw") >= threshold)
+      .withColumn("j", floor(col("jraw") * 1000000.0 + 0.5) / 1000000.0)
       .select("d1", "d2", "inter", "j")
       .orderBy("d1", "d2")
   }
@@ -157,9 +162,10 @@ object Dedup {
       .join(sh.select(col("doc_id").as("d1"), col("shingles").as("sh1")), "d1")
       .join(sh.select(col("doc_id").as("d2"), col("shingles").as("sh2")), "d2")
       .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast("long"))
-      .withColumn("j", round(
-        col("inter") / (size(col("sh1")) + size(col("sh2")) - col("inter")), 6))
-      .where(col("j") >= threshold)
+      .withColumn("jraw",
+        col("inter") / (size(col("sh1")) + size(col("sh2")) - col("inter")))
+      .where(col("jraw") >= threshold)
+      .withColumn("j", floor(col("jraw") * 1000000.0 + 0.5) / 1000000.0)
       .select("d1", "d2", "inter", "j")
       .orderBy("d1", "d2")
   }

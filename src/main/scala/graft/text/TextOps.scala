@@ -48,10 +48,13 @@ object TextOps {
     val alphaRatio = length(regexp_replace(text, "[^a-zA-Z]", "")) /
       greatest(length(text), lit(1))
     val stopRatio = stopwordHits(toks, stopwords) / greatest(nTokens, lit(1))
-    round(
-      lit(0.4) * least(nTokens / lit(200.0), lit(1.0)) +
-        lit(0.3) * stopRatio + lit(0.3) * alphaRatio,
-      4)
+    // tie-proof 4dp rounding: the score is a rational of small integers,
+    // so exact .00005 ties DO occur (one per ~5k docs empirically) and
+    // Spark's BigDecimal HALF_UP disagrees with DuckDB's double rounding
+    // on them; floor(x*1e4 + 0.5)/1e4 is the same IEEE ops in both
+    // engines -> bit-identical (oracle uses the same formula)
+    floor((lit(0.4) * least(nTokens / lit(200.0), lit(1.0)) +
+      lit(0.3) * stopRatio + lit(0.3) * alphaRatio) * lit(10000.0) + lit(0.5)) / lit(10000.0)
   }
 
   /** Per-language stopword profiles for the n-gram/stopword language-ID

@@ -156,7 +156,7 @@ object TextQueries {
           GROUP BY 1, 2
         ), sz AS (SELECT doc_id, len(shingles) AS n FROM sh)
         SELECT d1, d2, CAST(inter AS BIGINT) AS inter,
-               ROUND(inter / (s1.n + s2.n - inter), 6) AS j
+               FLOOR(inter / (s1.n + s2.n - inter) * 1000000.0 + 0.5) / 1000000.0 AS j
         FROM pairs JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
         WHERE inter / (s1.n + s2.n - inter) >= 0.5
         ORDER BY d1, d2"""
@@ -175,13 +175,13 @@ object TextQueries {
 
     "tx_quality_score" ->
       s"""SELECT doc_id, CAST(len($tokensSql) AS INTEGER) AS n_tokens,
-          ROUND(
+          FLOOR((
             0.4 * LEAST(len($tokensSql) / 200.0, 1.0) +
             0.3 * (len(list_filter($tokensSql,
                      t -> list_contains(['the','a','of','and','to','is'], t)))
                    / GREATEST(len($tokensSql), 1)) +
             0.3 * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
-                   / GREATEST(length(text), 1)), 4) AS quality
+                   / GREATEST(length(text), 1))) * 10000.0 + 0.5) / 10000.0 AS quality
           FROM documents ORDER BY doc_id""",
 
     "tx_lang_id" -> {
@@ -279,9 +279,9 @@ object TextQueries {
 
     "dd_cosine_neardup" ->
       s"""SELECT a.vec_id AS a, b.vec_id AS b,
-            ROUND(${dot("a.embedding", "b.embedding")} /
+            FLOOR(${dot("a.embedding", "b.embedding")} /
               (SQRT(${dot("a.embedding", "a.embedding")}) *
-               SQRT(${dot("b.embedding", "b.embedding")})), 4) AS score
+               SQRT(${dot("b.embedding", "b.embedding")})) * 10000.0 + 0.5) / 10000.0 AS score
           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
           WHERE ${dot("a.embedding", "b.embedding")} /
               (SQRT(${dot("a.embedding", "a.embedding")}) *
@@ -298,7 +298,7 @@ object TextQueries {
             WHERE q.vec_id < 20
           )
           SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
-                 ROUND(cos, 4) AS score
+                 FLOOR(cos * 10000.0 + 0.5) / 10000.0 AS score
           FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                   ORDER BY cos DESC, neighbor_id) AS rank FROM s)
           WHERE rank <= 5 ORDER BY query_id, rank""",
