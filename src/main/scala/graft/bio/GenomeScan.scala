@@ -88,6 +88,34 @@ object GenomeScan {
       chunkEnd: Int,
       cfg: ScanConfig): Vector[MatchCandidate] = {
     val geneLength = gene.length
+    val kcfg = SimilarityKernels.KernelConfig(
+      maxPatience = cfg.patience,
+      continuousMismatchLimit = cfg.continuousMismatchLimit,
+      pattern =
+        if (cfg.hasPattern) Some(MatchPattern(gene, cfg.mustConditions, cfg.optionalConditions))
+        else None)
+    scanChunkSlim(gene, db, isReverse, chunkStart, chunkEnd, cfg).map { case (signed, left) =>
+      val (_, scores) = SimilarityKernels.blendedScore(cfg.weights, gene, db, left, kcfg)
+      MatchCandidate(left, left + geneLength - 1, isReverse, db.length, signed, scores)
+    }
+  }
+
+  /** The chunk scan WITHOUT per-survivor kernel re-evaluation: returns the
+    * suppressed local top-k as slim (signedScore, left) pairs. The scan
+    * driver uses this form so the survivor shuffle carries two primitives
+    * per row instead of a `Map[String, Double]` per candidate (up to
+    * chunks×topK of them — the dominant shuffle payload at flagship
+    * topK=1000); the score maps materialize once, for the ≤topK FINAL
+    * survivors per gene, in the reduce stage.
+    */
+  def scanChunkSlim(
+      gene: String,
+      db: String,
+      isReverse: Boolean,
+      chunkStart: Int,
+      chunkEnd: Int,
+      cfg: ScanConfig): Vector[(Double, Int)] = {
+    val geneLength = gene.length
     val dbLength = db.length
     val end = math.min(dbLength - geneLength + 1, chunkEnd)
     val pattern =
@@ -199,10 +227,123 @@ object GenomeScan {
     val survivors = new Array[(Double, Int)](heap.size)
     var i = survivors.length - 1
     while (i >= 0) { survivors(i) = heap.poll(); i -= 1 } // drains worst-first
-    survivors.sortBy { case (score, left) => (-score, left) }.toVector.map { case (signed, left) =>
-      val (_, scores) = SimilarityKernels.blendedScore(cfg.weights, gene, db, left, kcfg)
-      MatchCandidate(left, left + geneLength - 1, isReverse, dbLength, signed, scores)
+    survivors.sortBy { case (score, left) => (-score, left) }.toVector
+  }
+
+  /** Kernel sets the byte fast path supports: pattern/blat need String
+    * machinery (regex, substring windows), and a positive
+    * continuousMismatchLimit needs the backtrace variant.
+    */
+  private[bio] def byteEligible(cfg: ScanConfig): Boolean =
+    !cfg.hasPattern && cfg.continuousMismatchLimit <= 0 &&
+      cfg.weights.filter(_._2 > 0).keySet.subsetOf(Set("direct", "consistency", "text_edit"))
+
+  /** Byte-array twin of [[scanChunkSlim]] for configs within
+    * [[byteEligible]] — the production hot path ([[scan]] dispatches
+    * here): byte-indexed kernels (no charAt coder checks), integer kernel
+    * tags instead of per-offset string matching, and a wrap-if deque
+    * instead of modulo arithmetic. Offset-for-offset equivalence with the
+    * String path is asserted in GenomeScanSpec.
+    */
+  def scanChunkSlimBytes(
+      gene: Array[Byte],
+      db: Array[Byte],
+      isReverse: Boolean,
+      chunkStart: Int,
+      chunkEnd: Int,
+      cfg: ScanConfig): Vector[(Double, Int)] = {
+    val geneLength = gene.length
+    val dbLength = db.length
+    val end = math.min(dbLength - geneLength + 1, chunkEnd)
+
+    val runLen = new Array[Int](geneLength + 1)
+    val runEnd = new Array[Int](geneLength + 1)
+    val kernels = cfg.weights.toArray.filter(_._2 > 0)
+    val dpBuf =
+      if (kernels.exists(_._1 == "text_edit")) new Array[Int]((geneLength + 1) * (geneLength + 1))
+      else null
+    // integer tags: 0 direct, 1 consistency, 2 text_edit
+    val tags = kernels.map {
+      case ("direct", _) => 0
+      case ("consistency", _) => 1
+      case ("text_edit", _) => 2
+      case (other, _) => throw new IllegalArgumentException(s"byte path: $other")
     }
+    val wts = kernels.map(_._2)
+    var totalWeight = 0.0
+    wts.foreach(totalWeight += _)
+    require(totalWeight > 0, "at least one kernel must have positive weight")
+    val patience = cfg.patience
+
+    val cap = cfg.candidateDistance + 2
+    val dqLeft = new Array[Int](cap)
+    val dqScore = new Array[Double](cap)
+    val dqIgnored = new Array[Boolean](cap)
+    var dqHead = 0
+    var dqSize = 0
+    val dropNonPositive = !cfg.ascending
+
+    val heap = new java.util.PriorityQueue[(Double, Int)](math.max(cfg.topK, 1),
+      new java.util.Comparator[(Double, Int)] {
+        def compare(a: (Double, Int), b: (Double, Int)): Int = {
+          val c = java.lang.Double.compare(a._1, b._1)
+          if (c != 0) c else java.lang.Integer.compare(b._2, a._2)
+        }
+      })
+
+    def emit(left: Int, score: Double): Unit = {
+      heap.add((score, left))
+      if (heap.size > cfg.topK) heap.poll()
+    }
+
+    def update(newLeft: Int, newScore: Double, hasNew: Boolean, keepSize: Int): Unit = {
+      while (dqSize >= keepSize ||
+             (dqSize > 0 && hasNew && math.abs(dqLeft(dqHead) - newLeft) >= keepSize)) {
+        if (!dqIgnored(dqHead)) emit(dqLeft(dqHead), dqScore(dqHead))
+        dqHead += 1; if (dqHead == cap) dqHead = 0
+        dqSize -= 1
+      }
+      if (hasNew) {
+        var ignored = dropNonPositive && newScore <= 0.0
+        var i = 0
+        var pos = dqHead
+        while (i < dqSize) {
+          if (dqScore(pos) > newScore) ignored = true
+          else if (dqScore(pos) < newScore) dqIgnored(pos) = true
+          pos += 1; if (pos == cap) pos = 0
+          i += 1
+        }
+        dqLeft(pos) = newLeft
+        dqScore(pos) = newScore
+        dqIgnored(pos) = ignored
+        dqSize += 1
+      }
+    }
+
+    var offset = chunkStart
+    while (offset < end) {
+      var weighted = 0.0
+      var i = 0
+      while (i < tags.length) {
+        val s = tags(i) match {
+          case 0 => SimilarityKernels.directScoreB(gene, db, offset)
+          case 1 => SimilarityKernels.consistencyScoreOnlyB(gene, db, offset, patience, runLen, runEnd)
+          case _ => SimilarityKernels.textEditScoreOnlyB(gene, db, offset, dpBuf)
+        }
+        weighted += s * wts(i)
+        i += 1
+      }
+      val blended = weighted / totalWeight
+      val signed = if (cfg.ascending) -blended else blended
+      update(offset, signed, hasNew = true, cfg.candidateDistance)
+      offset += 1
+    }
+    while (dqSize > 0) update(0, 0.0, hasNew = false, 1)
+
+    val survivors = new Array[(Double, Int)](heap.size)
+    var i = survivors.length - 1
+    while (i >= 0) { survivors(i) = heap.poll(); i -= 1 }
+    survivors.sortBy { case (score, left) => (-score, left) }.toVector
   }
 
   /** Multi-genome scan — the many-accessions scale shape (one row per
@@ -254,9 +395,18 @@ object GenomeScan {
       genes: Seq[(String, String)],
       cfg: ScanConfig): Dataset[ScanHit] = {
     import spark.implicits._
+    val revStr = Dna.reverseComplement(genome)
     val fwd = spark.sparkContext.broadcast(genome)
-    val rev = spark.sparkContext.broadcast(Dna.reverseComplement(genome))
+    val rev = spark.sparkContext.broadcast(revStr)
     val cfgB = spark.sparkContext.broadcast(cfg)
+    // byte copies for the hot path (see scanChunkSlimBytes) — converted
+    // ONCE here, not per task; ISO-8859-1 is an exact byte map for the
+    // ASCII DNA text
+    val useBytes = byteEligible(cfg)
+    val fwdBytes = spark.sparkContext.broadcast(
+      if (useBytes) genome.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1) else Array.emptyByteArray)
+    val revBytes = spark.sparkContext.broadcast(
+      if (useBytes) revStr.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1) else Array.emptyByteArray)
 
     val tasks = for {
       (name, gene) <- genes
@@ -265,19 +415,55 @@ object GenomeScan {
     } yield (name, gene, isReverse, s, e)
 
     val parallelism = math.min(tasks.size, spark.sparkContext.defaultParallelism * 2)
+    val genesB = spark.sparkContext.broadcast(genes.toMap)
 
+    // map stage emits SLIM survivors (two primitives + strand); the
+    // per-kernel score maps — the dominant shuffle payload at flagship
+    // topK=1000 (chunks×topK map objects) — are computed once, for the
+    // ≤topK FINAL survivors per gene, in the reduce stage below
     spark.createDataset(tasks)
       .repartition(math.max(parallelism, 1))
       .flatMap { case (name, gene, isReverse, s, e) =>
-        val db = if (isReverse) rev.value else fwd.value
-        scanChunk(gene, db, isReverse, s, e, cfgB.value).map(c => (name, c))
+        val survivors =
+          if (useBytes) {
+            val db = if (isReverse) revBytes.value else fwdBytes.value
+            scanChunkSlimBytes(
+              gene.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1),
+              db, isReverse, s, e, cfgB.value)
+          } else {
+            val db = if (isReverse) rev.value else fwd.value
+            scanChunkSlim(gene, db, isReverse, s, e, cfgB.value)
+          }
+        survivors.map { case (signed, left) => (name, isReverse, left, signed) }
       }
       .groupByKey(_._1)
       .flatMapGroups { (name, it) =>
         val cfg = cfgB.value
-        Suppression.topK(it.map(_._2), cfg.topK).map { c =>
+        val gene = genesB.value(name)
+        val dbLength = fwd.value.length
+        val kcfg = SimilarityKernels.KernelConfig(
+          maxPatience = cfg.patience,
+          continuousMismatchLimit = cfg.continuousMismatchLimit,
+          pattern =
+            if (cfg.hasPattern) Some(MatchPattern(gene, cfg.mustConditions, cfg.optionalConditions))
+            else None)
+        // bounded top-k over the slim tuples themselves — same rank as
+        // Suppression.topK ((-score, strand, left)); MatchCandidate (and
+        // its kernel score map) materializes only for the final ≤topK
+        val rank: ((Boolean, Int, Double)) => (Double, Boolean, Int) =
+          { case (isReverse, left, signed) => (-signed, isReverse, left) }
+        val heap = scala.collection.mutable.PriorityQueue
+          .empty[(Boolean, Int, Double)](Ordering.by(rank))
+        it.foreach { case (_, isReverse, left, signed) =>
+          heap.enqueue((isReverse, left, signed))
+          if (heap.size > cfg.topK) heap.dequeue()
+        }
+        heap.toVector.sortBy(rank).iterator.map { case (isReverse, left, signed) =>
+          val db = if (isReverse) rev.value else fwd.value
+          val (_, scores) = SimilarityKernels.blendedScore(cfg.weights, gene, db, left, kcfg)
+          val c = MatchCandidate(left, left + gene.length - 1, isReverse, dbLength, signed)
           val score = if (cfg.ascending) -c.weightedSimilarity else c.weightedSimilarity
-          ScanHit(name, c.isReverse, c.left, c.right, c.start, c.end, score, c.similarityScores)
+          ScanHit(name, c.isReverse, c.left, c.right, c.start, c.end, score, scores)
         }
       }
   }

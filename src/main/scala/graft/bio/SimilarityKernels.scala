@@ -477,6 +477,97 @@ object SimilarityKernels {
     (n - dp(n * w + n)).toDouble
   }
 
+  // ------------------------------------------- byte-array scan hot paths
+
+  /** Byte-array twins of the score-only kernels for the scan's inner
+    * loop. `String.charAt` pays a compact-string coder check per
+    * character (Java 17+), which at ~30 chars/window dominates the
+    * measured per-window cost; indexing byte arrays converted ONCE per
+    * broadcast removes it. Wobble rule and arithmetic are identical to
+    * the Char variants for the ASCII DNA alphabet — equivalence is
+    * asserted offset-by-offset in GenomeScanSpec.
+    */
+  @inline private def baseMatchesB(a: Byte, b: Byte): Boolean =
+    a == b || (a == 'c' && b == 't')
+
+  def directScoreB(gene: Array[Byte], db: Array[Byte], offset: Int): Double = {
+    var score = 0
+    var i = 0
+    val n = gene.length
+    while (i < n) {
+      if (baseMatchesB(gene(i), db(offset + i))) score += 1
+      i += 1
+    }
+    score.toDouble
+  }
+
+  def consistencyScoreOnlyB(
+      gene: Array[Byte], db: Array[Byte], offset: Int, maxPatience: Int,
+      runLen: Array[Int], runEnd: Array[Int]): Double = {
+    val n = gene.length
+    var score = 0
+    var curScore = 0
+    var nRuns = 0
+    var i = 0
+    while (i < n) {
+      if (baseMatchesB(gene(i), db(offset + i))) {
+        curScore += 1
+        if (i == n - 1) { runLen(nRuns) = curScore; runEnd(nRuns) = n; nRuns += 1 }
+      } else {
+        runLen(nRuns) = curScore; runEnd(nRuns) = i; nRuns += 1
+        curScore = 0
+      }
+      if (curScore > score) score = curScore
+      i += 1
+    }
+    var idx = 0
+    while (idx < nRuns) {
+      val left = runEnd(idx) - runLen(idx)
+      var totalScore = 0
+      var width = 0
+      var continue = true
+      while (continue && width <= maxPatience) {
+        if (width + idx < nRuns) {
+          val totalLen = runEnd(idx + width) - left
+          totalScore += runLen(idx + width)
+          if (totalLen - totalScore > maxPatience) continue = false
+          else if (score < totalScore) score = totalScore
+        }
+        width += 1
+      }
+      idx += 1
+    }
+    score.toDouble
+  }
+
+  def textEditScoreOnlyB(
+      gene: Array[Byte], db: Array[Byte], offset: Int, dp: Array[Int]): Double = {
+    val n = gene.length
+    val w = n + 1
+    val INF = 999999
+    java.util.Arrays.fill(dp, 0, w * w, INF)
+    dp(0) = 0
+    var i = 1
+    while (i <= n) {
+      val ga = gene(i - 1)
+      val row = i * w
+      val prev = row - w
+      var j = 1
+      while (j <= n) {
+        val gb = db(offset + j - 1)
+        var best = dp(prev + j) + 1
+        val left = dp(row + j - 1) + 1
+        if (left < best) best = left
+        val diag = dp(prev + j - 1) + (if (baseMatchesB(ga, gb)) 0 else 1)
+        if (diag < best) best = diag
+        dp(row + j) = best
+        j += 1
+      }
+      i += 1
+    }
+    (n - dp(n * w + n)).toDouble
+  }
+
   // -------------------------------------------------------- X8 fast_skip
 
   /** Per-base counts of a sequence (reference `count_acgt`). */

@@ -108,6 +108,32 @@ class GenomeScanSpec extends SparkSpec {
     assert(multi("b") === singleB)
   }
 
+  test("byte fast path == String path, survivor-for-survivor, all configs") {
+    val genome = randomDna(20000)
+    val gene = randomDna(25)
+    val bytes = (s: String) => s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val configs = Seq(
+      ScanConfig(weights = Map("consistency" -> 1.0), topK = 50,
+        candidateDistance = 5, patience = 2, numChunks = 4),
+      ScanConfig(weights = Map("direct" -> 2.0, "text_edit" -> 1.0), topK = 30,
+        candidateDistance = 3, numChunks = 4),
+      ScanConfig(weights = Map("consistency" -> 1.0, "direct" -> 0.5), topK = 20,
+        candidateDistance = 5, patience = 1, ascending = true, numChunks = 4))
+    configs.foreach { cfg =>
+      assert(GenomeScan.byteEligible(cfg))
+      GenomeScan.chunks(genome.length, cfg.numChunks).foreach { case (s, e) =>
+        val viaString = GenomeScan.scanChunkSlim(gene, genome, isReverse = false, s, e, cfg)
+        val viaBytes = GenomeScan.scanChunkSlimBytes(
+          bytes(gene), bytes(genome), isReverse = false, s, e, cfg)
+        assert(viaBytes === viaString, s"chunk ($s,$e) cfg=$cfg")
+      }
+    }
+    // pattern / blat / mismatch-limit configs must NOT claim the byte path
+    assert(!GenomeScan.byteEligible(ScanConfig(weights = Map("blat" -> 1.0))))
+    assert(!GenomeScan.byteEligible(
+      ScanConfig(weights = Map("text_edit" -> 1.0), continuousMismatchLimit = 3)))
+  }
+
   test("chunks replicate the reference next_interval split") {
     assert(GenomeScan.chunks(100, 4) === Seq((0, 25), (25, 50), (50, 75), (75, 100)))
     // remainder spills into an extra short chunk (size // n division)
