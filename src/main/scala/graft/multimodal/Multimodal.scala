@@ -68,6 +68,37 @@ object Multimodal {
     }
   }
 
+  /** Frame sampling as a 1→N generator over the payload column — the
+    * video-pipeline shape (decode only every `stride`-th frame) with the
+    * whole plumbing in oracle-matchable column expressions: frames are
+    * `frameSize`-char windows, every `stride`-th full frame explodes to a
+    * row carrying its offset and a polynomial fingerprint (the stub for
+    * per-frame decode output). Scale shape: map-side explode, no shuffle
+    * until the caller aggregates.
+    */
+  def frameSample(
+      docs: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      frameSize: Int,
+      stride: Int): DataFrame = {
+    require(frameSize > 0 && stride > 0)
+    docs.select(
+        col(idCol).as("doc_id"),
+        col(payloadCol).as("t"),
+        floor(length(col(payloadCol)) / frameSize).cast("int").as("n_frames"))
+      .where(col("n_frames") > 0)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
+      .select(
+        col("doc_id"),
+        col("frame_idx"),
+        (col("frame_idx") * frameSize).cast("int").as("frame_off"),
+        graft.text.TextOps.polyHash(
+          expr(s"substring(t, frame_idx * $frameSize + 1, $frameSize)")).as("frame_fp"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
   /** Payload-level stats as pure column expressions (oracle-matchable):
     * byte length of the UTF-8 payload, frame count at a fixed frame size,
     * and the polynomial checksum of the text form.

@@ -128,6 +128,11 @@ object TextQueries {
 
     "mm_payload_stats" -> { (s, d) =>
       Multimodal.payloadStats(Tables.documents(s, d), "doc_id", "text", frameSize = 256)
+    },
+
+    "mm_frame_sample" -> { (s, d) =>
+      Multimodal.frameSample(Tables.documents(s, d), "doc_id", "text",
+        frameSize = 128, stride = 2)
     }
   )
 
@@ -302,6 +307,20 @@ object TextQueries {
           FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                   ORDER BY cos DESC, neighbor_id) AS rank FROM s)
           WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    "mm_frame_sample" ->
+      s"""WITH f AS (
+            SELECT doc_id, text,
+                   CAST(FLOOR(length(text) / 128) AS INTEGER) AS n_frames
+            FROM documents
+          ), e AS (
+            SELECT doc_id, text, unnest(range(0, n_frames, 2)) AS fi
+            FROM f WHERE n_frames > 0
+          )
+          SELECT doc_id, CAST(fi AS INTEGER) AS frame_idx,
+                 CAST(fi * 128 AS INTEGER) AS frame_off,
+                 ${ph("substr(text, CAST(fi*128 + 1 AS INTEGER), 128)", 31)} AS frame_fp
+          FROM e ORDER BY doc_id, frame_idx""",
 
     "mm_payload_stats" ->
       s"""SELECT doc_id,
