@@ -329,29 +329,56 @@ object Dedup {
     } else iterativeComponents(edgeDs.toDF("d1", "d2"), maxIterations)
   }
 
-  /** Distributed min-label propagation (the > smallEdgeLimit path). */
+  /** Distributed components (the > smallEdgeLimit path): min-label HOP
+    * (each node takes the min label among itself and its neighbors) plus
+    * POINTER DOUBLING (comp := comp(comp)) per round. The hop alone moves
+    * labels one edge per round — a diameter-D chain needs D rounds and a
+    * capped loop returns silently-wrong labels past the cap (a real bug
+    * this replaced); doubling composes the label pointers so convergence
+    * is O(log D) — 25 rounds covers any realistic graph, and
+    * non-convergence now throws instead of mislabeling.
+    *
+    * Each round ends in `localCheckpoint` (eager): without it the plan
+    * nests one join DEEPER per round and Catalyst's plan stringification
+    * alone OOMs around 20 rounds (observed). On a production cluster
+    * prefer reliable `checkpoint` (localCheckpoint does not survive
+    * executor loss).
+    */
   private def iterativeComponents(pairs: DataFrame, maxIterations: Int): DataFrame = {
     val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
+      // the extra .as aliases force fresh expression ids: `propagated`
+      // derives from `labels`, so without them the two union branches
+      // share attribute ids and Catalyst's Union constraint rewrite
+      // fails with "key not found: id#N"
       val propagated = edges.join(labels, edges("src") === labels("id"))
-        .select(col("dst").as("id"), col("comp"))
-      val next = labels.select(col("id"), col("comp")).union(propagated)
+        .select(col("dst").as("id"), col("comp").as("comp"))
+      val hopped = labels.select(col("id").as("id"), col("comp").as("comp"))
+        .union(propagated)
         .groupBy("id").agg(min("comp").as("comp"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val changed = next.join(labels.select(col("id"), col("comp").as("old")), "id")
+        .localCheckpoint(true)
+      val doubled = hopped.as("a")
+        .join(hopped.select(col("id").as("cid"), col("comp").as("ccomp")).as("b"),
+          col("a.comp") === col("b.cid"), "left")
+        .select(col("a.id").as("id"),
+          least(col("a.comp"), coalesce(col("ccomp"), col("a.comp"))).as("comp"))
+        .localCheckpoint(true)
+      val changed = doubled.join(labels.select(col("id"), col("comp").as("old")), "id")
         .where(col("comp") =!= col("old")).count()
-      labels.unpersist()
-      labels = next
+      labels = doubled
       converged = changed == 0
       iter += 1
     }
+    require(converged,
+      s"connectedComponents did not converge in $maxIterations doubling rounds")
+    edges.unpersist()
     labels.select(col("id").as("doc_id"), col("comp").as("component"))
       .orderBy("doc_id")
   }

@@ -90,6 +90,23 @@ class TextOpsSpec extends SparkSpec {
     assert(got === Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (10L, 10L), (11L, 10L)))
   }
 
+  test("connectedComponents: distributed min-label path equals union-find") {
+    import spark.implicits._
+    // random graph big enough for multi-round propagation (long chains)
+    val rnd = new scala.util.Random(7)
+    val chainEdges = (0 until 300).sliding(2).map(p => (p(0).toLong, p(1).toLong)).toSeq
+    val extra = Seq.fill(150)((rnd.nextInt(1000) + 500L, rnd.nextInt(1000) + 500L))
+      .filter { case (a, b) => a != b }
+    val pairs = (chainEdges ++ extra).toDF("d1", "d2")
+    val viaUnionFind = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toSeq
+    // smallEdgeLimit=0 forces the iterative distributed fallback
+    val viaPropagation = Dedup.connectedComponents(pairs, smallEdgeLimit = 0L)
+      .as[(Long, Long)].collect().toSeq
+    assert(viaPropagation === viaUnionFind)
+    assert(viaUnionFind.exists(_._2 == 0L)) // the 300-chain collapsed to id 0
+  }
+
   test("simhash: near-identical docs have small hamming distance, unrelated large") {
     import spark.implicits._
     val df = docDf(
