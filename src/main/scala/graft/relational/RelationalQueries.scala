@@ -216,6 +216,22 @@ object RelationalQueries {
         .limit(20)
     },
 
+    // Tumbling event-time windows over the events stream, batch form —
+    // the SQL-checkable twin of StreamingOps.windowedCounts (1h windows).
+    // Window id = µs-floored timestamp div window length (see
+    // ev_sessionize for why both engines compute on µs longs).
+    "ev_window" -> { (s, d) =>
+      import s.implicits._
+      val windowUs = 3600L * 1000000L
+      Tables.events(s, d)
+        .withColumn("window_start", expr(s"ts div 1000 div $windowUs") * windowUs)
+        .groupBy($"window_start", $"event_type")
+        .agg(count(lit(1)).as("n_events"),
+             countDistinct($"user_id").as("n_users"),
+             centsSum($"value").as("value_cents"))
+        .orderBy($"window_start", $"event_type")
+    },
+
     // Gap-based sessionization over the events stream, batch form — the
     // SQL-checkable twin of StreamingOps.sessionize's
     // flatMapGroupsWithState (same boundary rule: a >6h silence starts a
@@ -335,6 +351,13 @@ object RelationalQueries {
       """SELECT token, CAST(count(*) AS BIGINT) AS cnt
          FROM (SELECT UNNEST(string_split(text, ' ')) AS token FROM documents) t
          WHERE token <> '' GROUP BY token ORDER BY cnt DESC, token LIMIT 20""",
+    "ev_window" ->
+      """SELECT (CAST(epoch_us(ts) AS BIGINT) // 3600000000) * 3600000000 AS window_start,
+                event_type,
+                CAST(count(*) AS BIGINT) AS n_events,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                CAST(SUM(ROUND(value * 100)) AS BIGINT) AS value_cents
+         FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
     "ev_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, value,
                            CAST(epoch_us(ts) AS BIGINT) AS tsu FROM events),

@@ -51,6 +51,17 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // the quality FILTER a training pipeline runs with the score: keep
+    // docs above threshold, report the survivors — scan + filter, no
+    // shuffle until the final sort
+    "tx_filter_quality" -> { (s, d) =>
+      Tables.documents(s, d).select(
+          col("doc_id"), col("lang"),
+          TextOps.qualityScore(col("text"), qualityStopwords).as("quality"))
+        .where(col("quality") >= 0.4)
+        .orderBy("doc_id")
+    },
+
     // ---- deduplication -------------------------------------------------
 
     "dd_ngram_jaccard" -> { (s, d) =>
@@ -205,6 +216,19 @@ object TextQueries {
 
     "tx_fingerprint" ->
       s"""SELECT doc_id, ${ph("text", 31)} AS fp FROM documents ORDER BY doc_id""",
+
+    "tx_filter_quality" ->
+      s"""SELECT * FROM (SELECT doc_id, lang,
+          FLOOR((
+            0.4 * LEAST(len($tokensSql) / 200.0, 1.0) +
+            0.3 * (len(list_filter($tokensSql,
+                     t -> list_contains(['the','a','of','and','to','is'], t)))
+                   / GREATEST(len($tokensSql), 1)) +
+            0.3 * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                   / GREATEST(length(text), 1))) * 10000.0 + 0.5) / 10000.0 AS quality
+          FROM documents) t
+          WHERE quality >= 0.4
+          ORDER BY doc_id""",
 
     "dd_ngram_jaccard" -> shingleCte,
     "dd_minhash_lsh" -> shingleCte, // LSH must find exactly the true pairs
