@@ -368,18 +368,47 @@ object GenomeScan {
     genomes.flatMap { case (genomeId, genome) =>
       val cfg = cfgB.value
       val rev = Dna.reverseComplement(genome)
+      val useBytes = byteEligible(cfg)
+      val iso = java.nio.charset.StandardCharsets.ISO_8859_1
+      val (fwdBytes, revBytes) =
+        if (useBytes) (genome.getBytes(iso), rev.getBytes(iso))
+        else (Array.emptyByteArray, Array.emptyByteArray)
       genesB.value.flatMap { case (name, gene) =>
-        val candidates =
+        val kcfg = SimilarityKernels.KernelConfig(
+          maxPatience = cfg.patience,
+          continuousMismatchLimit = cfg.continuousMismatchLimit,
+          pattern =
+            if (cfg.hasPattern) Some(MatchPattern(gene, cfg.mustConditions, cfg.optionalConditions))
+            else None)
+        // same slim shape as [[scan]]: survivors are (signed, left) until
+        // the final per-gene top-k, whose kernels evaluate once
+        val slim: Seq[(Boolean, Int, Double)] =
           Seq(false, true).flatMap { isReverse =>
-            val db = if (isReverse) rev else genome
             chunks(genome.length, cfg.numChunks).flatMap { case (s, e) =>
-              scanChunk(gene, db, isReverse, s, e, cfg)
+              val survivors =
+                if (useBytes)
+                  scanChunkSlimBytes(gene.getBytes(iso),
+                    if (isReverse) revBytes else fwdBytes, isReverse, s, e, cfg)
+                else
+                  scanChunkSlim(gene, if (isReverse) rev else genome, isReverse, s, e, cfg)
+              survivors.map { case (signed, left) => (isReverse, left, signed) }
             }
           }
-        Suppression.topK(candidates.iterator, cfg.topK).map { c =>
+        val rank: ((Boolean, Int, Double)) => (Double, Boolean, Int) =
+          { case (isReverse, left, signed) => (-signed, isReverse, left) }
+        val heap = scala.collection.mutable.PriorityQueue
+          .empty[(Boolean, Int, Double)](Ordering.by(rank))
+        slim.foreach { t =>
+          heap.enqueue(t)
+          if (heap.size > cfg.topK) heap.dequeue()
+        }
+        heap.toVector.sortBy(rank).map { case (isReverse, left, signed) =>
+          val db = if (isReverse) rev else genome
+          val (_, scores) = SimilarityKernels.blendedScore(cfg.weights, gene, db, left, kcfg)
+          val c = MatchCandidate(left, left + gene.length - 1, isReverse, genome.length, signed)
           val score = if (cfg.ascending) -c.weightedSimilarity else c.weightedSimilarity
           (genomeId,
-            ScanHit(name, c.isReverse, c.left, c.right, c.start, c.end, score, c.similarityScores))
+            ScanHit(name, c.isReverse, c.left, c.right, c.start, c.end, score, scores))
         }
       }
     }

@@ -81,6 +81,37 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedCounts over the real events parquet file-stream equals batch") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // file-source streaming needs a directory containing just this table
+    val dir = java.nio.file.Files.createTempDirectory("graft_ev_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+      dir.resolve("events.parquet"))
+    val schema = spark.read.parquet(s"$sf0001/events.parquet").schema
+    def prep(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("tsm", timestamp_micros(expr("ts div 1000")))
+    val streamed = StreamingOps.windowedCounts(
+      prep(spark.readStream.schema(schema).parquet(dir.toString)),
+      "tsm", "event_type", "1 day", "1 hour")
+    val q = streamed.writeStream
+      .format("memory").queryName("ev_win_stream").outputMode(OutputMode.Complete())
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ev_win_stream")
+        .as[(Timestamp, String, Long)].collect().toSet
+      val want = StreamingOps.windowedCounts(
+          prep(spark.read.parquet(s"$sf0001/events.parquet")),
+          "tsm", "event_type", "1 day", "1 hour")
+        .as[(Timestamp, String, Long)].collect().toSet
+      assert(got === want)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("currentOpenSessions batch helper computes final sessions") {
     import spark.implicits._
     val events = Seq(
