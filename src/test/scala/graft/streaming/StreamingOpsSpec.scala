@@ -112,6 +112,39 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful sessionizer agrees with the batch ev_sessionize twin on real events") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // per-user session counts from the oracle-checked batch query
+    val batchCounts = graft.SparkEntry.queries("ev_sessionize")(spark, sf0001)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    // the same events through the stateful streaming sessionizer, fed
+    // time-ordered across three micro-batches (same 6h gap)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = spark.read.parquet(s"$sf0001/events.parquet")
+      .select($"user_id", expr("ts div 1000").as("tsu"), $"event_type")
+      .orderBy("tsu").as[(Long, Long, String)].collect()
+      .map { case (u, tsu, et) => Event(u, new Timestamp(tsu / 1000), et) }
+    val input = MemoryStream[Event]
+    val q = StreamingOps.sessionize(input.toDS(), gapMs = 6L * 3600 * 1000)
+      .writeStream.format("memory").queryName("ev_sessions_real")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      events.grouped(math.max(events.length / 3, 1)).foreach { batch =>
+        input.addData(batch.toSeq: _*)
+        q.processAllAvailable()
+      }
+      val closed = spark.table("ev_sessions_real").as[Session].collect()
+        .groupBy(_.userId).view.mapValues(_.length.toLong).toMap
+      // each user's final session never closes -> closed + 1 == total
+      batchCounts.foreach { case (user, n) =>
+        assert(closed.getOrElse(user, 0L) + 1 === n, s"user $user")
+      }
+    } finally q.stop()
+  }
+
   test("currentOpenSessions batch helper computes final sessions") {
     import spark.implicits._
     val events = Seq(
