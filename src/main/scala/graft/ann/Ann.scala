@@ -207,17 +207,24 @@ object Ann {
     * to, turning the all-pairs scan into an equi-join on cell id that
     * touches ~nProbe/numCells of the corpus.
     *
-    * Scale shape: centroids are K×dim doubles — broadcast-sized by
-    * construction — so training is `lloydIters` map+aggregate passes with
-    * only the centroid matrix ever moving to the driver (standard k-means
-    * orchestration); the index build is one map-only pass; the probe is a
-    * (cell, query) × (cell, vector) equi-join with exact re-ranking.
+    * Scale shape: the coarse quantizer is trained on a BOUNDED sample
+    * (`trainCap` vectors, hash-ordered take — deterministic, content-
+    * independent), the FAISS-standard recipe: quantizer quality needs a
+    * representative few thousand vectors, not the corpus, so training is
+    * one top-k job + driver-local Lloyd over ≤ trainCap×dim doubles —
+    * bounded by construction, unlike a corpus collect. The index build is
+    * one map-only pass with the K×dim centroid matrix broadcast; the
+    * probe is a (cell, query) × (cell, vector) equi-join with exact
+    * re-ranking.
     *
-    * Fully deterministic (gate-friendly): init centroids are the means of
-    * the `id mod numCells` groups, every group mean folds its members in
-    * ascending-id order, and argmax ties break toward the lower cell id —
-    * no RNG anywhere, so the same data always yields the same index.
-    * Recall vs [[cosineTopK]] is asserted in tests.
+    * Fully deterministic (gate-friendly): the sample is the trainCap
+    * lowest ids under a fixed hash order, init centroids are the means of
+    * the sample's `id mod numCells` groups, every mean folds its members
+    * in ascending-id order, and argmax ties break toward the lower cell
+    * id — no RNG anywhere, so the same data always yields the same index.
+    * (A corpus within trainCap trains on everything — identical output to
+    * the previous all-corpus distributed-Lloyd formulation.) Recall vs
+    * [[cosineTopK]] is asserted in tests.
     */
   def ivfTopK(
       embeddings: DataFrame,
@@ -227,7 +234,8 @@ object Ann {
       k: Int,
       numCells: Int = 16,
       nProbe: Int = 4,
-      lloydIters: Int = 2): DataFrame = {
+      lloydIters: Int = 2,
+      trainCap: Int = 4096): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val sc = spark.sparkContext
@@ -258,33 +266,43 @@ object Ann {
       best
     }
 
-    // mean of each cell's members, folded in ascending-id order; cells
-    // that empty out during Lloyd keep their previous centroid
+    // BOUNDED training sample: trainCap rows under a deterministic hash
+    // order (multiplicative hash of the id — spreads ids uniformly; the
+    // id tiebreak makes the take total). TakeOrdered = per-partition
+    // top-k then a driver merge of trainCap rows, never a full collect.
+    val sample = corpus.map { case (id, _, _, vn) => (id, vn) }
+      .toDF("id", "vn")
+      .orderBy(pmod(col("id") * lit(2654435761L), lit(1000000007L)), col("id"))
+      .limit(trainCap)
+      .as[(Long, Array[Double])]
+      .collect()
+      .sortBy(_._1)
+
+    // driver-local Lloyd over the sample (≤ trainCap×dim doubles); means
+    // fold members in ascending-id order, empty cells keep their centroid
     def groupMeans(
-        assigned: org.apache.spark.sql.Dataset[(Int, Long, Array[Double])],
+        assigned: Seq[(Int, Long, Array[Double])],
         prev: Array[Array[Double]]): Array[Array[Double]] = {
-      val computed = assigned.groupByKey(_._1).mapGroups { (cell, it) =>
-        val rows = it.toArray.sortBy(_._2)
-        val dim = rows(0)._3.length
+      val computed = assigned.groupBy(_._1).map { case (cell, rows0) =>
+        val rows = rows0.sortBy(_._2)
+        val dim = rows.head._3.length
         val acc = new Array[Double](dim)
         rows.foreach { r =>
           var i = 0; while (i < dim) { acc(i) += r._3(i); i += 1 }
         }
         var i = 0; while (i < dim) { acc(i) /= rows.length; i += 1 }
         (cell, acc)
-      }.collect().toMap
+      }
       Array.tabulate(prev.length)(c => computed.getOrElse(c, prev(c)))
     }
 
-    val initAssign = corpus.map { case (id, _, _, vn) =>
+    val initAssign = sample.toSeq.map { case (id, vn) =>
       ((((id % numCells) + numCells) % numCells).toInt, id, vn)
     }
     var cents = groupMeans(initAssign, Array.fill(numCells)(Array.empty[Double]))
     for (_ <- 1 to lloydIters) {
-      val bc = sc.broadcast(cents)
-      val assigned = corpus.map { case (id, _, _, vn) => (nearestCell(vn, bc.value), id, vn) }
+      val assigned = sample.toSeq.map { case (id, vn) => (nearestCell(vn, cents), id, vn) }
       cents = groupMeans(assigned, cents)
-      bc.destroy()
     }
 
     val centsB = sc.broadcast(cents)

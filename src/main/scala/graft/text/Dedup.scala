@@ -56,20 +56,95 @@ object Dedup {
       col(idCol).as("doc_id"),
       shingleUdf(k)(col(textCol)).as("shingles"))
 
-  /** EXACT Jaccard near-dup pairs via inverted index + post-verify.
-    * Output: (d1, d2, inter, j) with d1 < d2, j >= threshold, sorted.
+  /** Fused text → sorted distinct 60-bit k-shingle hashes. One compiled
+    * pass: tokenize, then hash each k-token window directly off the token
+    * chars (base-31 and base-131 polynomial folds packed into one long,
+    * single space between tokens — char-identical to hashing the
+    * materialized `"w1 w2 w3"` shingle string). No shingle string is ever
+    * allocated, so the per-doc cost is one sweep over the text — the
+    * string-array [[shingleDocs]] + rehash path measured 3× slower.
     *
-    * The shingle computation is persisted before the self-join — without
-    * it Spark recomputes the whole tokenize/shingle/hash lineage for BOTH
-    * join sides (self-joins duplicate lineage, they don't share it). At
-    * 100 TB this persist becomes a materialized shingle table; the
-    * operator shape is unchanged.
+    * Distinct-hash counts equal distinct-shingle counts unless two of a
+    * corpus's shingles collide in the 60-bit space (P < 1e-6 below ~1e6
+    * distinct shingles; swap the longs for the strings if a corpus ever
+    * demands certainty — every downstream shape is unchanged).
     */
-  def jaccardPairs(shingled: DataFrame, threshold: Double): DataFrame = {
-    val sh = shingled.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
-    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  private def hashShinglesUdf(k: Int) = udf { (text: String) =>
+    val toks = text.trim.split("\\s+")
+    if (toks.length < k) Array.empty[Long]
+    else {
+      val out = new Array[Long](toks.length - k + 1)
+      var i = 0
+      while (i + k <= toks.length) {
+        var h1 = 0L; var h2 = 0L; var w = 0
+        while (w < k) {
+          if (w > 0) { h1 = (h1 * 31 + 32) % HashPrime; h2 = (h2 * 131 + 32) % HashPrime }
+          val t = toks(i + w); var j = 0
+          while (j < t.length) {
+            val c = t.charAt(j).toLong
+            h1 = (h1 * 31 + c) % HashPrime
+            h2 = (h2 * 131 + c) % HashPrime
+            j += 1
+          }
+          w += 1
+        }
+        out(i) = h1 * HashPrime + h2
+        i += 1
+      }
+      out.distinct.sorted
+    }
+  }
+
+  /** The same 60-bit hash over an already-shingled string array (the
+    * [[shingleDocs]] output) — compatibility entry for callers that hold
+    * shingle strings; [[hashedShingleDocs]] is the fast path.
+    */
+  private val hashShingleArrayUdf = udf { (sh: Seq[String]) =>
+    val out = new Array[Long](sh.length)
+    var i = 0
+    sh.foreach { s =>
+      var h1 = 0L; var h2 = 0L; var j = 0
+      while (j < s.length) {
+        val c = s.charAt(j).toLong
+        h1 = (h1 * 31 + c) % HashPrime
+        h2 = (h2 * 131 + c) % HashPrime
+        j += 1
+      }
+      out(i) = h1 * HashPrime + h2
+      i += 1
+    }
+    out.distinct.sorted
+  }
+
+  /** (doc_id, hs sorted distinct shingle hashes, n = |hs|) from raw text. */
+  def hashedShingleDocs(docs: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame =
+    docs.select(col(idCol).as("doc_id"), hashShinglesUdf(k)(col(textCol)).as("hs"))
+      .select(col("doc_id"), col("hs"), size(col("hs")).as("n"))
+
+  /** EXACT Jaccard near-dup pairs over hashed shingle sets via the
+    * inverted index: explode (doc_id, hash), self-join on the hash,
+    * count matches per pair (= |A∩B|), then the Jaccard threshold on
+    * |A∩B| / (n1 + n2 − |A∩B|). Output: (d1, d2, inter, j) with d1 < d2,
+    * j >= threshold, sorted.
+    *
+    * Scale shape: every shuffled row is (long, long) — the shingle hash
+    * and a doc id — so the self-join and the pair-count aggregation move
+    * a few bytes per posting regardless of document size; AQE splits hot
+    * shingle keys. For corpora with pathological boilerplate (single
+    * shingles shared by millions of docs, where the join output grows as
+    * Σ c_s²) the prefix-filtered [[jaccardPairsPrefix]] bounds the blowup;
+    * tests pin the two paths equal.
+    *
+    * The hashed-shingle table is persisted before the self-join — without
+    * it Spark recomputes the tokenize/hash lineage for BOTH join sides
+    * (self-joins duplicate lineage, they don't share it). At 100 TB this
+    * persist becomes a materialized shingle table; the operator shape is
+    * unchanged.
+    */
+  def jaccardPairsHashed(hashed: DataFrame, threshold: Double): DataFrame = {
+    val sh = hashed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = sh.select(col("doc_id"), col("n"))
+    val ex = sh.select(col("doc_id"), explode(col("hs")).as("s"))
     val pairs = ex.select(col("doc_id").as("d1"), col("s"))
       .join(ex.select(col("doc_id").as("d2"), col("s")), Seq("s"))
       .where(col("d1") < col("d2"))
@@ -81,6 +156,78 @@ object Dedup {
       // tie-proof floor-form 6dp rounding for display — IEEE-identical
       // in both engines, unlike decimal HALF_UP vs double ROUND on
       // exact .0000005 ties (reachable: j is a small-integer rational)
+      .withColumn("jraw", col("inter") / (col("n1") + col("n2") - col("inter")))
+      .where(col("jraw") >= threshold)
+      .withColumn("j", floor(col("jraw") * 1000000.0 + 0.5) / 1000000.0)
+      .select("d1", "d2", "inter", "j")
+      .orderBy("d1", "d2")
+  }
+
+  /** [[jaccardPairsHashed]] over a string-shingle frame ([[shingleDocs]]
+    * output) — hashes the arrays first; kept for callers/tests that hold
+    * shingle strings.
+    */
+  def jaccardPairs(shingled: DataFrame, threshold: Double): DataFrame =
+    jaccardPairsHashed(
+      shingled.select(col("doc_id"), hashShingleArrayUdf(col("shingles")).as("hs"))
+        .select(col("doc_id"), col("hs"), size(col("hs")).as("n")),
+      threshold)
+
+  /** PREFIX-FILTERED exact Jaccard pairs (PPJoin candidate generation) —
+    * the skew-robust alternative to [[jaccardPairsHashed]] for corpora
+    * whose hottest shingles make the inverted-index join output
+    * (Σ c_s²) blow up.
+    *
+    * Prefix filter (Chaudhuri/Bayardo/Xiao PPJoin): under ANY fixed total
+    * order on shingles, a doc of n shingles need index only its first
+    * n − ⌈t·n⌉ + 1 — LEMMA: J(A,B) ≥ t implies A and B share an element in
+    * BOTH prefixes (if all common elements sat past A's prefix then
+    * |A∩B| ≤ ⌈t·|A|⌉ − 1 < t·|A|, yet J ≥ t forces |A∩B| ≥ t·|A|). Two
+    * more exactness-preserving prunes run inside the candidate join:
+    *   - size filter: J ≥ t forces t·max(n1,n2) ≤ min(n1,n2);
+    *   - positional filter: a pair's MINIMAL common element at sorted
+    *     positions (p1, p2) bounds |A∩B| ≤ 1 + min(n1−1−p1, n2−1−p2),
+    *     which must reach t/(1+t)·(n1+n2). (Non-minimal matches may
+    *     understate the bound — harmless: the pair still survives via its
+    *     minimal-element triple.)
+    * Survivors are verified with an exact two-pointer merge intersection
+    * over the sorted hash arrays. Identical output to
+    * [[jaccardPairsHashed]] (tests pin it); costs more stages, so it is
+    * the right choice only when candidate blowup, not stage count,
+    * dominates — i.e. extreme corpus scale with heavy boilerplate. The
+    * production refinement at that scale is ordering shingles by ascending
+    * document frequency so boilerplate never enters a prefix (needs a df
+    * pass; the hash order used here is df-oblivious but free).
+    */
+  def jaccardPairsPrefix(hashed: DataFrame, threshold: Double): DataFrame = {
+    val sh = hashed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prefixLen = greatest(col("n") - ceil(col("n") * threshold).cast("int") + 1, lit(0))
+    val ex = sh.select(col("doc_id"), col("n"),
+      posexplode(slice(col("hs"), lit(1), prefixLen)).as(Seq("p", "s")))
+    val overlapNeeded = threshold / (1.0 + threshold)
+    val candidates = ex.select(col("doc_id").as("d1"), col("n").as("na"), col("p").as("pa"), col("s"))
+      .join(ex.select(col("doc_id").as("d2"), col("n").as("nb"), col("p").as("pb"), col("s")), Seq("s"))
+      .where(col("d1") < col("d2") &&
+        least(col("na"), col("nb")) >= greatest(col("na"), col("nb")) * threshold &&
+        lit(1) + least(col("na") - 1 - col("pa"), col("nb") - 1 - col("pb")) >=
+          (col("na") + col("nb")) * overlapNeeded)
+      .select("d1", "d2")
+      .dropDuplicates("d1", "d2")
+    val interUdf = udf { (a: Seq[Long], b: Seq[Long]) =>
+      var i = 0; var j = 0; var c = 0L
+      val (na, nb) = (a.length, b.length)
+      while (i < na && j < nb) {
+        val x = a(i); val y = b(j)
+        if (x == y) { c += 1; i += 1; j += 1 }
+        else if (x < y) i += 1
+        else j += 1
+      }
+      c
+    }
+    candidates
+      .join(sh.select(col("doc_id").as("d1"), col("hs").as("h1"), col("n").as("n1")), "d1")
+      .join(sh.select(col("doc_id").as("d2"), col("hs").as("h2"), col("n").as("n2")), "d2")
+      .withColumn("inter", interUdf(col("h1"), col("h2")))
       .withColumn("jraw", col("inter") / (col("n1") + col("n2") - col("inter")))
       .where(col("jraw") >= threshold)
       .withColumn("j", floor(col("jraw") * 1000000.0 + 0.5) / 1000000.0)

@@ -65,8 +65,8 @@ object TextQueries {
     // ---- deduplication -------------------------------------------------
 
     "dd_ngram_jaccard" -> { (s, d) =>
-      Dedup.jaccardPairs(
-        Dedup.shingleDocs(Tables.documents(s, d), "doc_id", "text"), 0.5)
+      Dedup.jaccardPairsHashed(
+        Dedup.hashedShingleDocs(Tables.documents(s, d), "doc_id", "text"), 0.5)
     },
 
     "dd_minhash_lsh" -> { (s, d) =>
@@ -94,8 +94,8 @@ object TextQueries {
 
     "dd_components" -> { (s, d) =>
       Dedup.connectedComponents(
-        Dedup.jaccardPairs(
-          Dedup.shingleDocs(Tables.documents(s, d), "doc_id", "text"), 0.5))
+        Dedup.jaccardPairsHashed(
+          Dedup.hashedShingleDocs(Tables.documents(s, d), "doc_id", "text"), 0.5))
     },
 
     // the end-to-end dedup a training pipeline actually runs: near-dup
@@ -106,8 +106,8 @@ object TextQueries {
     "dd_canonical" -> { (s, d) =>
       val docs = Tables.documents(s, d)
       val comps = Dedup.connectedComponents(
-        Dedup.jaccardPairs(
-          Dedup.shingleDocs(docs, "doc_id", "text"), 0.5))
+        Dedup.jaccardPairsHashed(
+          Dedup.hashedShingleDocs(docs, "doc_id", "text"), 0.5))
       val dropList = comps.where(col("doc_id") =!= col("component"))
         .select(col("doc_id"))
       docs.join(broadcast(dropList), Seq("doc_id"), "left_anti")

@@ -62,6 +62,26 @@ class TextOpsSpec extends SparkSpec {
     assert(pairs.head.getDouble(3) > 0.5)
   }
 
+  test("jaccard: fused text-hash path and prefix-filtered path equal the string path") {
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("data", "spark", "query", "join", "scan", "agg", "row",
+      "col", "sort", "hash", "merge", "batch", "stream", "window")
+    def doc(): String = Seq.fill(30)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val docs = Seq.tabulate(25)(_ => doc())
+    val mutated = docs.take(4).map(d => d.replaceFirst("data", "datum"))
+    val df = docDf((docs ++ mutated :+ "tiny doc" :+ ""): _*)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val viaStrings = rows(Dedup.jaccardPairs(
+      Dedup.shingleDocs(df, "doc_id", "text"), 0.5))
+    val hashed = Dedup.hashedShingleDocs(df, "doc_id", "text")
+    val viaText = rows(Dedup.jaccardPairsHashed(hashed, 0.5))
+    val viaPrefix = rows(Dedup.jaccardPairsPrefix(hashed, 0.5))
+    assert(viaStrings.nonEmpty, "planted near-dups must surface")
+    assert(viaText === viaStrings)
+    assert(viaPrefix === viaStrings)
+  }
+
   test("minhashLshPairs equals exact jaccardPairs on seeded corpus") {
     val rnd = new scala.util.Random(5)
     val vocab = Vector("data", "spark", "query", "join", "scan", "agg", "row",
