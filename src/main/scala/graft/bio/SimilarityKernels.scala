@@ -574,6 +574,57 @@ object SimilarityKernels {
   def countBases(gene: String): Map[Char, Int] =
     gene.groupMapReduce(identity)(_ => 1)(_ + _)
 
+  // ---------------------------------------- W1 column-wise scan variants
+
+  /** Best direct-similarity window of `gene` over EVERY offset of `text`:
+    * (1-based offset, score), ties resolving to the LOWEST offset — the
+    * column-wise twin of the [[GenomeScan]] sliding window (same kernel,
+    * same left-to-right sweep, applied per row of a string column instead
+    * of per chunk of one genome). One compiled pass per row; at 100 TB
+    * this is scan-stage compute with no shuffle until the caller
+    * aggregates.
+    */
+  def bestDirectWindow(gene: String, text: String): (Int, Double) = {
+    val n = gene.length
+    var bestOff = 0
+    var best = -1
+    var o = 0
+    val last = text.length - n
+    while (o <= last) {
+      var s = 0
+      var i = 0
+      while (i < n) {
+        if (Dna.baseMatches(gene.charAt(i), text.charAt(o + i))) s += 1
+        i += 1
+      }
+      if (s > best) { best = s; bestOff = o }
+      o += 1
+    }
+    (bestOff + 1, best.toDouble)
+  }
+
+  /** Blat sweep over the leading offsets of `dna`: number of offsets where
+    * the X5 DFS matches, and the DFS end position of the first hit (−1 if
+    * none). Offsets stop `gene.length + midLimit + endLimit + 2` short of
+    * the end so every DFS path stays in bounds.
+    */
+  def blatSweep(gene: String, dna: String,
+      midLimit: Int = 10, endLimit: Int = 2): (Long, Int) = {
+    var hits = 0L
+    var firstEnd = -1
+    var o = 0
+    val last = dna.length - gene.length - midLimit - endLimit - 2
+    while (o <= last) {
+      val (ok, endOpt) = blatSimilarity(gene, dna, o, midLimit, endLimit)
+      if (ok) {
+        hits += 1
+        if (firstEnd < 0) firstEnd = endOpt.getOrElse(-1)
+      }
+      o += 1
+    }
+    (hits, firstEnd)
+  }
+
   /** Histogram prune: true (skip this offset) when the window shares fewer
     * than `cutSame` characters with the query histogram, or fails the
     * optional anchored regex gate. Vestigial in the reference scan loop but

@@ -180,6 +180,42 @@ object CoverageQueries {
           s"consistency_similarity_native('$x2Probe', substring(lower(text), 1, ${x2Probe.length}), 2)")
           .as("score"))
         .orderBy("doc_id")
+    },
+
+    // W1 (column-wise gate): the sliding-window scan shape — the direct
+    // kernel swept over EVERY window of each document with lowest-offset
+    // argmax, i.e. the GenomeScan inner loop as a per-row expression the
+    // DuckDB oracle can replicate (the full chunked-genome scan itself is
+    // pinned by ScanDifferentialSpec and benched as scan_bp_per_sec)
+    "w1_scan_best_window" -> { (s, d) =>
+      val probe = x1Probe
+      val best = udf { (text: String) => SimilarityKernels.bestDirectWindow(probe, text) }
+      Tables.documents(s, d)
+        .where(col("n_chars") >= probe.length)
+        .select(col("doc_id"), best(lower(col("text"))).as("b"))
+        .select(col("doc_id"), col("b._1").cast("int").as("best_off"),
+          col("b._2").as("score"))
+        .orderBy("doc_id")
+    },
+
+    // X5 (gate): the blat DFS kernel swept over the leading offsets of a
+    // deterministic DNA-ification of each document (chars → acgt by code
+    // mod 4). The recursive backtracking DFS is not SQL-expressible →
+    // rows-only driver check; the kernel itself is pinned against the
+    // reference truth table in KernelDifferentialSpec.
+    "x5_blat_text" -> { (s, d) =>
+      val toDna = udf { (text: String) =>
+        val sb = new java.lang.StringBuilder(text.length)
+        var i = 0
+        while (i < text.length) { sb.append("acgt".charAt(text.charAt(i) % 4)); i += 1 }
+        sb.toString
+      }
+      val sweep = udf { (dna: String) => SimilarityKernels.blatSweep("gattacca", dna) }
+      Tables.documents(s, d)
+        .select(col("doc_id"), sweep(toDna(col("text"))).as("r"))
+        .select(col("doc_id"), col("r._1").as("n_hits"),
+          col("r._2").as("first_end"))
+        .orderBy("doc_id")
     }
   )
 
@@ -279,6 +315,26 @@ object CoverageQueries {
              list_transform(generate_series(i, 19), j ->
                CASE WHEN (j - i + 1) - (pm[j+1] - pm[i]) <= 2
                     THEN pm[j+1] - pm[i] ELSE 0 END)))) AS DOUBLE) AS score
-         FROM p ORDER BY doc_id"""
+         FROM p ORDER BY doc_id""",
+    // W1 sliding scan: per-offset direct score (wobble c→t), argmax with
+    // lowest-offset tiebreak via ROW_NUMBER
+    "w1_scan_best_window" ->
+      """WITH offs AS (
+           SELECT doc_id, lower(text) AS t,
+                  unnest(generate_series(1, CAST(n_chars AS INTEGER) - 18)) AS o
+           FROM documents WHERE n_chars >= 19
+         ), sc AS (
+           SELECT doc_id, o,
+             len(list_filter(generate_series(0, 18), i ->
+               substr(t, o + i, 1) = substr('the quick brown fox', i + 1, 1)
+               OR (substr('the quick brown fox', i + 1, 1) = 'c'
+                   AND substr(t, o + i, 1) = 't'))) AS s
+           FROM offs
+         )
+         SELECT doc_id, CAST(o AS INTEGER) AS best_off, CAST(s AS DOUBLE) AS score
+         FROM (SELECT doc_id, o, s,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s DESC, o) AS rn
+               FROM sc) r
+         WHERE rn = 1 ORDER BY doc_id"""
   )
 }

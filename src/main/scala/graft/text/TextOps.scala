@@ -79,6 +79,14 @@ object TextOps {
     }.otherwise(lit("unknown"))
   }
 
+  /** Canonical text for normalized dedup: lowercase, every run of
+    * non-alphanumerics collapsed to one space, trimmed. Catches the
+    * "same document, different casing/punctuation/whitespace" near-dups
+    * that exact hashing misses, at exact-dedup cost (one groupBy).
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+
   /** k-word shingles (distinct, order of first occurrence) — the dedup
     * unit. Guarded for short docs (< k tokens → empty).
     */
@@ -89,5 +97,35 @@ object TextOps {
         transform(sequence(lit(1), n - (k - 1)), i =>
           concat_ws(" ", (0 until k).map(j => element_at(tokens, i + j)): _*))))
       .otherwise(array().cast("array<string>"))
+  }
+
+  /** Repetition signals (the Gopher/MassiveText-style quality rules): per
+    * doc, the fraction of duplicated tokens (1 − distinct/total) and the
+    * fraction of token bigrams claimed by the single most frequent bigram.
+    * High values flag boilerplate/templated text a training pipeline
+    * drops. One compiled pass per doc (token hash set + bigram count map);
+    * each output is ONE integer division, so the doubles are bit-identical
+    * across engines with no rounding tricks.
+    */
+  val repetitionStats = org.apache.spark.sql.functions.udf { (text: String) =>
+    val toks = text.trim.split("\\s+")
+    val n = toks.length
+    val distinct = new java.util.HashSet[String]()
+    toks.foreach(distinct.add)
+    val dupTokFrac = if (n == 0) 0.0 else (n - distinct.size).toDouble / n
+    var topBigramFrac = 0.0
+    if (n >= 2) {
+      val counts = new java.util.HashMap[String, Integer]()
+      var mx = 0
+      var i = 0
+      while (i + 1 < n) {
+        val bg = toks(i) + " " + toks(i + 1)
+        val c = counts.merge(bg, Integer.valueOf(1), (a, b) => Integer.valueOf(a + b))
+        if (c > mx) mx = c
+        i += 1
+      }
+      topBigramFrac = mx.toDouble / (n - 1)
+    }
+    (n, dupTokFrac, topBigramFrac)
   }
 }

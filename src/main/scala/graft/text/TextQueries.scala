@@ -62,6 +62,46 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // repetition-based quality signals (Gopher-style): duplicated-token
+    // fraction and the top-bigram share — scan-stage compute, no shuffle
+    // until the final sort
+    "tx_repetition" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.repetitionStats(col("text")).as("r"))
+        .select(col("doc_id"), col("r._1").as("n_tokens"),
+          col("r._2").as("dup_token_frac"), col("r._3").as("top_bigram_frac"))
+        .orderBy("doc_id")
+    },
+
+    // corpus-level heavy hitters: the 20 most frequent token bigrams —
+    // compiled per-doc bigram pass (Catalyst HOFs evaluate interpreted
+    // per element, measured 10× slower here), then partial (map-side)
+    // aggregation and a 20-row TakeOrdered; the shuffle carries one row
+    // per distinct bigram, never per token
+    "tx_top_ngrams" -> { (s, d) =>
+      val bigrams = udf { (text: String) =>
+        val toks = text.trim.split("\\s+")
+        if (toks.length < 2) Array.empty[String]
+        else Array.tabulate(toks.length - 1)(i => toks(i) + " " + toks(i + 1))
+      }
+      Tables.documents(s, d)
+        .select(explode(bigrams(col("text"))).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("bigram"))
+        .limit(20)
+    },
+
+    // deterministic hash-based train/validation/test assignment — split
+    // membership is a pure function of doc_id (reproducible, stable
+    // under corpus growth, zero shuffle)
+    "sm_hash_split" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          Sampling.hashBucket(col("doc_id"), 100).cast("int").as("bucket"),
+          Sampling.hashSplit(col("doc_id")).as("split"))
+        .orderBy("doc_id")
+    },
+
     // ---- deduplication -------------------------------------------------
 
     "dd_ngram_jaccard" -> { (s, d) =>
@@ -79,6 +119,18 @@ object TextQueries {
         col("doc_id"),
         Dedup.simhash(col("text")).as("simhash"))
         .orderBy("doc_id")
+    },
+
+    // normalized-text dedup: casing/punctuation/whitespace-insensitive
+    // exact dedup — normalize is scan-stage compute, then one groupBy on
+    // the canonical form (same scale shape as j7's exact dedup)
+    "dd_normalized" -> { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(TextOps.normalizeText(col("text")).as("norm_text"))
+        .agg(min(col("doc_id")).as("rep_doc_id"), count(lit(1)).as("n_dups"))
+        .select(col("rep_doc_id"), col("n_dups"),
+          length(col("norm_text")).as("norm_len"))
+        .orderBy("rep_doc_id")
     },
 
     "dd_cosine_neardup" -> { (s, d) =>
@@ -229,6 +281,49 @@ object TextQueries {
           FROM documents) t
           WHERE quality >= 0.4
           ORDER BY doc_id""",
+
+    "tx_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $tokensSql AS w FROM documents),
+          bg AS (
+            SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-1),
+              i -> w[i] || ' ' || w[i+1])) AS b
+            FROM t
+          ),
+          bgc AS (
+            SELECT doc_id, MAX(c) AS mx FROM (
+              SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b) g
+            GROUP BY doc_id
+          )
+          SELECT t.doc_id, CAST(len(w) AS INTEGER) AS n_tokens,
+                 (len(w) - len(list_distinct(w))) / CAST(len(w) AS DOUBLE)
+                   AS dup_token_frac,
+                 COALESCE(mx / CAST(len(w) - 1 AS DOUBLE), 0.0)
+                   AS top_bigram_frac
+          FROM t LEFT JOIN bgc ON t.doc_id = bgc.doc_id
+          ORDER BY t.doc_id""",
+
+    "tx_top_ngrams" ->
+      s"""SELECT b AS bigram, CAST(count(*) AS BIGINT) AS cnt FROM (
+            SELECT unnest(list_transform(generate_series(1, len(w)-1),
+              i -> w[i] || ' ' || w[i+1])) AS b
+            FROM (SELECT $tokensSql AS w FROM documents) t) g
+          GROUP BY b ORDER BY cnt DESC, b LIMIT 20""",
+
+    "sm_hash_split" ->
+      """SELECT doc_id,
+           CAST((doc_id * 2654435761) % 1000000007 % 100 AS INTEGER) AS bucket,
+           CASE WHEN (doc_id * 2654435761) % 1000000007 % 100 < 90 THEN 'train'
+                WHEN (doc_id * 2654435761) % 1000000007 % 100 < 95 THEN 'validation'
+                ELSE 'test' END AS split
+         FROM documents ORDER BY doc_id""",
+
+    "dd_normalized" ->
+      """SELECT min(doc_id) AS rep_doc_id, CAST(count(*) AS BIGINT) AS n_dups,
+           CAST(length(nt) AS INTEGER) AS norm_len
+         FROM (SELECT doc_id,
+                 trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS nt
+               FROM documents) t
+         GROUP BY nt ORDER BY rep_doc_id""",
 
     "dd_ngram_jaccard" -> shingleCte,
     "dd_minhash_lsh" -> shingleCte, // LSH must find exactly the true pairs

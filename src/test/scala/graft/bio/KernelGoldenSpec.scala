@@ -143,6 +143,40 @@ class KernelGoldenSpec extends AnyFunSuite {
     assert(w === 3.0)
   }
 
+  // ---- W1 column-wise best window
+
+  test("bestDirectWindow: argmax over all offsets, ties to lowest, wobble applies") {
+    // probe 'acg': windows of 'ttacgtacg' score 0,1,3,... best at off 3 (1-based)
+    assert(bestDirectWindow("acg", "ttacgtacg") === ((3, 3.0)))
+    // tie: two perfect windows -> the earlier one wins
+    assert(bestDirectWindow("aa", "aaxaa") === ((1, 2.0)))
+    // wobble: probe 'c' matches subject 't'
+    assert(bestDirectWindow("cc", "ggtt") === ((3, 2.0)))
+    // brute-force cross-check on a pseudo-random string
+    val rnd = new scala.util.Random(3)
+    val txt = Seq.fill(60)("acgt"(rnd.nextInt(4))).mkString
+    val probe = "acgtac"
+    val brute = (0 to txt.length - probe.length).map { o =>
+      (o + 1, directScore(probe, txt, o))
+    }.maxBy { case (o, s) => (s, -o) }
+    assert(bestDirectWindow(probe, txt) === brute)
+  }
+
+  test("blatSweep counts exactly the offsets where the DFS matches") {
+    val rnd = new scala.util.Random(9)
+    val dna = Seq.fill(200)("acgt"(rnd.nextInt(4))).mkString
+    val gene = "gattacca"
+    val (hits, firstEnd) = blatSweep(gene, dna)
+    val last = dna.length - gene.length - 10 - 2 - 2
+    val expected = (0 to last).flatMap { o =>
+      val (ok, end) = blatSimilarity(gene, dna, o)
+      if (ok) Some(end.getOrElse(-1)) else None
+    }
+    assert(hits === expected.size.toLong)
+    assert(firstEnd === expected.headOption.getOrElse(-1))
+    assert(hits > 0, "fixture must produce at least one blat hit")
+  }
+
   // ---- X6 text_edit render round-trip
 
   test("text_edit render tracks match the reference bit-for-bit") {

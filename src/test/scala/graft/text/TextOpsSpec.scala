@@ -62,6 +62,42 @@ class TextOpsSpec extends SparkSpec {
     assert(pairs.head.getDouble(3) > 0.5)
   }
 
+  test("normalizeText collapses case/punct/whitespace; repetitionStats flags boilerplate") {
+    import spark.implicits._
+    val norm = docDf("  Hello,   WORLD!! 42 ", "hello world 42")
+      .select(TextOps.normalizeText(col("text")).as("n")).as[String].collect()
+    assert(norm(0) === "hello world 42")
+    assert(norm(0) === norm(1))
+
+    val rep = docDf("spam spam spam spam", "all words here differ fully", "")
+      .select(TextOps.repetitionStats(col("text")).as("r"))
+      .select(col("r._1"), col("r._2"), col("r._3"))
+      .as[(Int, Double, Double)].collect()
+    assert(rep(0) === ((4, 0.75, 1.0)))   // one token repeated; one bigram everywhere
+    assert(rep(1)._2 === 0.0)
+    assert(rep(1)._3 === 0.25)            // 4 distinct bigrams, top count 1
+    assert(rep(2) === ((1, 0.0, 0.0)))    // "" tokenizes to one empty token
+  }
+
+  test("hashSplit is deterministic, id-stable, and near the requested percentages") {
+    import spark.implicits._
+    val ids = (0L until 2000L).toDF("doc_id")
+    val got = ids.select(col("doc_id"), Sampling.hashSplit(col("doc_id")).as("s"))
+      .as[(Long, String)].collect().toMap
+    val again = ids.select(col("doc_id"), Sampling.hashSplit(col("doc_id")).as("s"))
+      .as[(Long, String)].collect().toMap
+    assert(got === again)
+    val frac = got.values.groupBy(identity).view.mapValues(_.size / 2000.0).toMap
+    assert(math.abs(frac("train") - 0.90) < 0.03)
+    assert(math.abs(frac("validation") - 0.05) < 0.02)
+    assert(math.abs(frac("test") - 0.05) < 0.02)
+    // growth stability: the first 500 ids keep their split in a bigger corpus
+    val sub = (0L until 500L).toDF("doc_id")
+      .select(col("doc_id"), Sampling.hashSplit(col("doc_id")).as("s"))
+      .as[(Long, String)].collect().toMap
+    sub.foreach { case (id, s) => assert(got(id) === s) }
+  }
+
   test("jaccard: fused text-hash path and prefix-filtered path equal the string path") {
     val rnd = new scala.util.Random(11)
     val vocab = Vector("data", "spark", "query", "join", "scan", "agg", "row",
