@@ -168,16 +168,30 @@ object RelationalQueries {
         .orderBy($"rep_doc_id")
     },
 
-    // T1 (relational form): top-k per group via window rank
-    // (reference gene_similarity_match.py:203-208 bounded heap)
+    // T1 (relational form): top-k per group via the bounded top-k
+    // AGGREGATE (reference gene_similarity_match.py:203-208 bounded heap,
+    // re-expressed as graft.ops.BoundedTopK). l_returnflag has 3 values,
+    // so a `row_number().over(Window.partitionBy(flag))` would funnel the
+    // whole table through 3 partitions — the low-cardinality twin of the
+    // j6 global-window scale-killer; the typed aggregate combines
+    // map-side instead, shuffling ≤k slim rows per input partition per
+    // flag. Same output, same deterministic order.
     "t1_topk_per_group" -> { (s, d) =>
       import s.implicits._
-      val w = Window.partitionBy($"l_returnflag")
-        .orderBy($"l_extendedprice".desc, $"l_orderkey", $"l_linenumber")
+      val topK = new graft.ops.BoundedTopK[(Double, Long, Int)](
+        3, Ordering.by(t => (-t._1, t._2, t._3)), implicitly)
       Tables.lineitem(s, d)
-        .withColumn("rn", row_number().over(w))
-        .where($"rn" <= 3)
-        .select($"l_returnflag", $"rn", $"l_orderkey", $"l_linenumber", $"l_extendedprice")
+        .select($"l_returnflag", $"l_extendedprice", $"l_orderkey", $"l_linenumber")
+        .as[(String, Double, Long, Int)]
+        .groupByKey(_._1)
+        .mapValues(t => (t._2, t._3, t._4))
+        .agg(topK.toColumn.name("top"))
+        .flatMap { case (flag, top) =>
+          top.zipWithIndex.map { case ((price, okey, lineno), i) =>
+            (flag, i + 1, okey, lineno, price)
+          }
+        }
+        .toDF("l_returnflag", "rn", "l_orderkey", "l_linenumber", "l_extendedprice")
         .orderBy($"l_returnflag", $"rn")
     },
 

@@ -83,4 +83,15 @@ class PlanAuditSpec extends SparkSpec {
       s"per-user windows must hash-partition on user_id:\n$plan")
     assert(!plan.contains("SinglePartition"))
   }
+
+  test("t1_topk_per_group: bounded aggregate with map-side combine, no Window") {
+    val plan = physical(q("t1_topk_per_group"))
+    // a Window partitioned by the 3-value l_returnflag would funnel the
+    // table through 3 partitions; the typed BoundedTopK aggregate must
+    // keep it an Aggregate with a partial (map-side) phase instead
+    assert(!plan.contains("Window"),
+      s"top-k per low-cardinality group must not use a window:\n$plan")
+    assert(plan.contains("Aggregate"), s"expected an aggregate plan:\n$plan")
+    assert(plan.contains("partial"), s"expected map-side partial aggregation:\n$plan")
+  }
 }
