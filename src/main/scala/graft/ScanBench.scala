@@ -12,6 +12,7 @@ object ScanBench {
     val genomeLen = if (args.length > 0) args(0).toInt else 4641652
     val nGenes = if (args.length > 1) args(1).toInt else 8
     val reps = if (args.length > 2) args(2).toInt else 3
+    val chunksOverride = if (args.length > 3) Some(args(3).toInt) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -29,7 +30,8 @@ object ScanBench {
       s"bench_g$g" -> (0 until 30).map(_ => "acgt"(rnd.nextInt(4))).mkString)
     val cfg = graft.bio.ScanConfig(
       weights = Map("consistency" -> 1.0), topK = 1000,
-      candidateDistance = 5, patience = 2, numChunks = cpus.toInt)
+      candidateDistance = 5, patience = 2,
+      numChunks = chunksOverride.getOrElse(cpus.toInt))
 
     // single-thread kernel rate (no Spark): upper bound for per-core scan
     val gBytes = genome.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)

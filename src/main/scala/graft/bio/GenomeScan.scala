@@ -175,9 +175,12 @@ object GenomeScan {
     val dropNonPositive = !cfg.ascending
 
     // survivors feed a bounded top-k heap ranked (-score, left); the java
-    // heap holds WORST-first so poll() evicts the current worst. Survivors
-    // are far fewer than offsets (suppression keeps ~local maxima), so
-    // tuple boxing here is off the hot path.
+    // heap holds WORST-first so poll() evicts the current worst. Once the
+    // heap is full, candidates at-or-below the current worst are dropped
+    // BEFORE boxing/adding — at flagship topK=1000 the suppression stage
+    // still emits ~offsets/candidateDistance survivors per chunk, and
+    // without the guard every one of them pays an alloc + two O(log k)
+    // heap ops only to be evicted immediately.
     val heap = new java.util.PriorityQueue[(Double, Int)](math.max(cfg.topK, 1),
       new java.util.Comparator[(Double, Int)] {
         def compare(a: (Double, Int), b: (Double, Int)): Int = {
@@ -187,8 +190,14 @@ object GenomeScan {
       })
 
     def emit(left: Int, score: Double): Unit = {
-      heap.add((score, left))
-      if (heap.size > cfg.topK) heap.poll()
+      if (heap.size >= cfg.topK) {
+        val worst = heap.peek()
+        // worse-or-equal than the current worst ⇒ it would be polled
+        // straight back out (rank ties are impossible: left is unique)
+        if (score < worst._1 || (score == worst._1 && left > worst._2)) return
+        heap.add((score, left))
+        heap.poll()
+      } else heap.add((score, left))
     }
 
     def update(newLeft: Int, newScore: Double, hasNew: Boolean, keepSize: Int): Unit = {
@@ -291,9 +300,14 @@ object GenomeScan {
         }
       })
 
+    // same full-heap guard as the String path (see scanChunkSlim.emit)
     def emit(left: Int, score: Double): Unit = {
-      heap.add((score, left))
-      if (heap.size > cfg.topK) heap.poll()
+      if (heap.size >= cfg.topK) {
+        val worst = heap.peek()
+        if (score < worst._1 || (score == worst._1 && left > worst._2)) return
+        heap.add((score, left))
+        heap.poll()
+      } else heap.add((score, left))
     }
 
     def update(newLeft: Int, newScore: Double, hasNew: Boolean, keepSize: Int): Unit = {
@@ -396,11 +410,17 @@ object GenomeScan {
           }
         val rank: ((Boolean, Int, Double)) => (Double, Boolean, Int) =
           { case (isReverse, left, signed) => (-signed, isReverse, left) }
+        val rankOrd: Ordering[(Double, Boolean, Int)] = Ordering.Tuple3(
+          Ordering.Double.TotalOrdering, Ordering.Boolean, Ordering.Int)
         val heap = scala.collection.mutable.PriorityQueue
           .empty[(Boolean, Int, Double)](Ordering.by(rank))
         slim.foreach { t =>
-          heap.enqueue(t)
-          if (heap.size > cfg.topK) heap.dequeue()
+          // head is the WORST kept candidate; skip worse-or-equal arrivals
+          if (heap.size < cfg.topK) heap.enqueue(t)
+          else if (rankOrd.lt(rank(t), rank(heap.head))) {
+            heap.enqueue(t)
+            heap.dequeue()
+          }
         }
         heap.toVector.sortBy(rank).map { case (isReverse, left, signed) =>
           val db = if (isReverse) rev else genome
@@ -481,11 +501,18 @@ object GenomeScan {
         // its kernel score map) materializes only for the final ≤topK
         val rank: ((Boolean, Int, Double)) => (Double, Boolean, Int) =
           { case (isReverse, left, signed) => (-signed, isReverse, left) }
+        val rankOrd: Ordering[(Double, Boolean, Int)] = Ordering.Tuple3(
+          Ordering.Double.TotalOrdering, Ordering.Boolean, Ordering.Int)
         val heap = scala.collection.mutable.PriorityQueue
           .empty[(Boolean, Int, Double)](Ordering.by(rank))
         it.foreach { case (_, isReverse, left, signed) =>
-          heap.enqueue((isReverse, left, signed))
-          if (heap.size > cfg.topK) heap.dequeue()
+          val t = (isReverse, left, signed)
+          // head is the WORST kept candidate; skip worse-or-equal arrivals
+          if (heap.size < cfg.topK) heap.enqueue(t)
+          else if (rankOrd.lt(rank(t), rank(heap.head))) {
+            heap.enqueue(t)
+            heap.dequeue()
+          }
         }
         heap.toVector.sortBy(rank).iterator.map { case (isReverse, left, signed) =>
           val db = if (isReverse) rev.value else fwd.value

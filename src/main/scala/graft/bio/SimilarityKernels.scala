@@ -501,7 +501,71 @@ object SimilarityKernels {
     score.toDouble
   }
 
+  /** Branchless consistency kernel for genes ≤ 64 bases (the production
+    * scan hot path — reference genes run 20–60). Uses the interval-max
+    * identity proven by the X3 property test (best bridged-run score ==
+    * max matches over any window with ≤ maxPatience mismatches):
+    *
+    *   1. build a 64-bit MATCH MASK — bit i = gene(i) ≈ db(offset+i) —
+    *      with pure arithmetic (`((x ^ y) − 1) >>> 31` equality bit), no
+    *      data-dependent branch: the run-based port stalls ~50 cycles
+    *      per char on random genomes from match/mismatch mispredictions;
+    *   2. two-pointer sweep over the mask: extend right, advance left
+    *      while the window holds > maxPatience mismatches, track max
+    *      matches — O(n), each step a handful of shifts/adds.
+    *
+    * Genes > 64 bases fall back to the run-based form
+    * ([[consistencyScoreOnlyRunsB]]); offset-for-offset equality of the
+    * two (and of byte vs String paths) is asserted in GenomeScanSpec.
+    */
   def consistencyScoreOnlyB(
+      gene: Array[Byte], db: Array[Byte], offset: Int, maxPatience: Int,
+      runLen: Array[Int], runEnd: Array[Int]): Double = {
+    val n = gene.length
+    if (n > 64) return consistencyScoreOnlyRunsB(gene, db, offset, maxPatience, runLen, runEnd)
+    var mask = 0L
+    var i = 0
+    while (i < n) {
+      val g: Int = gene(i)
+      val d: Int = db(offset + i)
+      val eq = ((g ^ d) - 1) >>> 31               // 1 iff g == d (ASCII bytes)
+      val wob = (((g ^ 99) - 1) >>> 31) & (((d ^ 116) - 1) >>> 31) // g=='c' && d=='t'
+      mask |= (eq | wob).toLong << i
+      i += 1
+    }
+    // mismatch POSITIONS m_0 < … < m_{k-1} via bit iteration (k ≈ n/2 on
+    // random data; the borrowed runLen scratch holds them). The best
+    // window with ≤ p mismatches is bounded by two mismatches p+1 apart:
+    // span (m_{t-1}, m_{t+p}) exclusive holds exactly p mismatches, so
+    // matches = gap − 1 − p; max over t with sentinels m_{-1} = −1,
+    // m_k = n. Each loop step is a subtract + max — no data-dependent
+    // branch, unlike a per-bit two-pointer sweep.
+    val full = if (n == 64) -1L else (1L << n) - 1
+    var mm = ~mask & full
+    var k = 0
+    while (mm != 0L) {
+      runLen(k) = java.lang.Long.numberOfTrailingZeros(mm)
+      k += 1
+      mm &= mm - 1
+    }
+    if (k <= maxPatience) return (n - k).toDouble
+    var best = 0
+    var t = 0
+    while (t <= k - maxPatience) {
+      val lo = if (t == 0) -1 else runLen(t - 1)
+      val hi = if (t + maxPatience < k) runLen(t + maxPatience) else n
+      val m = hi - lo - 1 - maxPatience
+      if (m > best) best = m
+      t += 1
+    }
+    best.toDouble
+  }
+
+  /** The run-collection port of the consistency kernel over bytes — the
+    * > 64-base fallback of [[consistencyScoreOnlyB]] and the structural
+    * twin of the String-path [[consistencyScoreOnly]].
+    */
+  def consistencyScoreOnlyRunsB(
       gene: Array[Byte], db: Array[Byte], offset: Int, maxPatience: Int,
       runLen: Array[Int], runEnd: Array[Int]): Double = {
     val n = gene.length

@@ -134,6 +134,29 @@ class GenomeScanSpec extends SparkSpec {
       ScanConfig(weights = Map("text_edit" -> 1.0), continuousMismatchLimit = 3)))
   }
 
+  test("branchless consistency kernel == run-based == String port, every offset") {
+    val db = randomDna(3000)
+    val dbB = db.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    for (geneLen <- Seq(1, 8, 30, 64, 70); patience <- 0 to 3) {
+      val gene = randomDna(geneLen)
+      val geneB = gene.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      val runLen = new Array[Int](geneLen + 1)
+      val runEnd = new Array[Int](geneLen + 1)
+      var off = 0
+      while (off <= db.length - geneLen) {
+        val branchless = SimilarityKernels.consistencyScoreOnlyB(
+          geneB, dbB, off, patience, runLen, runEnd)
+        val runs = SimilarityKernels.consistencyScoreOnlyRunsB(
+          geneB, dbB, off, patience, runLen, runEnd)
+        val str = SimilarityKernels.consistencyScoreOnly(
+          gene, db, off, patience, runLen, runEnd)
+        assert(branchless === runs, s"len=$geneLen patience=$patience off=$off")
+        assert(branchless === str, s"len=$geneLen patience=$patience off=$off")
+        off += 1
+      }
+    }
+  }
+
   test("chunks replicate the reference next_interval split") {
     assert(GenomeScan.chunks(100, 4) === Seq((0, 25), (25, 50), (50, 75), (75, 100)))
     // remainder spills into an extra short chunk (size // n division)
