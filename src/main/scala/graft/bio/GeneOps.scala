@@ -86,14 +86,18 @@ object GeneOps {
     out.result()
   }
 
-  /** Distributed W3: the same gap emission as a lag window over an ordered
-    * segment DataFrame (columns `left`, `right`): one shuffle on the sort,
-    * no driver loop — the 100 TB shape.
+  /** Distributed W3: the same gap emission as a global lag over an ordered
+    * segment DataFrame (columns `left`, `right`) — via
+    * [[graft.ops.DistributedLag]] (range-partitioned sort + per-partition
+    * boundary carry), NOT an unpartitioned window, which would funnel every
+    * segment through one partition. No driver loop — the 100 TB shape.
     */
   def gapsDF(segments: DataFrame, orderCol: String): DataFrame = {
-    val w = Window.orderBy(col(orderCol))
-    segments
-      .withColumn("prev_right", lag(col("right"), 1, 0).over(w))
+    graft.ops.DistributedLag
+      .withLag(segments, "right", "prev_right", segments.schema("right").dataType match {
+        case org.apache.spark.sql.types.LongType => 0L
+        case _ => 0
+      }, col(orderCol))
       .where(col("prev_right") < col("left") - 1)
       .select((col("prev_right") + 1).as("gap_left"), (col("left") - 1).as("gap_right"))
   }

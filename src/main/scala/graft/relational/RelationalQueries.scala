@@ -27,14 +27,20 @@ object RelationalQueries {
     // A1: distribution count + pct (reference neighbor_analysis.py:138-153)
     "a1_distribution_count" -> { (s, d) =>
       import s.implicits._
-      Tables.lineitem(s, d)
+      val counts = Tables.lineitem(s, d)
         .groupBy($"l_returnflag")
         .agg(count(lit(1)).as("cnt"))
+      // total via a broadcast scalar join, not sum().over(Window.partitionBy())
+      // — the empty-partition window funnels its input through one partition.
+      // The two agg branches share one scan: Catalyst's ReuseExchange dedups
+      // the identical partial-agg exchange.
+      val total = counts.agg(sum($"cnt").as("total"))
+      counts.crossJoin(broadcast(total))
         // floor-form 2dp rounding: pct is a rational (cnt/total), so
         // half-boundary ties are reachable and engine ROUNDs disagree on
         // them; floor(x*100 + 0.5)/100 is IEEE-identical in both engines
-        .withColumn("pct",
-          floor($"cnt" * 100.0 / sum($"cnt").over(Window.partitionBy()) * 100.0 + 0.5) / 100.0)
+        .withColumn("pct", floor($"cnt" * 100.0 / $"total" * 100.0 + 0.5) / 100.0)
+        .drop("total")
         .orderBy($"cnt".desc, $"l_returnflag")
     },
 

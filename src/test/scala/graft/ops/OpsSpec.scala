@@ -94,6 +94,33 @@ class OpsSpec extends SparkSpec {
     assert(got.length === 1000)
   }
 
+  test("DistributedLag.withLag equals a global lag window, many partitions") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(7)
+    val rows = rnd.shuffle((1 to 500).toList).map(i => (i, i * 3L))
+    val df = rows.toDF("k", "v").repartition(17)
+    val got = DistributedLag.withLag(df, "v", "prev_v", -1L, col("k"))
+      .select($"k", $"v", $"prev_v").as[(Int, Long, Long)].collect().sortBy(_._1)
+    val want = df
+      .withColumn("prev_v", lag($"v", 1, -1L).over(Window.orderBy($"k")))
+      .select($"k", $"v", $"prev_v").as[(Int, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq === want.toSeq)
+    assert(got.head._3 === -1L)
+  }
+
+  test("DistributedLag carries across empty range partitions") {
+    import spark.implicits._
+    // two far-apart key clusters force empty middle range partitions when
+    // the source has more partitions than distinct keys
+    val df = (Seq.tabulate(5)(i => (i, i.toLong)) ++ Seq.tabulate(5)(i => (i + 1000, 100L + i)))
+      .toDF("k", "v").repartition(32)
+    val got = DistributedLag.withLag(df, "v", "prev_v", 0L, col("k"))
+      .select($"k", $"prev_v").as[(Int, Long)].collect().sortBy(_._1)
+    assert(got.find(_._1 == 1000).map(_._2) === Some(4L)) // carried over the gap
+    assert(got.head === ((0, 0L)))
+  }
+
   test("Salt.saltedAgg equals direct aggregation (sum + count monoids)") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)
