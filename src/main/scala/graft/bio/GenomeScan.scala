@@ -445,17 +445,23 @@ object GenomeScan {
       cfg: ScanConfig): Dataset[ScanHit] = {
     import spark.implicits._
     val revStr = Dna.reverseComplement(genome)
-    val fwd = spark.sparkContext.broadcast(genome)
-    val rev = spark.sparkContext.broadcast(revStr)
     val cfgB = spark.sparkContext.broadcast(cfg)
     // byte copies for the hot path (see scanChunkSlimBytes) — converted
     // ONCE here, not per task; ISO-8859-1 is an exact byte map for the
-    // ASCII DNA text
+    // ASCII DNA text. In byte mode ONLY the byte arrays broadcast — the
+    // String forms the reduce stage needs (once per gene, for the final
+    // ≤topK kernel evals) are rebuilt lazily per executor from the bytes;
+    // shipping both representations doubles the dominant fixed cost of a
+    // scan call (broadcast serialization) for no reader.
     val useBytes = byteEligible(cfg)
+    val iso = java.nio.charset.StandardCharsets.ISO_8859_1
+    val genomeLength = genome.length
+    val fwd = spark.sparkContext.broadcast(if (useBytes) "" else genome)
+    val rev = spark.sparkContext.broadcast(if (useBytes) "" else revStr)
     val fwdBytes = spark.sparkContext.broadcast(
-      if (useBytes) genome.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1) else Array.emptyByteArray)
+      if (useBytes) genome.getBytes(iso) else Array.emptyByteArray)
     val revBytes = spark.sparkContext.broadcast(
-      if (useBytes) revStr.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1) else Array.emptyByteArray)
+      if (useBytes) revStr.getBytes(iso) else Array.emptyByteArray)
 
     val tasks = for {
       (name, gene) <- genes
@@ -470,8 +476,11 @@ object GenomeScan {
     // per-kernel score maps — the dominant shuffle payload at flagship
     // topK=1000 (chunks×topK map objects) — are computed once, for the
     // ≤topK FINAL survivors per gene, in the reduce stage below
-    spark.createDataset(tasks)
-      .repartition(math.max(parallelism, 1))
+    // parallelize slices the task list directly — equal-cost chunks need no
+    // round-robin repartition, and skipping it drops a stage + barrier from
+    // every scan call
+    spark.createDataset(
+        spark.sparkContext.parallelize(tasks, math.max(parallelism, 1)))
       .flatMap { case (name, gene, isReverse, s, e) =>
         val survivors =
           if (useBytes) {
@@ -489,7 +498,17 @@ object GenomeScan {
       .flatMapGroups { (name, it) =>
         val cfg = cfgB.value
         val gene = genesB.value(name)
-        val dbLength = fwd.value.length
+        // byte mode ships no String broadcast — rebuild once per group task
+        // (≤ one per gene) for the final ≤topK kernel evals
+        val fwdS =
+          if (byteEligible(cfg))
+            new String(fwdBytes.value, java.nio.charset.StandardCharsets.ISO_8859_1)
+          else fwd.value
+        val revS =
+          if (byteEligible(cfg))
+            new String(revBytes.value, java.nio.charset.StandardCharsets.ISO_8859_1)
+          else rev.value
+        val dbLength = fwdS.length
         val kcfg = SimilarityKernels.KernelConfig(
           maxPatience = cfg.patience,
           continuousMismatchLimit = cfg.continuousMismatchLimit,
@@ -515,7 +534,7 @@ object GenomeScan {
           }
         }
         heap.toVector.sortBy(rank).iterator.map { case (isReverse, left, signed) =>
-          val db = if (isReverse) rev.value else fwd.value
+          val db = if (isReverse) revS else fwdS
           val (_, scores) = SimilarityKernels.blendedScore(cfg.weights, gene, db, left, kcfg)
           val c = MatchCandidate(left, left + gene.length - 1, isReverse, dbLength, signed)
           val score = if (cfg.ascending) -c.weightedSimilarity else c.weightedSimilarity
