@@ -65,4 +65,31 @@ object Fasta {
     spark.read.option("wholetext", "true").text(path)
       .as[String].flatMap(parse)
   }
+
+  /** SPLITTABLE reader for large FASTA files: the Hadoop line reader splits
+    * on the `\n>` record boundary instead of `\n`, so one multi-GB file
+    * fans out by block rather than landing on one task ([[read]]'s
+    * `wholetext` shape). Records spanning a split boundary are completed by
+    * TextInputFormat's next-delimiter scan; parsing stays on the executors.
+    */
+  def readSplittable(spark: SparkSession, path: String): Dataset[FastaRecord] = {
+    import spark.implicits._
+    val conf = new org.apache.hadoop.conf.Configuration(spark.sparkContext.hadoopConfiguration)
+    conf.set("textinputformat.record.delimiter", "\n>")
+    spark.sparkContext
+      .newAPIHadoopFile(
+        path,
+        classOf[org.apache.hadoop.mapreduce.lib.input.TextInputFormat],
+        classOf[org.apache.hadoop.io.LongWritable],
+        classOf[org.apache.hadoop.io.Text],
+        conf)
+      .map(_._2.toString)
+      .toDS()
+      // the first chunk keeps its leading '>'; later chunks lost it to the
+      // delimiter — restore so parse sees the same record text
+      .flatMap { raw =>
+        val text = if (raw.startsWith(">")) raw else ">" + raw
+        parse(text)
+      }
+  }
 }

@@ -176,4 +176,41 @@ object GenBank {
     import spark.implicits._
     read(spark, path).flatMap(_._2.segments)
   }
+
+  /** SPLITTABLE reader for concatenated multi-record GenBank flat files
+    * (e.g. NCBI division `.seq` files: records terminated by a `//` line).
+    * [[read]]'s `wholetext` puts a whole file on ONE task — fine for the
+    * reference's one-accession-per-file layout, fatal for a 100 GB
+    * concatenated dump. Here the Hadoop line reader splits on the record
+    * terminator instead of `\n`, so a file fans out by HDFS block and a
+    * record spanning a split boundary is handled by TextInputFormat's
+    * usual next-delimiter scan. Parsing stays on the executors.
+    */
+  def readConcatenated(spark: SparkSession, path: String): Dataset[GenBankFile] = {
+    import spark.implicits._
+    val conf = new org.apache.hadoop.conf.Configuration(spark.sparkContext.hadoopConfiguration)
+    conf.set("textinputformat.record.delimiter", "\n//")
+    spark.sparkContext
+      .newAPIHadoopFile(
+        path,
+        classOf[org.apache.hadoop.mapreduce.lib.input.TextInputFormat],
+        classOf[org.apache.hadoop.io.LongWritable],
+        classOf[org.apache.hadoop.io.Text],
+        conf)
+      .map(_._2.toString)
+      .toDS()
+      // the chunk after a terminator starts at the newline the delimiter
+      // left behind; the tail chunk after the last `//` is blank; the FIRST
+      // chunk of an NCBI division file carries the file header before its
+      // LOCUS line
+      .flatMap { raw =>
+        val text = raw.dropWhile(c => c == '\n' || c == '\r')
+        if (text.startsWith("LOCUS")) Some(text)
+        else {
+          val i = text.indexOf("\nLOCUS")
+          if (i >= 0) Some(text.substring(i + 1)) else None
+        }
+      }
+      .map(text => parse(text))
+  }
 }

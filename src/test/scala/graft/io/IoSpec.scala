@@ -59,6 +59,37 @@ class IoSpec extends SparkSpec {
     assert(segs.flatMap(_.gene).toSet === Set("thrA", "thrB", "fuzzy"))
   }
 
+  test("GenBank splittable concatenated reader == per-file parse, across forced splits") {
+    // build a division-style file: header lines, then 6 records back-to-back
+    val one = scala.io.Source.fromResource("test_genome.gb").mkString
+    val two = scala.io.Source.fromResource("syn_genome.gb").mkString
+    def terminated(s: String) = if (s.endsWith("\n")) s else s + "\n"
+    val concat = "GBBCT1.SEQ          Genetic Sequence Data Bank\n  6 loci\n\n" +
+      Seq(one, two, one, two, one, two).map(terminated).mkString
+    val dir = java.nio.file.Files.createTempDirectory("gbcat")
+    val f = dir.resolve("division.seq")
+    java.nio.file.Files.write(f, concat.getBytes("UTF-8"))
+
+    val want = Seq(one, two).map(GenBank.parse(_))
+    // force many tiny input splits so records straddle split boundaries
+    spark.sparkContext.hadoopConfiguration
+      .setLong("mapreduce.input.fileinputformat.split.maxsize", 512)
+    try {
+      val got = GenBank.readConcatenated(spark, f.toString).collect()
+      assert(got.length === 6)
+      // every record parses identically to its standalone form
+      got.zipWithIndex.foreach { case (g, i) =>
+        val w = want(i % 2)
+        assert(g.dna === w.dna, s"record $i dna")
+        assert(g.segments === w.segments, s"record $i segments")
+        assert(g.source === w.source, s"record $i source")
+      }
+    } finally {
+      spark.sparkContext.hadoopConfiguration
+        .unset("mapreduce.input.fileinputformat.split.maxsize")
+    }
+  }
+
   test("ATCC FASTA parse: attrs, locations, Unknown fallback, lowercase join") {
     val recs = Fasta.parse(scala.io.Source.fromResource("test_atcc.fna").mkString)
     assert(recs.length === 3)
@@ -68,6 +99,28 @@ class IoSpec extends SparkSpec {
     assert(recs(1).gene === "Unknown:AT2")
     assert((recs(1).start, recs(1).end) === ((Some(300), Some(350))))
     assert(recs(2).locusTag === Some("AT3"))
+  }
+
+  test("FASTA splittable reader == wholetext reader, across forced splits") {
+    val text = scala.io.Source.fromResource("test_atcc.fna").mkString
+    val dir = java.nio.file.Files.createTempDirectory("fnacat")
+    val f = dir.resolve("big.fna")
+    // repeat the fixture so the file is long enough to split mid-record
+    val repeated = (text + "\n") * 20
+    java.nio.file.Files.write(f, repeated.getBytes("UTF-8"))
+    spark.sparkContext.hadoopConfiguration
+      .setLong("mapreduce.input.fileinputformat.split.maxsize", 256)
+    try {
+      val got = Fasta.readSplittable(spark, f.toString).collect()
+      val want = Fasta.read(spark, f.toString).collect()
+      assert(got.length === want.length)
+      assert(got.sortBy(r => (r.gene, r.sequence)).toSeq ===
+        want.sortBy(r => (r.gene, r.sequence)).toSeq)
+      assert(got.length === 60)
+    } finally {
+      spark.sparkContext.hadoopConfiguration
+        .unset("mapreduce.input.fileinputformat.split.maxsize")
+    }
   }
 
   test("EcoCyc TSV loader: sentinel coercion + inter-record generation") {
