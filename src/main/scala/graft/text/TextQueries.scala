@@ -102,6 +102,64 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // per-language deterministic downsampling — the "rebalance the corpus"
+    // step (cap the dominant language, keep the rest): membership is a pure
+    // function of (doc_id, lang), zero shuffle, stable under corpus growth
+    "sm_stratified" -> { (s, d) =>
+      val rate = when(col("lang") === "en", 20).otherwise(60)
+      Tables.documents(s, d)
+        .where(Sampling.hashBucket(col("doc_id"), 100) < rate)
+        .select(col("doc_id"), col("lang"),
+          Sampling.hashBucket(col("doc_id"), 100).cast("int").as("bucket"))
+        .orderBy("doc_id")
+    },
+
+    // per-source caps (the web-pipeline "at most N docs per domain" rule):
+    // rank within source by doc_id, keep the first N — the window is
+    // PARTITIONED by source, so it scales with the source cardinality
+    "sm_source_cap" -> { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 40)
+        .select(col("doc_id"), col("source"), col("rn"))
+        .orderBy("doc_id")
+    },
+
+    // greedy contiguous context-window packing: running token total in
+    // doc_id order (distributed two-phase prefix sum — ops.PrefixSum, NOT
+    // an unpartitioned window), then pack_id = tokens-before / contextLen
+    "sm_pack" -> { (s, d) =>
+      val perDoc = Tables.documents(s, d).select(
+        col("doc_id"),
+        size(TextOps.whitespaceTokens(col("text"))).cast("long").as("n_tokens"))
+      graft.ops.PrefixSum.withRunningTotal(perDoc, "n_tokens", "running", col("doc_id"))
+        .select(col("doc_id"), col("n_tokens").cast("int").as("n_tokens"),
+          col("running"),
+          floor((col("running") - col("n_tokens")) / 2048.0).cast("long").as("pack_id"))
+        .orderBy("doc_id")
+    },
+
+    // the curation pipeline end-to-end: quality gate -> normalized dedup
+    // (keep each cluster's min-id doc) -> survivors with their stats. One
+    // corpus scan, one groupBy on the canonical text, one hash join back
+    // on doc_id — every stage keyed, nothing driver-side
+    "cur_corpus" -> { (s, d) =>
+      val kept = Tables.documents(s, d).select(
+          col("doc_id"), col("lang"), col("text"),
+          TextOps.qualityScore(col("text"), qualityStopwords).as("quality"))
+        .where(col("quality") >= 0.4)
+      val canon = kept
+        .groupBy(TextOps.normalizeText(col("text")).as("nt"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_dups"))
+        .select(col("doc_id"), col("n_dups"))
+      canon.join(kept, Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("n_dups"),
+          size(TextOps.whitespaceTokens(col("text"))).as("n_tokens"), col("quality"))
+        .orderBy("doc_id")
+    },
+
     // ---- deduplication -------------------------------------------------
 
     "dd_ngram_jaccard" -> { (s, d) =>
@@ -208,6 +266,15 @@ object TextQueries {
          (a, x) -> (a*%d + x) %% 1000000007)"""
   private def ph(e: String, base: Int) = polyHashSql.format(e, base)
 
+  private val qualitySql =
+    s"""FLOOR((
+            0.4 * LEAST(len($tokensSql) / 200.0, 1.0) +
+            0.3 * (len(list_filter($tokensSql,
+                     t -> list_contains(['the','a','of','and','to','is'], t)))
+                   / GREATEST(len($tokensSql), 1)) +
+            0.3 * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                   / GREATEST(length(text), 1))) * 10000.0 + 0.5) / 10000.0"""
+
   private val shingleCte =
     s"""WITH toks AS (
           SELECT doc_id, $tokensSql AS w FROM documents
@@ -243,13 +310,7 @@ object TextQueries {
 
     "tx_quality_score" ->
       s"""SELECT doc_id, CAST(len($tokensSql) AS INTEGER) AS n_tokens,
-          FLOOR((
-            0.4 * LEAST(len($tokensSql) / 200.0, 1.0) +
-            0.3 * (len(list_filter($tokensSql,
-                     t -> list_contains(['the','a','of','and','to','is'], t)))
-                   / GREATEST(len($tokensSql), 1)) +
-            0.3 * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
-                   / GREATEST(length(text), 1))) * 10000.0 + 0.5) / 10000.0 AS quality
+          $qualitySql AS quality
           FROM documents ORDER BY doc_id""",
 
     "tx_lang_id" -> {
@@ -270,14 +331,7 @@ object TextQueries {
       s"""SELECT doc_id, ${ph("text", 31)} AS fp FROM documents ORDER BY doc_id""",
 
     "tx_filter_quality" ->
-      s"""SELECT * FROM (SELECT doc_id, lang,
-          FLOOR((
-            0.4 * LEAST(len($tokensSql) / 200.0, 1.0) +
-            0.3 * (len(list_filter($tokensSql,
-                     t -> list_contains(['the','a','of','and','to','is'], t)))
-                   / GREATEST(len($tokensSql), 1)) +
-            0.3 * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
-                   / GREATEST(length(text), 1))) * 10000.0 + 0.5) / 10000.0 AS quality
+      s"""SELECT * FROM (SELECT doc_id, lang, $qualitySql AS quality
           FROM documents) t
           WHERE quality >= 0.4
           ORDER BY doc_id""",
@@ -324,6 +378,48 @@ object TextQueries {
                  trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS nt
                FROM documents) t
          GROUP BY nt ORDER BY rep_doc_id""",
+
+    "sm_stratified" ->
+      """SELECT doc_id, lang,
+           CAST((doc_id * 2654435761) % 1000000007 % 100 AS INTEGER) AS bucket
+         FROM documents
+         WHERE (doc_id * 2654435761) % 1000000007 % 100
+               < CASE WHEN lang = 'en' THEN 20 ELSE 60 END
+         ORDER BY doc_id""",
+
+    "sm_source_cap" ->
+      """SELECT doc_id, source, CAST(rn AS INTEGER) AS rn FROM (
+           SELECT doc_id, source,
+                  ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+           FROM documents) t
+         WHERE rn <= 40 ORDER BY doc_id""",
+
+    "sm_pack" ->
+      s"""SELECT doc_id, CAST(n AS INTEGER) AS n_tokens,
+            CAST(SUM(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                 AS BIGINT) AS running,
+            CAST(FLOOR((SUM(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n)
+                 / 2048.0) AS BIGINT) AS pack_id
+          FROM (SELECT doc_id, len($tokensSql) AS n FROM documents) t
+          ORDER BY doc_id""",
+
+    "cur_corpus" ->
+      s"""WITH kept AS (
+            SELECT * FROM (
+              SELECT doc_id, lang, text, $qualitySql AS quality FROM documents) q
+            WHERE quality >= 0.4
+          ),
+          canon AS (
+            SELECT min(doc_id) AS doc_id, count(*) AS n_dups
+            FROM (SELECT doc_id,
+                    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS nt
+                  FROM kept) s
+            GROUP BY nt
+          )
+          SELECT k.doc_id, k.lang, CAST(c.n_dups AS BIGINT) AS n_dups,
+                 CAST(len($tokensSql) AS INTEGER) AS n_tokens, k.quality
+          FROM canon c JOIN kept k ON c.doc_id = k.doc_id
+          ORDER BY k.doc_id""",
 
     "dd_ngram_jaccard" -> shingleCte,
     "dd_minhash_lsh" -> shingleCte, // LSH must find exactly the true pairs

@@ -121,6 +121,21 @@ class OpsSpec extends SparkSpec {
     assert(got.head === ((0, 0L)))
   }
 
+  test("PrefixSum.withRunningTotal equals a global running-sum window") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(11)
+    val rows = rnd.shuffle((1 to 400).toList).map(i => (i, rnd.nextInt(50).toLong))
+    val df = rows.toDF("k", "v").repartition(13)
+    val got = PrefixSum.withRunningTotal(df, "v", "running", col("k"))
+      .select($"k", $"running").as[(Int, Long)].collect().sortBy(_._1)
+    val want = df
+      .withColumn("running", sum($"v").over(
+        Window.orderBy($"k").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select($"k", $"running").as[(Int, Long)].collect().sortBy(_._1)
+    assert(got.toSeq === want.toSeq)
+  }
+
   test("Salt.saltedAgg equals direct aggregation (sum + count monoids)") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)
