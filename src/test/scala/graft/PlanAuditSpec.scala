@@ -72,6 +72,21 @@ class PlanAuditSpec extends SparkSpec {
       s"global ordering must not funnel through one partition:\n$plan")
   }
 
+  test("EVERY gate query plan is free of single-partition exchanges") {
+    // the one allowed shape: a global SCALAR aggregate's final stage, whose
+    // single-partition exchange carries one pre-aggregated row per upstream
+    // partition (a1's corpus total) — never row data
+    val scalarAggFinal = Set("a1_distribution_count")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(scalarAggFinal)
+      .flatMap { name =>
+        val plan = physical(SparkEntry.queries(name)(spark, sf001))
+        if (plan.contains("SinglePartition")) Some(name) else None
+      }
+    assert(offenders.isEmpty,
+      s"queries funneling through one partition: ${offenders.mkString(", ")}")
+  }
+
   test("x1/x3 native kernels stay inside whole-stage codegen (no ScalaUDF)") {
     assert(!physical(q("x1_direct_text")).contains("ScalaUDF"))
     assert(!physical(q("x3_consistency_text")).contains("ScalaUDF"))
