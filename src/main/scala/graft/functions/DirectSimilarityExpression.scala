@@ -80,6 +80,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.directSimilarityDescriptor)
     ext.injectFunction(GraftExtensions.consistencySimilarityDescriptor)
+    ext.injectFunction(GraftExtensions.textEditSimilarityDescriptor)
   }
 }
 
@@ -94,6 +95,11 @@ object GraftExtensions {
     new ExpressionInfo(classOf[ConsistencySimilarity].getName, "consistency_similarity_native"),
     (children: Seq[Expression]) => ConsistencySimilarity(children(0), children(1), children(2)))
 
+  private val textEditSimilarityDescriptor = (
+    FunctionIdentifier("text_edit_similarity_native"),
+    new ExpressionInfo(classOf[TextEditSimilarity].getName, "text_edit_similarity_native"),
+    (children: Seq[Expression]) => TextEditSimilarity(children(0), children(1)))
+
   /** Register on a live session (same builder the extension uses). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -103,6 +109,10 @@ object GraftExtensions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "consistency_similarity_native",
       children => ConsistencySimilarity(children(0), children(1), children(2)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "text_edit_similarity_native",
+      children => TextEditSimilarity(children(0), children(1)),
       "built-in")
   }
 }

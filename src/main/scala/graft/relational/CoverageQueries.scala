@@ -154,13 +154,16 @@ object CoverageQueries {
         .orderBy("doc_id")
     },
 
-    // X2: wobble edit-distance kernel over the SQL surface
+    // X2: anchored edit-distance kernel through the NATIVE codegen'd
+    // expression (graft.functions.TextEditSimilarity; equality with the
+    // UDF-tier kernel is spec-pinned) — the third native kernel alongside
+    // X1/X3, so the whole scoring surface stays inside whole-stage codegen
     "x2_edit_text" -> { (s, d) =>
-      registerKernels(s)
+      graft.functions.GraftExtensions.register(s)
       Tables.documents(s, d)
         .where(col("n_chars") >= x2Probe.length)
         .select(col("doc_id"), expr(
-          s"text_edit_similarity('$x2Probe', substring(lower(text), 1, ${x2Probe.length}))")
+          s"text_edit_similarity_native('$x2Probe', substring(lower(text), 1, ${x2Probe.length}))")
           .as("score"))
         .orderBy("doc_id")
     },

@@ -87,8 +87,9 @@ class PlanAuditSpec extends SparkSpec {
       s"queries funneling through one partition: ${offenders.mkString(", ")}")
   }
 
-  test("x1/x3 native kernels stay inside whole-stage codegen (no ScalaUDF)") {
+  test("x1/x2/x3 native kernels stay inside whole-stage codegen (no ScalaUDF)") {
     assert(!physical(q("x1_direct_text")).contains("ScalaUDF"))
+    assert(!physical(q("x2_edit_text")).contains("ScalaUDF"))
     assert(!physical(q("x3_consistency_text")).contains("ScalaUDF"))
   }
 
