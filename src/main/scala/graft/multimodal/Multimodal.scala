@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** One multimodal asset: an opaque binary payload + typed metadata. The
@@ -97,6 +97,51 @@ object Multimodal {
         graft.text.TextOps.polyHash(
           expr(s"substring(t, frame_idx * $frameSize + 1, $frameSize)")).as("frame_fp"))
       .orderBy("doc_id", "frame_idx")
+  }
+
+  /** Perceptual-hash STUB over the payload: a real implementation hashes
+    * decoded image/audio features; the deterministic fake frames the
+    * payload (`frameSize`-char windows, full frames only) and majority-
+    * votes each frame's two polynomial fingerprints into a 60-bit
+    * signature — the same simhash vote rule as [[graft.text.Dedup.simhash]]
+    * but with FRAMES as the feature unit, so payloads sharing most frames
+    * land within a small hamming distance. Swap the frame fingerprint for
+    * codec output and the near-dup machinery downstream is unchanged.
+    */
+  def phash(payload: Column, frameSize: Int): Column = {
+    require(frameSize > 0)
+    val udfImpl = udf { (s: String) =>
+      val nFrames = s.length / frameSize
+      val votes = new Array[Int](60)
+      var f = 0
+      while (f < nFrames) {
+        var h1 = 0L
+        var h2 = 0L
+        var i = f * frameSize
+        val end = i + frameSize
+        while (i < end) {
+          val c = s.charAt(i).toLong
+          h1 = (h1 * 31 + c) % 1000000007L
+          h2 = (h2 * 131 + c) % 1000000007L
+          i += 1
+        }
+        var b = 0
+        while (b < 30) {
+          votes(b) += (if (((h1 >> b) & 1L) == 1L) 1 else -1)
+          votes(b + 30) += (if (((h2 >> b) & 1L) == 1L) 1 else -1)
+          b += 1
+        }
+        f += 1
+      }
+      var sig = 0L
+      var b = 0
+      while (b < 60) {
+        if (votes(b) > 0) sig |= (1L << b)
+        b += 1
+      }
+      sig
+    }
+    udfImpl(payload)
   }
 
   /** Payload-level stats as pure column expressions (oracle-matchable):

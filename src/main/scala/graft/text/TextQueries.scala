@@ -254,6 +254,18 @@ object TextQueries {
     "mm_frame_sample" -> { (s, d) =>
       Multimodal.frameSample(Tables.documents(s, d), "doc_id", "text",
         frameSize = 128, stride = 2)
+    },
+
+    // multimodal near-dup: perceptual-hash (stub decode, frame-vote
+    // simhash) + the SAME pigeonhole band machinery as dd_hamming — the
+    // "find near-identical images/clips" pipeline with the decode swapped
+    // for the deterministic fake. Oracle = brute-force hamming pair join
+    // over the replicated vote arithmetic.
+    "mm_phash_neardup" -> { (s, d) =>
+      val sigs = Tables.documents(s, d)
+        .where(length(col("text")) >= 64)
+        .select(col("doc_id"), Multimodal.phash(col("text"), 64).as("simhash"))
+      Dedup.simhashPairs(sigs, maxHamming = 3)
     }
   )
 
@@ -542,6 +554,34 @@ object TextQueries {
             CAST(octet_length(encode(text)) AS INTEGER) AS payload_len,
             CAST(FLOOR(octet_length(encode(text)) / 256) AS INTEGER) AS n_frames,
             ${ph("text", 31)} AS checksum
-          FROM documents ORDER BY doc_id"""
+          FROM documents ORDER BY doc_id""",
+
+    // brute-force hamming pair join over the frame-vote phash — the
+    // pigeonhole banding provably finds exactly these pairs
+    "mm_phash_neardup" ->
+      s"""WITH fr AS (
+            SELECT doc_id, text, unnest(range(0,
+                CAST(length(text) // 64 AS INTEGER), 1)) AS f
+            FROM documents WHERE length(text) >= 64
+          ), fh AS (
+            SELECT doc_id,
+                   ${ph("substr(text, CAST(f*64 + 1 AS INTEGER), 64)", 31)} AS h1,
+                   ${ph("substr(text, CAST(f*64 + 1 AS INTEGER), 64)", 131)} AS h2
+            FROM fr
+          ), sig AS (
+            SELECT doc_id, list(h1) AS h1s, list(h2) AS h2s FROM fh GROUP BY doc_id
+          ), sh AS (
+          SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 59), b ->
+            CASE WHEN list_sum(list_transform(
+                CASE WHEN b < 30 THEN h1s ELSE h2s END, h ->
+                CASE WHEN (h // (1::BIGINT << (CASE WHEN b < 30 THEN b ELSE b - 30 END))) % 2 = 1
+                     THEN 1 ELSE -1 END)) > 0
+                 THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS simhash
+          FROM sig)
+          SELECT a.doc_id AS d1, b.doc_id AS d2,
+                 CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hd
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+          ORDER BY d1, d2"""
   )
 }
