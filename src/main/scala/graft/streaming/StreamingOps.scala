@@ -93,6 +93,64 @@ object StreamingOps {
       }
   }
 
+  final case class SigDoc(docId: Long, sig: Long, tsMs: Long)
+  final case class CellState(members: List[(Long, Long, Long)]) // (docId, sig, tsMs)
+  final case class NearDupPair(d1: Long, d2: Long, hd: Int)
+
+  /** Streaming simhash near-dup: each arriving signature explodes into its
+    * pigeonhole band cells (same (bands, bits) scheme as the batch
+    * [[graft.text.Dedup.simhashPairs]]); per-cell `flatMapGroupsWithState`
+    * keeps the cell's recent members and emits a [[NearDupPair]] the moment
+    * a new doc lands within `maxHamming` of one — the "flag near-identical
+    * documents as they're ingested" op a training pipeline runs ahead of
+    * the batch dedup.
+    *
+    * State is BOUNDED: members older than `retentionMs` behind the cell's
+    * newest arrival are evicted each batch, so per-cell state is the cell's
+    * arrival rate × retention window, not the stream's history. A pair
+    * colliding in several bands emits once PER COLLIDING BAND
+    * (at-least-once semantics); pipe through
+    * `dropDuplicatesWithinWatermark("d1", "d2")` for exactly-once, as the
+    * parity test does with a plain distinct at the sink.
+    */
+  def streamingSimhashPairs(
+      docs: Dataset[SigDoc],
+      maxHamming: Int,
+      bands: Int = 4,
+      bits: Int = 60,
+      retentionMs: Long = Long.MaxValue / 4): Dataset[NearDupPair] = {
+    require(bands > maxHamming, "pigeonhole guarantee needs bands > maxHamming")
+    require(bits % bands == 0, "bands must divide bits")
+    import docs.sparkSession.implicits._
+    val width = bits / bands
+    val mask = (1L << width) - 1
+    docs
+      .flatMap(d => (0 until bands).map(b =>
+        ((b.toLong << width) | ((d.sig >>> (b * width)) & mask), d)))
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[CellState, NearDupPair](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: Long, it: Iterator[(Long, SigDoc)], state: GroupState[CellState]) =>
+          val arrivals = it.map(_._2).toVector.sortBy(d => (d.tsMs, d.docId))
+          var members = state.getOption.map(_.members).getOrElse(Nil)
+          val out = Vector.newBuilder[NearDupPair]
+          arrivals.foreach { d =>
+            members.foreach { case (id, sig, _) =>
+              if (id != d.docId) {
+                val hd = java.lang.Long.bitCount(sig ^ d.sig)
+                if (hd <= maxHamming)
+                  out += NearDupPair(math.min(id, d.docId), math.max(id, d.docId), hd)
+              }
+            }
+            members = (d.docId, d.sig, d.tsMs) :: members
+          }
+          val newest = members.iterator.map(_._3).foldLeft(Long.MinValue)(math.max)
+          members = members.filter(_._3 >= newest - retentionMs)
+          if (members.isEmpty) state.remove() else state.update(CellState(members))
+          out.result().iterator
+      }
+  }
+
   /** Flush any open sessions (test/batch-end helper): every state entry
     * becomes a final session row.
     */

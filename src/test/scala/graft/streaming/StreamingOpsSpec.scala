@@ -81,6 +81,39 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingSimhashPairs equals the batch band join on real documents") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    // signatures from the REAL documents table, streamed in 3 micro-batches
+    val sigs = graft.Tables.documents(spark, sf001)
+      .select(col("doc_id"), graft.text.Dedup.simhash(col("text")).as("simhash"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(sigs.length >= 30)
+    val batches = sigs.grouped(math.max(sigs.length / 3, 1)).toSeq
+
+    val input = MemoryStream[StreamingOps.SigDoc]
+    val pairs = StreamingOps.streamingSimhashPairs(
+      input.toDS(), maxHamming = 3)
+    val q = pairs.writeStream
+      .format("memory").queryName("phash_out").outputMode(OutputMode.Append())
+      .start()
+    try {
+      batches.zipWithIndex.foreach { case (b, i) =>
+        input.addData(b.map { case (id, sig) => StreamingOps.SigDoc(id, sig, 1000L * i) })
+        q.processAllAvailable()
+      }
+      // at-least-once per colliding band -> distinct at the sink
+      val got = spark.table("phash_out").select("d1", "d2", "hd")
+        .distinct().as[(Long, Long, Int)].collect().toSet
+      val want = graft.text.Dedup.simhashPairs(
+          sigs.toSeq.toDF("doc_id", "simhash"), maxHamming = 3)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(got === want)
+      assert(want.nonEmpty)
+    } finally q.stop()
+  }
+
   test("windowedCounts over the real events parquet file-stream equals batch") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
