@@ -160,6 +160,25 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // semantic curation across BOTH corpus tables: quality-gate the docs,
+    // then drop embedding-cosine near-dups among the survivors (keep each
+    // pair's min id). documents⋈embeddings is a keyed semi-join; the
+    // near-dup pairs ride the tiled block cosine join; the drop-list is
+    // the duplicates — by construction the broadcastable small side
+    "cur_semantic" -> { (s, d) =>
+      val kept = Tables.documents(s, d).select(
+          col("doc_id"), col("lang"),
+          TextOps.qualityScore(col("text"), qualityStopwords).as("quality"))
+        .where(col("quality") >= 0.4)
+      val emb = Tables.embeddings(s, d)
+        .join(kept.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+      val drop = Ann.cosinePairs(emb, "vec_id", "embedding", 0.4)
+        .select(col("b").as("doc_id")).distinct()
+      kept.join(broadcast(drop), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("quality"))
+        .orderBy("doc_id")
+    },
+
     // ---- deduplication -------------------------------------------------
 
     "dd_ngram_jaccard" -> { (s, d) =>
@@ -432,6 +451,25 @@ object TextQueries {
                  CAST(len($tokensSql) AS INTEGER) AS n_tokens, k.quality
           FROM canon c JOIN kept k ON c.doc_id = k.doc_id
           ORDER BY k.doc_id""",
+
+    "cur_semantic" ->
+      s"""WITH kept AS (
+            SELECT * FROM (
+              SELECT doc_id, lang, $qualitySql AS quality FROM documents) q
+            WHERE quality >= 0.4
+          ),
+          pairs AS (
+            SELECT a.vec_id AS a, b.vec_id AS b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE a.vec_id IN (SELECT doc_id FROM kept)
+              AND b.vec_id IN (SELECT doc_id FROM kept)
+              AND ${dot("a.embedding", "b.embedding")} /
+                  (SQRT(${dot("a.embedding", "a.embedding")}) *
+                   SQRT(${dot("b.embedding", "b.embedding")})) >= 0.4
+          )
+          SELECT doc_id, lang, quality FROM kept
+          WHERE doc_id NOT IN (SELECT b FROM pairs)
+          ORDER BY doc_id""",
 
     "dd_ngram_jaccard" -> shingleCte,
     "dd_minhash_lsh" -> shingleCte, // LSH must find exactly the true pairs
