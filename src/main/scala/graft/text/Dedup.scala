@@ -420,11 +420,10 @@ object Dedup {
     * banding — split the `bits`-bit signature into `bands` contiguous
     * bands; a pair differing in <= maxHamming bits has at least
     * `bands − maxHamming` bands untouched, so with `bands > maxHamming`
-    * every qualifying pair collides on an exact band value. The band
-    * equi-join generates candidates (shuffle keys are (band, int) —
-    * nothing document-sized moves), exact bit_count(xor) verifies.
-    * All built-in codegen'd expressions; this is the classic
-    * Charikar/Manku-Jain-Sarma web-dedup shape.
+    * every qualifying pair collides on an exact band value. Candidates
+    * generate per band CELL (shuffle keys are band-tagged ints — nothing
+    * document-sized moves) with the exact bit_count verify in-task;
+    * this is the classic Charikar/Manku-Jain-Sarma web-dedup shape.
     *
     * Input: (doc_id, simhash). Output: (d1, d2, hd), sorted.
     */
@@ -435,26 +434,41 @@ object Dedup {
       bits: Int = 60): DataFrame = {
     require(bands > maxHamming, "pigeonhole guarantee needs bands > maxHamming")
     require(bits % bands == 0, "bands must divide bits")
+    val spark = signed.sparkSession
+    import spark.implicits._
     val width = bits / bands
-    // signature computed once; the band join is a self-join and would
-    // otherwise recompute the whole simhash lineage for both sides
-    val sig = signed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = sig.select(col("doc_id"), col("simhash"),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          shiftrightunsigned(col("simhash"), b * width)
-            .bitwiseAND(lit((1L << width) - 1)).as("key"))
-      }: _*)).as("cell"))
-    // verify (codegen'd bit_count, no data wider than two longs) BEFORE
-    // the pair dedup, so only qualifying pairs reach the dedup shuffle —
-    // candidates that fail the hamming test never leave their join task
-    banded.select(col("doc_id").as("d1"), col("simhash").as("s1"), col("cell"))
-      .join(banded.select(col("doc_id").as("d2"), col("simhash").as("s2"), col("cell")), Seq("cell"))
-      .where(col("d1") < col("d2"))
-      .withColumn("hd", bit_count(col("s1").bitwiseXOR(col("s2"))).cast("int"))
-      .where(col("hd") <= maxHamming)
+    // posting-list form (see jaccardPairsHashed): ONE shuffle of the
+    // bands×n (cell, doc, sig) rows into per-cell groups; the hamming
+    // verify runs in-task over the cell's member array, so only
+    // qualifying pairs reach the cross-band dedup shuffle. The banded
+    // SELF-join shape shuffled both copies and materialized the raw
+    // per-cell pair explosion into the dedup exchange.
+    signed.select(col("doc_id"), col("simhash"),
+        explode(array((0 until bands).map { b =>
+          (lit(b.toLong) * lit(1L << width)) +
+            shiftrightunsigned(col("simhash"), b * width)
+              .bitwiseAND(lit((1L << width) - 1))
+        }: _*)).as("cell"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._3)
+      .flatMapGroups { (_, it) =>
+        val members = it.map(t => (t._1, t._2)).toArray
+        java.util.Arrays.sort(members, Ordering.by((p: (Long, Long)) => p._1))
+        val out = Vector.newBuilder[(Long, Long, Int)]
+        var i = 0
+        while (i < members.length) {
+          var j = i + 1
+          while (j < members.length) {
+            val hd = java.lang.Long.bitCount(members(i)._2 ^ members(j)._2)
+            if (hd <= maxHamming) out += ((members(i)._1, members(j)._1, hd))
+            j += 1
+          }
+          i += 1
+        }
+        out.result().iterator
+      }
+      .toDF("d1", "d2", "hd")
       .dropDuplicates("d1", "d2")
-      .select("d1", "d2", "hd")
       .orderBy("d1", "d2")
   }
 
