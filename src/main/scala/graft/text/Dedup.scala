@@ -314,18 +314,33 @@ object Dedup {
     // self-join shuffles a few ints per row, not documents
     val sig = sh.select(col("doc_id"), minhashSignature(col("shingles"), numHashes).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = sig.select(
-      col("doc_id"),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          concat_ws("_", (0 until r).map(i => element_at(col("sig"), b * r + i + 1)): _*)
-            .as("key"))
-      }: _*)).as("bucket"))
-
-    val candidates = banded.select(col("doc_id").as("d1"), col("bucket"))
-      .join(banded.select(col("doc_id").as("d2"), col("bucket")), Seq("bucket"))
-      .where(col("d1") < col("d2"))
-      .select("d1", "d2")
+    // posting-list candidate generation (see jaccardPairsHashed): one
+    // shuffle of (bucket, doc) rows into per-bucket groups, sorted-id
+    // pairs emitted in-task — no banded self-join, no raw pair explosion
+    // into the dedup exchange
+    val spark = shingled.sparkSession
+    import spark.implicits._
+    val candidates = sig.select(
+        explode(array((0 until bands).map { b =>
+          concat_ws("_", lit(b) +:
+            (0 until r).map(i => element_at(col("sig"), b * r + i + 1)): _*)
+        }: _*)).as("bucket"),
+        col("doc_id"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val ids = it.map(_._2).toArray
+        java.util.Arrays.sort(ids)
+        val out = Vector.newBuilder[(Long, Long)]
+        var i = 0
+        while (i < ids.length) {
+          var j = i + 1
+          while (j < ids.length) { out += ((ids(i), ids(j))); j += 1 }
+          i += 1
+        }
+        out.result().iterator
+      }
+      .toDF("d1", "d2")
       .dropDuplicates("d1", "d2")
 
     // exact verification joins the (persisted) shingle sets back in for
