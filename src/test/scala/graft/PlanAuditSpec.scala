@@ -53,17 +53,16 @@ class PlanAuditSpec extends SparkSpec {
       s"LSH banding must bucket-join:\n$plan")
   }
 
-  test("dd_hamming: band join is an equi-join, verification precedes dedup") {
+  test("dd_hamming: posting-list cells, in-task verify, no join anywhere") {
     val df = q("dd_hamming")
     val plan = physical(df)
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
-    // hamming filter (bit_count) must sit BELOW the pair-dedup aggregate
-    // in the optimized plan so failing candidates never reach the shuffle
+    // candidates generate per band cell inside MapGroups (hamming verify
+    // runs in-task over the member array) — the plan must contain NO join
+    // at all: only qualifying pairs reach the cross-band dedup shuffle
     val opt = optimized(df)
-    val filterIdx = opt.indexOf("bit_count")
-    val dedupIdx = opt.indexOf("Aggregate")
-    assert(filterIdx > dedupIdx,
-      s"bit_count verify should be under (after, in toString order) the dedup Aggregate:\n$opt")
+    assert(opt.contains("MapGroups"), s"expected per-cell MapGroups:\n$opt")
+    assert(!opt.contains("Join"), s"posting-list form must not join:\n$opt")
   }
 
   test("j6_ordered_reorder: no single-partition Exchange in the plan") {
