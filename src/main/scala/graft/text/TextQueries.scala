@@ -102,6 +102,26 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // per-language token-count distribution (the corpus-stats report a
+    // curation run starts from): exact interpolated quartiles + mean.
+    // percentile() is a sort-based exact aggregate — per-group state is
+    // the group's values, fine for per-LANGUAGE groups (bounded
+    // cardinality); for per-document groupings use approx_percentile
+    "tx_length_quantiles" -> { (s, d) =>
+      val n = size(TextOps.whitespaceTokens(col("text"))).cast("double")
+      def q4(c: org.apache.spark.sql.Column) = floor(c * 10000.0 + 0.5) / 10000.0
+      Tables.documents(s, d)
+        .select(col("lang"), n.as("n"))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          q4(percentile(col("n"), lit(0.25))).as("p25"),
+          q4(percentile(col("n"), lit(0.5))).as("p50"),
+          q4(percentile(col("n"), lit(0.75))).as("p75"),
+          q4(avg(col("n"))).as("mean_tokens"))
+        .orderBy("lang")
+    },
+
     // per-language deterministic downsampling — the "rebalance the corpus"
     // step (cap the dominant language, keep the rest): membership is a pure
     // function of (doc_id, lang), zero shuffle, stable under corpus growth
@@ -409,6 +429,15 @@ object TextQueries {
                  trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS nt
                FROM documents) t
          GROUP BY nt ORDER BY rep_doc_id""",
+
+    "tx_length_quantiles" ->
+      s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+            FLOOR(quantile_cont(n, 0.25) * 10000.0 + 0.5) / 10000.0 AS p25,
+            FLOOR(quantile_cont(n, 0.5)  * 10000.0 + 0.5) / 10000.0 AS p50,
+            FLOOR(quantile_cont(n, 0.75) * 10000.0 + 0.5) / 10000.0 AS p75,
+            FLOOR(avg(n) * 10000.0 + 0.5) / 10000.0 AS mean_tokens
+          FROM (SELECT lang, CAST(len($tokensSql) AS DOUBLE) AS n FROM documents) t
+          GROUP BY lang ORDER BY lang""",
 
     "sm_stratified" ->
       """SELECT doc_id, lang,
