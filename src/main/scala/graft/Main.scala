@@ -225,6 +225,27 @@ object Main {
         write(s"${req("out")}/kegg_result.txt", result)
         write(s"${req("out")}/kegg_error.txt", errors)
 
+      // corpus curation over a parquet documents dir (the training-data
+      // extension surface): quality gate -> normalized dedup -> optional
+      // embedding near-dup drop -> survivors + a per-language stats report
+      case "curate" =>
+        val spark = session()
+        import org.apache.spark.sql.functions.col
+        val dir = req("data")
+        val out = req("out")
+        val minQuality = opts.getOrElse("min-quality", "0.4").toDouble
+        val semantic = opts.contains("semantic")
+        val kept0 = SparkEntry.queries("cur_corpus")(spark, dir)
+        val kept =
+          if (!semantic) kept0.where(col("quality") >= minQuality)
+          else kept0.where(col("quality") >= minQuality)
+            .join(SparkEntry.queries("cur_semantic")(spark, dir)
+              .select(col("doc_id")), Seq("doc_id"), "left_semi")
+        kept.write.mode("overwrite").parquet(s"$out/survivors.parquet")
+        SparkEntry.queries("tx_length_quantiles")(spark, dir)
+          .write.mode("overwrite").parquet(s"$out/lang_stats.parquet")
+        println(s"[curate] survivors=${spark.read.parquet(s"$out/survivors.parquet").count()}")
+
       case other =>
         System.err.println(s"unknown command: $other\n$usage")
         sys.exit(2)
@@ -236,6 +257,7 @@ object Main {
       |commands: similarity-match, location-analysis, cluster-match,
       |          gene-extract, gene-range, gene-stream, location-reorder,
       |          neighbor, ecocyc-enrich, kegg, found-gene-near-range,
-      |          file-format, gentamycin
+      |          file-format, gentamycin,
+      |          curate [--data sfDir --out dir --min-quality 0.4 --semantic]
       |(see Scaladoc for per-command arguments)""".stripMargin
 }
