@@ -498,17 +498,16 @@ object GenomeScan {
       .flatMapGroups { (name, it) =>
         val cfg = cfgB.value
         val gene = genesB.value(name)
-        // byte mode ships no String broadcast — rebuild once per group task
-        // (≤ one per gene) for the final ≤topK kernel evals
-        val fwdS =
-          if (byteEligible(cfg))
-            new String(fwdBytes.value, java.nio.charset.StandardCharsets.ISO_8859_1)
-          else fwd.value
-        val revS =
-          if (byteEligible(cfg))
-            new String(revBytes.value, java.nio.charset.StandardCharsets.ISO_8859_1)
-          else rev.value
-        val dbLength = fwdS.length
+        val useB = byteEligible(cfg)
+        // byte mode scores final survivors straight off the byte
+        // broadcasts (blendedScoreB) — no String copies materialize
+        val geneB =
+          if (useB) gene.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+          else Array.emptyByteArray
+        val runLen = new Array[Int](gene.length + 1)
+        val runEnd = new Array[Int](gene.length + 1)
+        val dpBuf = new Array[Int]((gene.length + 1) * (gene.length + 1))
+        val dbLength = if (useB) fwdBytes.value.length else fwd.value.length
         val kcfg = SimilarityKernels.KernelConfig(
           maxPatience = cfg.patience,
           continuousMismatchLimit = cfg.continuousMismatchLimit,
@@ -534,8 +533,14 @@ object GenomeScan {
           }
         }
         heap.toVector.sortBy(rank).iterator.map { case (isReverse, left, signed) =>
-          val db = if (isReverse) revS else fwdS
-          val (_, scores) = SimilarityKernels.blendedScore(cfg.weights, gene, db, left, kcfg)
+          val (_, scores) =
+            if (useB)
+              SimilarityKernels.blendedScoreB(cfg.weights, geneB,
+                if (isReverse) revBytes.value else fwdBytes.value, left,
+                cfg.patience, runLen, runEnd, dpBuf)
+            else
+              SimilarityKernels.blendedScore(cfg.weights, gene,
+                if (isReverse) rev.value else fwd.value, left, kcfg)
           val c = MatchCandidate(left, left + gene.length - 1, isReverse, dbLength, signed)
           val score = if (cfg.ascending) -c.weightedSimilarity else c.weightedSimilarity
           ScanHit(name, c.isReverse, c.left, c.right, c.start, c.end, score, scores)

@@ -372,6 +372,37 @@ object SimilarityKernels {
     * tuple signature — the reference's bare-int bug in
     * `pattern_similarity.py:13-24` is fixed, not copied, per SURVEY §2.3 X4).
     */
+  /** Byte-path twin of [[blendedScore]] for the kernels with byte forms
+    * (direct / consistency / text_edit without a mismatch limit — exactly
+    * [[GenomeScan.byteEligible]]'s set). Lets the scan's reduce stage
+    * score final survivors straight off the broadcast byte arrays instead
+    * of rebuilding multi-MB String copies per group task. Kernel-for-
+    * kernel equality with the String forms is spec-pinned.
+    */
+  def blendedScoreB(
+      weights: Map[String, Double],
+      gene: Array[Byte], db: Array[Byte], offset: Int, maxPatience: Int,
+      runLen: Array[Int], runEnd: Array[Int], dpBuf: Array[Int]): (Double, Map[String, Double]) = {
+    var weighted = 0.0
+    var totalWeight = 0.0
+    val scores = Map.newBuilder[String, Double]
+    weights.foreach { case (kernel, w) =>
+      if (w > 0) {
+        val score = kernel match {
+          case "direct"      => directScoreB(gene, db, offset)
+          case "text_edit"   => textEditScoreOnlyB(gene, db, offset, dpBuf)
+          case "consistency" => consistencyScoreOnlyB(gene, db, offset, maxPatience, runLen, runEnd)
+          case other => throw new IllegalArgumentException(s"kernel has no byte path: $other")
+        }
+        scores += kernel -> score
+        weighted += score * w
+        totalWeight += w
+      }
+    }
+    require(totalWeight > 0, "at least one kernel must have positive weight")
+    (weighted / totalWeight, scores.result())
+  }
+
   def blendedScore(
       weights: Map[String, Double],
       gene: String, db: String, offset: Int,
