@@ -396,12 +396,13 @@ object GenomeScan {
             else None)
         // same slim shape as [[scan]]: survivors are (signed, left) until
         // the final per-gene top-k, whose kernels evaluate once
+        val geneBytes = if (useBytes) gene.getBytes(iso) else Array.emptyByteArray
         val slim: Seq[(Boolean, Int, Double)] =
           Seq(false, true).flatMap { isReverse =>
             chunks(genome.length, cfg.numChunks).flatMap { case (s, e) =>
               val survivors =
                 if (useBytes)
-                  scanChunkSlimBytes(gene.getBytes(iso),
+                  scanChunkSlimBytes(geneBytes,
                     if (isReverse) revBytes else fwdBytes, isReverse, s, e, cfg)
                 else
                   scanChunkSlim(gene, if (isReverse) rev else genome, isReverse, s, e, cfg)
