@@ -86,6 +86,13 @@ class PlanAuditSpec extends SparkSpec {
       s"queries funneling through one partition: ${offenders.mkString(", ")}")
   }
 
+  test("cur_semantic: drop-list anti-join broadcasts, no nested loop") {
+    val plan = physical(q("cur_semantic"))
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"the duplicate drop-list must broadcast into an anti hash join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+  }
+
   test("x1/x2/x3 native kernels stay inside whole-stage codegen (no ScalaUDF)") {
     assert(!physical(q("x1_direct_text")).contains("ScalaUDF"))
     assert(!physical(q("x2_edit_text")).contains("ScalaUDF"))
