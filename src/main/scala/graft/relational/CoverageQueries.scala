@@ -201,6 +201,25 @@ object CoverageQueries {
         .orderBy("doc_id")
     },
 
+    // X4 (gate): the pattern kernel — compiled must/optional regex gate
+    // with additive scoring — over the DNA-ification of each document.
+    // The compiled regexes are DATA (RE2-safe: literals, (c|t), .+, ^, $),
+    // so the DuckDB oracle embeds the exact pattern strings and replicates
+    // the lookingAt + incremental-score arithmetic in SQL.
+    "x4_pattern_text" -> { (s, d) =>
+      val pat = x4Pattern
+      val toDna = udf { (text: String) =>
+        val sb = new java.lang.StringBuilder(text.length)
+        var i = 0
+        while (i < text.length) { sb.append("acgt".charAt(text.charAt(i) % 4)); i += 1 }
+        sb.toString
+      }
+      val scoreU = udf { (dna: String) => pat.score(dna) }
+      Tables.documents(s, d)
+        .select(col("doc_id"), scoreU(toDna(col("text"))).as("score"))
+        .orderBy("doc_id")
+    },
+
     // X5 (gate): the blat DFS kernel swept over the leading offsets of a
     // deterministic DNA-ification of each document (chars → acgt by code
     // mod 4). The recursive backtracking DFS is not SQL-expressible →
@@ -222,7 +241,32 @@ object CoverageQueries {
     }
   )
 
+  // X4 gate probe: wobble-bearing must window at the start, optional
+  // window anchored at the end — exercises ^, $, .+, and (c|t) degeneracy
+  private val x4Pattern = graft.bio.MatchPattern("cacacaca",
+    must = Seq(graft.bio.PatternCondition(0, 2)),
+    optional = Seq(graft.bio.PatternCondition(-2, 2)))
+
+  private def x4Anchor(re: String): String =
+    if (re.startsWith("^")) re else "^(?:" + re + ")"
+
+  private val x4OracleSql: String = {
+    val mustCase = s"regexp_matches(dna, '${x4Anchor(x4Pattern.mustPattern.pattern)}')"
+    val optTerms = x4Pattern.optionPatterns.map { case (p, inc) =>
+      s"+ CASE WHEN regexp_matches(dna, '${x4Anchor(p.pattern)}') THEN $inc ELSE 0 END"
+    }.mkString(" ")
+    s"""SELECT doc_id,
+          CAST(CASE WHEN $mustCase
+               THEN ${x4Pattern.mustScore} $optTerms ELSE 0 END AS INTEGER) AS score
+        FROM (SELECT doc_id,
+                array_to_string(list_transform(string_split(text, ''),
+                  c -> 'acgt'[ascii(c) % 4 + 1]), '') AS dna
+              FROM documents) t
+        ORDER BY doc_id"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "x4_pattern_text" -> x4OracleSql,
     "f2_alphabet_filter" ->
       """SELECT doc_id, n_chars FROM documents
          WHERE regexp_matches(text, '^[a-z ]+$') ORDER BY doc_id""",
