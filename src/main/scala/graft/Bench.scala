@@ -47,6 +47,11 @@ object Bench {
         // queries aren't GC-taxed by it — and so run 2 recomputes rather
         // than reading run 1's persisted results
         spark.catalog.clearCache()
+        // then force a full collection OUTSIDE the timed window: without
+        // this, garbage accumulated across the 59-query run lands as GC
+        // pauses inside whichever queries allocate next (round 5 recorded
+        // ann_ivf/ann_lsh at ~6 s that re-measure at ~1 s in a fresh heap)
+        System.gc()
         t
       }.min
       name -> sec

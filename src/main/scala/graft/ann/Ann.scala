@@ -251,8 +251,13 @@ object Ann {
         (id, v, n, vn)
       }
 
+    // NOT persisted: prep is a map-only pass, and the corpus is scanned
+    // exactly twice (the bounded training take-ordered below, then the
+    // index build inside the caller's final action). Caching it would save
+    // one cheap recompute at the price of a MEMORY_AND_DISK block leaking
+    // past the query in library use — callers who probe the same index
+    // repeatedly should persist the returned DataFrame themselves.
     val corpus = prep(embeddings)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     def nearestCell(vn: Array[Double], cents: Array[Array[Double]]): Int = {
       var best = 0; var bestDot = Double.NegativeInfinity; var c = 0
@@ -326,9 +331,11 @@ object Ann {
 
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
+    // No dedup needed: the index assigns each neighbor to exactly ONE cell,
+    // so a (query, neighbor) pair can meet in at most one probed cell — a
+    // dropDuplicates here would be a pure no-op Exchange of vector-laden rows.
     probes.join(index, Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .dropDuplicates("query_id", "neighbor_id")
       .withColumn("cos", dotUdf(col("qvec"), col("nvec")) / (col("qn") * col("nn")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -360,20 +367,28 @@ object Ann {
       struct(lit(t).as("t"),
         hyperplaneSignature(col(vecCol), dim, numPlanes, t * numPlanes).as("sig"))
     }: _*)
-    val signed = embeddings.select(
-      col(idCol).as("id"), asDouble(col(vecCol)).as("v"),
-      explode(sigs).as("cell"))
-    val queries = signed.where(queryPred)
-      .select(col("id").as("query_id"), col("v").as("qvec"), col("cell"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    queries.join(
-        signed.select(col("id").as("neighbor_id"), col("v").as("nvec"), col("cell")),
+    // Candidate generation and the (query, neighbor) dedup carry IDS ONLY —
+    // the OR-amplification dedup exchange moves (cell, id) longs, never the
+    // 64-dim vectors (a vector-laden Exchange is the 100 TB cost). Vectors
+    // and their ONCE-precomputed norms join back in afterwards, so scoring
+    // is a single dot product per surviving pair instead of three.
+    val candidates = embeddings.where(queryPred)
+      .select(col(idCol).as("query_id"), explode(sigs).as("cell"))
+      .join(
+        embeddings.select(col(idCol).as("neighbor_id"), explode(sigs).as("cell")),
         Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "qvec", "neighbor_id", "nvec")
+      .select("query_id", "neighbor_id")
       .dropDuplicates("query_id", "neighbor_id")
-      .withColumn("cos", cosine(col("qvec"), col("nvec")))
+    val base = withNorm(embeddings, idCol, vecCol)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    candidates
+      .join(base.select(col("id").as("query_id"), col("v").as("qvec"), col("nrm").as("qn")),
+        Seq("query_id"))
+      .join(base.select(col("id").as("neighbor_id"), col("v").as("nvec"), col("nrm").as("nn")),
+        Seq("neighbor_id"))
+      .withColumn("cos", dotCol(col("qvec"), col("nvec")) / (col("qn") * col("nn")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
