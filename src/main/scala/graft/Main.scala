@@ -235,11 +235,15 @@ object Main {
         val out = req("out")
         val minQuality = opts.getOrElse("min-quality", "0.4").toDouble
         val semantic = opts.contains("semantic")
-        val kept0 = SparkEntry.queries("cur_corpus")(spark, dir)
+        // threshold threads INTO the pipeline (gate before representative
+        // selection), not as a post-filter over the 0.4-gated registry
+        // queries — a post-filter would drop clusters whose min-id
+        // representative fails a stricter gate even when members pass
+        val kept0 = graft.text.TextQueries.curateCorpus(spark, dir, minQuality)
         val kept =
-          if (!semantic) kept0.where(col("quality") >= minQuality)
-          else kept0.where(col("quality") >= minQuality)
-            .join(SparkEntry.queries("cur_semantic")(spark, dir)
+          if (!semantic) kept0
+          else kept0.join(
+            graft.text.TextQueries.curateSemantic(spark, dir, minQuality)
               .select(col("doc_id")), Seq("doc_id"), "left_semi")
         kept.write.mode("overwrite").parquet(s"$out/survivors.parquet")
         SparkEntry.queries("tx_length_quantiles")(spark, dir)

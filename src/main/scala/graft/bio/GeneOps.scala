@@ -94,10 +94,7 @@ object GeneOps {
     */
   def gapsDF(segments: DataFrame, orderCol: String): DataFrame = {
     graft.ops.DistributedLag
-      .withLag(segments, "right", "prev_right", segments.schema("right").dataType match {
-        case org.apache.spark.sql.types.LongType => 0L
-        case _ => 0
-      }, col(orderCol))
+      .withLag(segments, "right", "prev_right", 0, col(orderCol))
       .where(col("prev_right") < col("left") - 1)
       .select((col("prev_right") + 1).as("gap_left"), (col("left") - 1).as("gap_right"))
   }

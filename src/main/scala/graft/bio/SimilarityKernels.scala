@@ -557,9 +557,12 @@ object SimilarityKernels {
     var mask = 0L
     var i = 0
     while (i < n) {
-      val g: Int = gene(i)
-      val d: Int = db(offset + i)
-      val eq = ((g ^ d) - 1) >>> 31               // 1 iff g == d (ASCII bytes)
+      // mask to [0,255] BEFORE the arithmetic trick: with sign-extended
+      // bytes, g^d can be negative (exactly one of the two >= 0x80) and
+      // ((g^d)-1) >>> 31 would report a false match for non-ASCII input
+      val g: Int = gene(i) & 0xFF
+      val d: Int = db(offset + i) & 0xFF
+      val eq = ((g ^ d) - 1) >>> 31               // 1 iff g == d (any byte)
       val wob = (((g ^ 99) - 1) >>> 31) & (((d ^ 116) - 1) >>> 31) // g=='c' && d=='t'
       mask |= (eq | wob).toLong << i
       i += 1

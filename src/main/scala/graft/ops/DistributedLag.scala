@@ -24,7 +24,10 @@ object DistributedLag {
   /** `df` plus `lagCol` = previous row's `valueCol` in the global
     * `sortCols` order (`default` for the very first row). The sort key must
     * be a total order for the result to be deterministic — same contract as
-    * a global `lag` window.
+    * a global `lag` window. A numeric `default` is coerced to `valueCol`'s
+    * exact runtime type — the lag column shares the value column's dataType,
+    * and an `Int 0` landing in (say) a Double field would produce a row the
+    * encoder rejects at read time.
     */
   def withLag(
       df: DataFrame,
@@ -32,9 +35,23 @@ object DistributedLag {
       lagCol: String,
       default: Any,
       sortCols: Column*): DataFrame = {
+    import org.apache.spark.sql.types._
     val spark = df.sparkSession
     val sorted = df.repartitionByRange(sortCols: _*).sortWithinPartitions(sortCols: _*)
     val valueField = df.schema(valueCol)
+    val default0: Any = default match {
+      case n: Number => valueField.dataType match {
+        case LongType => n.longValue()
+        case IntegerType => n.intValue()
+        case ShortType => n.shortValue()
+        case ByteType => n.byteValue()
+        case DoubleType => n.doubleValue()
+        case FloatType => n.floatValue()
+        case _: DecimalType => new java.math.BigDecimal(n.toString)
+        case _ => default
+      }
+      case _ => default
+    }
     val schema = StructType(sorted.schema.fields :+
       valueField.copy(name = lagCol, nullable = valueField.nullable || default == null))
     val valueIdx = sorted.schema.fieldIndex(valueCol)
@@ -49,7 +66,7 @@ object DistributedLag {
 
     val n = rdd.getNumPartitions
     val carryIn = new Array[Any](math.max(n, 1))
-    var acc = default
+    var acc = default0
     var p = 0
     while (p < n) {
       carryIn(p) = acc

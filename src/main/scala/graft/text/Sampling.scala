@@ -18,9 +18,15 @@ object Sampling {
   /** Bucket in [0, buckets): multiplicative hash of the id (Knuth's
     * 2654435761 spread constant) reduced mod a large prime, then mod the
     * bucket count — id-order patterns don't survive into buckets.
+    *
+    * The id is reduced mod the prime BEFORE the multiply: `pmod(id, p)` <
+    * 2^30 keeps the product under 2^62, so the hash is overflow-free (and
+    * identical across engines) for the full BIGINT id domain — a bare
+    * `id * 2654435761` wraps silently in Spark above ~3.47e9 while the
+    * DuckDB oracle raises a BIGINT overflow on the same expression.
     */
   def hashBucket(id: Column, buckets: Int): Column =
-    pmod(id * lit(2654435761L), lit(TextOps.HashPrime)) % buckets
+    pmod(pmod(id, lit(TextOps.HashPrime)) * lit(2654435761L), lit(TextOps.HashPrime)) % buckets
 
   /** Percentage-split label over [[hashBucket]](id, 100):
     * `[0, trainPct)` → "train", `[trainPct, trainPct+valPct)` →

@@ -17,6 +17,45 @@ object TextQueries {
 
   private val qualityStopwords = Seq("the", "a", "of", "and", "to", "is")
 
+  /** cur_corpus, parameterized: quality gate at `minQuality` -> normalized
+    * dedup (keep each cluster's min-id doc) -> survivors with their stats.
+    * The threshold is applied BEFORE representative selection so a stricter
+    * gate never silently drops a whole cluster because its min-id member
+    * failed while others passed (the CLI `--min-quality` knob threads here).
+    */
+  def curateCorpus(s: SparkSession, d: String, minQuality: Double): DataFrame = {
+    val kept = Tables.documents(s, d).select(
+        col("doc_id"), col("lang"), col("text"),
+        TextOps.qualityScore(col("text"), qualityStopwords).as("quality"))
+      .where(col("quality") >= minQuality)
+    val canon = kept
+      .groupBy(TextOps.normalizeText(col("text")).as("nt"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_dups"))
+      .select(col("doc_id"), col("n_dups"))
+    canon.join(kept, Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("n_dups"),
+        size(TextOps.whitespaceTokens(col("text"))).as("n_tokens"), col("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** cur_semantic, parameterized: quality gate at `minQuality`, then drop
+    * embedding-cosine near-dups among the survivors (keep each pair's min
+    * id). See the registry entry for the plan shape.
+    */
+  def curateSemantic(s: SparkSession, d: String, minQuality: Double): DataFrame = {
+    val kept = Tables.documents(s, d).select(
+        col("doc_id"), col("lang"),
+        TextOps.qualityScore(col("text"), qualityStopwords).as("quality"))
+      .where(col("quality") >= minQuality)
+    val emb = Tables.embeddings(s, d)
+      .join(kept.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+    val drop = Ann.cosinePairs(emb, "vec_id", "embedding", 0.4)
+      .select(col("b").as("doc_id")).distinct()
+    kept.join(broadcast(drop), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("quality"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
 
     // ---- text analysis -------------------------------------------------
@@ -165,39 +204,14 @@ object TextQueries {
     // (keep each cluster's min-id doc) -> survivors with their stats. One
     // corpus scan, one groupBy on the canonical text, one hash join back
     // on doc_id — every stage keyed, nothing driver-side
-    "cur_corpus" -> { (s, d) =>
-      val kept = Tables.documents(s, d).select(
-          col("doc_id"), col("lang"), col("text"),
-          TextOps.qualityScore(col("text"), qualityStopwords).as("quality"))
-        .where(col("quality") >= 0.4)
-      val canon = kept
-        .groupBy(TextOps.normalizeText(col("text")).as("nt"))
-        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_dups"))
-        .select(col("doc_id"), col("n_dups"))
-      canon.join(kept, Seq("doc_id"))
-        .select(col("doc_id"), col("lang"), col("n_dups"),
-          size(TextOps.whitespaceTokens(col("text"))).as("n_tokens"), col("quality"))
-        .orderBy("doc_id")
-    },
+    "cur_corpus" -> { (s, d) => curateCorpus(s, d, 0.4) },
 
     // semantic curation across BOTH corpus tables: quality-gate the docs,
     // then drop embedding-cosine near-dups among the survivors (keep each
     // pair's min id). documents⋈embeddings is a keyed semi-join; the
     // near-dup pairs ride the tiled block cosine join; the drop-list is
     // the duplicates — by construction the broadcastable small side
-    "cur_semantic" -> { (s, d) =>
-      val kept = Tables.documents(s, d).select(
-          col("doc_id"), col("lang"),
-          TextOps.qualityScore(col("text"), qualityStopwords).as("quality"))
-        .where(col("quality") >= 0.4)
-      val emb = Tables.embeddings(s, d)
-        .join(kept.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
-      val drop = Ann.cosinePairs(emb, "vec_id", "embedding", 0.4)
-        .select(col("b").as("doc_id")).distinct()
-      kept.join(broadcast(drop), Seq("doc_id"), "left_anti")
-        .select(col("doc_id"), col("lang"), col("quality"))
-        .orderBy("doc_id")
-    },
+    "cur_semantic" -> { (s, d) => curateSemantic(s, d, 0.4) },
 
     // ---- deduplication -------------------------------------------------
 
@@ -416,9 +430,9 @@ object TextQueries {
 
     "sm_hash_split" ->
       """SELECT doc_id,
-           CAST((doc_id * 2654435761) % 1000000007 % 100 AS INTEGER) AS bucket,
-           CASE WHEN (doc_id * 2654435761) % 1000000007 % 100 < 90 THEN 'train'
-                WHEN (doc_id * 2654435761) % 1000000007 % 100 < 95 THEN 'validation'
+           CAST(((doc_id % 1000000007) * 2654435761) % 1000000007 % 100 AS INTEGER) AS bucket,
+           CASE WHEN ((doc_id % 1000000007) * 2654435761) % 1000000007 % 100 < 90 THEN 'train'
+                WHEN ((doc_id % 1000000007) * 2654435761) % 1000000007 % 100 < 95 THEN 'validation'
                 ELSE 'test' END AS split
          FROM documents ORDER BY doc_id""",
 
@@ -441,9 +455,9 @@ object TextQueries {
 
     "sm_stratified" ->
       """SELECT doc_id, lang,
-           CAST((doc_id * 2654435761) % 1000000007 % 100 AS INTEGER) AS bucket
+           CAST(((doc_id % 1000000007) * 2654435761) % 1000000007 % 100 AS INTEGER) AS bucket
          FROM documents
-         WHERE (doc_id * 2654435761) % 1000000007 % 100
+         WHERE ((doc_id % 1000000007) * 2654435761) % 1000000007 % 100
                < CASE WHEN lang = 'en' THEN 20 ELSE 60 END
          ORDER BY doc_id""",
 
