@@ -171,9 +171,10 @@ object Ann {
 
   /** Deterministic pseudo-random hyperplanes: component j of plane p is a
     * fixed hash-derived value in [-1, 1). No RNG — reproducible across
-    * runs and engines.
+    * runs and engines; `private[graft]` so the DuckDB oracle SQL can embed
+    * the exact same matrix as literals (the ann_lsh hash-oracle path).
     */
-  private def planeComponent(p: Int, j: Int): Double = {
+  private[graft] def planeComponent(p: Int, j: Int): Double = {
     val h = (p * 1000003L + j * 7919L + 12345L) * 2654435761L % 1000000007L
     (h.toDouble / 1000000007.0) * 2.0 - 1.0
   }

@@ -285,14 +285,18 @@ object TextQueries {
         col("vec_id") < 20, k = 5)
     },
 
-    // approximate variants: no SQL oracle (bucketing/quantization is not
-    // DuckDB-expressible at reasonable cost) -> driver rows-only check;
-    // recall vs the brute-force baseline is pinned in AnnSpec instead
+    // LSH has a FULL hash oracle: its hyperplanes are data-independent and
+    // deterministic, so the oracle SQL embeds the exact plane matrix as
+    // literals (same fold order, same sign test — see `lshPlanesValues`)
     "ann_lsh_topk" -> { (s, d) =>
       Ann.lshTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         col("vec_id") < 20, k = 5, dim = 64)
     },
 
+    // IVF stays rows-only: its coarse quantizer is DATA-DEPENDENT (k-means
+    // over a corpus sample), so a SQL oracle would have to replicate Lloyd
+    // iterations — recall vs the brute-force baseline is pinned in
+    // TextOpsSpec instead, and determinism of the index is spec-asserted
     "ann_ivf_topk" -> { (s, d) =>
       Ann.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         col("vec_id") < 20, k = 5)
@@ -360,6 +364,16 @@ object TextQueries {
         FROM pairs JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
         WHERE inter / (s1.n + s2.n - inter) >= 0.5
         ORDER BY d1, d2"""
+
+  /** The lshTopK hyperplane matrix as DuckDB VALUES rows `(pg, DOUBLE[])`:
+    * one row per global plane pg = table*numPlanes + bit, components from
+    * [[Ann.planeComponent]] — the single source of truth the UDF also uses.
+    */
+  private def lshPlanesValues(tables: Int, numPlanes: Int, dim: Int): String =
+    (0 until tables * numPlanes).map { pg =>
+      val comps = (0 until dim).map(j => Ann.planeComponent(pg, j).toString).mkString(",")
+      s"($pg,[$comps])"
+    }.mkString(",")
 
   private val dotSql =
     """list_reduce(list_prepend(0.0, list_transform(
@@ -600,6 +614,47 @@ object TextQueries {
               (SQRT(${dot("a.embedding", "a.embedding")}) *
                SQRT(${dot("b.embedding", "b.embedding")})) >= 0.4
           ORDER BY a, b""",
+
+    // LSH oracle: the deterministic hyperplane matrix (64 planes × 64 dims,
+    // Ann.planeComponent) embedded as literal DOUBLE[] rows — Double.toString
+    // emits the shortest decimal that round-trips, and DuckDB's parser
+    // rounds-to-nearest, so both engines see bit-identical planes. The
+    // signature fold (list_prepend(0.0, …) + left-to-right reduce) mirrors
+    // the UDF's `var dot = 0.0; dot += v(j)*plane(j)` exactly, and the
+    // candidate set is DISTINCT pairs sharing any (table, signature) cell —
+    // the same OR-amplification as lshTopK. Exact re-scoring and ranking
+    // are the ann_cosine oracle verbatim.
+    "ann_lsh_topk" ->
+      s"""WITH planes(pg, w) AS (VALUES ${lshPlanesValues(8, 8, 64)}),
+          sigs AS (
+            SELECT e.vec_id AS id, pg // 8 AS t,
+                   CAST(SUM(CASE WHEN list_reduce(list_prepend(0.0,
+                       list_transform(generate_series(1, 64),
+                         i -> e.embedding[i]::DOUBLE * w[i])),
+                       (x, y) -> x + y) > 0
+                     THEN (1::BIGINT << (pg % 8)) ELSE 0 END) AS BIGINT) AS sig
+            FROM embeddings e CROSS JOIN planes
+            GROUP BY 1, 2
+          ),
+          cand AS (
+            SELECT DISTINCT q.id AS query_id, c.id AS neighbor_id
+            FROM sigs q JOIN sigs c ON q.t = c.t AND q.sig = c.sig AND q.id <> c.id
+            WHERE q.id < 20
+          ),
+          s AS (
+            SELECT cand.query_id, cand.neighbor_id,
+              ${dot("q.embedding", "c.embedding")} /
+                (SQRT(${dot("q.embedding", "q.embedding")}) *
+                 SQRT(${dot("c.embedding", "c.embedding")})) AS cos
+            FROM cand
+            JOIN embeddings q ON q.vec_id = cand.query_id
+            JOIN embeddings c ON c.vec_id = cand.neighbor_id
+          )
+          SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+                 FLOOR(cos * 10000.0 + 0.5) / 10000.0 AS score
+          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY cos DESC, neighbor_id) AS rank FROM s)
+          WHERE rank <= 5 ORDER BY query_id, rank""",
 
     "ann_cosine_topk" ->
       s"""WITH s AS (
