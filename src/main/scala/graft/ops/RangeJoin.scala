@@ -53,6 +53,26 @@ object RangeJoin {
       .drop("_bucket")
   }
 
+  /** Plan-level variant of [[pointInInterval]]: installs
+    * [[graft.plans.IntervalStabJoinStrategy]] (idempotent) and emits the
+    * bare `p BETWEEN s AND e` predicate — the strategy plans a
+    * range-partition + sorted-sweep physical join (IEJoin family) instead
+    * of Catalyst's BroadcastNestedLoopJoin. Compared to the bucketed form:
+    * no interval explosion, no residual bucket filter, and output work
+    * proportional to true matches, with no `bucketWidth` to tune.
+    */
+  def pointInIntervalPlanned(
+      points: DataFrame,
+      pointCol: String,
+      intervals: DataFrame,
+      startCol: String,
+      endCol: String): DataFrame = {
+    graft.plans.IntervalStabJoinStrategy.register(points.sparkSession)
+    points.join(
+      intervals,
+      col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
+  }
+
   /** Interval-overlap join: pairs where [ls,le] and [rs,re] overlap.
     * Same bucket trick; the post-filter keeps true overlaps and the
     * `floor(greatest(ls,rs)/w) = bucket` guard deduplicates pairs that share

@@ -1,0 +1,441 @@
+package graft.plans
+
+import scala.collection.mutable
+
+import org.apache.spark.{Partitioner, RangePartitioner}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
+import org.apache.spark.sql.types._
+
+/** Sort-based interval-stab join — a whole-operator replacement for the
+  * BroadcastNestedLoopJoin Catalyst would otherwise plan for a bare
+  * `p BETWEEN s AND e` inner-join predicate (the reference's sorted-index
+  * interval probes, `src/utils/gene_database.py:10-24`, at relation scale).
+  *
+  * Physical shape (the IEJoin/interval-stab family, cf. DuckDB's IEJoin):
+  *
+  *   1. the POINT side is range-partitioned on the point key (bounds from
+  *      [[RangePartitioner]]'s reservoir sample — one lightweight key-only
+  *      pass);
+  *   2. each INTERVAL replicates to exactly the partitions its [lo, hi]
+  *      span overlaps (`getPartition(lo) .. getPartition(hi)` — the
+  *      partitioner is monotonic, so this is the precise cover, no
+  *      post-join dedup);
+  *   3. per partition: points sort ascending, intervals sort by lo, and a
+  *      single forward sweep maintains the active set (arrived: lo ≤ p;
+  *      expired: hi < p) — every emitted row is a true match, so work is
+  *      O(n log n + output), never O(|P|·|I|).
+  *
+  * Scale notes: both shuffles move each row once (intervals × their
+  * partition-span cover, ~1 for spans below the partition width); the
+  * active set holds only intervals overlapping the current point, so task
+  * memory is the partition's rows — bounded by the range partitioning
+  * exactly like a sort-merge join's, and skew in point keys is absorbed by
+  * the sampled bounds the same way `repartitionByRange` absorbs it.
+  */
+object IntervalStabJoinStrategy extends SparkStrategy with PredicateHelper
+    with org.apache.spark.sql.catalyst.SQLConfHelper {
+
+  /** One inequality conjunct read as "point OP bound": `point` references
+    * one join side only, `bound` the other; `isLower` means `bound ≤/<
+    * point`, else `point ≤/< bound`; `strict` = the open form.
+    */
+  private case class Ineq(
+      point: Expression, bound: Expression, isLower: Boolean, strict: Boolean)
+
+  private def integral(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | ShortType | ByteType | DateType => true
+    case _ => false
+  }
+
+  /** All "point-vs-bound" readings of a single comparison conjunct. */
+  private def readings(c: Expression): Seq[Ineq] = c match {
+    case GreaterThanOrEqual(a, b) =>
+      Seq(Ineq(a, b, isLower = true, strict = false),
+          Ineq(b, a, isLower = false, strict = false))
+    case LessThanOrEqual(a, b) =>
+      Seq(Ineq(a, b, isLower = false, strict = false),
+          Ineq(b, a, isLower = true, strict = false))
+    case GreaterThan(a, b) =>
+      Seq(Ineq(a, b, isLower = true, strict = true),
+          Ineq(b, a, isLower = false, strict = true))
+    case LessThan(a, b) =>
+      Seq(Ineq(a, b, isLower = false, strict = true),
+          Ineq(b, a, isLower = true, strict = true))
+    case _ => Seq.empty
+  }
+
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case Join(left, right, Inner, Some(cond), _) =>
+      val conjuncts = splitConjunctivePredicates(cond)
+      def sideOf(e: Expression): Option[Boolean] =
+        if (e.references.isEmpty) None
+        else if (e.references.subsetOf(left.outputSet)) Some(true)
+        else if (e.references.subsetOf(right.outputSet)) Some(false)
+        else None
+      // equality across the sides → Catalyst's hash joins are the right
+      // plan; this strategy only claims PURE interval predicates
+      val hasEqui = conjuncts.exists {
+        case EqualTo(a, b) =>
+          (for (sa <- sideOf(a); sb <- sideOf(b)) yield sa != sb).getOrElse(false)
+        case _ => false
+      }
+      if (hasEqui) return Nil
+
+      val candidates = for {
+        lo <- conjuncts
+        hi <- conjuncts
+        if lo ne hi
+        rl <- readings(lo) if rl.isLower
+        rh <- readings(hi) if !rh.isLower
+        if rl.point.semanticEquals(rh.point)
+        if integral(rl.point.dataType) &&
+           integral(rl.bound.dataType) && integral(rh.bound.dataType)
+        pointSide <- sideOf(rl.point)
+        loSide <- sideOf(rl.bound) if loSide != pointSide
+        hiSide <- sideOf(rh.bound) if hiSide != pointSide
+      } yield (lo, hi, rl, rh, pointSide)
+
+      candidates.headOption match {
+        case Some((loC, hiC, rl, rh, pointsOnLeft)) =>
+          val extra = conjuncts.filterNot(c => (c eq loC) || (c eq hiC))
+            .reduceOption(And)
+          // variant selection mirrors Catalyst's broadcast-vs-shuffle join
+          // choice: a dictionary-sized interval side broadcasts (zero
+          // shuffles, no sampling job — the point side streams map-side);
+          // a large one takes the range-partitioned sweep. The broadcast
+          // build is a DRIVER-serial collect+sort, so it must also be
+          // amortized by a much larger point side (measured at sf0.1:
+          // 150k intervals vs 600k points — the collect costs more than
+          // the sweep's two shuffles save), hence the asymmetry guard.
+          val ivSide = if (pointsOnLeft) right else left
+          val ptSide = if (pointsOnLeft) left else right
+          val thr = conf.autoBroadcastJoinThreshold
+          val ivSize = ivSide.stats.sizeInBytes
+          if (thr > 0 && ivSize <= thr && ivSize * 16 <= ptSide.stats.sizeInBytes)
+            BroadcastIntervalStabJoinExec(
+              rl.point, rl.bound, rh.bound, rl.strict, rh.strict, extra,
+              pointsOnLeft, planLater(left), planLater(right)) :: Nil
+          else
+            IntervalStabJoinExec(
+              rl.point, rl.bound, rh.bound, rl.strict, rh.strict, extra,
+              pointsOnLeft, planLater(left), planLater(right)) :: Nil
+        case None => Nil
+      }
+    case _ => Nil
+  }
+
+  /** Idempotently install the strategy on `spark` (tried before Catalyst's
+    * built-ins, so a matching join plans as [[IntervalStabJoinExec]]).
+    */
+  def register(spark: SparkSession): Unit = {
+    val exp = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].experimental
+    if (!exp.extraStrategies.contains(this))
+      exp.extraStrategies = exp.extraStrategies :+ this
+  }
+}
+
+/** Broadcast interval-stab join: the interval side is collected, sorted by
+  * `lo`, and broadcast with a prefix-max-`hi` array; each point binary
+  * searches the last arrival (`lo ≤ p`) and walks DOWN emitting matches,
+  * stopping as soon as `max(hi[0..i]) < p` — no interval at or below i can
+  * cover p, so the walk touches only true matches plus one sentinel probe
+  * (for overlap-bounded interval sets; nested pathological sets degrade
+  * toward the arrival count, never past it).
+  *
+  * Zero shuffles and zero extra jobs on the point side — the exact analogue
+  * of BroadcastHashJoin vs SortMergeJoin, chosen by
+  * [[IntervalStabJoinStrategy]] from the interval side's size statistics.
+  * This is also the reference's own shape at dictionary scale: a broadcast
+  * sorted index probed per record (`src/utils/gene_database.py:10-24`).
+  */
+case class BroadcastIntervalStabJoinExec(
+    point: Expression,
+    lower: Expression,
+    upper: Expression,
+    lowerStrict: Boolean,
+    upperStrict: Boolean,
+    extraCond: Option[Expression],
+    pointsOnLeft: Boolean,
+    left: SparkPlan,
+    right: SparkPlan) extends SparkPlan {
+
+  override def output: Seq[Attribute] = left.output ++ right.output
+  override def children: Seq[SparkPlan] = Seq(left, right)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[SparkPlan]): SparkPlan =
+    copy(left = newChildren(0), right = newChildren(1))
+
+  private def toLong(v: Any): Long = v match {
+    case l: Long => l
+    case i: Int => i.toLong
+    case s: Short => s.toLong
+    case b: Byte => b.toLong
+    case other => throw new IllegalStateException(s"non-integral key: $other")
+  }
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val (pointsPlan, ivPlan) =
+      if (pointsOnLeft) (left, right) else (right, left)
+    val boundPoint = BindReferences.bindReference(point, pointsPlan.output)
+    val boundLo = BindReferences.bindReference(lower, ivPlan.output)
+    val boundHi = BindReferences.bindReference(upper, ivPlan.output)
+
+    // driver-side index build (size-gated by the strategy): sort by lo,
+    // carry hi and the running max of hi for the early-stop walk
+    val collected = ivPlan.executeCollect()
+    val triples = collected.flatMap { r =>
+      val lo = boundLo.eval(r)
+      val hi = boundHi.eval(r)
+      if (lo == null || hi == null) None
+      else {
+        val l = toLong(lo); val h = toLong(hi)
+        if (h < l) None else Some((l, h, r))
+      }
+    }.sortBy(_._1)
+    val nIv = triples.length
+    val loArr = new Array[Long](nIv)
+    val hiArr = new Array[Long](nIv)
+    val maxHi = new Array[Long](nIv)
+    val rowArr = new Array[InternalRow](nIv)
+    var i = 0
+    var runMax = Long.MinValue
+    while (i < nIv) {
+      loArr(i) = triples(i)._1
+      hiArr(i) = triples(i)._2
+      rowArr(i) = triples(i)._3
+      runMax = math.max(runMax, hiArr(i))
+      maxHi(i) = runMax
+      i += 1
+    }
+    val bc = sparkContext.broadcast((loArr, hiArr, maxHi, rowArr))
+
+    val loStrict = lowerStrict
+    val hiStrict = upperStrict
+    val ptsLeft = pointsOnLeft
+    val outAttrs = output
+    val extra = extraCond
+
+    pointsPlan.execute().mapPartitions { it =>
+      val (lo, hi, pmax, rows) = bc.value
+      val n = lo.length
+      val joined = new JoinedRow
+      val outProj = UnsafeProjection.create(outAttrs, outAttrs)
+      val pred = extra.map(e =>
+        Predicate.create(BindReferences.bindReference(e, outAttrs)))
+
+      val matches = it.flatMap { r =>
+        val k = boundPoint.eval(r)
+        if (k == null || n == 0) Iterator.empty
+        else {
+          val p = toLong(k)
+          // last index with lo <= p (or lo < p when strict): binary search
+          var a = 0; var b = n // invariant: lo(a-1) arrives, lo(b) doesn't
+          while (a < b) {
+            val m = (a + b) >>> 1
+            val arrives = if (loStrict) lo(m) < p else lo(m) <= p
+            if (arrives) a = m + 1 else b = m
+          }
+          var idx = a - 1
+          val prow = r
+          new Iterator[InternalRow] {
+            private def alive(h: Long) = if (hiStrict) h > p else h >= p
+            private def seek(): Unit = {
+              while (idx >= 0 && alive(pmax(idx)) && !alive(hi(idx))) idx -= 1
+              if (idx >= 0 && !alive(pmax(idx))) idx = -1
+            }
+            override def hasNext: Boolean = { seek(); idx >= 0 }
+            override def next(): InternalRow = {
+              seek()
+              if (idx < 0) throw new NoSuchElementException
+              val irow = rows(idx)
+              idx -= 1
+              if (ptsLeft) joined(prow, irow) else joined(irow, prow)
+            }
+          }
+        }
+      }
+      val filtered = pred match {
+        case Some(p) => matches.filter(p.eval)
+        case None => matches
+      }
+      filtered.map(outProj)
+    }
+  }
+}
+
+/** Physical interval-stab join; see [[IntervalStabJoinStrategy]] for the
+  * algorithm. `pointsOnLeft` records which logical side carries the point
+  * key — output column order stays `left ++ right` either way.
+  */
+case class IntervalStabJoinExec(
+    point: Expression,
+    lower: Expression,
+    upper: Expression,
+    lowerStrict: Boolean,
+    upperStrict: Boolean,
+    extraCond: Option[Expression],
+    pointsOnLeft: Boolean,
+    left: SparkPlan,
+    right: SparkPlan) extends SparkPlan {
+
+  override def output: Seq[Attribute] = left.output ++ right.output
+  override def children: Seq[SparkPlan] = Seq(left, right)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[SparkPlan]): SparkPlan =
+    copy(left = newChildren(0), right = newChildren(1))
+
+  /** partitionBy with Kryo instead of the RDD-default Java serialization —
+    * UnsafeRow is KryoSerializable (raw byte copy), which roughly halves
+    * per-row shuffle cost versus ObjectOutputStream.
+    */
+  private def shuffle[K: scala.reflect.ClassTag](
+      rdd: RDD[(K, UnsafeRow)], p: Partitioner): RDD[(K, UnsafeRow)] =
+    new org.apache.spark.rdd.ShuffledRDD[K, UnsafeRow, UnsafeRow](rdd, p)
+      .setSerializer(new org.apache.spark.serializer.KryoSerializer(
+        sparkContext.getConf))
+
+  private def toLong(v: Any): Long = v match {
+    case l: Long => l
+    case i: Int => i.toLong
+    case s: Short => s.toLong
+    case b: Byte => b.toLong
+    case other => throw new IllegalStateException(s"non-integral key: $other")
+  }
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val (pointsPlan, ivPlan) =
+      if (pointsOnLeft) (left, right) else (right, left)
+    val numParts = math.max(1, conf.numShufflePartitions)
+
+    val boundPoint = BindReferences.bindReference(point, pointsPlan.output)
+    val boundLo = BindReferences.bindReference(lower, ivPlan.output)
+    val boundHi = BindReferences.bindReference(upper, ivPlan.output)
+    val ptsOutput = pointsPlan.output
+    val ivOutput = ivPlan.output
+
+    // the partitioner's reservoir sample only needs KEYS — sampling over
+    // the full keyed RDD would pay a per-row UnsafeRow copy in a pass that
+    // discards every row
+    val keysOnly: RDD[(Long, Boolean)] =
+      pointsPlan.execute().mapPartitions { it =>
+        it.flatMap { r =>
+          val k = boundPoint.eval(r)
+          if (k == null) Iterator.empty else Iterator.single((toLong(k), true))
+        }
+      }
+    val rp = new RangePartitioner(numParts, keysOnly)
+    val n = math.max(1, rp.numPartitions)
+
+    val ptsKeyed: RDD[(Long, UnsafeRow)] =
+      pointsPlan.execute().mapPartitions { it =>
+        val proj = UnsafeProjection.create(ptsOutput, ptsOutput)
+        it.flatMap { r =>
+          val k = boundPoint.eval(r)
+          if (k == null) Iterator.empty
+          else Iterator.single((toLong(k), proj(r).copy()))
+        }
+      }
+    val ptsPart = shuffle(ptsKeyed, rp)
+
+    val ivKeyed: RDD[(Int, UnsafeRow)] = ivPlan.execute().mapPartitions { it =>
+      val proj = UnsafeProjection.create(ivOutput, ivOutput)
+      it.flatMap { r =>
+        val lo = boundLo.eval(r)
+        val hi = boundHi.eval(r)
+        if (lo == null || hi == null) Iterator.empty
+        else {
+          val l = toLong(lo); val h = toLong(hi)
+          if (h < l) Iterator.empty
+          else {
+            val row = proj(r).copy()
+            (rp.getPartition(l) to rp.getPartition(h)).iterator.map(p => (p, row))
+          }
+        }
+      }
+    }
+    val ivPart = shuffle(ivKeyed, new Partitioner {
+      override def numPartitions: Int = n
+      override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+    })
+
+    val loStrict = lowerStrict
+    val hiStrict = upperStrict
+    val ptsLeft = pointsOnLeft
+    val outAttrs = output
+    val extra = extraCond
+
+    ptsPart.zipPartitions(ivPart, preservesPartitioning = false) { (pit, iit) =>
+      val pts = pit.toArray.sortBy(_._1)
+      val ivs = iit.map { case (_, row) =>
+        (toLong(boundLo.eval(row)), toLong(boundHi.eval(row)), row)
+      }.toArray.sortBy(_._1)
+
+      if (pts.isEmpty || ivs.isEmpty) Iterator.empty
+      else {
+        val joined = new JoinedRow
+        val outProj = UnsafeProjection.create(outAttrs, outAttrs)
+        val pred = extra.map(e =>
+          Predicate.create(BindReferences.bindReference(e, outAttrs)))
+
+        val matches: Iterator[InternalRow] = new Iterator[InternalRow] {
+          private var pi = 0          // current point
+          private var ai = 0          // next interval to arrive
+          private var ci = 0          // cursor into active for current point
+          private val active = new java.util.ArrayList[(Long, UnsafeRow)]()
+          private var ready = false   // active prepared for pts(pi)
+
+          private def arrives(lo: Long, p: Long): Boolean =
+            if (loStrict) lo < p else lo <= p
+          private def expired(hi: Long, p: Long): Boolean =
+            if (hiStrict) hi <= p else hi < p
+
+          private def prepare(): Unit = {
+            while (!ready && pi < pts.length) {
+              val p = pts(pi)._1
+              while (ai < ivs.length && arrives(ivs(ai)._1, p)) {
+                active.add((ivs(ai)._2, ivs(ai)._3)); ai += 1
+              }
+              var r = 0; var w = 0
+              while (r < active.size) {
+                val e = active.get(r)
+                if (!expired(e._1, p)) { active.set(w, e); w += 1 }
+                r += 1
+              }
+              while (active.size > w) active.remove(active.size - 1)
+              if (w > 0) { ci = 0; ready = true }
+              else pi += 1
+            }
+          }
+
+          override def hasNext: Boolean = {
+            if (!ready) prepare()
+            while (ready && ci >= active.size) {
+              ready = false; pi += 1; prepare()
+            }
+            ready && pi < pts.length
+          }
+
+          override def next(): InternalRow = {
+            if (!hasNext) throw new NoSuchElementException
+            val prow = pts(pi)._2
+            val irow = active.get(ci)._2
+            ci += 1
+            if (ptsLeft) joined(prow, irow) else joined(irow, prow)
+          }
+        }
+
+        val filtered = pred match {
+          case Some(p) => matches.filter(p.eval)
+          case None => matches
+        }
+        filtered.map(outProj)
+      }
+    }
+  }
+}

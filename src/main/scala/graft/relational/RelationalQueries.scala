@@ -95,13 +95,16 @@ object RelationalQueries {
         .orderBy($"o_orderkey")
     },
 
-    // J1 (scale path): bin-bucketed range join (SURVEY §2.4 J1 "at 100 TB")
+    // J1 (scale path): custom interval-stab physical join (IEJoin family,
+    // plans/IntervalStabJoin.scala) — range-partitioned sorted sweep, no
+    // interval explosion, work proportional to true matches. The bucketed
+    // RangeJoin.pointInInterval remains the strategy-free API variant.
     "j1_range_join" -> { (s, d) =>
       import s.implicits._
       val iv = Tables.orders(s, d)
         .select($"o_orderkey", $"o_orderkey".as("iv_start"), ($"o_orderkey" + 9L).as("iv_end"))
       val pts = Tables.lineitem(s, d).select($"l_orderkey", $"l_quantity")
-      RangeJoin.pointInInterval(pts, "l_orderkey", iv, "iv_start", "iv_end", 10L)
+      RangeJoin.pointInIntervalPlanned(pts, "l_orderkey", iv, "iv_start", "iv_end")
         .groupBy($"o_orderkey")
         .agg(count(lit(1)).as("n_pts"), centsSum($"l_quantity").as("qty_cents"))
         .orderBy($"o_orderkey")

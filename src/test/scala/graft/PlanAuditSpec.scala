@@ -41,8 +41,10 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
-  test("j1_range_join: bucketed range join, no nested-loop/cartesian") {
+  test("j1_range_join: interval-stab physical join, no nested-loop/cartesian") {
     val plan = physical(q("j1_range_join"))
+    assert(plan.contains("IntervalStabJoin"),
+      s"expected the custom interval-stab strategy to claim the join:\n$plan")
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       s"range join degenerated to an all-pairs physical join:\n$plan")
   }

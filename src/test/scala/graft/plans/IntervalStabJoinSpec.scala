@@ -1,0 +1,153 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+
+import graft.SparkSpec
+import graft.ops.RangeJoin
+
+/** The interval-stab strategy must produce exactly the rows of a
+  * driver-side nested-loop reference (NOT a Spark cross join — Catalyst
+  * would rewrite that back into an inner join this very strategy claims),
+  * across random data, strict/inclusive bounds, point side, empty inputs,
+  * and extra residual predicates — and must actually claim the plan.
+  */
+class IntervalStabJoinSpec extends SparkSpec with BeforeAndAfterAll {
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    IntervalStabJoinStrategy.register(spark)
+  }
+
+  private def randomData(seed: Int, nPts: Int, nIvs: Int, span: Int) = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    val pts = (0 until nPts).map(i => (i, rnd.nextInt(1000).toLong))
+      .toDF("pt_id", "p")
+    val ivs = (0 until nIvs).map { i =>
+      val s = rnd.nextInt(1000).toLong
+      (i, s, s + rnd.nextInt(span))
+    }.toDF("iv_id", "s", "e")
+    (pts, ivs)
+  }
+
+  /** Driver-side nested-loop reference over the collected inputs. */
+  private def reference(
+      pts: DataFrame, ivs: DataFrame,
+      loStrict: Boolean = false, hiStrict: Boolean = false): Seq[(Int, Int)] = {
+    val ps = pts.collect().map(r => (r.getInt(0), r.getLong(1)))
+    val is = ivs.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    (for {
+      (pid, p) <- ps
+      (iid, s, e) <- is
+      if (if (loStrict) p > s else p >= s) && (if (hiStrict) p < e else p <= e)
+    } yield (pid, iid)).sorted.toSeq
+  }
+
+  private def pairs(df: DataFrame): Seq[(Int, Int)] =
+    df.select("pt_id", "iv_id").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).sorted.toSeq
+
+  /** Run `body` with broadcast forced off (shuffle-sweep variant) then
+    * back on (broadcast variant picks up small sides again).
+    */
+  private def withoutBroadcast[A](body: => A): A = {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try body finally spark.conf.set(key, old)
+  }
+
+  test("matches nested-loop reference on random data (both variants)") {
+    // asymmetric sides: points ≫ intervals so stats select the broadcast
+    // variant under the default conf; broadcast off forces the sweep
+    val (pts, ivs) = randomData(1, 5000, 60, 20)
+    val q = pts.join(ivs, col("p") >= col("s") && col("p") <= col("e"))
+    val want = reference(pts, ivs)
+    assert(want.nonEmpty)
+    assert(pairs(q) == want)                      // broadcast variant
+    withoutBroadcast { assert(pairs(q) == want) } // shuffle-sweep variant
+  }
+
+  test("the strategy claims the plan, picking the variant by stats") {
+    val (pts, ivs) = randomData(2, 5000, 30, 10)
+    def plan = pts.join(ivs, col("p") >= col("s") && col("p") <= col("e"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastIntervalStabJoin"), plan)
+    withoutBroadcast {
+      val p = plan
+      assert(p.contains("IntervalStabJoin") && !p.contains("BroadcastIntervalStabJoin"), p)
+    }
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // symmetric sides: the driver-serial broadcast build is NOT amortized —
+    // the sweep must win even though the interval side fits the threshold
+    val (pts2, ivs2) = randomData(3, 60, 50, 10)
+    val p2 = pts2.join(ivs2, col("p") >= col("s") && col("p") <= col("e"))
+      .queryExecution.executedPlan.toString
+    assert(p2.contains("IntervalStabJoin") && !p2.contains("BroadcastIntervalStabJoin"), p2)
+  }
+
+  test("strict bounds and reversed operand order (both variants)") {
+    val (pts, ivs) = randomData(3, 400, 200, 15)
+    val q = pts.join(ivs, col("s") < col("p") && col("e") > col("p"))
+    val want = reference(pts, ivs, loStrict = true, hiStrict = true)
+    assert(want.nonEmpty)
+    assert(pairs(q) == want)
+    withoutBroadcast { assert(pairs(q) == want) }
+  }
+
+  test("points on the RIGHT side of the join") {
+    val (pts, ivs) = randomData(4, 300, 200, 15)
+    val got = pairs(ivs.join(pts, col("p") >= col("s") && col("p") <= col("e")))
+    val want = reference(pts, ivs)
+    assert(want.nonEmpty && got == want)
+  }
+
+  test("extra residual predicate rides along") {
+    val (pts, ivs) = randomData(5, 300, 200, 15)
+    val got = pairs(pts.join(ivs,
+      col("p") >= col("s") && col("p") <= col("e") &&
+        (col("pt_id") + col("iv_id")) % 3 === 0))
+    val want = reference(pts, ivs).filter { case (a, b) => (a + b) % 3 == 0 }
+    assert(want.nonEmpty && got == want)
+  }
+
+  test("nulls and empty sides produce no rows, not errors") {
+    import spark.implicits._
+    val pts = Seq((1, Some(5L)), (2, None), (3, Some(100L)))
+      .toDF("pt_id", "p")
+    val ivs = Seq((10, Some(1L), Some(6L)), (11, None, Some(9L)), (12, Some(2L), None))
+      .toDF("iv_id", "s", "e")
+    val got = pts.join(ivs, col("p") >= col("s") && col("p") <= col("e"))
+      .select("pt_id", "iv_id").collect().map(r => (r.getInt(0), r.getInt(1)))
+    assert(got.toSeq == Seq((1, 10)))
+    val empty = pts.where(lit(false))
+    assert(empty.join(ivs, col("p") >= col("s") && col("p") <= col("e")).count() == 0)
+  }
+
+  test("planned variant equals the bucketed RangeJoin on sf0.001 j1 shape") {
+    val s = spark
+    import s.implicits._
+    val orders = s.read.parquet(s"$sf0001/orders.parquet")
+      .select($"o_orderkey", $"o_orderkey".as("iv_start"),
+        ($"o_orderkey" + 9L).as("iv_end"))
+    val li = s.read.parquet(s"$sf0001/lineitem.parquet")
+      .select($"l_orderkey", $"l_quantity")
+    val planned = RangeJoin.pointInIntervalPlanned(li, "l_orderkey", orders,
+        "iv_start", "iv_end")
+      .groupBy("o_orderkey").count().orderBy("o_orderkey").collect()
+    val bucketed = RangeJoin.pointInInterval(li, "l_orderkey", orders,
+        "iv_start", "iv_end", 10L)
+      .groupBy("o_orderkey").count().orderBy("o_orderkey").collect()
+    assert(planned.nonEmpty && planned.toSeq == bucketed.toSeq)
+  }
+
+  test("equi-join predicates are left to Catalyst") {
+    val (pts, ivs) = randomData(6, 50, 30, 10)
+    val plan = pts.join(ivs,
+        col("pt_id") === col("iv_id") && col("p") >= col("s") && col("p") <= col("e"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("IntervalStabJoin"), plan)
+  }
+}
