@@ -151,6 +151,83 @@ object StreamingOps {
       }
   }
 
+  final case class ShingledDoc(docId: Long, shingles: Seq[String], tsMs: Long)
+  final case class MinhashCellState(
+      members: List[(Long, Seq[String], Long)]) // (docId, shingles, tsMs)
+  final case class JaccardPair(d1: Long, d2: Long, inter: Long, j: Double)
+
+  /** Streaming MinHash-LSH near-dup: the streaming twin of the batch
+    * [[graft.text.Dedup.minhashLshPairs]] (`dd_minhash_lsh`), built on the
+    * SAME bounded per-band-cell state shape as [[streamingSimhashPairs]].
+    * Each arriving document computes its MinHash signature once
+    * ([[graft.text.Dedup.minhashSigOf]] — identical arithmetic to the
+    * batch column), explodes into its `bands` band-bucket cells, and the
+    * per-cell `flatMapGroupsWithState` emits an exact-Jaccard-verified
+    * [[JaccardPair]] the moment a new arrival lands in a cell with a
+    * member above `threshold` — same verification arithmetic (distinct
+    * shingle intersection, floor-form 6dp rounding) as the batch, so the
+    * distinct-ed stream output equals the batch pair set whenever banding
+    * catches every true pair (P[miss] = (1−J^r)^b, the batch operator's
+    * own guarantee).
+    *
+    * State is BOUNDED exactly as in the simhash twin: members older than
+    * `retentionMs` behind the cell's newest arrival are evicted per batch
+    * — per-cell state is arrival-rate × retention (shingle sets included,
+    * so size the retention for document payloads, not signatures). A pair
+    * colliding in several bands emits once per band (at-least-once);
+    * distinct at the sink for exactly-once, as with the simhash twin.
+    */
+  def streamingMinhashPairs(
+      docs: Dataset[ShingledDoc],
+      threshold: Double,
+      numHashes: Int = 32,
+      bands: Int = 16,
+      retentionMs: Long = Long.MaxValue / 4): Dataset[JaccardPair] = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    import docs.sparkSession.implicits._
+    val r = numHashes / bands
+    docs
+      .flatMap { d =>
+        val sig = graft.text.Dedup.minhashSigOf(d.shingles, numHashes)
+        (0 until bands).map { b =>
+          val bucket = (b +: (0 until r).map(i => sig(b * r + i))).mkString("_")
+          (bucket, d)
+        }
+      }
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[MinhashCellState, JaccardPair](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: String, it: Iterator[(String, ShingledDoc)],
+         state: GroupState[MinhashCellState]) =>
+          val arrivals = it.map(_._2).toVector.sortBy(d => (d.tsMs, d.docId))
+          var members = state.getOption.map(_.members).getOrElse(Nil)
+          val out = Vector.newBuilder[JaccardPair]
+          arrivals.foreach { d =>
+            val newSet = d.shingles.toSet
+            members.foreach { case (id, sh, _) =>
+              if (id != d.docId) {
+                val inter = sh.count(newSet.contains).toLong
+                val union = sh.size + d.shingles.size - inter
+                if (union > 0) {
+                  val jraw = inter.toDouble / union
+                  if (jraw >= threshold) {
+                    // same floor-form 6dp rounding as the batch operator
+                    val j = math.floor(jraw * 1000000.0 + 0.5) / 1000000.0
+                    out += JaccardPair(
+                      math.min(id, d.docId), math.max(id, d.docId), inter, j)
+                  }
+                }
+              }
+            }
+            members = (d.docId, d.shingles, d.tsMs) :: members
+          }
+          val newest = members.iterator.map(_._3).foldLeft(Long.MinValue)(math.max)
+          members = members.filter(_._3 >= newest - retentionMs)
+          if (members.isEmpty) state.remove() else state.update(MinhashCellState(members))
+          out.result().iterator
+      }
+  }
+
   /** Flush any open sessions (test/batch-end helper): every state entry
     * becomes a final session row.
     */

@@ -303,29 +303,35 @@ object Dedup {
       (a, b)
     }
 
-  /** MinHash signature column: array of H minima over the shingle hashes.
-    * Compiled tight loop; empty shingle sets get an all-sentinel signature
-    * (they bucket together and are rejected by exact verification).
+  /** Per-document MinHash signature (the function under the
+    * [[minhashSignature]] Column and the streaming twin): H minima over
+    * the polynomial shingle hashes. Empty shingle sets get an all-sentinel
+    * signature (they bucket together and are rejected by exact
+    * verification).
     */
-  def minhashSignature(shingles: Column, numHashes: Int = 32): Column = {
+  private[graft] def minhashSigOf(sh: Seq[String], numHashes: Int): Array[Long] = {
     val params = hashParams(numHashes).toArray
-    val sigUdf = udf { (sh: Seq[String]) =>
-      val sig = Array.fill(params.length)(HashPrime)
-      sh.foreach { s =>
-        // polynomial shingle hash (same fold as TextOps.polyHash)
-        var h = 0L
-        var i = 0
-        while (i < s.length) { h = (h * 31 + s.charAt(i)) % HashPrime; i += 1 }
-        var p = 0
-        while (p < params.length) {
-          val (a, b) = params(p)
-          val v = (h * a + b) % HashPrime
-          if (v < sig(p)) sig(p) = v
-          p += 1
-        }
+    val sig = Array.fill(params.length)(HashPrime)
+    sh.foreach { s =>
+      // polynomial shingle hash (same fold as TextOps.polyHash)
+      var h = 0L
+      var i = 0
+      while (i < s.length) { h = (h * 31 + s.charAt(i)) % HashPrime; i += 1 }
+      var p = 0
+      while (p < params.length) {
+        val (a, b) = params(p)
+        val v = (h * a + b) % HashPrime
+        if (v < sig(p)) sig(p) = v
+        p += 1
       }
-      sig
     }
+    sig
+  }
+
+  /** MinHash signature column: compiled tight loop over [[minhashSigOf]]. */
+  def minhashSignature(shingles: Column, numHashes: Int = 32): Column = {
+    val h = numHashes
+    val sigUdf = udf { (sh: Seq[String]) => minhashSigOf(sh, h) }
     sigUdf(shingles)
   }
 

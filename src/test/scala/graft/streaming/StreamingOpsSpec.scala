@@ -114,6 +114,38 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingMinhashPairs equals batch dd_minhash_lsh on real documents") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    // shingled docs from the REAL documents table, streamed in 3 micro-batches
+    val shingled = graft.text.Dedup.shingleDocs(
+      graft.Tables.documents(spark, sf001), "doc_id", "text")
+    val rows = shingled.select(col("doc_id"), col("shingles"))
+      .as[(Long, Seq[String])].collect().sortBy(_._1)
+    assert(rows.length >= 30)
+    val batches = rows.grouped(math.max(rows.length / 3, 1)).toSeq
+
+    val input = MemoryStream[StreamingOps.ShingledDoc]
+    val pairs = StreamingOps.streamingMinhashPairs(input.toDS(), threshold = 0.5)
+    val q = pairs.writeStream
+      .format("memory").queryName("minhash_out").outputMode(OutputMode.Append())
+      .start()
+    try {
+      batches.zipWithIndex.foreach { case (b, i) =>
+        input.addData(b.map { case (id, sh) => StreamingOps.ShingledDoc(id, sh, 1000L * i) })
+        q.processAllAvailable()
+      }
+      // at-least-once per colliding band -> distinct at the sink
+      val got = spark.table("minhash_out").select("d1", "d2", "inter", "j")
+        .distinct().as[(Long, Long, Long, Double)].collect().toSet
+      val want = graft.text.Dedup.minhashLshPairs(shingled, 0.5)
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(want.nonEmpty)
+      assert(got === want)
+    } finally q.stop()
+  }
+
   test("windowedCounts over the real events parquet file-stream equals batch") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
