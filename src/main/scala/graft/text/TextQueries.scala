@@ -161,6 +161,30 @@ object TextQueries {
         .orderBy("lang")
     },
 
+    // the SKETCH path next to the exact tx_length_quantiles: approximate
+    // percentiles via percentile_approx (Greenwald-Khanna style summary) —
+    // per-group state is a BOUNDED mergeable sketch, not the group's full
+    // value buffer, so this is the form that survives high-cardinality
+    // groupings (per-source/per-shard stats at 100 TB) where the exact
+    // sort-based percentile's state grows with the group. Rows-only gate
+    // (sketch internals are engine-specific, not oracle-replicable);
+    // TextOpsSpec pins the rank-error bound against the exact quantiles.
+    "tx_quantiles_sketch" -> { (s, d) =>
+      val n = size(TextOps.whitespaceTokens(col("text"))).cast("double")
+      Tables.documents(s, d)
+        .select(col("lang"), n.as("n"))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          percentile_approx(col("n"), array(lit(0.25), lit(0.5), lit(0.75)),
+            lit(10000)).as("qs"))
+        .select(col("lang"), col("n_docs"),
+          element_at(col("qs"), 1).as("p25"),
+          element_at(col("qs"), 2).as("p50"),
+          element_at(col("qs"), 3).as("p75"))
+        .orderBy("lang")
+    },
+
     // per-language deterministic downsampling — the "rebalance the corpus"
     // step (cap the dominant language, keep the rest): membership is a pure
     // function of (doc_id, lang), zero shuffle, stable under corpus growth

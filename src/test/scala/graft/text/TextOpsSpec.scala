@@ -141,6 +141,34 @@ class TextOpsSpec extends SparkSpec {
     assert(again.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
   }
 
+  test("tx_quantiles_sketch: approx percentiles within the rank-error bound of exact") {
+    import spark.implicits._
+    val accuracy = 10000
+    val got = graft.text.TextQueries.queries("tx_quantiles_sketch")(spark, sf001)
+      .as[(String, Long, Double, Double, Double)].collect()
+    assert(got.nonEmpty)
+    // exact per-language sorted token counts as the ground truth
+    val exact = graft.Tables.documents(spark, sf001)
+      .select(col("lang"),
+        size(graft.text.TextOps.whitespaceTokens(col("text"))).cast("double").as("n"))
+      .as[(String, Double)].collect()
+      .groupBy(_._1).map { case (l, vs) => l -> vs.map(_._2).sorted }
+    got.foreach { case (lang, nDocs, p25, p50, p75) =>
+      val vs = exact(lang)
+      assert(nDocs == vs.length.toLong)
+      // percentile_approx guarantees rank error <= n/accuracy: the sketch
+      // answer for quantile q must be an actual value whose rank is within
+      // that window of the exact rank
+      val maxRankErr = math.ceil(vs.length.toDouble / accuracy).toInt + 1
+      Seq(0.25 -> p25, 0.5 -> p50, 0.75 -> p75).foreach { case (q, approx) =>
+        val lo = math.max(0, math.floor(q * vs.length).toInt - maxRankErr)
+        val hi = math.min(vs.length - 1, math.ceil(q * vs.length).toInt + maxRankErr)
+        assert(approx >= vs(lo) && approx <= vs(hi),
+          s"$lang q=$q approx=$approx outside [${vs(lo)}, ${vs(hi)}]")
+      }
+    }
+  }
+
   test("minhashLshPairs equals exact jaccardPairs on seeded corpus") {
     val rnd = new scala.util.Random(5)
     val vocab = Vector("data", "spark", "query", "join", "scan", "agg", "row",
