@@ -42,6 +42,11 @@ object Main {
     out.result()
   }
 
+  /** `--progress` attaches A6-style throttled stage/ETA logging
+    * ([[graft.ops.Progress]]) for the lifetime of the run.
+    */
+  private var progressEnabled = false
+
   private def session(): SparkSession = {
     val s = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
@@ -50,6 +55,7 @@ object Main {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    if (progressEnabled) graft.ops.Progress.attachStageProgress(s)
     s
   }
 
@@ -66,6 +72,7 @@ object Main {
     if (args.isEmpty) { println(usage); sys.exit(1) }
     val cmd = args.head
     val opts = parseArgs(args.tail)
+    progressEnabled = opts.contains("progress")
     def req(k: String): String =
       opts.getOrElse(k, { System.err.println(s"missing --$k\n$usage"); sys.exit(2); "" })
 

@@ -21,7 +21,26 @@ object SparkEntry {
       graft.text.TextQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    *
+    * Deliberately ABSENT (rows-only in the driver gate, each pinned by
+    * in-repo specs instead):
+    *
+    *   - `ann_ivf_topk` — the IVF coarse quantizer is DATA-DEPENDENT
+    *     (deterministic Lloyd over a bounded corpus sample); a SQL oracle
+    *     would have to replicate the k-means iterations. Determinism and
+    *     recall-vs-brute-force are asserted in TextOpsSpec.
+    *   - `x5_blat_text` — the blat kernel's recursive seed-extend DFS is
+    *     not expressible as (non-recursive) SQL at reasonable cost; a
+    *     truth-table golden pins the kernel in SimilarityKernelsSpec.
+    *   - `tx_quantiles_sketch` — sketch internals (Greenwald-Khanna
+    *     summaries) are engine-specific by design; the rank-error bound
+    *     against exact quantiles is asserted in TextOpsSpec.
+    *
+    * Everything else in [[queries]] carries a full hash oracle — including
+    * `ann_lsh_topk`, whose deterministic hyperplanes are embedded in the
+    * SQL as literals.
+    */
   def oracleSql: Map[String, String] =
     graft.relational.RelationalQueries.oracles ++
       graft.relational.CoverageQueries.oracles ++
