@@ -49,6 +49,22 @@ class PlanAuditSpec extends SparkSpec {
       s"range join degenerated to an all-pairs physical join:\n$plan")
   }
 
+  test("ann_lsh_topk: candidate dedup exchange carries ids only, never vectors") {
+    val plan = physical(q("ann_lsh_topk"))
+    // the OR-amplification dedup is a HashAggregate on (query_id,
+    // neighbor_id); the 64-dim embedding arrays must join in AFTER it —
+    // a vector-laden dedup exchange is the 100 TB cost the rewrite removed
+    val dedupLines = plan.linesIterator
+      .filter(l => l.contains("HashAggregate(keys=[query_id") ||
+        l.contains("HashAggregate(keys=[neighbor_id"))
+      .toList
+    assert(dedupLines.nonEmpty, s"expected an id-keyed dedup aggregate:\n$plan")
+    dedupLines.foreach { l =>
+      assert(!l.contains("qvec") && !l.contains("nvec") && !l.contains("embedding"),
+        s"dedup aggregate still carries vectors: $l")
+    }
+  }
+
   test("dd_minhash_lsh: candidate generation is an equi-join, not all-pairs") {
     val plan = physical(q("dd_minhash_lsh"))
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
