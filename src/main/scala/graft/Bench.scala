@@ -9,13 +9,15 @@ import org.apache.spark.sql.SparkSession
   * (2 strands × 1 Mbp × 2 query genes, consistency kernel) for comparison
   * with the reference's intrinsic scan constants in BASELINE.md.
   *
-  * Each query is timed as BEST OF TWO runs (`"timing":"best_of_2"` in the
-  * output). Rationale: the harness benches on a machine that may still be
-  * draining earlier work, and a single cold run conflates JIT/page-cache/
-  * GC noise with plan cost — r1–r3 showed up to 5.7× swings on identical
-  * code. The minimum of two back-to-back runs is the standard steady-state
-  * estimator; the cache is cleared between runs so neither run reads
-  * persisted results of the other.
+  * Each query is timed as BEST OF THREE runs (`"timing":"best_of_3"` in
+  * the output). Rationale: the harness benches on a machine that may still
+  * be draining earlier work, and a single cold run conflates JIT/
+  * page-cache/GC noise with plan cost — r1–r3 showed up to 5.7× swings on
+  * identical code, and in r6 run-to-run swings of 1.5–2× persisted even
+  * between back-to-back identical runs. The minimum of three is the
+  * standard steady-state estimator (run 1 additionally absorbs the
+  * query's own codegen/planning warmup); the cache is cleared between
+  * runs so no run reads another's persisted results.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -38,7 +40,7 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val results = selected.map { case (name, fn) =>
-      val sec = (1 to 2).map { _ =>
+      val sec = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val t = (System.nanoTime() - t0) / 1e9
@@ -80,7 +82,7 @@ object Bench {
       val cfg = graft.bio.ScanConfig(
         weights = Map("consistency" -> 1.0), topK = 1000,
         candidateDistance = 5, patience = 2, numChunks = cpus.toInt)
-      val sec = (1 to 2).map { _ =>
+      val sec = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         graft.bio.GenomeScan.scan(spark, genome, genes, cfg).count()
         (System.nanoTime() - t0) / 1e9
@@ -93,7 +95,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","timing":"best_of_2","queries":$qs,""" +
+      s"""{"metric":"total","value":$total,"unit":"sec","timing":"best_of_3","queries":$qs,""" +
         s""""scan_bp_per_sec":$bpPerSec,"scan_sec":$scanSec,"sf":"$sfDir"}""")
     spark.stop()
   }
