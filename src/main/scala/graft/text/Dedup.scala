@@ -144,8 +144,6 @@ object Dedup {
   def jaccardPairsHashed(hashed: DataFrame, threshold: Double): DataFrame = {
     val spark = hashed.sparkSession
     import spark.implicits._
-    val sh = hashed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = sh.select(col("doc_id"), col("n"))
     // posting-list pair generation: ONE shuffle of Σc (shingle, doc) rows
     // into per-shingle groups, pairs emitted in-task in sorted-id order,
     // then map-side-combined (d1, d2) counts — vs the posting SELF-JOIN,
@@ -154,29 +152,36 @@ object Dedup {
     // concentration is the same in both forms (a join partitions by the
     // shingle too); a boilerplate shingle shared by millions of docs
     // needs [[jaccardPairsPrefix]] either way.
-    val pairs = sh.select(col("doc_id"), explode(col("hs")).as("s"))
-      .as[(Long, Long)]
-      .groupByKey(_._2)
+    //
+    // Each posting CARRIES its document's shingle count: the pair rows
+    // arrive at the count exchange as (d1, n1, d2, n2), so the Jaccard
+    // denominator needs no size-lookup joins afterwards — two fewer
+    // stages, and the input is consumed in a single pass (no persist to
+    // leak). The n columns ride the groupBy key at +16 bytes per DISTINCT
+    // pair (n is functionally dependent on the id, so the group count is
+    // unchanged).
+    val pairs = hashed
+      .select(col("doc_id"), col("n").cast("long").as("n"), explode(col("hs")).as("s"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._3)
       .flatMapGroups { (_, it) =>
-        val ids = it.map(_._1).toArray
-        java.util.Arrays.sort(ids)
-        new Iterator[(Long, Long)] {
+        val members = it.map(t => (t._1, t._2)).toArray
+        java.util.Arrays.sort(members, Ordering.by[(Long, Long), Long](_._1))
+        new Iterator[(Long, Long, Long, Long)] {
           private var i = 0
           private var j = 1
-          def hasNext: Boolean = i < ids.length - 1
-          def next(): (Long, Long) = {
-            val p = (ids(i), ids(j))
+          def hasNext: Boolean = i < members.length - 1
+          def next(): (Long, Long, Long, Long) = {
+            val p = (members(i)._1, members(i)._2, members(j)._1, members(j)._2)
             j += 1
-            if (j >= ids.length) { i += 1; j = i + 1 }
+            if (j >= members.length) { i += 1; j = i + 1 }
             p
           }
         }
       }
-      .toDF("d1", "d2")
-      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+      .toDF("d1", "n1", "d2", "n2")
+      .groupBy("d1", "d2", "n1", "n2").agg(count(lit(1)).as("inter"))
     pairs
-      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
-      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
       // threshold on the RAW ratio (same predicate as the oracle), then
       // tie-proof floor-form 6dp rounding for display — IEEE-identical
       // in both engines, unlike decimal HALF_UP vs double ROUND on
