@@ -135,11 +135,9 @@ object Dedup {
     * Σ c_s²) the prefix-filtered [[jaccardPairsPrefix]] bounds the blowup;
     * tests pin the two paths equal.
     *
-    * The hashed-shingle table is persisted before the self-join — without
-    * it Spark recomputes the tokenize/hash lineage for BOTH join sides
-    * (self-joins duplicate lineage, they don't share it). At 100 TB this
-    * persist becomes a materialized shingle table; the operator shape is
-    * unchanged.
+    * The input is consumed in a SINGLE pass (sizes ride the postings), so
+    * nothing is persisted here — no cached block outlives the call.
+    * Multi-consumer pipelines persist at the seam instead ([[pairTable]]).
     */
   def jaccardPairsHashed(hashed: DataFrame, threshold: Double): DataFrame = {
     val spark = hashed.sparkSession
@@ -265,7 +263,11 @@ object Dedup {
     * pass; the hash order used here is df-oblivious but free).
     */
   def jaccardPairsPrefix(hashed: DataFrame, threshold: Double): DataFrame = {
-    val sh = hashed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // NOT persisted (library calls must not leak cached blocks past their
+    // final action — same rule as ivfTopK): the self-join recomputes the
+    // shingle lineage per side; at scale the shingle table is a
+    // materialized stage the caller persists, like [[pairTable]]
+    val sh = hashed
     val prefixLen = greatest(col("n") - ceil(col("n") * threshold).cast("int") + 1, lit(0))
     val ex = sh.select(col("doc_id"), col("n"),
       posexplode(slice(col("hs"), lit(1), prefixLen)).as(Seq("p", "s")))
@@ -353,13 +355,15 @@ object Dedup {
       bands: Int = 16): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val sh = shingled.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // NOT persisted (library calls must not leak cached blocks past their
+    // final action — same rule as ivfTopK): the shingle lineage recomputes
+    // for the signature pass and the two verification joins; at scale the
+    // shingle table is a materialized stage the caller persists
+    val sh = shingled
 
-    // signature computed ONCE per doc and persisted; band rows carry only
-    // (doc_id, bucket) — never the shingle arrays — so the bucket
-    // self-join shuffles a few ints per row, not documents
+    // band rows carry only (doc_id, bucket) — never the shingle arrays —
+    // so the bucket grouping shuffles a few ints per row, not documents
     val sig = sh.select(col("doc_id"), minhashSignature(col("shingles"), numHashes).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // posting-list candidate generation (see jaccardPairsHashed): one
     // shuffle of (bucket, doc) rows into per-bucket groups, sorted-id
     // pairs emitted in-task — no banded self-join, no raw pair explosion
