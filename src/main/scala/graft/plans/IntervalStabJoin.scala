@@ -71,7 +71,10 @@ object IntervalStabJoinStrategy extends SparkStrategy with PredicateHelper
   }
 
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case Join(left, right, Inner, Some(cond), _) =>
+    // deterministic only: the exec re-evaluates bound expressions (once to
+    // route interval replicas, once in the sweep) — a nondeterministic
+    // bound would disagree between the two evaluations
+    case Join(left, right, Inner, Some(cond), _) if cond.deterministic =>
       val conjuncts = splitConjunctivePredicates(cond)
       def sideOf(e: Expression): Option[Boolean] =
         if (e.references.isEmpty) None

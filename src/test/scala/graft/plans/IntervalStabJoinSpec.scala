@@ -143,6 +143,11 @@ class IntervalStabJoinSpec extends SparkSpec with BeforeAndAfterAll {
     assert(planned.nonEmpty && planned.toSeq == bucketed.toSeq)
   }
 
+  // (no test for nondeterministic conditions: Spark's analyzer rejects
+  // them in join conditions outright — INVALID_NON_DETERMINISTIC_EXPRESSIONS
+  // — so the strategy's `cond.deterministic` guard is unreachable through
+  // the public API and exists as defense in depth)
+
   test("equi-join predicates are left to Catalyst") {
     val (pts, ivs) = randomData(6, 50, 30, 10)
     val plan = pts.join(ivs,
