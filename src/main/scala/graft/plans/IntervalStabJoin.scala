@@ -275,6 +275,14 @@ case class BroadcastIntervalStabJoinExec(
 /** Physical interval-stab join; see [[IntervalStabJoinStrategy]] for the
   * algorithm. `pointsOnLeft` records which logical side carries the point
   * key — output column order stays `left ++ right` either way.
+  *
+  * Supports whole-stage codegen as a PRODUCER (the [[org.apache.spark.sql.execution.InputAdapter]]
+  * shape, like SortMergeJoin): the swept [[JoinedRow]]s feed the parent's
+  * generated consume directly, so a downstream partial aggregate reads
+  * fields in place — no per-row flattening UnsafeProjection on the
+  * (large) join output. The interpreted [[doExecute]] fallback keeps the
+  * projection, because a non-codegen parent (collect, exchange) requires
+  * UnsafeRow.
   */
 case class IntervalStabJoinExec(
     point: Expression,
@@ -285,13 +293,35 @@ case class IntervalStabJoinExec(
     extraCond: Option[Expression],
     pointsOnLeft: Boolean,
     left: SparkPlan,
-    right: SparkPlan) extends SparkPlan {
+    right: SparkPlan) extends SparkPlan
+    with org.apache.spark.sql.execution.CodegenSupport {
 
   override def output: Seq[Attribute] = left.output ++ right.output
   override def children: Seq[SparkPlan] = Seq(left, right)
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[SparkPlan]): SparkPlan =
     copy(left = newChildren(0), right = newChildren(1))
+
+  // rows handed to consume are REUSED (one JoinedRow per partition over
+  // array-held interval rows and the advancing point row) — buffering
+  // parents must copy, exactly as with SortMergeJoin
+  override def needCopyResult: Boolean = true
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] = Seq(sweptRows())
+
+  override protected def doProduce(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext): String = {
+    val input = ctx.addMutableState("scala.collection.Iterator", "input",
+      v => s"$v = inputs[0];")
+    val row = ctx.freshName("row")
+    s"""
+       |while ($limitNotReachedCond $input.hasNext()) {
+       |  InternalRow $row = (InternalRow) $input.next();
+       |  ${consume(ctx, null, row).trim}
+       |  ${if (needStopCheck) "if (shouldStop()) return;" else ""}
+       |}
+     """.stripMargin
+  }
 
   /** partitionBy with Kryo instead of the RDD-default Java serialization —
     * UnsafeRow is KryoSerializable (raw byte copy), which roughly halves
@@ -312,6 +342,18 @@ case class IntervalStabJoinExec(
   }
 
   protected override def doExecute(): RDD[InternalRow] = {
+    val outAttrs = output
+    sweptRows().mapPartitions { it =>
+      val outProj = UnsafeProjection.create(outAttrs, outAttrs)
+      it.map(outProj)
+    }
+  }
+
+  /** The swept join output as (reused) [[JoinedRow]]s, extra predicate
+    * applied, BEFORE any flattening projection — shared by the codegen
+    * produce path and the interpreted fallback.
+    */
+  private def sweptRows(): RDD[InternalRow] = {
     val (pointsPlan, ivPlan) =
       if (pointsOnLeft) (left, right) else (right, left)
     val numParts = math.max(1, conf.numShufflePartitions)
@@ -382,7 +424,6 @@ case class IntervalStabJoinExec(
       if (pts.isEmpty || ivs.isEmpty) Iterator.empty
       else {
         val joined = new JoinedRow
-        val outProj = UnsafeProjection.create(outAttrs, outAttrs)
         val pred = extra.map(e =>
           Predicate.create(BindReferences.bindReference(e, outAttrs)))
 
@@ -433,11 +474,10 @@ case class IntervalStabJoinExec(
           }
         }
 
-        val filtered = pred match {
+        pred match {
           case Some(p) => matches.filter(p.eval)
           case None => matches
         }
-        filtered.map(outProj)
       }
     }
   }
