@@ -278,6 +278,28 @@ object TextQueries {
         maxHamming = 3)
     },
 
+    // benchmark decontamination — the "remove training docs that leak
+    // eval-benchmark n-grams" pipeline stage: docs sharing ANY 3-token
+    // shingle with the benchmark set (here: doc_id < 20) are dropped.
+    // Scale shape: the benchmark's shingle set is SMALL by construction →
+    // broadcast semi-join (a map-side membership filter over one corpus
+    // scan); the contaminated id list is the small side of the final
+    // anti-join for the same reason. No corpus-vs-corpus join anywhere.
+    "cur_decontaminate" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val hashed = Dedup.hashedShingleDocs(docs, "doc_id", "text")
+      val benchShingles = hashed.where(col("doc_id") < 20)
+        .select(explode(col("hs")).as("sh")).distinct()
+      val contaminated = hashed.where(col("doc_id") >= 20)
+        .select(col("doc_id"), explode(col("hs")).as("sh"))
+        .join(broadcast(benchShingles), Seq("sh"), "left_semi")
+        .select("doc_id").distinct()
+      docs.where(col("doc_id") >= 20)
+        .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), length(col("text")).as("text_len"))
+        .orderBy("doc_id")
+    },
+
     // both component queries consume the MEMOIZED pair stage
     // (Dedup.pairTable) — in a staged pipeline the pair table is
     // materialized once and shared, not recomputed per consumer
@@ -550,6 +572,31 @@ object TextQueries {
           )
           SELECT doc_id, lang, quality FROM kept
           WHERE doc_id NOT IN (SELECT b FROM pairs)
+          ORDER BY doc_id""",
+
+    // string-shingle form of the Spark side's 60-bit-hashed shingle join —
+    // equivalent absent hash collisions, the same equivalence
+    // dd_ngram_jaccard's green hash row already rests on
+    "cur_decontaminate" ->
+      s"""WITH toks AS (
+            SELECT doc_id, $tokensSql AS w FROM documents
+          ), sh AS (
+            SELECT doc_id, list_distinct(list_transform(
+              generate_series(1, len(w)-2),
+              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+            FROM toks
+          ), ex AS (
+            SELECT doc_id, unnest(shingles) AS s FROM sh
+          ), bench AS (
+            SELECT DISTINCT s FROM ex WHERE doc_id < 20
+          ), contaminated AS (
+            SELECT DISTINCT e.doc_id FROM ex e JOIN bench b ON e.s = b.s
+            WHERE e.doc_id >= 20
+          )
+          SELECT doc_id, CAST(LENGTH(text) AS INTEGER) AS text_len
+          FROM documents
+          WHERE doc_id >= 20
+            AND doc_id NOT IN (SELECT doc_id FROM contaminated)
           ORDER BY doc_id""",
 
     "dd_ngram_jaccard" -> shingleCte,

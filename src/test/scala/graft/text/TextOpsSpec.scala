@@ -169,6 +169,23 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("cur_decontaminate: drops exactly the docs sharing a benchmark shingle") {
+    import spark.implicits._
+    // benchmark docs are ids < 20; doc 30 leaks a benchmark 3-gram, doc 40
+    // is clean, doc 50 is too short to shingle (kept by definition)
+    val rows = Seq(
+      (5L, "en", "web", "alpha beta gamma delta epsilon"),
+      (30L, "en", "web", "noise words then alpha beta gamma end"),
+      (40L, "en", "web", "completely different tokens here nothing shared"),
+      (50L, "en", "web", "two words"))
+    val dir = java.nio.file.Files.createTempDirectory("decon").toString
+    rows.toDF("doc_id", "lang", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val kept = graft.text.TextQueries.queries("cur_decontaminate")(spark, dir)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(40L, 50L), s"got $kept")
+  }
+
   test("minhashLshPairs equals exact jaccardPairs on seeded corpus") {
     val rnd = new scala.util.Random(5)
     val vocab = Vector("data", "spark", "query", "join", "scan", "agg", "row",
