@@ -166,7 +166,8 @@ case class BroadcastIntervalStabJoinExec(
     extraCond: Option[Expression],
     pointsOnLeft: Boolean,
     left: SparkPlan,
-    right: SparkPlan) extends SparkPlan {
+    right: SparkPlan) extends SparkPlan
+    with org.apache.spark.sql.execution.CodegenSupport {
 
   override def output: Seq[Attribute] = left.output ++ right.output
   override def children: Seq[SparkPlan] = Seq(left, right)
@@ -182,7 +183,33 @@ case class BroadcastIntervalStabJoinExec(
     case other => throw new IllegalStateException(s"non-integral key: $other")
   }
 
+  // same producer-style codegen as IntervalStabJoinExec: probed JoinedRows
+  // feed the parent's generated consume, no flattening projection
+  override def needCopyResult: Boolean = true
+  override def inputRDDs(): Seq[RDD[InternalRow]] = Seq(probedRows())
+  override protected def doProduce(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext): String = {
+    val input = ctx.addMutableState("scala.collection.Iterator", "input",
+      v => s"$v = inputs[0];")
+    val row = ctx.freshName("row")
+    s"""
+       |while ($limitNotReachedCond $input.hasNext()) {
+       |  InternalRow $row = (InternalRow) $input.next();
+       |  ${consume(ctx, null, row).trim}
+       |  ${if (needStopCheck) "if (shouldStop()) return;" else ""}
+       |}
+     """.stripMargin
+  }
+
   protected override def doExecute(): RDD[InternalRow] = {
+    val outAttrs = output
+    probedRows().mapPartitions { it =>
+      val outProj = UnsafeProjection.create(outAttrs, outAttrs)
+      it.map(outProj)
+    }
+  }
+
+  private def probedRows(): RDD[InternalRow] = {
     val (pointsPlan, ivPlan) =
       if (pointsOnLeft) (left, right) else (right, left)
     val boundPoint = BindReferences.bindReference(point, pointsPlan.output)
@@ -228,7 +255,6 @@ case class BroadcastIntervalStabJoinExec(
       val (lo, hi, pmax, rows) = bc.value
       val n = lo.length
       val joined = new JoinedRow
-      val outProj = UnsafeProjection.create(outAttrs, outAttrs)
       val pred = extra.map(e =>
         Predicate.create(BindReferences.bindReference(e, outAttrs)))
 
@@ -263,11 +289,10 @@ case class BroadcastIntervalStabJoinExec(
           }
         }
       }
-      val filtered = pred match {
+      pred match {
         case Some(p) => matches.filter(p.eval)
         case None => matches
       }
-      filtered.map(outProj)
     }
   }
 }
