@@ -12,6 +12,9 @@ object GraftSql {
   def registerAll(spark: SparkSession, sfDir: String): Unit = {
     graft.relational.CoverageQueries.registerKernels(spark)
     graft.functions.GraftExtensions.register(spark)
+    // plain-SQL `p BETWEEN s AND e` inner joins get the interval-stab
+    // physical strategy too, not just the DataFrame helper
+    graft.plans.IntervalStabJoinStrategy.register(spark)
     Tables.all.foreach { name =>
       val df =
         if (name == "events") Tables.events(spark, sfDir) // nanos-as-long conf

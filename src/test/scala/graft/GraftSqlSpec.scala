@@ -22,6 +22,17 @@ class GraftSqlSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM events").head.getLong(0) > 0)
   }
 
+  test("plain-SQL BETWEEN join plans as the interval-stab strategy") {
+    GraftSql.registerAll(spark, sf0001)
+    val df = spark.sql(
+      """SELECT o_orderkey, l_orderkey FROM lineitem JOIN orders
+         ON l_orderkey BETWEEN o_orderkey AND o_orderkey + 9""")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("IntervalStabJoin"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(df.count() > 0)
+  }
+
   test("locateHits distributes the J1 probe over a hits DataFrame") {
     import spark.implicits._
     val anns = Seq(
