@@ -191,6 +191,57 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
+  /** Incremental near-dup pairs: exactly the [[jaccardPairsHashed]] pairs
+    * that TOUCH a new-batch document (`isNew`), computed without pairing
+    * old documents among themselves — the steady-state ingest shape: a
+    * daily batch joins the corpus through the shared posting lists, but
+    * the old×old quadratic term (the bulk of the work once the corpus
+    * dwarfs the batch) is never generated. Old×old pairs are already in
+    * yesterday's pair table ([[pairTable]] / its Parquet materialization);
+    * union them for the full picture.
+    *
+    * Output is identical to filtering the full pair table on
+    * `d1 new OR d2 new` (the oracle states it exactly that way); per
+    * shingle group the emitter walks sorted members and skips a pair only
+    * when BOTH sides are old.
+    */
+  def jaccardPairsIncremental(
+      hashed: DataFrame,
+      isNew: Column,
+      threshold: Double): DataFrame = {
+    val spark = hashed.sparkSession
+    import spark.implicits._
+    val pairs = hashed
+      .select(col("doc_id"), col("n").cast("long").as("n"),
+        isNew.cast("boolean").as("is_new"), explode(col("hs")).as("s"))
+      .as[(Long, Long, Boolean, Long)]
+      .groupByKey(_._4)
+      .flatMapGroups { (_, it) =>
+        val members = it.map(t => (t._1, t._2, t._3)).toArray
+        java.util.Arrays.sort(members, Ordering.by[(Long, Long, Boolean), Long](_._1))
+        val out = Vector.newBuilder[(Long, Long, Long, Long)]
+        var i = 0
+        while (i < members.length - 1) {
+          var j = i + 1
+          while (j < members.length) {
+            if (members(i)._3 || members(j)._3)
+              out += ((members(i)._1, members(i)._2, members(j)._1, members(j)._2))
+            j += 1
+          }
+          i += 1
+        }
+        out.result().iterator
+      }
+      .toDF("d1", "n1", "d2", "n2")
+      .groupBy("d1", "d2", "n1", "n2").agg(count(lit(1)).as("inter"))
+    pairs
+      .withColumn("jraw", col("inter") / (col("n1") + col("n2") - col("inter")))
+      .where(col("jraw") >= threshold)
+      .withColumn("j", floor(col("jraw") * 1000000.0 + 0.5) / 1000000.0)
+      .select("d1", "d2", "inter", "j")
+      .orderBy("d1", "d2")
+  }
+
   /** Memoized near-dup pair stage: the (d1, d2, inter, j) Jaccard pair
     * table for `docs`, computed ONCE per (session, source plan, k,
     * threshold) and persisted — the staged-pipeline seam between candidate

@@ -300,6 +300,15 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // incremental ingest dedup: the pairs a NEW batch (doc_id >= 400)
+    // forms with anything — old×old never generated (yesterday's pair
+    // table already has it); the steady-state daily-ingest shape
+    "dd_incremental" -> { (s, d) =>
+      Dedup.jaccardPairsIncremental(
+        Dedup.hashedShingleDocs(Tables.documents(s, d), "doc_id", "text"),
+        col("doc_id") >= 400, 0.5)
+    },
+
     // both component queries consume the MEMOIZED pair stage
     // (Dedup.pairTable) — in a staged pipeline the pair table is
     // materialized once and shared, not recomputed per consumer
@@ -390,7 +399,11 @@ object TextQueries {
             0.3 * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
                    / GREATEST(length(text), 1))) * 10000.0 + 0.5) / 10000.0"""
 
-  private val shingleCte =
+  /** Full Jaccard pair SQL; `extraWhere` restricts the pair set (e.g. the
+    * incremental "touches a new doc" predicate) without changing the
+    * arithmetic.
+    */
+  private def shingleCteWhere(extraWhere: String) =
     s"""WITH toks AS (
           SELECT doc_id, $tokensSql AS w FROM documents
         ), sh AS (
@@ -408,8 +421,10 @@ object TextQueries {
         SELECT d1, d2, CAST(inter AS BIGINT) AS inter,
                FLOOR(inter / (s1.n + s2.n - inter) * 1000000.0 + 0.5) / 1000000.0 AS j
         FROM pairs JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
-        WHERE inter / (s1.n + s2.n - inter) >= 0.5
+        WHERE inter / (s1.n + s2.n - inter) >= 0.5$extraWhere
         ORDER BY d1, d2"""
+
+  private val shingleCte = shingleCteWhere("")
 
   /** The lshTopK hyperplane matrix as DuckDB VALUES rows `(pg, DOUBLE[])`:
     * one row per global plane pg = table*numPlanes + bit, components from
@@ -601,6 +616,10 @@ object TextQueries {
 
     "dd_ngram_jaccard" -> shingleCte,
     "dd_minhash_lsh" -> shingleCte, // LSH must find exactly the true pairs
+    // incremental = the full pair set restricted to pairs touching the
+    // new batch — the implementation never GENERATES old×old, the oracle
+    // just filters them out
+    "dd_incremental" -> shingleCteWhere(" AND (d1 >= 400 OR d2 >= 400)"),
 
     "dd_components" ->
       s"""WITH RECURSIVE pairs AS ($shingleCte),

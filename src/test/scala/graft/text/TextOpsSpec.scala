@@ -186,6 +186,28 @@ class TextOpsSpec extends SparkSpec {
     assert(kept == Seq(40L, 50L), s"got $kept")
   }
 
+  test("jaccardPairsIncremental equals the full pair table filtered to new-touching pairs") {
+    val rnd = new scala.util.Random(17)
+    val vocab = Vector("data", "spark", "query", "join", "scan", "agg", "row")
+    def doc(): String = Seq.fill(25)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    // duplicates both inside the "old" range (0-2 ≈ 20-22) and across the
+    // old/new split (5-9 ≈ 25-29)
+    val base = Seq.tabulate(20)(_ => doc())
+    def mut(s: String) = s.replaceFirst("data", "datum")
+    val df = docDf((base ++ base.take(3).map(mut) ++ Seq.fill(2)(doc()) ++
+      base.slice(5, 10).map(mut)): _*)
+    val hashed = Dedup.hashedShingleDocs(df, "doc_id", "text")
+    val newFrom = 25L
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val full = rows(Dedup.jaccardPairsHashed(hashed, 0.5))
+    val want = full.filter { case (d1, d2, _, _) => d1 >= newFrom || d2 >= newFrom }
+    val got = rows(Dedup.jaccardPairsIncremental(hashed, col("doc_id") >= newFrom, 0.5))
+    assert(want.nonEmpty && want.size < full.size,
+      "test corpus must have both old-only and new-touching pairs")
+    assert(got == want)
+  }
+
   test("minhashLshPairs equals exact jaccardPairs on seeded corpus") {
     val rnd = new scala.util.Random(5)
     val vocab = Vector("data", "spark", "query", "join", "scan", "agg", "row",
