@@ -157,6 +157,32 @@ class GenomeScanSpec extends SparkSpec {
     }
   }
 
+  test("branchless kernel handles non-ASCII bytes (sign-extension regression)") {
+    // bytes >= 0x80 sign-extend negative in Scala; the arithmetic equality
+    // trick needs the & 0xFF mask or exactly one negative operand reports
+    // a FALSE MATCH — pin byte==run==String parity on 8-bit-heavy input
+    val rnd = new scala.util.Random(23)
+    val alphabet = "acgtéÿz"  // DNA + latin-1 high bytes
+    def randomSeq(n: Int) = (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    val db = randomSeq(800)
+    val dbB = db.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    for (geneLen <- Seq(8, 30, 64); patience <- 0 to 2) {
+      val gene = randomSeq(geneLen)
+      val geneB = gene.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      val runLen = new Array[Int](geneLen + 1)
+      val runEnd = new Array[Int](geneLen + 1)
+      var off = 0
+      while (off <= db.length - geneLen) {
+        val branchless = SimilarityKernels.consistencyScoreOnlyB(
+          geneB, dbB, off, patience, runLen, runEnd)
+        val str = SimilarityKernels.consistencyScoreOnly(
+          gene, db, off, patience, runLen, runEnd)
+        assert(branchless === str, s"len=$geneLen patience=$patience off=$off")
+        off += 1
+      }
+    }
+  }
+
   test("chunks replicate the reference next_interval split") {
     assert(GenomeScan.chunks(100, 4) === Seq((0, 25), (25, 50), (50, 75), (75, 100)))
     // remainder spills into an extra short chunk (size // n division)

@@ -143,6 +143,27 @@ class IntervalStabJoinSpec extends SparkSpec with BeforeAndAfterAll {
     assert(planned.nonEmpty && planned.toSeq == bucketed.toSeq)
   }
 
+  test("property: random corpora match the nested-loop reference (both variants)") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    val gen = for {
+      seed <- Gen.choose(100, 100000)
+      nPts <- Gen.choose(0, 120)
+      nIvs <- Gen.choose(0, 80)
+      span <- Gen.choose(1, 200)     // tiny through partition-crossing spans
+      bcast <- Gen.oneOf(true, false)
+    } yield (seed, nPts, nIvs, span, bcast)
+    val prop = Prop.forAll(gen) { case (seed, nPts, nIvs, span, bcast) =>
+      val (pts, ivs) = randomData(seed, nPts, nIvs, span)
+      val q = pts.join(ivs, col("p") >= col("s") && col("p") <= col("e"))
+      val want = reference(pts, ivs)
+      val got = if (bcast) pairs(q) else withoutBroadcast(pairs(q))
+      got == want
+    }
+    val res = check(Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   // (no test for nondeterministic conditions: Spark's analyzer rejects
   // them in join conditions outright — INVALID_NON_DETERMINISTIC_EXPRESSIONS
   // — so the strategy's `cond.deterministic` guard is unreachable through
