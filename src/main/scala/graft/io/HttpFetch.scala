@@ -30,6 +30,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * task retries and speculative duplicates are safe. Only FAILED keys are
   * collected for the requeue loop — the failure list is by construction
   * the small side, never the corpus.
+  *
+  * Driver-boundedness: the key list is ENTITY ids (the reference's
+  * EcoCyc/KEGG/NCBI page caches — 10³–10⁵ keys), never corpus rows; the
+  * per-sweep status collect is one ~100-byte row per queued key, and
+  * sweeps after the first carry failures only. A corpus-scale fetch (one
+  * URL per document) is a different operator — it would stream statuses
+  * to a table instead of returning them.
   */
 object HttpFetch {
 
