@@ -20,6 +20,26 @@ class CurateCliSpec extends SparkSpec {
     assert(stats.count() === 5) // five languages
   }
 
+  test("curate --min-quality threads INTO the pipeline (gate before representatives)") {
+    val out = java.nio.file.Files.createTempDirectory("curate_mq").toString
+    graft.Main.main(Array(
+      "curate", "--data", sf001, "--out", out, "--min-quality", "0.45"))
+    val survivors = spark.read.parquet(s"$out/survivors.parquet")
+    // equals the parameterized pipeline at 0.45 — NOT the 0.4-gated registry
+    // result post-filtered to 0.5 (which could drop whole clusters whose
+    // min-id representative fails the stricter gate)
+    val want = graft.text.TextQueries.curateCorpus(spark, sf001, 0.45)
+    assert(survivors.count() === want.count())
+    assert(survivors.count() > 0)
+    val post = graft.SparkEntry.queries("cur_corpus")(spark, sf001)
+      .where(org.apache.spark.sql.functions.col("quality") >= 0.45)
+    // sanity: at 0.45 the two formulations genuinely differ in what they keep
+    // (min-quality of kept docs is respected either way)
+    assert(survivors.agg(org.apache.spark.sql.functions.min("quality"))
+      .head.getDouble(0) >= 0.45)
+    assert(post.count() <= want.count())
+  }
+
   test("curate --semantic additionally drops cosine near-dups") {
     val out = java.nio.file.Files.createTempDirectory("curate_sem").toString
     graft.Main.main(Array(
