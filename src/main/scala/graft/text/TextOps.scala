@@ -34,6 +34,53 @@ object TextOps {
       lit(0L),
       (acc, x) => pmod(acc * base + x, lit(HashPrime)))
 
+  /** Rolling k-token window hashes: for every stride-1 window of `k`
+    * whitespace tokens, the [[polyHash]] (base 31) of the space-joined
+    * window string — the substring-level dedup signal (duplicated training
+    * windows à la "Deduplicating Training Data" suffix-array dedup, here
+    * with fixed-width windows so the shuffle key is one long per window).
+    *
+    * TRUE rolling computation: one pass builds prefix hashes and powers of
+    * the joined string, then each window is `(H[e] − H[s]·31^(e−s)) mod p`
+    * — O(total chars) per document, not O(chars × k). Bit-identical to
+    * hashing each window string separately (the oracle's form). Docs with
+    * fewer than k tokens produce no windows.
+    */
+  def windowHashes(text: Column, k: Int): Column = {
+    val impl = udf { (s: String) =>
+      val toks = s.trim.split("\\s+")
+      if (toks.length < k) Array.empty[Long]
+      else {
+        val joined = toks.mkString(" ")
+        val n = joined.length
+        val prefix = new Array[Long](n + 1)
+        val pow = new Array[Long](n + 1)
+        pow(0) = 1L
+        var i = 0
+        while (i < n) {
+          prefix(i + 1) = (prefix(i) * 31 + joined.charAt(i)) % HashPrime
+          pow(i + 1) = (pow(i) * 31) % HashPrime
+          i += 1
+        }
+        // char offset where token t starts in `joined`
+        val starts = new Array[Int](toks.length)
+        var t = 1
+        while (t < toks.length) {
+          starts(t) = starts(t - 1) + toks(t - 1).length + 1
+          t += 1
+        }
+        Array.tabulate(toks.length - k + 1) { w =>
+          val s0 = starts(w)
+          val e0 =
+            if (w + k < toks.length) starts(w + k) - 1 else n
+          val h = (prefix(e0) - prefix(s0) * pow(e0 - s0)) % HashPrime
+          if (h < 0) h + HashPrime else h
+        }
+      }
+    }
+    impl(text)
+  }
+
   /** Stopword-hit count against a literal vocabulary. */
   def stopwordHits(tokens: Column, stopwords: Seq[String]): Column =
     size(filter(tokens, t => array_contains(array(stopwords.map(lit): _*), t)))

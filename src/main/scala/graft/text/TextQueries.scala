@@ -300,6 +300,28 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // substring-level dedup signal: per doc, how many of its 20-token
+    // stride-1 windows also appear in ANOTHER doc (cross-doc only —
+    // within-doc repeats are tx_repetition's job). The window hash is a
+    // true rolling hash, so scan-stage work is O(chars); the hot-window
+    // set rides one (hash)-keyed shuffle — posting-list shape, window
+    // payload is a single long
+    "dd_dup_windows" -> { (s, d) =>
+      val wins = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextOps.windowHashes(col("text"), 20)).as("h"))
+      val hot = wins.groupBy("h").agg(countDistinct("doc_id").as("dc"))
+        .where(col("dc") >= 2).select("h")
+      val perDoc = wins.groupBy("doc_id").agg(count(lit(1)).as("n_windows"))
+      val dupPer = wins.join(hot, Seq("h"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+      perDoc.join(dupPer, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("n_windows"),
+          coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+          (floor(coalesce(col("n_dup"), lit(0L)) / col("n_windows") * 1000000.0
+            + 0.5) / 1000000.0).as("dup_frac"))
+        .orderBy("doc_id")
+    },
+
     // incremental ingest dedup: the pairs a NEW batch (doc_id >= 400)
     // forms with anything — old×old never generated (yesterday's pair
     // table already has it); the steady-state daily-ingest shape
@@ -620,6 +642,24 @@ object TextQueries {
     // new batch — the implementation never GENERATES old×old, the oracle
     // just filters them out
     "dd_incremental" -> shingleCteWhere(" AND (d1 >= 400 OR d2 >= 400)"),
+
+    "dd_dup_windows" ->
+      s"""WITH toks AS (
+            SELECT doc_id, $tokensSql AS w FROM documents
+          ), wins AS (
+            SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-19),
+              i -> ${ph("array_to_string(w[i:i+19], ' ')", 31)})) AS h
+            FROM toks WHERE len(w) >= 20
+          ), hot AS (
+            SELECT h FROM (
+              SELECT h, count(DISTINCT doc_id) AS dc FROM wins GROUP BY h) t
+            WHERE dc >= 2
+          )
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+                 CAST(count(*) FILTER (h IN (SELECT h FROM hot)) AS BIGINT) AS n_dup,
+                 FLOOR(count(*) FILTER (h IN (SELECT h FROM hot))
+                   / count(*) * 1000000.0 + 0.5) / 1000000.0 AS dup_frac
+          FROM wins GROUP BY doc_id ORDER BY doc_id""",
 
     "dd_components" ->
       s"""WITH RECURSIVE pairs AS ($shingleCte),

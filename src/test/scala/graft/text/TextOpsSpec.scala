@@ -208,6 +208,40 @@ class TextOpsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("windowHashes: rolling == per-window naive hash; dup windows are cross-doc only") {
+    import spark.implicits._
+    // rolling-vs-naive over random token streams
+    val rnd = new scala.util.Random(29)
+    val vocab = Vector("aa", "b", "ccc", "dddd", "e1")
+    (1 to 5).foreach { _ =>
+      val toks = Seq.fill(30)(vocab(rnd.nextInt(vocab.size)))
+      val k = 7
+      val got = Seq(toks.mkString(" ")).toDF("text")
+        .select(TextOps.windowHashes(col("text"), k)).head.getSeq[Long](0)
+      val want = toks.sliding(k).map { w =>
+        var h = 0L
+        w.mkString(" ").foreach(c => h = (h * 31 + c) % TextOps.HashPrime)
+        h
+      }.toSeq
+      assert(got == want)
+    }
+    // dd_dup_windows semantics: doc 2 repeats its own window (not counted),
+    // docs 0/1 share a window (counted for both)
+    val shared = (1 to 20).map(i => s"w$i").mkString(" ")
+    val rows = Seq(
+      (0L, "en", "web", shared + " tailA unique0"),
+      (1L, "en", "web", "headB " + shared),
+      (2L, "en", "web", ((1 to 20).map(i => s"x$i") ++ (1 to 20).map(i => s"x$i"))
+        .mkString(" ")))
+    val dir = java.nio.file.Files.createTempDirectory("dupwin").toString
+    rows.toDF("doc_id", "lang", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.text.TextQueries.queries("dd_dup_windows")(spark, dir)
+      .select("doc_id", "n_dup").as[(Long, Long)].collect().toMap
+    assert(got(0L) == 1L && got(1L) == 1L, got)
+    assert(got(2L) == 0L, s"within-doc repeats must not count: $got")
+  }
+
   test("minhashLshPairs equals exact jaccardPairs on seeded corpus") {
     val rnd = new scala.util.Random(5)
     val vocab = Vector("data", "spark", "query", "join", "scan", "agg", "row",
