@@ -261,6 +261,24 @@ object Dedup {
   private val pairTableMemo =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
+  /** The pair stage as a PERSISTED TABLE: compute once, write Parquet,
+    * return the readback — the deployed form of [[pairTable]]'s in-session
+    * memo (downstream consumers, including other jobs and the streaming
+    * twin's bootstrap, read the files; nothing recomputes and nothing
+    * stays pinned in executor memory).
+    */
+  def materializePairTable(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      path: String,
+      k: Int = 3): DataFrame = {
+    jaccardPairsHashed(hashedShingleDocs(docs, idCol, textCol, k), threshold)
+      .write.mode("overwrite").parquet(path)
+    docs.sparkSession.read.parquet(path)
+  }
+
   def pairTable(
       docs: DataFrame,
       idCol: String,

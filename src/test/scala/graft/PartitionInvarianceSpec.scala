@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+
+/** Results must be invariant to the physical partition count — a catch-all
+  * against partition-order-dependent logic (boundary carries, per-partition
+  * sorts, posting-list grouping, the custom interval-stab shuffles). Runs a
+  * representative query per family at shuffle.partitions ∈ {1, 7} and
+  * compares row-for-row against the default-4 result.
+  */
+class PartitionInvarianceSpec extends SparkSpec {
+
+  private val representative = Seq(
+    "j1_range_join",      // custom interval-stab physical join
+    "j6_ordered_reorder", // two-phase global ordering
+    "w3_gap_emission",    // distributed lag boundary carry
+    "dd_ngram_jaccard",   // posting-list pair generation
+    "dd_dup_windows",     // window-hash postings + semi join
+    "sm_pack",            // distributed prefix sum
+    "t1_topk_per_group")  // bounded top-k aggregate
+
+  test("representative queries are invariant to shuffle.partitions in {1, 7}") {
+    val key = "spark.sql.shuffle.partitions"
+    val default = spark.conf.get(key)
+    val baseline = representative.map { q =>
+      q -> SparkEntry.queries(q)(spark, sf0001).collect().toSeq
+    }.toMap
+    try {
+      for (parts <- Seq("1", "7")) {
+        spark.conf.set(key, parts)
+        representative.foreach { q =>
+          val got = SparkEntry.queries(q)(spark, sf0001).collect().toSeq
+          assert(got == baseline(q), s"$q differs at shuffle.partitions=$parts")
+        }
+      }
+    } finally spark.conf.set(key, default)
+  }
+}

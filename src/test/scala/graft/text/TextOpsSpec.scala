@@ -139,6 +139,10 @@ class TextOpsSpec extends SparkSpec {
     val again = Dedup.pairTable(df, "doc_id", "text", 0.5)
     assert(again.collect().toSeq == direct)
     assert(again.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+    // the deployed form: parquet materialization round-trips the same rows
+    val path = java.nio.file.Files.createTempDirectory("pairtab").toString + "/pairs"
+    val mat = Dedup.materializePairTable(df, "doc_id", "text", 0.5, path)
+    assert(mat.orderBy("d1", "d2").collect().toSeq == direct)
   }
 
   test("tx_quantiles_sketch: approx percentiles within the rank-error bound of exact") {
