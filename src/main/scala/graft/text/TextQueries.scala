@@ -322,6 +322,42 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // the ACTION form of dd_dup_windows: REWRITE each doc with every
+    // token covered by a cross-doc duplicated 20-token window removed
+    // (the "cut duplicated spans out of training text" surgery). The
+    // cleaned text is pinned by its polynomial fingerprint rather than
+    // shipped as a column — the oracle reconstructs the same string.
+    // Scale shape: window postings shuffle once on the hash; the per-doc
+    // hot-index lists ride a keyed aggregation; the surgery itself is
+    // scan-stage compute
+    "cur_dedup_spans" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .where(size(TextOps.whitespaceTokens(col("text"))) >= 20)
+      val wins = docs.select(col("doc_id"),
+        posexplode(TextOps.windowHashes(col("text"), 20)).as(Seq("i", "h")))
+      val hot = wins.groupBy("h").agg(countDistinct("doc_id").as("dc"))
+        .where(col("dc") >= 2).select("h")
+      val hotIdx = wins.join(hot, Seq("h"), "left_semi")
+        .groupBy("doc_id").agg(collect_list("i").as("hot_is"))
+      val surgery = udf { (text: String, hotIs: Seq[Int]) =>
+        val toks = text.trim.split("\\s+")
+        val covered = new Array[Boolean](toks.length)
+        if (hotIs != null) hotIs.foreach { i0 =>
+          var t = i0
+          while (t < i0 + 20 && t < toks.length) { covered(t) = true; t += 1 }
+        }
+        val kept = toks.indices.collect { case i if !covered(i) => toks(i) }
+        var h = 0L
+        kept.mkString(" ").foreach(c => h = (h * 31 + c) % TextOps.HashPrime)
+        (toks.length, toks.length - kept.length, h)
+      }
+      docs.join(hotIdx, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), surgery(col("text"), col("hot_is")).as("r"))
+        .select(col("doc_id"), col("r._1").as("n_tokens"),
+          col("r._2").as("n_removed"), col("r._3").as("clean_fp"))
+        .orderBy("doc_id")
+    },
+
     // incremental ingest dedup: the pairs a NEW batch (doc_id >= 400)
     // forms with anything — old×old never generated (yesterday's pair
     // table already has it); the steady-state daily-ingest shape
@@ -642,6 +678,41 @@ object TextQueries {
     // new batch — the implementation never GENERATES old×old, the oracle
     // just filters them out
     "dd_incremental" -> shingleCteWhere(" AND (d1 >= 400 OR d2 >= 400)"),
+
+    "cur_dedup_spans" ->
+      s"""WITH toks AS (
+            SELECT doc_id, $tokensSql AS w FROM documents
+          ), t20 AS (
+            SELECT doc_id, w FROM toks WHERE len(w) >= 20
+          ), wins AS (
+            SELECT doc_id, (s).i AS i, (s).h AS h FROM (
+              SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-19),
+                i -> {'i': i, 'h': ${ph("array_to_string(w[i:i+19], ' ')", 31)}})) AS s
+              FROM t20) u
+          ), hot AS (
+            SELECT h FROM (
+              SELECT h, count(DISTINCT doc_id) AS dc FROM wins GROUP BY h) t
+            WHERE dc >= 2
+          ), cov AS (
+            SELECT DISTINCT doc_id, unnest(generate_series(i, i+19)) AS t
+            FROM wins WHERE h IN (SELECT h FROM hot)
+          ), kept AS (
+            SELECT x.doc_id,
+                   array_to_string(list(x.tok ORDER BY x.t), ' ') AS clean,
+                   count(*) AS n_kept
+            FROM (SELECT doc_id, unnest(generate_series(1, len(w))) AS t,
+                         unnest(w) AS tok
+                  FROM t20) x
+            LEFT JOIN cov ON cov.doc_id = x.doc_id AND cov.t = x.t
+            WHERE cov.t IS NULL
+            GROUP BY x.doc_id
+          )
+          SELECT t20.doc_id,
+                 CAST(len(w) AS INTEGER) AS n_tokens,
+                 CAST(len(w) - coalesce(k.n_kept, 0) AS INTEGER) AS n_removed,
+                 CAST(${ph("coalesce(k.clean, '')", 31)} AS BIGINT) AS clean_fp
+          FROM t20 LEFT JOIN kept k ON k.doc_id = t20.doc_id
+          ORDER BY t20.doc_id""",
 
     "dd_dup_windows" ->
       s"""WITH toks AS (

@@ -246,6 +246,32 @@ class TextOpsSpec extends SparkSpec {
     assert(got(2L) == 0L, s"within-doc repeats must not count: $got")
   }
 
+  test("cur_dedup_spans: removes exactly the cross-doc duplicated window tokens") {
+    import spark.implicits._
+    // docs 0 and 1 share one 20-token window; doc 0 carries 2 extra tokens
+    val shared = (1 to 20).map(i => s"w$i").mkString(" ")
+    val rows = Seq(
+      (0L, "en", "web", "pre0 " + shared + " post0"),
+      (1L, "en", "web", shared),
+      (2L, "en", "web", (1 to 25).map(i => s"u$i").mkString(" ")))
+    val dir = java.nio.file.Files.createTempDirectory("spans").toString
+    rows.toDF("doc_id", "lang", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.text.TextQueries.queries("cur_dedup_spans")(spark, dir)
+      .as[(Long, Int, Int, Long)].collect().map(r => r._1 -> r).toMap
+    def fp(s: String) = {
+      var h = 0L; s.foreach(c => h = (h * 31 + c) % TextOps.HashPrime); h
+    }
+    // doc 0: 22 tokens; covered = the shared 20 (two windows overlap-cover
+    // exactly tokens 1..20 since only the pure shared window is cross-doc)
+    assert(got(0L)._2 == 22 && got(0L)._3 == 20, got(0L))
+    assert(got(0L)._4 == fp("pre0 post0"), "surviving text must be the flanks")
+    // doc 1: fully removed -> empty fingerprint (fold over '' = 0)
+    assert(got(1L)._3 == 20 && got(1L)._4 == 0L, got(1L))
+    // doc 2: untouched
+    assert(got(2L)._3 == 0 && got(2L)._4 == fp((1 to 25).map(i => s"u$i").mkString(" ")))
+  }
+
   test("minhashLshPairs equals exact jaccardPairs on seeded corpus") {
     val rnd = new scala.util.Random(5)
     val vocab = Vector("data", "spark", "query", "join", "scan", "agg", "row",
