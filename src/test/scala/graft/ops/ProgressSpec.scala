@@ -37,20 +37,24 @@ class ProgressSpec extends SparkSpec {
   }
 
   test("stage listener + accumulator observe a real distributed job") {
-    val lines = ArrayBuffer.empty[String]
+    // listener callbacks run on the bus thread — collect through a
+    // thread-safe queue, not a locked-lambda-that-isn't (synchronized
+    // around lambda CREATION would not lock the appends)
+    val lines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val handle = Progress.attachStageProgress(spark, timeDistanceMs = 0,
-      out = lines.synchronized { l => lines += l })
+      out = l => lines.add(l))
     val acc = Progress.accumulator(spark, "rows_seen")
     try {
       val ds = spark.range(0, 10000, 1, 8)
       ds.foreach(_ => acc.add(1))
       // wait for the listener bus to drain before asserting (the bus is
       // private API — poll the observable effect instead)
+      import scala.jdk.CollectionConverters._
       val deadline = System.currentTimeMillis() + 10000
       while (System.currentTimeMillis() < deadline &&
-        !lines.synchronized(lines.exists(_.contains("8/8 tasks")))) Thread.sleep(50)
+        !lines.asScala.exists(_.contains("8/8 tasks"))) Thread.sleep(50)
       assert(acc.value == 10000L)
-      val stageLines = lines.synchronized(lines.toList)
+      val stageLines = lines.asScala.toList
       assert(stageLines.exists(_.contains("tasks")), stageLines.take(3))
       assert(stageLines.exists(_.contains("remain")), "ETA must appear mid-stage")
     } finally handle.close()
