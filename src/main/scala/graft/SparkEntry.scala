@@ -26,10 +26,6 @@ object SparkEntry {
     * Deliberately ABSENT (rows-only in the driver gate, each pinned by
     * in-repo specs instead):
     *
-    *   - `ann_ivf_topk` — the IVF coarse quantizer is DATA-DEPENDENT
-    *     (deterministic Lloyd over a bounded corpus sample); a SQL oracle
-    *     would have to replicate the k-means iterations. Determinism and
-    *     recall-vs-brute-force are asserted in TextOpsSpec.
     *   - `x5_blat_text` — the blat kernel's recursive seed-extend DFS is
     *     not expressible as (non-recursive) SQL at reasonable cost; a
     *     truth-table golden pins the kernel in SimilarityKernelsSpec.
@@ -38,8 +34,11 @@ object SparkEntry {
     *     against exact quantiles is asserted in TextOpsSpec.
     *
     * Everything else in [[queries]] carries a full hash oracle — including
-    * `ann_lsh_topk`, whose deterministic hyperplanes are embedded in the
-    * SQL as literals.
+    * `ann_lsh_topk` (deterministic hyperplanes embedded in the SQL as
+    * literals) and `ann_ivf_topk` (the trained coarse-quantizer centroids
+    * embedded the same way — training is deterministic and runs before the
+    * oracle dump, so assignment/probe/re-rank are DuckDB-verified; see
+    * TextQueries.ivfOracle).
     */
   def oracleSql: Map[String, String] =
     graft.relational.RelationalQueries.oracles ++

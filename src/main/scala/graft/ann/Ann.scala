@@ -236,13 +236,15 @@ object Ann {
       numCells: Int = 16,
       nProbe: Int = 4,
       lloydIters: Int = 2,
-      trainCap: Int = 4096): DataFrame = {
-    val spark = embeddings.sparkSession
-    import spark.implicits._
-    val sc = spark.sparkContext
+      trainCap: Int = 4096): DataFrame =
+    ivfTopKWithCentroids(embeddings, idCol, vecCol, queryPred, k, nProbe,
+      trainIvfCentroids(embeddings, idCol, vecCol, numCells, lloydIters, trainCap))
 
-    def prep(df: DataFrame) = df
-      .select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
+  /** (id, v, norm, v/norm) prep shared by IVF training and probing. */
+  private def ivfPrep(df: DataFrame, idCol: String, vecCol: String) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
       .as[(Long, Array[Double])]
       .map { case (id, v) =>
         var s = 0.0; var i = 0
@@ -251,32 +253,49 @@ object Ann {
         val vn = if (n == 0.0) v.clone() else v.map(_ / n)
         (id, v, n, vn)
       }
+  }
 
-    // NOT persisted: prep is a map-only pass, and the corpus is scanned
-    // exactly twice (the bounded training take-ordered below, then the
-    // index build inside the caller's final action). Caching it would save
-    // one cheap recompute at the price of a MEMORY_AND_DISK block leaking
-    // past the query in library use — callers who probe the same index
-    // repeatedly should persist the returned DataFrame themselves.
-    val corpus = prep(embeddings)
-
-    def nearestCell(vn: Array[Double], cents: Array[Array[Double]]): Int = {
-      var best = 0; var bestDot = Double.NegativeInfinity; var c = 0
-      while (c < cents.length) {
-        val ct = cents(c)
-        var dot = 0.0; var i = 0
-        while (i < ct.length) { dot += vn(i) * ct(i); i += 1 }
-        if (dot > bestDot) { bestDot = dot; best = c }
-        c += 1
-      }
-      best
+  /** argmax_c dot(vn, cents(c)), strict-greater ascending scan — ties break
+    * toward the LOWER cell id (gate-determinism contract; the oracle SQL's
+    * `ORDER BY dot DESC, cell` replicates it).
+    */
+  private def nearestCell(vn: Array[Double], cents: Array[Array[Double]]): Int = {
+    var best = 0; var bestDot = Double.NegativeInfinity; var c = 0
+    while (c < cents.length) {
+      val ct = cents(c)
+      var dot = 0.0; var i = 0
+      while (i < ct.length) { dot += vn(i) * ct(i); i += 1 }
+      if (dot > bestDot) { bestDot = dot; best = c }
+      c += 1
     }
+    best
+  }
+
+  /** The IVF coarse quantizer, exposed so callers (and the gate's oracle
+    * builder) can hold the trained centroid matrix: deterministic Lloyd
+    * over a BOUNDED sample. Fully reproducible — deterministic hash-ordered
+    * `trainCap`-row sample, id-mod init, ascending-id mean folds, strict
+    * lower-cell tie-breaks, no RNG — so the same data always yields the
+    * same matrix, which is what lets the DuckDB oracle embed it as
+    * literals (the ann_lsh hyperplane trick applied to a DATA-DEPENDENT
+    * index).
+    */
+  def trainIvfCentroids(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numCells: Int = 16,
+      lloydIters: Int = 2,
+      trainCap: Int = 4096): Array[Array[Double]] = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
 
     // BOUNDED training sample: trainCap rows under a deterministic hash
     // order (multiplicative hash of the id — spreads ids uniformly; the
     // id tiebreak makes the take total). TakeOrdered = per-partition
     // top-k then a driver merge of trainCap rows, never a full collect.
-    val sample = corpus.map { case (id, _, _, vn) => (id, vn) }
+    val sample = ivfPrep(embeddings, idCol, vecCol)
+      .map { case (id, _, _, vn) => (id, vn) }
       .toDF("id", "vn")
       .orderBy(pmod(col("id") * lit(2654435761L), lit(1000000007L)), col("id"))
       .limit(trainCap)
@@ -310,12 +329,37 @@ object Ann {
       val assigned = sample.toSeq.map { case (id, vn) => (nearestCell(vn, cents), id, vn) }
       cents = groupMeans(assigned, cents)
     }
+    cents
+  }
 
-    val centsB = sc.broadcast(cents)
+  /** IVF probe against an already-trained centroid matrix: one map-only
+    * index build with the K×dim matrix broadcast, then a (cell, query) ×
+    * (cell, vector) equi-join with exact re-ranking.
+    */
+  def ivfTopKWithCentroids(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryPred: Column,
+      k: Int,
+      nProbe: Int,
+      cents: Array[Array[Double]]): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+
+    // NOT persisted: prep is a map-only pass, and the corpus is scanned
+    // exactly twice (the bounded training take-ordered above, then the
+    // index build inside the caller's final action). Caching it would save
+    // one cheap recompute at the price of a MEMORY_AND_DISK block leaking
+    // past the query in library use — callers who probe the same index
+    // repeatedly should persist the returned DataFrame themselves.
+    val corpus = ivfPrep(embeddings, idCol, vecCol)
+
+    val centsB = spark.sparkContext.broadcast(cents)
     val index = corpus
       .map { case (id, v, n, vn) => (nearestCell(vn, centsB.value), id, v, n) }
       .toDF("cell", "neighbor_id", "nvec", "nn")
-    val probes = prep(embeddings.where(queryPred))
+    val probes = ivfPrep(embeddings.where(queryPred), idCol, vecCol)
       .flatMap { case (id, v, n, vn) =>
         val cs = centsB.value
         // top nProbe cells by centroid dot, ties toward lower cell id

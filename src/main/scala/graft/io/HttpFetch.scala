@@ -63,7 +63,10 @@ object HttpFetch {
     * `ecocyc_analysis.py:264-268`.
     */
   def httpGet(url: String, timeoutMs: Int, sizeHint: Long): Array[Byte] = {
-    val expanded = if (url.contains("%d")) url.format(sizeHint) else url
+    // literal token replacement, NOT String.format: format() would
+    // re-interpret every other '%' sequence, so a percent-encoded URL
+    // (e.g. containing %2F) with a size-hint slot would throw per attempt
+    val expanded = url.replace("%d", sizeHint.toString)
     val conn = new URI(expanded).toURL.openConnection()
       .asInstanceOf[HttpURLConnection]
     conn.setConnectTimeout(timeoutMs)
@@ -75,6 +78,21 @@ object HttpFetch {
         else raw
       try in.readAllBytes() finally in.close()
     } finally conn.disconnect()
+  }
+
+  /** Cache file name for a key: characters outside [A-Za-z0-9._-] map to
+    * '_' and the dot-only names collapse to '_' — a key containing '/'
+    * (or '..') can neither escape `cacheDir` nor break tmp-file creation.
+    * Distinct keys that sanitize to the same name share a cache file;
+    * callers with adversarial key spaces should pre-hash their keys.
+    */
+  private[io] def cacheFileName(key: String): String = {
+    val s = key.map { c =>
+      if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+        (c >= '0' && c <= '9') || c == '.' || c == '_' || c == '-') c
+      else '_'
+    }
+    if (s.isEmpty || s == "." || s == "..") "_" else s
   }
 
   private def countLines(body: Array[Byte]): Int = {
@@ -89,7 +107,8 @@ object HttpFetch {
   private def fetchOne(
       key: String, url: String, cacheDir: String, cfg: FetchConfig,
       transport: (String, Int, Long) => Array[Byte]): FetchStatus = {
-    val target = Paths.get(cacheDir, key)
+    val fileName = cacheFileName(key)
+    val target = Paths.get(cacheDir, fileName)
     var attempt = 0
     var timeoutMs = cfg.initialTimeoutMs
     var sizeHint = cfg.initialSizeHint
@@ -102,7 +121,7 @@ object HttpFetch {
         if (lines >= cfg.minLines) {
           // tmp + atomic rename: concurrent/speculative writers converge
           // on one complete file, never a torn one
-          val tmp = Files.createTempFile(target.getParent, s".${key}_", ".part")
+          val tmp = Files.createTempFile(target.getParent, s".${fileName}_", ".part")
           Files.write(tmp, body)
           Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
             StandardCopyOption.REPLACE_EXISTING)
@@ -151,9 +170,10 @@ object HttpFetch {
       val statuses = spark.sparkContext.parallelize(queue, math.min(queue.size, 32).max(1))
         .mapPartitions { it =>
           it.map { case (key, url) =>
-            if (Files.exists(Paths.get(cacheDir, key)))
+            val cachePath = Paths.get(cacheDir, cacheFileName(key))
+            if (Files.exists(cachePath))
               FetchStatus(key, url, cached = true, fetched = false, ok = true,
-                attempts = 0, bytes = Files.size(Paths.get(cacheDir, key)),
+                attempts = 0, bytes = Files.size(cachePath),
                 lines = 0)
             else if (!cfg.enabled)
               FetchStatus(key, url, cached = false, fetched = false, ok = false,

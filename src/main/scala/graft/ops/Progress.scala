@@ -2,7 +2,7 @@ package graft.ops
 
 import java.util.concurrent.atomic.AtomicLong
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerStageSubmitted, SparkListenerTaskEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted, SparkListenerStageSubmitted, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.util.LongAccumulator
 
@@ -70,18 +70,29 @@ object Progress {
       timeDistanceMs: Long = 5000,
       clock: () => Long = () => System.currentTimeMillis(),
       out: String => Unit = println): AutoCloseable = {
-    val logger = new EtaLogger(timeDistanceMs, clock, out)
+    // ONE EtaLogger (so one elapsed-time base and one throttle window) PER
+    // STAGE: a shared logger's start timestamp would be the attach time,
+    // inflating every later stage's ETA. Entries drop on stage completion,
+    // so a long-lived session's maps stay bounded by in-flight stages.
+    val loggers = new java.util.concurrent.ConcurrentHashMap[Int, EtaLogger]()
     val totals = new java.util.concurrent.ConcurrentHashMap[Int, Int]()
     val done = new java.util.concurrent.ConcurrentHashMap[Int, AtomicLong]()
     val listener = new SparkListener {
       override def onStageSubmitted(s: SparkListenerStageSubmitted): Unit = {
         totals.put(s.stageInfo.stageId, s.stageInfo.numTasks)
         done.put(s.stageInfo.stageId, new AtomicLong(0))
+        loggers.put(s.stageInfo.stageId, new EtaLogger(timeDistanceMs, clock, out))
       }
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
         val solve = Option(done.get(t.stageId)).map(_.incrementAndGet()).getOrElse(0L)
         val total = totals.getOrDefault(t.stageId, 0)
-        logger.log(s"stage ${t.stageId}: $solve/$total tasks", solve, total.toLong)
+        Option(loggers.get(t.stageId)).foreach(
+          _.log(s"stage ${t.stageId}: $solve/$total tasks", solve, total.toLong))
+      }
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+        totals.remove(s.stageInfo.stageId)
+        done.remove(s.stageInfo.stageId)
+        loggers.remove(s.stageInfo.stageId)
       }
     }
     spark.sparkContext.addSparkListener(listener)

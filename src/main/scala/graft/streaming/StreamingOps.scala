@@ -187,7 +187,13 @@ object StreamingOps {
     import docs.sparkSession.implicits._
     val r = numHashes / bands
     docs
-      .flatMap { d =>
+      .flatMap { d0 =>
+        // shingle sets are SETS: dedup on ingest so the exact-Jaccard
+        // verify below matches the batch operator (whose shingleUdf dedups
+        // via LinkedHashSet) even when a caller feeds duplicated shingles
+        // — duplicates cannot change the MinHash minima, but they would
+        // silently inflate |A|,|B| and inter in the verification
+        val d = d0.copy(shingles = d0.shingles.distinct)
         val sig = graft.text.Dedup.minhashSigOf(d.shingles, numHashes)
         (0 until bands).map { b =>
           val bucket = (b +: (0 until r).map(i => sig(b * r + i))).mkString("_")

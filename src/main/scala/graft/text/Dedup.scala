@@ -219,18 +219,27 @@ object Dedup {
       .flatMapGroups { (_, it) =>
         val members = it.map(t => (t._1, t._2, t._3)).toArray
         java.util.Arrays.sort(members, Ordering.by[(Long, Long, Boolean), Long](_._1))
-        val out = Vector.newBuilder[(Long, Long, Long, Long)]
-        var i = 0
-        while (i < members.length - 1) {
-          var j = i + 1
-          while (j < members.length) {
-            if (members(i)._3 || members(j)._3)
-              out += ((members(i)._1, members(i)._2, members(j)._1, members(j)._2))
+        // LAZY two-index walk (same shape as jaccardPairsHashed) that skips
+        // old×old pairs in place — a hot boilerplate shingle shared by many
+        // docs streams through in O(1) task memory instead of materializing
+        // the group's O(c²) pair list
+        new Iterator[(Long, Long, Long, Long)] {
+          private var i = 0
+          private var j = 1
+          private def step(): Unit = {
             j += 1
+            if (j >= members.length) { i += 1; j = i + 1 }
           }
-          i += 1
+          private def skipOldOld(): Unit =
+            while (i < members.length - 1 && !(members(i)._3 || members(j)._3)) step()
+          skipOldOld()
+          def hasNext: Boolean = i < members.length - 1
+          def next(): (Long, Long, Long, Long) = {
+            val p = (members(i)._1, members(i)._2, members(j)._1, members(j)._2)
+            step(); skipOldOld()
+            p
+          }
         }
-        out.result().iterator
       }
       .toDF("d1", "n1", "d2", "n2")
       .groupBy("d1", "d2", "n1", "n2").agg(count(lit(1)).as("inter"))
@@ -258,8 +267,59 @@ object Dedup {
     * `spark.catalog.clearCache()`) degrades gracefully — the lineage
     * recomputes and re-marks itself for caching on next access.
     */
+  /** Memo bound: entries past this are LRU-evicted (their cached blocks
+    * unpersisted) — a long-lived library session touching many distinct
+    * corpora can no longer pin blocks forever. Explicit lifecycle:
+    * [[releasePairTable]] / [[clearPairTables]].
+    */
+  private val MaxPairTableEntries = 32
+
   private val pairTableMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    new java.util.LinkedHashMap[AnyRef, DataFrame](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[AnyRef, DataFrame]): Boolean =
+        if (size() > MaxPairTableEntries) { e.getValue.unpersist(false); true }
+        else false
+    }
+
+  /** Keyed on the canonicalized plan OBJECT, not its string: structural
+    * plan equality covers LocalRelation DATA, which the string form elides
+    * — two in-memory corpora with the same schema must not share an entry.
+    */
+  private def pairTableKey(
+      docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, k: Int): AnyRef =
+    (System.identityHashCode(docs.sparkSession),
+      docs.queryExecution.logical.canonicalized,
+      idCol, textCol, k, threshold)
+
+  /** Drop the memo entry for exactly these arguments and unpersist its
+    * cached blocks (blocking, so callers can assert nothing survives).
+    * Returns whether an entry existed. Gate queries never call this — the
+    * harness WANTS cross-query reuse; long-lived library users release a
+    * corpus when they are done with it.
+    */
+  def releasePairTable(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      k: Int = 3): Boolean = {
+    val key = pairTableKey(docs, idCol, textCol, threshold, k)
+    val removed = pairTableMemo.synchronized(Option(pairTableMemo.remove(key)))
+    removed.foreach(_.unpersist(true))
+    removed.isDefined
+  }
+
+  /** Drop EVERY memoized pair table and unpersist their blocks. */
+  def clearPairTables(): Unit = {
+    val all = pairTableMemo.synchronized {
+      val vs = new java.util.ArrayList(pairTableMemo.values())
+      pairTableMemo.clear()
+      vs
+    }
+    all.forEach(_.unpersist(true))
+  }
 
   /** The pair stage as a PERSISTED TABLE: compute once, write Parquet,
     * return the readback — the deployed form of [[pairTable]]'s in-session
@@ -285,11 +345,11 @@ object Dedup {
       textCol: String,
       threshold: Double,
       k: Int = 3): DataFrame = {
-    val key = System.identityHashCode(docs.sparkSession).toString + "|" +
-      docs.queryExecution.logical.canonicalized.toString +
-      s"|$idCol|$textCol|$k|$threshold"
-    val df = pairTableMemo.computeIfAbsent(key, _ =>
-      jaccardPairsHashed(hashedShingleDocs(docs, idCol, textCol, k), threshold))
+    val key = pairTableKey(docs, idCol, textCol, threshold, k)
+    val df = pairTableMemo.synchronized {
+      pairTableMemo.computeIfAbsent(key, _ =>
+        jaccardPairsHashed(hashedShingleDocs(docs, idCol, textCol, k), threshold))
+    }
     if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     df

@@ -406,13 +406,21 @@ object TextQueries {
         col("vec_id") < 20, k = 5, dim = 64)
     },
 
-    // IVF stays rows-only: its coarse quantizer is DATA-DEPENDENT (k-means
-    // over a corpus sample), so a SQL oracle would have to replicate Lloyd
-    // iterations — recall vs the brute-force baseline is pinned in
-    // TextOpsSpec instead, and determinism of the index is spec-asserted
+    // IVF has a FULL hash oracle despite its DATA-DEPENDENT coarse
+    // quantizer: training is deterministic and bounded (hash-ordered
+    // sample, id-mod init, ascending-id mean folds — Ann.trainIvfCentroids),
+    // so the query trains the matrix driver-side, memoizes it, and the
+    // oracle builder (run by Verify AFTER the queries) embeds the exact
+    // centroids as DOUBLE[] literals — the ann_lsh hyperplane trick.
+    // Assignment, probing, and re-ranking are then verified independently
+    // by DuckDB; training determinism itself is spec-asserted.
     "ann_ivf_topk" -> { (s, d) =>
-      Ann.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding",
-        col("vec_id") < 20, k = 5)
+      val emb = Tables.embeddings(s, d)
+      val cents = Ann.trainIvfCentroids(emb, "vec_id", "embedding",
+        numCells = 16, lloydIters = 2, trainCap = 4096)
+      ivfTrainedCentroids.set(cents)
+      Ann.ivfTopKWithCentroids(emb, "vec_id", "embedding",
+        col("vec_id") < 20, k = 5, nProbe = 4, cents)
     },
 
     // ---- multimodal plumbing --------------------------------------------
@@ -500,7 +508,72 @@ object TextQueries {
          (x, y) -> x + y)"""
   private def dot(a: String, b: String) = dotSql.format(a, a, b)
 
-  val oracles: Map[String, String] = Map(
+  /** The IVF centroid matrix trained by the last `ann_ivf_topk` build in
+    * this JVM. Verify runs every query BEFORE dumping oracle SQL, so by
+    * dump time this holds the matrix for exactly the sf dir under test;
+    * when unset (e.g. a run that skipped ann_ivf_topk) the oracle entry is
+    * simply omitted and the driver records its old rows-only check.
+    */
+  private[graft] val ivfTrainedCentroids =
+    new java.util.concurrent.atomic.AtomicReference[Array[Array[Double]]]()
+
+  /** IVF oracle: embeds the trained centroids as literal DOUBLE[] rows
+    * (Double.toString round-trips bit-exactly through DuckDB's parser —
+    * same as lshPlanesValues), then replicates assignment (argmax of the
+    * ascending-i dot fold over the L2-normalized vector, ties to the lower
+    * cell), nProbe probing, and exact re-ranking — so everything DOWNSTREAM
+    * of training is verified independently by DuckDB.
+    */
+  private def ivfOracle(cents: Array[Array[Double]], nProbe: Int, k: Int): String = {
+    val centsValues = cents.zipWithIndex.map { case (w, c) =>
+      s"($c,[${w.map(_.toString).mkString(",")}])"
+    }.mkString(",")
+    val uDotW = """list_reduce(list_prepend(0.0, list_transform(
+           generate_series(1, len(u)), i -> u[i] * w[i])), (x, y) -> x + y)"""
+    s"""WITH cents(cell, w) AS (VALUES $centsValues),
+        emb AS (
+          SELECT vec_id AS id, embedding,
+                 SQRT(${dot("embedding", "embedding")}) AS n
+          FROM embeddings
+        ), nv AS (
+          SELECT id, CASE WHEN n = 0.0
+                   THEN list_transform(embedding, x -> x::DOUBLE)
+                   ELSE list_transform(embedding, x -> x::DOUBLE / n) END AS u
+          FROM emb
+        ), cellscore AS (
+          SELECT id, cell, $uDotW AS dt FROM nv CROSS JOIN cents
+        ), assign AS (
+          SELECT id, cell FROM (SELECT id, cell,
+              ROW_NUMBER() OVER (PARTITION BY id ORDER BY dt DESC, cell) AS r
+            FROM cellscore) WHERE r = 1
+        ), probes AS (
+          SELECT id, cell FROM (SELECT id, cell,
+              ROW_NUMBER() OVER (PARTITION BY id ORDER BY dt DESC, cell) AS r
+            FROM cellscore WHERE id < 20) WHERE r <= $nProbe
+        ), s AS (
+          SELECT p.id AS query_id, a.id AS neighbor_id,
+            ${dot("q.embedding", "c.embedding")} / (q.n * c.n) AS cos
+          FROM probes p JOIN assign a ON p.cell = a.cell AND p.id <> a.id
+          JOIN emb q ON q.id = p.id
+          JOIN emb c ON c.id = a.id
+        )
+        SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+               FLOOR(cos * 10000.0 + 0.5) / 10000.0 AS score
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, neighbor_id) AS rank FROM s)
+        WHERE rank <= $k ORDER BY query_id, rank"""
+  }
+
+  /** Static oracles plus the data-dependent IVF entry (present once the
+    * ann_ivf_topk query has trained its centroids in this JVM).
+    */
+  def oracles: Map[String, String] =
+    Option(ivfTrainedCentroids.get()) match {
+      case Some(cents) => staticOracles + ("ann_ivf_topk" -> ivfOracle(cents, nProbe = 4, k = 5))
+      case None        => staticOracles
+    }
+
+  private val staticOracles: Map[String, String] = Map(
     "tx_token_count" ->
       s"""SELECT doc_id, CAST(len($tokensSql) AS INTEGER) AS n_ws,
           CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]')) AS INTEGER) AS n_re

@@ -126,6 +126,27 @@ class HttpFetchSpec extends SparkSpec with BeforeAndAfterAll {
     assert(!Files.exists(Paths.get(dir, "s")), "failed fetch must not write the cache file")
   }
 
+  test("path-hostile keys sanitize into cacheDir; %-encoded urls with %d slots expand safely") {
+    val dir = freshDir()
+    val cfg = FetchConfig(enabled = true, initialTimeoutMs = 2000,
+      timeoutEscalationMs = 0)
+    // '/' and '..' in keys must not escape cacheDir or break tmp creation;
+    // the %2F in the url must survive the literal %d substitution (format()
+    // would throw UnknownFormatConversionException on it)
+    val st = statuses(HttpFetch.fetchToCache(spark,
+      Seq("../evil/key" -> url("/ok/x?p=a%2Fb&size=%d")), dir, cfg))
+    assert(st("../evil/key").ok, st("../evil/key").toString)
+    assert(Files.exists(Paths.get(dir, ".._evil_key")))
+    assert(!Files.exists(Paths.get(dir).getParent.resolve("evil")),
+      "sanitized key must stay inside cacheDir")
+    // second sweep: the sanitized name is what the cache probe checks
+    val st2 = statuses(HttpFetch.fetchToCache(spark,
+      Seq("../evil/key" -> url("/ok/x")), dir, cfg))
+    assert(st2("../evil/key").cached)
+    assert(HttpFetch.cacheFileName("..") == "_")
+    assert(HttpFetch.cacheFileName("") == "_")
+  }
+
   test("unreachable host exhausts retries without throwing") {
     val dir = freshDir()
     val cfg = FetchConfig(enabled = true, initialTimeoutMs = 200,

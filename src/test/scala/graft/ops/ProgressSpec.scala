@@ -59,4 +59,31 @@ class ProgressSpec extends SparkSpec {
       assert(stageLines.exists(_.contains("remain")), "ETA must appear mid-stage")
     } finally handle.close()
   }
+
+  test("per-stage ETA base: a later stage is not inflated by earlier stages") {
+    import scala.jdk.CollectionConverters._
+    // frozen injectable clock: all of job 2's task-ends observe zero
+    // elapsed, so its ETAs must be 00:00:00 — under a shared logger the
+    // 10 simulated hours between the jobs would bleed into job 2's base
+    @volatile var now = 5_000_000L
+    val lines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val handle = Progress.attachStageProgress(spark, timeDistanceMs = 0,
+      clock = () => now, out = l => lines.add(l))
+    def awaitDone(): Unit = {
+      val deadline = System.currentTimeMillis() + 10000
+      while (System.currentTimeMillis() < deadline &&
+        !lines.asScala.exists(_.contains("4/4 tasks"))) Thread.sleep(50)
+    }
+    try {
+      spark.range(0, 1000, 1, 4).count()
+      awaitDone()
+      lines.clear()
+      now += 36_000_000L // ten idle hours between the jobs
+      spark.range(0, 1000, 1, 4).count()
+      awaitDone()
+      val remains = lines.asScala.filter(_.contains("remain")).toList
+      assert(remains.nonEmpty, "job 2 must log ETAs")
+      assert(remains.forall(_.endsWith("remain 00:00:00")), remains)
+    } finally handle.close()
+  }
 }

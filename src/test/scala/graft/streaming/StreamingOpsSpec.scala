@@ -133,7 +133,13 @@ class StreamingOpsSpec extends SparkSpec {
       .start()
     try {
       batches.zipWithIndex.foreach { case (b, i) =>
-        input.addData(b.map { case (id, sh) => StreamingOps.ShingledDoc(id, sh, 1000L * i) })
+        // half the docs arrive with DUPLICATED shingles: the operator's
+        // distinctness normalization must make them indistinguishable from
+        // the clean feed (the batch twin dedups inside shingleUdf)
+        input.addData(b.map { case (id, sh) =>
+          val fed = if (id % 2 == 0) sh ++ sh.take(sh.size / 2) else sh
+          StreamingOps.ShingledDoc(id, fed, 1000L * i)
+        })
         q.processAllAvailable()
       }
       // at-least-once per colliding band -> distinct at the sink

@@ -145,6 +145,38 @@ class TextOpsSpec extends SparkSpec {
     assert(mat.orderBy("d1", "d2").collect().toSeq == direct)
   }
 
+  test("pairTable lifecycle: release unpersists exactly its entry; clear drops all") {
+    val rnd = new scala.util.Random(17)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    def doc(): String = Seq.fill(25)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val base = Seq.tabulate(15)(_ => doc())
+    val df = docDf((base ++ base.take(2).map(_.replaceFirst("alpha", "omega"))): _*)
+    val none = org.apache.spark.storage.StorageLevel.NONE
+    val seam = Dedup.pairTable(df, "doc_id", "text", 0.5)
+    assert(seam.count() > 0, "planted near-dups must surface")
+    assert(seam.storageLevel != none)
+    // regression: the memo key covers LocalRelation DATA — a different
+    // in-memory corpus with the identical schema is a different entry
+    val other = docDf("one tiny corpus", "another doc entirely")
+    assert(!(Dedup.pairTable(other, "doc_id", "text", 0.5) eq seam))
+    // release is exact-key: a different threshold is a no-op
+    assert(!Dedup.releasePairTable(df, "doc_id", "text", 0.9))
+    assert(seam.storageLevel != none)
+    // release drops the entry AND its cached blocks (blocking unpersist)
+    assert(Dedup.releasePairTable(df, "doc_id", "text", 0.5))
+    assert(seam.storageLevel == none, "released seam must hold no cached blocks")
+    // a re-request is a fresh entry, not the released object
+    val fresh = Dedup.pairTable(df, "doc_id", "text", 0.5)
+    assert(!(fresh eq seam))
+    assert(fresh.collect().toSeq == seam.collect().toSeq)
+    // clear() empties the memo and unpersists everything it held
+    Dedup.clearPairTables()
+    assert(fresh.storageLevel == none)
+    assert(!(Dedup.pairTable(df, "doc_id", "text", 0.5) eq fresh))
+    Dedup.clearPairTables()
+  }
+
   test("tx_quantiles_sketch: approx percentiles within the rank-error bound of exact") {
     import spark.implicits._
     val accuracy = 10000
@@ -444,6 +476,16 @@ class TextOpsSpec extends SparkSpec {
     assert(recall >= 0.6, s"recall $recall too low")
     // no RNG anywhere: the whole index + probe result must reproduce
     assert(run() === ivf)
+    // the trained matrix itself reproduces bit-for-bit — the property the
+    // gate's embedded-centroid oracle (TextQueries.ivfOracle) rests on —
+    // and probing with the explicit matrix is the same operator
+    val c1 = Ann.trainIvfCentroids(df, "vec_id", "embedding", numCells = 8, lloydIters = 2)
+    val c2 = Ann.trainIvfCentroids(df, "vec_id", "embedding", numCells = 8, lloydIters = 2)
+    assert(c1.map(_.toSeq).toSeq === c2.map(_.toSeq).toSeq)
+    val explicit = Ann.ivfTopKWithCentroids(df, "vec_id", "embedding",
+      col("vec_id") < 10, 3, nProbe = 3, c1)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(explicit === ivf)
   }
 
   test("multimodal: stub decode features are deterministic; frame sampling strides") {
