@@ -219,27 +219,7 @@ object Dedup {
       .flatMapGroups { (_, it) =>
         val members = it.map(t => (t._1, t._2, t._3)).toArray
         java.util.Arrays.sort(members, Ordering.by[(Long, Long, Boolean), Long](_._1))
-        // LAZY two-index walk (same shape as jaccardPairsHashed) that skips
-        // old×old pairs in place — a hot boilerplate shingle shared by many
-        // docs streams through in O(1) task memory instead of materializing
-        // the group's O(c²) pair list
-        new Iterator[(Long, Long, Long, Long)] {
-          private var i = 0
-          private var j = 1
-          private def step(): Unit = {
-            j += 1
-            if (j >= members.length) { i += 1; j = i + 1 }
-          }
-          private def skipOldOld(): Unit =
-            while (i < members.length - 1 && !(members(i)._3 || members(j)._3)) step()
-          skipOldOld()
-          def hasNext: Boolean = i < members.length - 1
-          def next(): (Long, Long, Long, Long) = {
-            val p = (members(i)._1, members(i)._2, members(j)._1, members(j)._2)
-            step(); skipOldOld()
-            p
-          }
-        }
+        incrementalPairs(members)
       }
       .toDF("d1", "n1", "d2", "n2")
       .groupBy("d1", "d2", "n1", "n2").agg(count(lit(1)).as("inter"))
@@ -250,6 +230,57 @@ object Dedup {
       .select("d1", "d2", "inter", "j")
       .orderBy("d1", "d2")
   }
+
+  /** The incremental per-group pair emitter: a LAZY two-index walk over the
+    * id-sorted members (same shape as jaccardPairsHashed's) that skips
+    * old×old pairs IN PLACE — a hot boilerplate shingle shared by many docs
+    * streams through in O(1) task memory, and old×old pairs are never
+    * GENERATED, not generated-then-filtered (spec-asserted directly:
+    * an all-old group is empty from the first hasNext).
+    */
+  private[text] def incrementalPairs(
+      members: Array[(Long, Long, Boolean)]): Iterator[(Long, Long, Long, Long)] =
+    new Iterator[(Long, Long, Long, Long)] {
+      private var i = 0
+      private var j = 1
+      private def step(): Unit = {
+        j += 1
+        if (j >= members.length) { i += 1; j = i + 1 }
+      }
+      private def skipOldOld(): Unit =
+        while (i < members.length - 1 && !(members(i)._3 || members(j)._3)) step()
+      skipOldOld()
+      def hasNext: Boolean = i < members.length - 1
+      def next(): (Long, Long, Long, Long) = {
+        val p = (members(i)._1, members(i)._2, members(j)._1, members(j)._2)
+        step(); skipOldOld()
+        p
+      }
+    }
+
+  /** Daily-ingest pair-table COMPACTION: yesterday's materialized pair
+    * table (complete over the old corpus — typically the Parquet written by
+    * [[materializePairTable]]) unioned with today's incremental pairs
+    * ([[jaccardPairsIncremental]], which never generates old×old) IS the
+    * from-scratch pair table of the full corpus — the steady-state loop a
+    * daily ingest runs: materialize once, then per batch compute only
+    * new-touching pairs and append. The two legs are DISJOINT by
+    * construction (old pairs have two old ids; incremental pairs touch a
+    * new id), so the union needs no dedup. Downstream consumers
+    * (components, canonical selection) read the compacted table unchanged.
+    *
+    * Reference analogue: the ≤100-sweep incremental requeue loop
+    * (`src/analysis/neighbor_analysis.py:157-169`) that re-processes only
+    * unfinished work instead of the whole corpus.
+    */
+  def compactPairTable(
+      hashed: DataFrame,
+      isNew: Column,
+      oldPairs: DataFrame,
+      threshold: Double): DataFrame =
+    oldPairs.select(col("d1"), col("d2"), col("inter"), col("j"))
+      .unionByName(jaccardPairsIncremental(hashed, isNew, threshold))
+      .orderBy("d1", "d2")
 
   /** Memoized near-dup pair stage: the (d1, d2, inter, j) Jaccard pair
     * table for `docs`, computed ONCE per (session, source plan, k,

@@ -367,6 +367,23 @@ object TextQueries {
         col("doc_id") >= 400, 0.5)
     },
 
+    // pair-table COMPACTION loop: yesterday's MATERIALIZED old×old pair
+    // table (Parquet) ∪ today's incremental new-touching pairs (old×old
+    // never regenerated) — the oracle is the FROM-SCRATCH pair SQL over
+    // the full corpus, so the gate hash-verifies that the daily loop
+    // converges to exactly the recompute. Batch split matches
+    // dd_incremental (new = doc_id >= 400).
+    "dd_compaction" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val path = java.nio.file.Files.createTempDirectory("graft_compact")
+        .resolve("old_pairs").toString
+      val oldPairs = Dedup.materializePairTable(
+        docs.where(col("doc_id") < 400), "doc_id", "text", 0.5, path)
+      Dedup.compactPairTable(
+        Dedup.hashedShingleDocs(docs, "doc_id", "text"),
+        col("doc_id") >= 400, oldPairs, 0.5)
+    },
+
     // both component queries consume the MEMOIZED pair stage
     // (Dedup.pairTable) — in a staged pipeline the pair table is
     // materialized once and shared, not recomputed per consumer
@@ -751,6 +768,8 @@ object TextQueries {
     // new batch — the implementation never GENERATES old×old, the oracle
     // just filters them out
     "dd_incremental" -> shingleCteWhere(" AND (d1 >= 400 OR d2 >= 400)"),
+    // compaction must equal recomputing the WHOLE pair table from scratch
+    "dd_compaction" -> shingleCte,
 
     "cur_dedup_spans" ->
       s"""WITH toks AS (

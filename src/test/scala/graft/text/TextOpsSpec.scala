@@ -145,6 +145,38 @@ class TextOpsSpec extends SparkSpec {
     assert(mat.orderBy("d1", "d2").collect().toSeq == direct)
   }
 
+  test("compactPairTable: old parquet + incremental == from-scratch; old×old never generated") {
+    val rnd = new scala.util.Random(19)
+    val vocab = Vector("data", "spark", "query", "join", "scan", "agg", "row",
+      "col", "sort", "hash", "merge", "batch")
+    def doc(): String = Seq.fill(30)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    // ids 0..9 old, 10..13 new; planted near-dups in all three categories:
+    // (1,2) old×old, (8,11) old×new, (12,13) new×new
+    val base = Seq.tabulate(10)(_ => doc())
+    val texts = base.updated(2, base(1).replaceFirst("data", "datum")) ++
+      Seq(doc(), base(8).replaceFirst("data", "datum"), doc(), "") // 10..13
+    val all = docDf((texts.init :+ texts(12).replaceFirst("data", "datum")): _*)
+    val isNew = col("doc_id") >= 10
+    val hashed = Dedup.hashedShingleDocs(all, "doc_id", "text")
+    val scratch = Dedup.jaccardPairsHashed(hashed, 0.5).collect().toSeq
+    val cats = scratch.map(r => (r.getLong(0) >= 10, r.getLong(1) >= 10)).toSet
+    assert(cats.contains((false, false)) && cats.contains((false, true)) &&
+      cats.contains((true, true)), s"need all three pair categories, got $cats")
+    val path = java.nio.file.Files.createTempDirectory("compact").resolve("old").toString
+    val oldPairs = Dedup.materializePairTable(
+      all.where(col("doc_id") < 10), "doc_id", "text", 0.5, path)
+    val compacted = Dedup.compactPairTable(hashed, isNew, oldPairs, 0.5)
+    assert(compacted.collect().toSeq == scratch)
+    // generation-level guarantee: an all-old group is EMPTY from the first
+    // hasNext (the walk skips old×old in place, it does not emit-and-filter)
+    assert(!Dedup.incrementalPairs(
+      Array((1L, 5L, false), (2L, 6L, false), (3L, 7L, false))).hasNext)
+    // mixed group emits exactly the new-touching pairs, sorted-id order
+    val mixed = Dedup.incrementalPairs(
+      Array((1L, 5L, false), (2L, 6L, true), (3L, 7L, false))).toList
+    assert(mixed == List((1L, 5L, 2L, 6L), (2L, 6L, 3L, 7L)))
+  }
+
   test("pairTable lifecycle: release unpersists exactly its entry; clear drops all") {
     val rnd = new scala.util.Random(17)
     val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
