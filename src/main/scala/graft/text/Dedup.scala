@@ -298,20 +298,11 @@ object Dedup {
     * `spark.catalog.clearCache()`) degrades gracefully — the lineage
     * recomputes and re-marks itself for caching on next access.
     */
-  /** Memo bound: entries past this are LRU-evicted (their cached blocks
-    * unpersisted) — a long-lived library session touching many distinct
-    * corpora can no longer pin blocks forever. Explicit lifecycle:
-    * [[releasePairTable]] / [[clearPairTables]].
+  /** LRU-bounded memo with release/clear lifecycle ([[graft.ops.PlanMemo]])
+    * — a long-lived library session touching many distinct corpora can
+    * never pin cached blocks forever.
     */
-  private val MaxPairTableEntries = 32
-
-  private val pairTableMemo =
-    new java.util.LinkedHashMap[AnyRef, DataFrame](16, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[AnyRef, DataFrame]): Boolean =
-        if (size() > MaxPairTableEntries) { e.getValue.unpersist(false); true }
-        else false
-    }
+  private val pairTableMemo = new graft.ops.PlanMemo()
 
   /** Keyed on the canonicalized plan OBJECT, not its string: structural
     * plan equality covers LocalRelation DATA, which the string form elides
@@ -335,22 +326,11 @@ object Dedup {
       idCol: String,
       textCol: String,
       threshold: Double,
-      k: Int = 3): Boolean = {
-    val key = pairTableKey(docs, idCol, textCol, threshold, k)
-    val removed = pairTableMemo.synchronized(Option(pairTableMemo.remove(key)))
-    removed.foreach(_.unpersist(true))
-    removed.isDefined
-  }
+      k: Int = 3): Boolean =
+    pairTableMemo.release(pairTableKey(docs, idCol, textCol, threshold, k))
 
   /** Drop EVERY memoized pair table and unpersist their blocks. */
-  def clearPairTables(): Unit = {
-    val all = pairTableMemo.synchronized {
-      val vs = new java.util.ArrayList(pairTableMemo.values())
-      pairTableMemo.clear()
-      vs
-    }
-    all.forEach(_.unpersist(true))
-  }
+  def clearPairTables(): Unit = pairTableMemo.clear()
 
   /** The pair stage as a PERSISTED TABLE: compute once, write Parquet,
     * return the readback — the deployed form of [[pairTable]]'s in-session
@@ -375,16 +355,10 @@ object Dedup {
       idCol: String,
       textCol: String,
       threshold: Double,
-      k: Int = 3): DataFrame = {
-    val key = pairTableKey(docs, idCol, textCol, threshold, k)
-    val df = pairTableMemo.synchronized {
-      pairTableMemo.computeIfAbsent(key, _ =>
-        jaccardPairsHashed(hashedShingleDocs(docs, idCol, textCol, k), threshold))
+      k: Int = 3): DataFrame =
+    pairTableMemo.get(pairTableKey(docs, idCol, textCol, threshold, k)) {
+      jaccardPairsHashed(hashedShingleDocs(docs, idCol, textCol, k), threshold)
     }
-    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    df
-  }
 
   /** [[jaccardPairsHashed]] over a string-shingle frame ([[shingleDocs]]
     * output) — hashes the arrays first; kept for callers/tests that hold

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis column builders for the training-data pipeline operators:
@@ -80,6 +80,56 @@ object TextOps {
     }
     impl(text)
   }
+
+  /** LRU-bounded memo for the window-posting stage (same seam treatment as
+    * [[graft.text.Dedup.pairTable]]).
+    */
+  private val windowPostingsMemo = new graft.ops.PlanMemo()
+
+  private def windowPostingsKey(
+      docs: DataFrame, idCol: String, textCol: String, k: Int): AnyRef =
+    (System.identityHashCode(docs.sparkSession),
+      docs.queryExecution.logical.canonicalized,
+      "windowPostings", idCol, textCol, k)
+
+  /** Memoized WINDOW-POSTING seam: (doc_id, i, h) — window index and
+    * rolling hash for every stride-1 `k`-token window of every document —
+    * computed once per (session, source plan, k) and persisted. This is the
+    * stage `dd_dup_windows` (the signal) and `cur_dedup_spans` (the
+    * surgery) both fan out from with THREE consumers each (hot-window set,
+    * per-doc tallies, the semi-join); without the seam every branch re-runs
+    * the [[windowHashes]] scan pass. At 100 TB the posting table is
+    * precisely the thing a staged pipeline materializes once
+    * ([[materializeWindowPostings]] is the Parquet form).
+    */
+  def windowPostings(
+      docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    windowPostingsMemo.get(windowPostingsKey(docs, idCol, textCol, k)) {
+      docs.select(col(idCol).as("doc_id"),
+        posexplode(windowHashes(col(textCol), k)).as(Seq("i", "h")))
+    }
+
+  /** The posting stage as a PERSISTED TABLE: compute once, write Parquet,
+    * return the readback — the deployed form of [[windowPostings]].
+    */
+  def materializeWindowPostings(
+      docs: DataFrame, idCol: String, textCol: String, k: Int,
+      path: String): DataFrame = {
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(windowHashes(col(textCol), k)).as(Seq("i", "h")))
+      .write.mode("overwrite").parquet(path)
+    docs.sparkSession.read.parquet(path)
+  }
+
+  /** Drop the memo entry for exactly these arguments (blocking unpersist);
+    * returns whether one existed. See [[graft.text.Dedup.releasePairTable]].
+    */
+  def releaseWindowPostings(
+      docs: DataFrame, idCol: String, textCol: String, k: Int): Boolean =
+    windowPostingsMemo.release(windowPostingsKey(docs, idCol, textCol, k))
+
+  /** Drop EVERY memoized posting table and unpersist their blocks. */
+  def clearWindowPostings(): Unit = windowPostingsMemo.clear()
 
   /** Stopword-hit count against a literal vocabulary. */
   def stopwordHits(tokens: Column, stopwords: Seq[String]): Column =

@@ -307,8 +307,11 @@ object TextQueries {
     // set rides one (hash)-keyed shuffle — posting-list shape, window
     // payload is a single long
     "dd_dup_windows" -> { (s, d) =>
-      val wins = Tables.documents(s, d)
-        .select(col("doc_id"), explode(TextOps.windowHashes(col("text"), 20)).as("h"))
+      // the MEMOIZED posting seam (one windowHashes pass), shared with
+      // cur_dedup_spans — docs under 20 tokens emit no postings, so the
+      // unfiltered source yields identical rows for both queries
+      val wins = TextOps.windowPostings(Tables.documents(s, d), "doc_id", "text", 20)
+        .select("doc_id", "h")
       val hot = wins.groupBy("h").agg(countDistinct("doc_id").as("dc"))
         .where(col("dc") >= 2).select("h")
       val perDoc = wins.groupBy("doc_id").agg(count(lit(1)).as("n_windows"))
@@ -333,8 +336,10 @@ object TextQueries {
     "cur_dedup_spans" -> { (s, d) =>
       val docs = Tables.documents(s, d)
         .where(size(TextOps.whitespaceTokens(col("text"))) >= 20)
-      val wins = docs.select(col("doc_id"),
-        posexplode(TextOps.windowHashes(col("text"), 20)).as(Seq("i", "h")))
+      // SAME memo key as dd_dup_windows (unfiltered source): short docs
+      // emit no postings, so the rows are identical and the two queries
+      // genuinely share one materialized posting table
+      val wins = TextOps.windowPostings(Tables.documents(s, d), "doc_id", "text", 20)
       val hot = wins.groupBy("h").agg(countDistinct("doc_id").as("dc"))
         .where(col("dc") >= 2).select("h")
       val hotIdx = wins.join(hot, Seq("h"), "left_semi")

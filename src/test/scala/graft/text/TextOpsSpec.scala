@@ -145,6 +145,38 @@ class TextOpsSpec extends SparkSpec {
     assert(mat.orderBy("d1", "d2").collect().toSeq == direct)
   }
 
+  test("windowPostings seam: one pass shared by dd_dup_windows and cur_dedup_spans") {
+    TextOps.clearWindowPostings()
+    val docs = graft.Tables.documents(spark, sf001)
+    val seam = TextOps.windowPostings(docs, "doc_id", "text", 20)
+    // memoized: a second request (including from a fresh but plan-identical
+    // source, as the gate queries issue) returns the SAME persisted frame
+    assert(TextOps.windowPostings(
+      graft.Tables.documents(spark, sf001), "doc_id", "text", 20) eq seam)
+    // parity with the unshared computation
+    val direct = docs.select(col("doc_id"),
+        posexplode(TextOps.windowHashes(col("text"), 20)).as(Seq("i", "h")))
+      .collect().toSeq
+    assert(seam.collect().toSeq == direct && direct.nonEmpty)
+    // both consumers read the CACHED posting table — the windowHashes scan
+    // pass exists once, in the cache build, not per branch
+    Seq("dd_dup_windows", "cur_dedup_spans").foreach { q =>
+      val plan = TextQueries.queries(q)(spark, sf001)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("InMemoryTableScan"),
+        s"$q must consume the memoized posting seam")
+    }
+    // lifecycle mirrors pairTable's
+    assert(TextOps.releaseWindowPostings(docs, "doc_id", "text", 20))
+    assert(seam.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+    assert(!TextOps.releaseWindowPostings(docs, "doc_id", "text", 20))
+    // the deployed form round-trips
+    val path = java.nio.file.Files.createTempDirectory("winpost").resolve("w").toString
+    val mat = TextOps.materializeWindowPostings(docs, "doc_id", "text", 20, path)
+    assert(mat.orderBy("doc_id", "i").collect().toSeq ==
+      seam.orderBy("doc_id", "i").collect().toSeq)
+  }
+
   test("compactPairTable: old parquet + incremental == from-scratch; old×old never generated") {
     val rnd = new scala.util.Random(19)
     val vocab = Vector("data", "spark", "query", "join", "scan", "agg", "row",
