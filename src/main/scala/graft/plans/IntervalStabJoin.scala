@@ -2,7 +2,7 @@ package graft.plans
 
 import scala.collection.mutable
 
-import org.apache.spark.{Partitioner, RangePartitioner}
+import org.apache.spark.Partitioner
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
@@ -35,8 +35,12 @@ import org.apache.spark.sql.types._
   * partition-span cover, ~1 for spans below the partition width); the
   * active set holds only intervals overlapping the current point, so task
   * memory is the partition's rows — bounded by the range partitioning
-  * exactly like a sort-merge join's, and skew in point keys is absorbed by
-  * the sampled bounds the same way `repartitionByRange` absorbs it.
+  * exactly like a sort-merge join's. Mild skew is absorbed by the sampled
+  * bounds the way `repartitionByRange` absorbs it, and a HOT point key —
+  * the case no monotonic range partitioner can split — fans out over
+  * dedicated sub-partitions with its covering intervals replicated
+  * ([[SkewAwareRangePartitioner]]), so a 90%-on-one-key corpus cannot
+  * create a straggler task.
   */
 object IntervalStabJoinStrategy extends SparkStrategy with PredicateHelper
     with org.apache.spark.sql.catalyst.SQLConfHelper {
@@ -391,27 +395,38 @@ case class IntervalStabJoinExec(
 
     // the partitioner's reservoir sample only needs KEYS — sampling over
     // the full keyed RDD would pay a per-row UnsafeRow copy in a pass that
-    // discards every row
-    val keysOnly: RDD[(Long, Boolean)] =
+    // discards every row. The ONE sample supplies bounds AND hot-key
+    // detection (skew hardening costs no extra job).
+    val keysOnly: RDD[Long] =
       pointsPlan.execute().mapPartitions { it =>
         it.flatMap { r =>
           val k = boundPoint.eval(r)
-          if (k == null) Iterator.empty else Iterator.single((toLong(k), true))
+          if (k == null) Iterator.empty else Iterator.single(toLong(k))
         }
       }
-    val rp = new RangePartitioner(numParts, keysOnly)
+    val rp = SkewAwareRangePartitioner.fromKeys(keysOnly, numParts)
     val n = math.max(1, rp.numPartitions)
+    val idPart = new Partitioner {
+      override def numPartitions: Int = n
+      override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+    }
 
-    val ptsKeyed: RDD[(Long, UnsafeRow)] =
+    // points carry their DESTINATION partition id: a hot key fans out over
+    // its sub-partitions by row-content hash (deterministic — retry-safe),
+    // so one hot point key can no longer form a straggler partition
+    val ptsKeyed: RDD[(Int, UnsafeRow)] =
       pointsPlan.execute().mapPartitions { it =>
         val proj = UnsafeProjection.create(ptsOutput, ptsOutput)
         it.flatMap { r =>
           val k = boundPoint.eval(r)
           if (k == null) Iterator.empty
-          else Iterator.single((toLong(k), proj(r).copy()))
+          else {
+            val row = proj(r).copy()
+            Iterator.single((rp.pointPartition(toLong(k), row.hashCode), row))
+          }
         }
       }
-    val ptsPart = shuffle(ptsKeyed, rp)
+    val ptsPart = shuffle(ptsKeyed, idPart)
 
     val ivKeyed: RDD[(Int, UnsafeRow)] = ivPlan.execute().mapPartitions { it =>
       val proj = UnsafeProjection.create(ivOutput, ivOutput)
@@ -424,15 +439,12 @@ case class IntervalStabJoinExec(
           if (h < l) Iterator.empty
           else {
             val row = proj(r).copy()
-            (rp.getPartition(l) to rp.getPartition(h)).iterator.map(p => (p, row))
+            rp.intervalCover(l, h).map(p => (p, row))
           }
         }
       }
     }
-    val ivPart = shuffle(ivKeyed, new Partitioner {
-      override def numPartitions: Int = n
-      override def getPartition(key: Any): Int = key.asInstanceOf[Int]
-    })
+    val ivPart = shuffle(ivKeyed, idPart)
 
     val loStrict = lowerStrict
     val hiStrict = upperStrict
@@ -441,7 +453,11 @@ case class IntervalStabJoinExec(
     val extra = extraCond
 
     ptsPart.zipPartitions(ivPart, preservesPartitioning = false) { (pit, iit) =>
-      val pts = pit.toArray.sortBy(_._1)
+      // keys re-evaluate off the rows (shuffle keys are partition ids now);
+      // the strategy guards cond.deterministic, so both evaluations agree
+      val pts = pit.map { case (_, row) =>
+        (toLong(boundPoint.eval(row)), row)
+      }.toArray.sortBy(_._1)
       val ivs = iit.map { case (_, row) =>
         (toLong(boundLo.eval(row)), toLong(boundHi.eval(row)), row)
       }.toArray.sortBy(_._1)

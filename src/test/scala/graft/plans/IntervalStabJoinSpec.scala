@@ -169,6 +169,57 @@ class IntervalStabJoinSpec extends SparkSpec with BeforeAndAfterAll {
   // — so the strategy's `cond.deterministic` guard is unreachable through
   // the public API and exists as defense in depth)
 
+  test("planted skew: a 90%-on-one-key corpus splits the hot key, results exact") {
+    import spark.implicits._
+    // 90% of 20k points sit on key 500; intervals cover it and its flanks
+    val rnd = new scala.util.Random(41)
+    val pts = (0 until 20000)
+      .map(i => (i, if (i % 10 != 0) 500L else rnd.nextInt(1000).toLong))
+      .toDF("pt_id", "p")
+    val ivs = (0 until 300).map { i =>
+      val s = rnd.nextInt(1000).toLong
+      (i, s, s + rnd.nextInt(30))
+    }.toDF("iv_id", "s", "e")
+    val q = pts.join(ivs, col("p") >= col("s") && col("p") <= col("e"))
+    val want = reference(pts, ivs)
+    assert(want.nonEmpty)
+    withoutBroadcast { assert(pairs(q) == want) } // the sweep variant, split hot key
+    assert(pairs(q) == want)                      // broadcast variant unaffected
+
+    // partitioner-level balance: the hot key is detected from the one-pass
+    // sample, gets >= 2 sub-partitions, and content-hash routing spreads
+    // its points so no partition holds more than ~2 average shares
+    val keys = spark.sparkContext.parallelize(
+      pts.select("p").as[Long].collect().toSeq, 8)
+    val part = SkewAwareRangePartitioner.fromKeys(keys, 32)
+    assert(part.hotKeys.contains(500L), s"hot key undetected: ${part.hotKeys}")
+    assert(part.hotKeys(500L)._2 >= 2, "hot key must split")
+    assert(part.numPartitions > part.basePartitions)
+    val counts = new Array[Long](part.numPartitions)
+    val all = pts.select("p").as[Long].collect()
+    all.zipWithIndex.foreach { case (k, i) =>
+      counts(part.pointPartition(k, i * 0x9E3779B9)) += 1
+    }
+    val maxShare = counts.max.toDouble / all.length
+    val hotSplit = part.hotKeys(500L)._2
+    assert(maxShare <= math.max(2.0 / 32, 1.2 * 0.9 / hotSplit),
+      s"straggler partition survived: max share $maxShare, split $hotSplit, " +
+        s"counts ${counts.mkString(",")}")
+    // intervals covering the hot key replicate to every sub-partition
+    val cover = part.intervalCover(490L, 510L).toSet
+    val (off, s) = part.hotKeys(500L)
+    assert((0 until s).forall(i => cover.contains(part.basePartitions + off + i)))
+    // a span NOT covering the hot key replicates to no sub-partition
+    assert(part.intervalCover(501L, 520L).forall(_ < part.basePartitions))
+    // monotonic base cover is contiguous
+    val baseCover = part.intervalCover(100L, 300L).filter(_ < part.basePartitions).toSeq
+    assert(baseCover == (baseCover.min to baseCover.max))
+    // no skew -> no sub-partitions, pure range behavior
+    val flat = SkewAwareRangePartitioner.fromKeys(
+      spark.sparkContext.parallelize(0L until 20000L, 8), 32)
+    assert(flat.hotKeys.isEmpty && flat.numPartitions == flat.basePartitions)
+  }
+
   test("equi-join predicates are left to Catalyst") {
     val (pts, ivs) = randomData(6, 50, 30, 10)
     val plan = pts.join(ivs,
