@@ -363,6 +363,29 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // the REPORTING form of the span family: VARIABLE-LENGTH maximal
+    // duplicated spans (the Lee-et-al "deduplicating training data"
+    // surface) — overlapping/adjacent cross-doc 20-token hot windows merge
+    // into maximal token ranges via gaps-and-islands (same-length windows
+    // merge iff start gap <= window size). Third consumer of the memoized
+    // posting seam; the span algebra is one doc-keyed window pass.
+    "dd_maximal_spans" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val wins = TextOps.windowPostings(Tables.documents(s, d), "doc_id", "text", 20)
+      val hot = wins.groupBy("h").agg(countDistinct("doc_id").as("dc"))
+        .where(col("dc") >= 2).select("h")
+      val hotWins = wins.join(hot, Seq("h"), "left_semi").select("doc_id", "i")
+      val w = Window.partitionBy("doc_id").orderBy("i")
+      hotWins
+        .withColumn("brk", when(col("i") - lag("i", 1).over(w) > 20, 1).otherwise(0))
+        .withColumn("g", sum("brk").over(w))
+        .groupBy("doc_id", "g")
+        .agg(min("i").as("span_start"), (max("i") + 19).as("span_end"))
+        .select(col("doc_id"), col("span_start"), col("span_end"),
+          (col("span_end") - col("span_start") + 1).as("span_tokens"))
+        .orderBy("doc_id", "span_start")
+    },
+
     // incremental ingest dedup: the pairs a NEW batch (doc_id >= 400)
     // forms with anything — old×old never generated (yesterday's pair
     // table already has it); the steady-state daily-ingest shape
@@ -810,6 +833,37 @@ object TextQueries {
                  CAST(${ph("coalesce(k.clean, '')", 31)} AS BIGINT) AS clean_fp
           FROM t20 LEFT JOIN kept k ON k.doc_id = t20.doc_id
           ORDER BY t20.doc_id""",
+
+    // maximal spans: islands over hot window starts (0-based to match
+    // posexplode) — same-length windows merge iff the start gap <= 20
+    "dd_maximal_spans" ->
+      s"""WITH toks AS (
+            SELECT doc_id, $tokensSql AS w FROM documents
+          ), wins AS (
+            SELECT doc_id, (s).i AS i, (s).h AS h FROM (
+              SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-19),
+                i -> {'i': i, 'h': ${ph("array_to_string(w[i:i+19], ' ')", 31)}})) AS s
+              FROM toks WHERE len(w) >= 20) u
+          ), hot AS (
+            SELECT h FROM (
+              SELECT h, count(DISTINCT doc_id) AS dc FROM wins GROUP BY h) t
+            WHERE dc >= 2
+          ), hw AS (
+            SELECT doc_id, i - 1 AS i FROM wins WHERE h IN (SELECT h FROM hot)
+          ), marks AS (
+            SELECT doc_id, i,
+                   CASE WHEN i - LAG(i) OVER (PARTITION BY doc_id ORDER BY i) > 20
+                        THEN 1 ELSE 0 END AS brk
+            FROM hw
+          ), isl AS (
+            SELECT doc_id, i,
+                   SUM(brk) OVER (PARTITION BY doc_id ORDER BY i) AS g
+            FROM marks
+          )
+          SELECT doc_id, CAST(MIN(i) AS INTEGER) AS span_start,
+                 CAST(MAX(i) + 19 AS INTEGER) AS span_end,
+                 CAST(MAX(i) + 19 - MIN(i) + 1 AS INTEGER) AS span_tokens
+          FROM isl GROUP BY doc_id, g ORDER BY doc_id, span_start""",
 
     "dd_dup_windows" ->
       s"""WITH toks AS (

@@ -177,6 +177,39 @@ class TextOpsSpec extends SparkSpec {
       seam.orderBy("doc_id", "i").collect().toSeq)
   }
 
+  test("dd_maximal_spans: overlapping hot windows merge into maximal token ranges") {
+    import spark.implicits._
+    // doc 0 and doc 1 share a 25-token block (tokens 10..34 of doc 0 =
+    // tokens 0..24 of doc 1) and a separated 20-token block (tokens 50..69
+    // of doc 0 = tokens 40..59 of doc 1); everything else is unique noise
+    def uniq(tag: String, n: Int) = (0 until n).map(i => s"$tag$i")
+    val blockA = (0 until 25).map(i => s"shareda$i")
+    val blockB = (0 until 20).map(i => s"sharedb$i")
+    val doc0 = uniq("x", 10) ++ blockA ++ uniq("y", 15) ++ blockB ++ uniq("z", 10)
+    val doc1 = blockA ++ uniq("q", 15) ++ blockB ++ uniq("r", 20)
+    val df = Seq((0L, doc0.mkString(" ")), (1L, doc1.mkString(" ")))
+      .toDF("doc_id", "text")
+    TextOps.clearWindowPostings()
+    val wins = TextOps.windowPostings(df, "doc_id", "text", 20)
+    val hot = wins.groupBy("h").agg(countDistinct("doc_id").as("dc"))
+      .where(col("dc") >= 2).select("h")
+    val hotWins = wins.join(hot, Seq("h"), "left_semi").select("doc_id", "i")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("i")
+    val spans = hotWins
+      .withColumn("brk", when(col("i") - lag("i", 1).over(w) > 20, 1).otherwise(0))
+      .withColumn("g", sum("brk").over(w))
+      .groupBy("doc_id", "g")
+      .agg(min("i").as("s"), (max("i") + 19).as("e"))
+      .select("doc_id", "s", "e")
+      .as[(Long, Int, Int)].collect().toSet
+    // the 25-token shared block yields a MERGED maximal span of 25 tokens
+    // (windows at starts 10..15 of doc 0), the 20-token block exactly 20
+    assert(spans === Set(
+      (0L, 10, 34), (0L, 50, 69),
+      (1L, 0, 24), (1L, 40, 59)), spans.toSeq.sorted.mkString(", "))
+    TextOps.clearWindowPostings()
+  }
+
   test("compactPairTable: old parquet + incremental == from-scratch; old×old never generated") {
     val rnd = new scala.util.Random(19)
     val vocab = Vector("data", "spark", "query", "join", "scan", "agg", "row",
