@@ -29,6 +29,10 @@ object SparkEntry {
     *   - `x5_blat_text` — the blat kernel's recursive seed-extend DFS is
     *     not expressible as (non-recursive) SQL at reasonable cost; a
     *     truth-table golden pins the kernel in SimilarityKernelsSpec.
+    *   - `ann_hnsw_topk` — greedy graph traversal (beam search over the
+    *     sharded HNSW) is likewise not SQL-expressible; the index is
+    *     deterministic and recall-vs-brute (>= the IVF path's) is asserted
+    *     in TextOpsSpec.
     *   - `tx_quantiles_sketch` — sketch internals (Greenwald-Khanna
     *     summaries) are engine-specific by design; the rank-error bound
     *     against exact quantiles is asserted in TextOpsSpec.

@@ -389,6 +389,232 @@ object Ann {
       .orderBy("query_id", "rank")
   }
 
+  /** Deterministic uniform in (0,1) from an id — drives HNSW level
+    * assignment without RNG (same reproducibility contract as
+    * [[planeComponent]] and the IVF trainer).
+    */
+  private def uniformOf(id: Long): Double = {
+    val h = ((id * 2654435761L + 0x9e3779b9L) % 1000000007L + 1000000007L) % 1000000007L
+    (h.toDouble + 1.0) / 1000000008.0
+  }
+
+  /** In-task HNSW graph over one shard's (id, normalized vector) rows —
+    * the classic Malkov-Yashunin hierarchical navigable small world, made
+    * fully deterministic: insertion in ascending id, levels from a
+    * hash-derived uniform (no RNG), distance ties broken toward the lower
+    * id. Similarity = dot over L2-normalized vectors (cosine order).
+    */
+  private final class HnswGraph(m: Int, efConstruction: Int) {
+    private val mL = 1.0 / math.log(m.toDouble)
+    private val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+    private val vecs = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    private val levels = scala.collection.mutable.ArrayBuffer.empty[Int]
+    // neighbors(node)(level) = sorted-by-(-sim, id) neighbor node indices
+    private val neighbors =
+      scala.collection.mutable.ArrayBuffer.empty[Array[scala.collection.mutable.ArrayBuffer[Int]]]
+    private var entry = -1
+
+    private def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+
+    /** Greedy beam search at one level: returns up to `ef` (sim, node)
+      * candidates, best first; deterministic via (−sim, id) ordering.
+      */
+    private def searchLayer(
+        q: Array[Double], ep: Int, ef: Int, level: Int): Seq[(Double, Int)] = {
+      val visited = scala.collection.mutable.HashSet(ep)
+      implicit val ord: Ordering[(Double, Int)] =
+        Ordering.by { case (s, n) => (-s, ids(n)) }
+      // candidates: best-first; results: worst-first cap at ef
+      val cand = scala.collection.mutable.PriorityQueue((dot(q, vecs(ep)), ep))(ord.reverse)
+      val res = scala.collection.mutable.PriorityQueue((dot(q, vecs(ep)), ep))(ord)
+      while (cand.nonEmpty) {
+        val (cs, c) = cand.dequeue()
+        val worst = res.head._1
+        if (cs < worst && res.size >= ef) { cand.clear() }
+        else {
+          val ns = neighbors(c)(level)
+          var i = 0
+          while (i < ns.length) {
+            val n = ns(i)
+            if (visited.add(n)) {
+              val s = dot(q, vecs(n))
+              if (res.size < ef || s > res.head._1 ||
+                (s == res.head._1 && ids(n) < ids(res.head._2))) {
+                cand.enqueue((s, n))
+                res.enqueue((s, n))
+                if (res.size > ef) res.dequeue()
+              }
+            }
+            i += 1
+          }
+        }
+      }
+      res.toSeq.sortBy { case (s, n) => (-s, ids(n)) }
+    }
+
+    def insert(id: Long, v: Array[Double]): Unit = {
+      val node = ids.length
+      val lvl = math.min(15, math.floor(-math.log(uniformOf(id)) * mL).toInt)
+      ids += id; vecs += v; levels += lvl
+      neighbors += Array.fill(lvl + 1)(scala.collection.mutable.ArrayBuffer.empty[Int])
+      if (entry < 0) { entry = node; return }
+      var ep = entry
+      val topLvl = levels(entry)
+      // greedy descend above the node's level
+      var l = topLvl
+      while (l > lvl) {
+        var improved = true
+        var best = ep; var bestS = dot(v, vecs(ep))
+        while (improved) {
+          improved = false
+          val ns = neighbors(best)(l)
+          var i = 0
+          while (i < ns.length) {
+            val s = dot(v, vecs(ns(i)))
+            if (s > bestS || (s == bestS && ids(ns(i)) < ids(best))) {
+              best = ns(i); bestS = s; improved = true
+            }
+            i += 1
+          }
+        }
+        ep = best
+        l -= 1
+      }
+      // connect at each level from min(topLvl, lvl) down to 0
+      l = math.min(topLvl, lvl)
+      while (l >= 0) {
+        val found = searchLayer(v, ep, efConstruction, l)
+        val cap = if (l == 0) 2 * m else m
+        val selected = found.take(m)
+        selected.foreach { case (_, n) =>
+          neighbors(node)(l) += n
+          val back = neighbors(n)(l)
+          back += node
+          if (back.length > cap) {
+            // prune to the cap best by similarity to n (ties: lower id)
+            val pruned = back
+              .map(x => (dot(vecs(n), vecs(x)), x))
+              .sortBy { case (s, x) => (-s, ids(x)) }
+              .take(cap).map(_._2)
+            back.clear(); back ++= pruned
+          }
+        }
+        ep = found.head._2
+        l -= 1
+      }
+      if (lvl > levels(entry)) entry = node
+    }
+
+    /** Top-k (id, dot) for a query, self excluded. */
+    def search(q: Array[Double], selfId: Long, k: Int, ef: Int): Seq[(Long, Double)] = {
+      if (entry < 0) return Seq.empty
+      var ep = entry
+      var l = levels(entry)
+      while (l > 0) {
+        var improved = true
+        var best = ep; var bestS = dot(q, vecs(ep))
+        while (improved) {
+          improved = false
+          val ns = neighbors(best)(l)
+          var i = 0
+          while (i < ns.length) {
+            val s = dot(q, vecs(ns(i)))
+            if (s > bestS || (s == bestS && ids(ns(i)) < ids(best))) {
+              best = ns(i); bestS = s; improved = true
+            }
+            i += 1
+          }
+        }
+        ep = best
+        l -= 1
+      }
+      searchLayer(q, ep, math.max(ef, k + 1), 0)
+        .iterator.map { case (s, n) => (ids(n), s) }
+        .filter(_._1 != selfId).take(k).toSeq
+    }
+  }
+
+  /** Sharded HNSW approximate top-k — the GRAPH-index ANN scale path next
+    * to [[lshTopK]] (hashing) and [[ivfTopK]] (coarse quantization): the
+    * corpus hash-partitions into `numShards` shards, each task builds an
+    * in-memory HNSW over ITS shard (the standard distributed-HNSW layout —
+    * one navigable-small-world graph per executor-sized shard), every
+    * broadcast query beam-searches every shard graph, and a final per-query
+    * rank merges the shard-local top-k. Exact cosine re-scoring of the
+    * surviving candidates keeps the output arithmetic identical to
+    * [[cosineTopK]]'s (same fold, same rounding).
+    *
+    * Fully deterministic (no RNG): hash-derived levels, ascending-id
+    * insertion, lower-id tie-breaks — the same reproducibility contract as
+    * the IVF trainer, so the rows-only gate is stable across runs.
+    * Rows-only because greedy graph traversal is not SQL-expressible at
+    * reasonable cost; recall >= the IVF path at equal candidate budget is
+    * spec-asserted instead.
+    *
+    * Scale shape: build is one mapPartitions pass (shard graphs never
+    * leave their tasks, memory = shard size × (vector + M links)); probe
+    * moves only the broadcast queries and (query, id, score) triples.
+    */
+  def hnswTopK(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryPred: Column,
+      k: Int,
+      numShards: Int = 8,
+      m: Int = 8,
+      ef: Int = 64): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+
+    def prep(df: DataFrame) = df
+      .select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
+      .as[(Long, Array[Double])]
+      .map { case (id, v) =>
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += v(i) * v(i); i += 1 }
+        val n = math.sqrt(s)
+        (id, if (n == 0.0) v.clone() else v.map(_ / n))
+      }
+
+    val queries = prep(embeddings.where(queryPred)).collect().sortBy(_._1)
+    val queriesB = spark.sparkContext.broadcast(queries)
+    val kk = k; val mm = m; val eff = ef
+
+    val candidates = prep(embeddings)
+      .groupByKey { case (id, _) => (((id % numShards) + numShards) % numShards).toInt }
+      .flatMapGroups { (_, it) =>
+        // ascending-id insertion: shard graphs reproduce bit-for-bit
+        val rows = it.toArray.sortBy(_._1)
+        val g = new HnswGraph(mm, math.max(eff, 2 * mm))
+        rows.foreach { case (id, vn) => g.insert(id, vn) }
+        queriesB.value.iterator.flatMap { case (qid, qv) =>
+          g.search(qv, qid, kk, eff).iterator.map { case (nid, _) => (qid, nid) }
+        }
+      }
+      .toDF("query_id", "neighbor_id")
+
+    // exact re-scoring + global merge: identical arithmetic to cosineTopK
+    val base = withNorm(embeddings, idCol, vecCol)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    candidates
+      .join(base.select(col("id").as("query_id"), col("v").as("qvec"), col("nrm").as("qn")),
+        Seq("query_id"))
+      .join(base.select(col("id").as("neighbor_id"), col("v").as("nvec"), col("nrm").as("nn")),
+        Seq("neighbor_id"))
+      .withColumn("cos", dotCol(col("qvec"), col("nvec")) / (col("qn") * col("nn")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round4(col("cos")).as("score"))
+      .orderBy("query_id", "rank")
+  }
+
   /** LSH-bucketed approximate top-k with OR-amplification: `tables`
     * independent hash tables of `numPlanes` bits each; a corpus vector is a
     * candidate if it collides with the query in ANY table (the classic

@@ -468,6 +468,15 @@ object TextQueries {
         col("vec_id") < 20, k = 5, nProbe = 4, cents)
     },
 
+    // HNSW stays rows-only: greedy graph traversal is not SQL-expressible
+    // at reasonable cost. The index is fully deterministic (hash levels,
+    // ascending-id insertion, lower-id tie-breaks) and recall >= the IVF
+    // path at equal candidate budget is spec-asserted (TextOpsSpec).
+    "ann_hnsw_topk" -> { (s, d) =>
+      Ann.hnswTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+        col("vec_id") < 20, k = 5)
+    },
+
     // ---- multimodal plumbing --------------------------------------------
 
     "mm_payload_stats" -> { (s, d) =>
