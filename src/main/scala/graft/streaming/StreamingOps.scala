@@ -97,6 +97,25 @@ object StreamingOps {
   final case class CellState(members: List[(Long, Long, Long)]) // (docId, sig, tsMs)
   final case class NearDupPair(d1: Long, d2: Long, hd: Int)
 
+  /** Band-cell carriers: the exploded (cell, doc) rows CARRY their event
+    * time as a real timestamp field, because the watermark must be applied
+    * AFTER the typed explode and IMMEDIATELY BEFORE groupByKey — a typed
+    * map re-serializes its output and strips the watermark attribute,
+    * whereas groupByKey's AppendColumns preserves the child columns, so
+    * this placement is what lets the analyzer see the watermark at the
+    * flatMapGroupsWithState input and lets the state function read
+    * `getCurrentWatermarkMs` / arm event-time timeouts.
+    */
+  final case class SigCell(cell: Long, doc: SigDoc, ets: java.sql.Timestamp)
+  final case class ShingleCell(bucket: String, doc: ShingledDoc, ets: java.sql.Timestamp)
+
+  private def watermarked[T: org.apache.spark.sql.Encoder](
+      exploded: Dataset[T], delay: Option[String]): Dataset[T] =
+    delay match {
+      case Some(d) => exploded.withWatermark("ets", d)
+      case None    => exploded
+    }
+
   /** Streaming simhash near-dup: each arriving signature explodes into its
     * pigeonhole band cells (same (bands, bits) scheme as the batch
     * [[graft.text.Dedup.simhashPairs]]); per-cell `flatMapGroupsWithState`
@@ -107,9 +126,15 @@ object StreamingOps {
     *
     * State is BOUNDED: members older than `retentionMs` behind the cell's
     * newest arrival are evicted each batch, so per-cell state is the cell's
-    * arrival rate × retention window, not the stream's history. A pair
-    * colliding in several bands emits once PER COLLIDING BAND
-    * (at-least-once semantics); pipe through
+    * arrival rate × retention window, not the stream's history. With
+    * `watermarkDelay` set the bound holds under OUT-OF-ORDER arrival too —
+    * arrivals behind the watermark are dropped (they would otherwise pair
+    * against already-evicted history), members behind
+    * `watermark − retentionMs` are evicted before pairing, and IDLE cells
+    * are removed by an event-time timeout when the watermark passes
+    * `newest + retentionMs` (without it an idle cell's members sat in state
+    * forever). A pair colliding in several bands emits once PER COLLIDING
+    * BAND (at-least-once semantics); pipe through
     * `dropDuplicatesWithinWatermark("d1", "d2")` for exactly-once, as the
     * parity test does with a plain distinct at the sink.
     */
@@ -118,36 +143,55 @@ object StreamingOps {
       maxHamming: Int,
       bands: Int = 4,
       bits: Int = 60,
-      retentionMs: Long = Long.MaxValue / 4): Dataset[NearDupPair] = {
+      retentionMs: Long = Long.MaxValue / 4,
+      watermarkDelay: Option[String] = None): Dataset[NearDupPair] = {
     require(bands > maxHamming, "pigeonhole guarantee needs bands > maxHamming")
     require(bits % bands == 0, "bands must divide bits")
     import docs.sparkSession.implicits._
     val width = bits / bands
     val mask = (1L << width) - 1
-    docs
-      .flatMap(d => (0 until bands).map(b =>
-        ((b.toLong << width) | ((d.sig >>> (b * width)) & mask), d)))
-      .groupByKey(_._1)
+    val eventTime = watermarkDelay.isDefined
+    val timeout =
+      if (eventTime) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    watermarked(
+      docs.flatMap(d => (0 until bands).map(b =>
+        SigCell((b.toLong << width) | ((d.sig >>> (b * width)) & mask), d,
+          new java.sql.Timestamp(d.tsMs)))),
+      watermarkDelay)
+      .groupByKey(_.cell)
       .flatMapGroupsWithState[CellState, NearDupPair](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (_: Long, it: Iterator[(Long, SigDoc)], state: GroupState[CellState]) =>
-          val arrivals = it.map(_._2).toVector.sortBy(d => (d.tsMs, d.docId))
-          var members = state.getOption.map(_.members).getOrElse(Nil)
-          val out = Vector.newBuilder[NearDupPair]
-          arrivals.foreach { d =>
-            members.foreach { case (id, sig, _) =>
-              if (id != d.docId) {
-                val hd = java.lang.Long.bitCount(sig ^ d.sig)
-                if (hd <= maxHamming)
-                  out += NearDupPair(math.min(id, d.docId), math.max(id, d.docId), hd)
+        OutputMode.Append(), timeout) {
+        (_: Long, it: Iterator[SigCell], state: GroupState[CellState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val wm = if (eventTime) state.getCurrentWatermarkMs() else Long.MinValue
+            val arrivals = it.map(_.doc).filter(_.tsMs >= wm)
+              .toVector.sortBy(d => (d.tsMs, d.docId))
+            var members = state.getOption.map(_.members).getOrElse(Nil)
+            if (eventTime && wm > Long.MinValue)
+              members = members.filter(_._3 >= wm - retentionMs)
+            val out = Vector.newBuilder[NearDupPair]
+            arrivals.foreach { d =>
+              members.foreach { case (id, sig, _) =>
+                if (id != d.docId) {
+                  val hd = java.lang.Long.bitCount(sig ^ d.sig)
+                  if (hd <= maxHamming)
+                    out += NearDupPair(math.min(id, d.docId), math.max(id, d.docId), hd)
+                }
               }
+              members = (d.docId, d.sig, d.tsMs) :: members
             }
-            members = (d.docId, d.sig, d.tsMs) :: members
+            val newest = members.iterator.map(_._3).foldLeft(Long.MinValue)(math.max)
+            members = members.filter(_._3 >= newest - retentionMs)
+            if (members.isEmpty) state.remove()
+            else {
+              state.update(CellState(members))
+              if (eventTime)
+                state.setTimeoutTimestamp(math.max(wm + 1, newest + retentionMs))
+            }
+            out.result().iterator
           }
-          val newest = members.iterator.map(_._3).foldLeft(Long.MinValue)(math.max)
-          members = members.filter(_._3 >= newest - retentionMs)
-          if (members.isEmpty) state.remove() else state.update(CellState(members))
-          out.result().iterator
       }
   }
 
@@ -173,21 +217,29 @@ object StreamingOps {
     * State is BOUNDED exactly as in the simhash twin: members older than
     * `retentionMs` behind the cell's newest arrival are evicted per batch
     * — per-cell state is arrival-rate × retention (shingle sets included,
-    * so size the retention for document payloads, not signatures). A pair
-    * colliding in several bands emits once per band (at-least-once);
-    * distinct at the sink for exactly-once, as with the simhash twin.
+    * so size the retention for document payloads, not signatures) — and
+    * `watermarkDelay` adds the same out-of-order rigor (late-arrival drop,
+    * watermark eviction, idle-cell event-time timeout; see
+    * [[streamingSimhashPairs]]). A pair colliding in several bands emits
+    * once per band (at-least-once); distinct at the sink for exactly-once,
+    * as with the simhash twin.
     */
   def streamingMinhashPairs(
       docs: Dataset[ShingledDoc],
       threshold: Double,
       numHashes: Int = 32,
       bands: Int = 16,
-      retentionMs: Long = Long.MaxValue / 4): Dataset[JaccardPair] = {
+      retentionMs: Long = Long.MaxValue / 4,
+      watermarkDelay: Option[String] = None): Dataset[JaccardPair] = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     import docs.sparkSession.implicits._
     val r = numHashes / bands
-    docs
-      .flatMap { d0 =>
+    val eventTime = watermarkDelay.isDefined
+    val timeout =
+      if (eventTime) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    watermarked(
+      docs.flatMap { d0 =>
         // shingle sets are SETS: dedup on ingest so the exact-Jaccard
         // verify below matches the batch operator (whose shingleUdf dedups
         // via LinkedHashSet) even when a caller feeds duplicated shingles
@@ -197,40 +249,53 @@ object StreamingOps {
         val sig = graft.text.Dedup.minhashSigOf(d.shingles, numHashes)
         (0 until bands).map { b =>
           val bucket = (b +: (0 until r).map(i => sig(b * r + i))).mkString("_")
-          (bucket, d)
+          ShingleCell(bucket, d, new java.sql.Timestamp(d.tsMs))
         }
-      }
-      .groupByKey(_._1)
+      },
+      watermarkDelay)
+      .groupByKey(_.bucket)
       .flatMapGroupsWithState[MinhashCellState, JaccardPair](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (_: String, it: Iterator[(String, ShingledDoc)],
+        OutputMode.Append(), timeout) {
+        (_: String, it: Iterator[ShingleCell],
          state: GroupState[MinhashCellState]) =>
-          val arrivals = it.map(_._2).toVector.sortBy(d => (d.tsMs, d.docId))
-          var members = state.getOption.map(_.members).getOrElse(Nil)
-          val out = Vector.newBuilder[JaccardPair]
-          arrivals.foreach { d =>
-            val newSet = d.shingles.toSet
-            members.foreach { case (id, sh, _) =>
-              if (id != d.docId) {
-                val inter = sh.count(newSet.contains).toLong
-                val union = sh.size + d.shingles.size - inter
-                if (union > 0) {
-                  val jraw = inter.toDouble / union
-                  if (jraw >= threshold) {
-                    // same floor-form 6dp rounding as the batch operator
-                    val j = math.floor(jraw * 1000000.0 + 0.5) / 1000000.0
-                    out += JaccardPair(
-                      math.min(id, d.docId), math.max(id, d.docId), inter, j)
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val wm = if (eventTime) state.getCurrentWatermarkMs() else Long.MinValue
+            val arrivals = it.map(_.doc).filter(_.tsMs >= wm)
+              .toVector.sortBy(d => (d.tsMs, d.docId))
+            var members = state.getOption.map(_.members).getOrElse(Nil)
+            if (eventTime && wm > Long.MinValue)
+              members = members.filter(_._3 >= wm - retentionMs)
+            val out = Vector.newBuilder[JaccardPair]
+            arrivals.foreach { d =>
+              val newSet = d.shingles.toSet
+              members.foreach { case (id, sh, _) =>
+                if (id != d.docId) {
+                  val inter = sh.count(newSet.contains).toLong
+                  val union = sh.size + d.shingles.size - inter
+                  if (union > 0) {
+                    val jraw = inter.toDouble / union
+                    if (jraw >= threshold) {
+                      // same floor-form 6dp rounding as the batch operator
+                      val j = math.floor(jraw * 1000000.0 + 0.5) / 1000000.0
+                      out += JaccardPair(
+                        math.min(id, d.docId), math.max(id, d.docId), inter, j)
+                    }
                   }
                 }
               }
+              members = (d.docId, d.shingles, d.tsMs) :: members
             }
-            members = (d.docId, d.shingles, d.tsMs) :: members
+            val newest = members.iterator.map(_._3).foldLeft(Long.MinValue)(math.max)
+            members = members.filter(_._3 >= newest - retentionMs)
+            if (members.isEmpty) state.remove()
+            else {
+              state.update(MinhashCellState(members))
+              if (eventTime)
+                state.setTimeoutTimestamp(math.max(wm + 1, newest + retentionMs))
+            }
+            out.result().iterator
           }
-          val newest = members.iterator.map(_._3).foldLeft(Long.MinValue)(math.max)
-          members = members.filter(_._3 >= newest - retentionMs)
-          if (members.isEmpty) state.remove() else state.update(MinhashCellState(members))
-          out.result().iterator
       }
   }
 

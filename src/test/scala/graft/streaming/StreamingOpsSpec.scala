@@ -152,6 +152,45 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("event-time retention: late arrivals dropped, idle cells expire under watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def doc(id: Long, tag: String, ts: Long) =
+      StreamingOps.ShingledDoc(id, (0 until 12).map(i => s"$tag$i"), ts)
+    val input = MemoryStream[StreamingOps.ShingledDoc]
+    val pairs = StreamingOps.streamingMinhashPairs(input.toDS(), threshold = 0.5,
+      retentionMs = 60000, watermarkDelay = Some("5 seconds"))
+    val q = pairs.writeStream.format("memory").queryName("evret_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val rows = scala.collection.mutable.ArrayBuffer.empty[Long]
+      def step(ds: StreamingOps.ShingledDoc*): Unit = {
+        input.addData(ds: _*)
+        q.processAllAvailable()
+        rows += q.lastProgress.stateOperators.head.numRowsTotal
+      }
+      // b1: A and near-dup B inside retention -> the one expected pair
+      step(doc(1, "blk", 10000), doc(2, "blk", 12000))
+      // b2: unrelated future doc advances the watermark past A/B + retention
+      step(doc(100, "other", 1000000000L))
+      // b3: doc 3 shares A's shingles but sits beyond retention — watermark
+      // eviction clears A/B BEFORE pairing; doc 4 also shares them but is
+      // LATE (behind the watermark) and must be dropped, not paired with 3
+      step(doc(3, "blk", 999996000L), doc(4, "blk", 5000))
+      // b4/b5: further watermark pushes expire the now-idle cells
+      step(doc(200, "misc", 2000000000L))
+      step(doc(201, "misc2", 2100000000L))
+      val got = spark.table("evret_out").select("d1", "d2").distinct()
+        .as[(Long, Long)].collect().toSet
+      assert(got === Set((1L, 2L)),
+        s"expected only the in-retention pair, got $got")
+      // bounded state: idle cells were REMOVED by the event-time timeout —
+      // the final state footprint sits below the peak
+      assert(rows.last < rows.max,
+        s"idle cells must expire via event-time timeout: $rows")
+    } finally q.stop()
+  }
+
   test("windowedCounts over the real events parquet file-stream equals batch") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
