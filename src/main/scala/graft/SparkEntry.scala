@@ -33,6 +33,10 @@ object SparkEntry {
     *     sharded HNSW) is likewise not SQL-expressible; the index is
     *     deterministic and recall-vs-brute (>= the IVF path's) is asserted
     *     in TextOpsSpec.
+    *   - `ann_ivfpq_topk` — deterministic two-layer Lloyd (coarse + product
+    *     codebooks) with ADC probing; replicating both trainings in SQL
+    *     adds no verification beyond the ann_ivf embedded-centroid oracle.
+    *     Determinism and recall-vs-brute are asserted in TextOpsSpec.
     *   - `tx_quantiles_sketch` — sketch internals (Greenwald-Khanna
     *     summaries) are engine-specific by design; the rank-error bound
     *     against exact quantiles is asserted in TextOpsSpec.

@@ -280,21 +280,20 @@ object Ann {
     * literals (the ann_lsh hyperplane trick applied to a DATA-DEPENDENT
     * index).
     */
-  def trainIvfCentroids(
+  /** BOUNDED deterministic training sample shared by the IVF and PQ
+    * trainers: trainCap L2-NORMALIZED rows under a deterministic hash
+    * order (multiplicative hash of the id — spreads ids uniformly; the
+    * id tiebreak makes the take total). Limit-then-collect = per-partition
+    * top-k then a driver merge of trainCap rows, never a full collect.
+    */
+  private def trainingSample(
       embeddings: DataFrame,
       idCol: String,
       vecCol: String,
-      numCells: Int = 16,
-      lloydIters: Int = 2,
-      trainCap: Int = 4096): Array[Array[Double]] = {
+      trainCap: Int): Array[(Long, Array[Double])] = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-
-    // BOUNDED training sample: trainCap rows under a deterministic hash
-    // order (multiplicative hash of the id — spreads ids uniformly; the
-    // id tiebreak makes the take total). TakeOrdered = per-partition
-    // top-k then a driver merge of trainCap rows, never a full collect.
-    val sample = ivfPrep(embeddings, idCol, vecCol)
+    ivfPrep(embeddings, idCol, vecCol)
       .map { case (id, _, _, vn) => (id, vn) }
       .toDF("id", "vn")
       .orderBy(pmod(col("id") * lit(2654435761L), lit(1000000007L)), col("id"))
@@ -302,6 +301,16 @@ object Ann {
       .as[(Long, Array[Double])]
       .collect()
       .sortBy(_._1)
+  }
+
+  def trainIvfCentroids(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numCells: Int = 16,
+      lloydIters: Int = 2,
+      trainCap: Int = 4096): Array[Array[Double]] = {
+    val sample = trainingSample(embeddings, idCol, vecCol, trainCap)
 
     // driver-local Lloyd over the sample (≤ trainCap×dim doubles); means
     // fold members in ascending-id order, empty cells keep their centroid
@@ -382,6 +391,180 @@ object Ann {
     probes.join(index, Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", dotUdf(col("qvec"), col("nvec")) / (col("qn") * col("nn")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round4(col("cos")).as("score"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** IVF-PQ: product-quantization codebooks + ADC probe on top of the IVF
+    * coarse quantizer — the MEMORY-side ANN scale path: a 64-dim float
+    * vector (256 B) compresses to `m` one-byte codes (8 B at m=8, 32×),
+    * which is what lets a 100 TB embedding corpus keep its index in
+    * executor memory. Residual encoding (vn − coarse centroid), per-
+    * subspace codebooks of `ks` codewords, asymmetric distance at probe
+    * time (per-query lookup table, approx dot = centroidDot + Σ_m
+    * LUT[m][code_m]), exact re-rank of the top `candidateFactor × k`.
+    *
+    * Fully deterministic like [[trainIvfCentroids]] (same bounded sample,
+    * id-mod init, ascending-id folds, lower-code tie-breaks) — the
+    * rows-only gate is stable and the spec asserts reproducibility plus
+    * recall-vs-brute.
+    */
+  def ivfPqTopK(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryPred: Column,
+      k: Int,
+      numCells: Int = 16,
+      nProbe: Int = 4,
+      m: Int = 8,
+      ks: Int = 16,
+      candidateFactor: Int = 8,
+      lloydIters: Int = 2,
+      trainCap: Int = 4096): DataFrame = {
+    require(ks <= 256, "one-byte codes: ks must fit a byte")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+
+    val cents = trainIvfCentroids(embeddings, idCol, vecCol, numCells, lloydIters, trainCap)
+    val sample = trainingSample(embeddings, idCol, vecCol, trainCap)
+    if (sample.isEmpty)
+      return Seq.empty[(Long, Int, Long, Double)]
+        .toDF("query_id", "rank", "neighbor_id", "score")
+    val dim = sample.head._2.length
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val subDim = dim / m
+
+    def residual(vn: Array[Double]): Array[Double] = {
+      val c = cents(nearestCell(vn, cents))
+      Array.tabulate(vn.length)(i => vn(i) - c(i))
+    }
+
+    // per-subspace deterministic Lloyd over the sample residuals (same
+    // recipe as the coarse trainer: id-mod init, ascending-id mean folds,
+    // empty codes keep their centroid, strict lower-code argmin)
+    def l2Nearest(x: Array[Double], book: Array[Array[Double]]): Int = {
+      var best = 0; var bestD = Double.PositiveInfinity; var c = 0
+      while (c < book.length) {
+        val w = book(c)
+        var d = 0.0; var i = 0
+        while (i < w.length) { val t = x(i) - w(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+    val codebooks: Array[Array[Array[Double]]] = Array.tabulate(m) { sub =>
+      val items = sample.map { case (id, vn) =>
+        (id, java.util.Arrays.copyOfRange(residual(vn), sub * subDim, (sub + 1) * subDim))
+      }
+      def means(assigned: Seq[(Int, Long, Array[Double])],
+          prev: Array[Array[Double]]): Array[Array[Double]] = {
+        val computed = assigned.groupBy(_._1).map { case (code, rows0) =>
+          val rows = rows0.sortBy(_._2)
+          val acc = new Array[Double](subDim)
+          rows.foreach { r =>
+            var i = 0; while (i < subDim) { acc(i) += r._3(i); i += 1 }
+          }
+          var i = 0; while (i < subDim) { acc(i) /= rows.length; i += 1 }
+          (code, acc)
+        }
+        Array.tabulate(prev.length)(c => computed.getOrElse(c, prev(c)))
+      }
+      var book = means(
+        items.toSeq.map { case (id, r) => ((((id % ks) + ks) % ks).toInt, id, r) },
+        Array.fill(ks)(new Array[Double](subDim)))
+      for (_ <- 1 to lloydIters) {
+        book = means(items.toSeq.map { case (id, r) => (l2Nearest(r, book), id, r) }, book)
+      }
+      book
+    }
+
+    val centsB = spark.sparkContext.broadcast(cents)
+    val booksB = spark.sparkContext.broadcast(codebooks)
+    val sd = subDim; val mm = m; val kks = ks
+
+    // index: ONLY (cell, id, m one-byte codes) — the compressed layout;
+    // true vectors join back for the exact re-rank of survivors alone
+    val index = ivfPrep(embeddings, idCol, vecCol)
+      .map { case (id, _, _, vn) =>
+        val cs = centsB.value
+        val cell = nearestCell(vn, cs)
+        val c = cs(cell)
+        val books = booksB.value
+        val code = new Array[Byte](mm)
+        var sub = 0
+        while (sub < mm) {
+          val r = new Array[Double](sd)
+          var i = 0
+          while (i < sd) { r(i) = vn(sub * sd + i) - c(sub * sd + i); i += 1 }
+          code(sub) = l2Nearest(r, books(sub)).toByte
+          sub += 1
+        }
+        (cell, id, code)
+      }
+      .toDF("cell", "neighbor_id", "code")
+
+    // probes: per query, nProbe cells with the query-centroid dot and the
+    // per-subspace ADC lookup table (m×ks doubles, flat)
+    val probes = ivfPrep(embeddings.where(queryPred), idCol, vecCol)
+      .flatMap { case (id, _, _, qvn) =>
+        val cs = centsB.value
+        val books = booksB.value
+        val lut = new Array[Double](mm * kks)
+        var sub = 0
+        while (sub < mm) {
+          var j = 0
+          while (j < kks) {
+            val w = books(sub)(j)
+            var s = 0.0; var i = 0
+            while (i < sd) { s += qvn(sub * sd + i) * w(i); i += 1 }
+            lut(sub * kks + j) = s
+            j += 1
+          }
+          sub += 1
+        }
+        val scored = Array.tabulate(cs.length) { cell =>
+          val ct = cs(cell)
+          var dot = 0.0; var i = 0
+          while (i < ct.length) { dot += qvn(i) * ct(i); i += 1 }
+          (cell, dot)
+        }
+        scored.sortBy { case (c, dot) => (-dot, c) }.take(nProbe)
+          .map { case (cell, cdot) => (cell, id, cdot, lut) }
+      }
+      .toDF("cell", "query_id", "celldot", "lut")
+
+    val adc = udf { (celldot: Double, lut: Seq[Double], code: Array[Byte]) =>
+      var s = celldot
+      var sub = 0
+      while (sub < code.length) {
+        s += lut(sub * kks + (code(sub) & 0xff))
+        sub += 1
+      }
+      s
+    }
+    val wApprox = Window.partitionBy("query_id")
+      .orderBy(col("approx").desc, col("neighbor_id"))
+    val candidates = probes.join(index, Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("approx", adc(col("celldot"), col("lut"), col("code")))
+      .withColumn("arank", row_number().over(wApprox))
+      .where(col("arank") <= k * candidateFactor)
+      .select("query_id", "neighbor_id")
+
+    val base = withNorm(embeddings, idCol, vecCol)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    candidates
+      .join(base.select(col("id").as("query_id"), col("v").as("qvec"), col("nrm").as("qn")),
+        Seq("query_id"))
+      .join(base.select(col("id").as("neighbor_id"), col("v").as("nvec"), col("nrm").as("nn")),
+        Seq("neighbor_id"))
+      .withColumn("cos", dotCol(col("qvec"), col("nvec")) / (col("qn") * col("nn")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),

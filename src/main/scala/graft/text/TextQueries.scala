@@ -468,6 +468,17 @@ object TextQueries {
         col("vec_id") < 20, k = 5, nProbe = 4, cents)
     },
 
+    // IVF-PQ stays rows-only like HNSW: the ADC probe over trained product
+    // codebooks is deterministic (spec-asserted with recall-vs-brute) but
+    // replicating two nested Lloyd layers in SQL buys no verification the
+    // embedded-centroid ann_ivf oracle doesn't already give. The index
+    // stores m one-byte codes per vector — the 32x-compressed layout that
+    // keeps a 100 TB embedding corpus's index in executor memory.
+    "ann_ivfpq_topk" -> { (s, d) =>
+      Ann.ivfPqTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+        col("vec_id") < 20, k = 5)
+    },
+
     // HNSW stays rows-only: greedy graph traversal is not SQL-expressible
     // at reasonable cost. The index is fully deterministic (hash levels,
     // ascending-id insertion, lower-id tie-breaks) and recall >= the IVF

@@ -613,6 +613,27 @@ class TextOpsSpec extends SparkSpec {
     assert(run() === hnsw)
   }
 
+  test("ivfPqTopK: deterministic compressed index, recall >= 0.6 vs brute force") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val dim = 16
+    val centers = Array.fill(6)(Array.fill(dim)(rnd.nextGaussian() * 3))
+    val df = Seq.tabulate(150) { i =>
+      val c = centers(i % 6)
+      (i.toLong, Array.tabulate(dim)(j => (c(j) + rnd.nextGaussian() * 0.3).toFloat))
+    }.toDF("vec_id", "embedding")
+    val brute = Ann.cosineTopK(df, "vec_id", "embedding", col("vec_id") < 10, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    def run() = Ann.ivfPqTopK(df, "vec_id", "embedding", col("vec_id") < 10, 3,
+      numCells = 8, nProbe = 3, m = 4, ks = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val pq = run()
+    val recall = (brute intersect pq).size.toDouble / brute.size
+    assert(recall >= 0.6, s"recall $recall too low")
+    // two nested Lloyd layers, zero RNG: must reproduce exactly
+    assert(run() === pq)
+  }
+
   test("multimodal: stub decode features are deterministic; frame sampling strides") {
     import spark.implicits._
     val assets = Seq(
