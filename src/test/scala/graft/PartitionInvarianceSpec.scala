@@ -17,7 +17,11 @@ class PartitionInvarianceSpec extends SparkSpec {
     "dd_ngram_jaccard",   // posting-list pair generation
     "dd_dup_windows",     // window-hash postings + semi join
     "sm_pack",            // distributed prefix sum
-    "t1_topk_per_group")  // bounded top-k aggregate
+    "t1_topk_per_group",  // bounded top-k aggregate
+    "dd_maximal_spans",   // island merge over the posting seam
+    "dd_compaction",      // parquet union + incremental posting walk
+    "ann_hnsw_topk",      // sharded graph build + broadcast-query probe
+    "ann_ivfpq_topk")     // two-layer Lloyd + ADC probe
 
   test("representative queries are invariant to shuffle.partitions in {1, 7}") {
     val key = "spark.sql.shuffle.partitions"

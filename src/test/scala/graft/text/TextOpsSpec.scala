@@ -232,6 +232,12 @@ class TextOpsSpec extends SparkSpec {
       all.where(col("doc_id") < 10), "doc_id", "text", 0.5, path)
     val compacted = Dedup.compactPairTable(hashed, isNew, oldPairs, 0.5)
     assert(compacted.collect().toSeq == scratch)
+    // the loop CLOSES: components (and hence canonical selection) over the
+    // compacted table equal components over the from-scratch table
+    def comps(pairs: org.apache.spark.sql.DataFrame) =
+      Dedup.connectedComponents(pairs).collect().toSeq
+    assert(comps(compacted) == comps(
+      Dedup.jaccardPairsHashed(hashed, 0.5)))
     // generation-level guarantee: an all-old group is EMPTY from the first
     // hasNext (the walk skips old×old in place, it does not emit-and-filter)
     assert(!Dedup.incrementalPairs(
