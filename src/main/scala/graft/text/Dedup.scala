@@ -396,17 +396,23 @@ object Dedup {
     * document frequency so boilerplate never enters a prefix (needs a df
     * pass; the hash order used here is df-oblivious but free).
     */
-  def jaccardPairsPrefix(hashed: DataFrame, threshold: Double): DataFrame = {
-    // NOT persisted (library calls must not leak cached blocks past their
-    // final action — same rule as ivfTopK): the self-join recomputes the
-    // shingle lineage per side; at scale the shingle table is a
-    // materialized stage the caller persists, like [[pairTable]]
-    val sh = hashed
+  def jaccardPairsPrefix(hashed: DataFrame, threshold: Double): DataFrame =
+    verifyCandidates(hashed,
+      prefixCandidates(hashed.select(col("doc_id"), col("n"), col("hs").as("ord")), threshold),
+      threshold)
+
+  /** PPJoin candidate pairs from a (doc_id, n, ord) frame whose `ord`
+    * column holds each doc's shingle hashes under ANY fixed total order
+    * (the prefix lemma is order-agnostic; positional filtering only needs
+    * the SAME order on both sides). Returns distinct (d1 < d2) survivors
+    * of the prefix + size + positional filters.
+    */
+  private[text] def prefixCandidates(ordered: DataFrame, threshold: Double): DataFrame = {
     val prefixLen = greatest(col("n") - ceil(col("n") * threshold).cast("int") + 1, lit(0))
-    val ex = sh.select(col("doc_id"), col("n"),
-      posexplode(slice(col("hs"), lit(1), prefixLen)).as(Seq("p", "s")))
+    val ex = ordered.select(col("doc_id"), col("n"),
+      posexplode(slice(col("ord"), lit(1), prefixLen)).as(Seq("p", "s")))
     val overlapNeeded = threshold / (1.0 + threshold)
-    val candidates = ex.select(col("doc_id").as("d1"), col("n").as("na"), col("p").as("pa"), col("s"))
+    ex.select(col("doc_id").as("d1"), col("n").as("na"), col("p").as("pa"), col("s"))
       .join(ex.select(col("doc_id").as("d2"), col("n").as("nb"), col("p").as("pb"), col("s")), Seq("s"))
       .where(col("d1") < col("d2") &&
         least(col("na"), col("nb")) >= greatest(col("na"), col("nb")) * threshold &&
@@ -414,6 +420,17 @@ object Dedup {
           (col("na") + col("nb")) * overlapNeeded)
       .select("d1", "d2")
       .dropDuplicates("d1", "d2")
+  }
+
+  /** Exact two-pointer merge verification of candidate pairs against the
+    * hash-sorted shingle arrays — shared by both prefix variants.
+    */
+  private def verifyCandidates(
+      hashed: DataFrame, candidates: DataFrame, threshold: Double): DataFrame = {
+    // NOT persisted (library calls must not leak cached blocks past their
+    // final action — same rule as ivfTopK): the joins recompute the
+    // shingle lineage per side; at scale the shingle table is a
+    // materialized stage the caller persists, like [[pairTable]]
     val interUdf = udf { (a: Seq[Long], b: Seq[Long]) =>
       var i = 0; var j = 0; var c = 0L
       val (na, nb) = (a.length, b.length)
@@ -426,8 +443,8 @@ object Dedup {
       c
     }
     candidates
-      .join(sh.select(col("doc_id").as("d1"), col("hs").as("h1"), col("n").as("n1")), "d1")
-      .join(sh.select(col("doc_id").as("d2"), col("hs").as("h2"), col("n").as("n2")), "d2")
+      .join(hashed.select(col("doc_id").as("d1"), col("hs").as("h1"), col("n").as("n1")), "d1")
+      .join(hashed.select(col("doc_id").as("d2"), col("hs").as("h2"), col("n").as("n2")), "d2")
       .withColumn("inter", interUdf(col("h1"), col("h2")))
       .withColumn("jraw", col("inter") / (col("n1") + col("n2") - col("inter")))
       .where(col("jraw") >= threshold)
@@ -435,6 +452,32 @@ object Dedup {
       .select("d1", "d2", "inter", "j")
       .orderBy("d1", "d2")
   }
+
+  /** The df-ordered frame behind [[jaccardPairsPrefixDf]], exposed so the
+    * spec can count candidates under each ordering.
+    */
+  private[text] def dfOrdered(hashed: DataFrame): DataFrame = {
+    val dfreq = hashed.select(explode(col("hs")).as("s"))
+      .groupBy("s").agg(count(lit(1)).as("df"))
+    hashed.select(col("doc_id"), col("n"), explode(col("hs")).as("s"))
+      .join(dfreq, "s")
+      .groupBy("doc_id", "n")
+      .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("o"))
+      .select(col("doc_id"), col("n"),
+        transform(col("o"), x => x.getField("s")).as("ord"))
+  }
+
+  /** The PRODUCTION refinement of [[jaccardPairsPrefix]] at boilerplate
+    * scale: shingles order by ASCENDING DOCUMENT FREQUENCY (ties by hash),
+    * so a doc's prefix holds its RAREST shingles and corpus-wide
+    * boilerplate never enters a prefix — the candidate join's hottest keys
+    * simply disappear. Costs one extra df aggregation pass plus a per-doc
+    * reorder; identical output to [[jaccardPairsHashed]] (the prefix lemma
+    * holds under any fixed total order — spec-pinned, along with the
+    * candidate-count reduction on a planted-boilerplate corpus).
+    */
+  def jaccardPairsPrefixDf(hashed: DataFrame, threshold: Double): DataFrame =
+    verifyCandidates(hashed, prefixCandidates(dfOrdered(hashed), threshold), threshold)
 
   /** Deterministic affine permutation parameters for H minhash functions. */
   private def hashParams(h: Int): Seq[(Long, Long)] =

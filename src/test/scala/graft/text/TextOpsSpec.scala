@@ -118,6 +118,31 @@ class TextOpsSpec extends SparkSpec {
     assert(viaPrefix === viaStrings)
   }
 
+  test("jaccardPairsPrefixDf: df-ordered prefixes equal the hash path, boilerplate stays out") {
+    val rnd = new scala.util.Random(23)
+    val vocab = Vector("data", "spark", "query", "join", "scan", "agg", "row",
+      "col", "sort", "hash", "merge", "batch", "stream", "window", "plan", "code")
+    val boilerplate = "copyright footer terms of service all rights reserved standard header"
+    def doc(): String =
+      boilerplate + " " + Seq.fill(25)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val docs = Seq.tabulate(30)(_ => doc())
+    val df = docDf((docs ++ docs.take(3).map(_.replaceFirst("data", "datum"))): _*)
+    val hashed = Dedup.hashedShingleDocs(df, "doc_id", "text")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val want = rows(Dedup.jaccardPairsHashed(hashed, 0.5))
+    assert(want.nonEmpty)
+    assert(rows(Dedup.jaccardPairsPrefixDf(hashed, 0.5)) === want)
+    // ascending-df prefixes exclude the corpus-wide boilerplate shingles,
+    // so the candidate join shrinks vs the hash-ordered prefixes — the
+    // whole point of the refinement
+    val candHash = Dedup.prefixCandidates(
+      hashed.select(col("doc_id"), col("n"), col("hs").as("ord")), 0.5).count()
+    val candDf = Dedup.prefixCandidates(Dedup.dfOrdered(hashed), 0.5).count()
+    assert(candDf < candHash,
+      s"df ordering must prune boilerplate candidates: $candDf vs $candHash")
+  }
+
   test("pairTable: memoized seam equals direct computation, reused across consumers") {
     val rnd = new scala.util.Random(13)
     val vocab = Vector("data", "spark", "query", "join", "scan", "agg", "row")
