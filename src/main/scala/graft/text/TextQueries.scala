@@ -141,6 +141,37 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // deterministic corpus SHUFFLE — every training run randomizes document
+    // order before packing; hash order makes it reproducible and
+    // engine-portable, and GlobalOrder's two-phase numbering (range
+    // partition + per-partition offsets) avoids the single-partition
+    // window a naive global row_number would funnel 100 TB through
+    "sm_shuffle" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+        .withColumn("hkey",
+          pmod(col("doc_id") * lit(2654435761L), lit(1000000007L)))
+      graft.ops.GlobalOrder.withRowNumber(docs, "shuffle_pos", col("hkey"), col("doc_id"))
+        .select(col("doc_id"), col("shuffle_pos"))
+        .orderBy("doc_id")
+    },
+
+    // token-BUDGET curation: keep the highest-quality documents until the
+    // token budget is exhausted (the "fill the training mix" selection).
+    // Distributed via the two-phase prefix sum over (quality desc, id) —
+    // no single-partition window
+    "cur_token_budget" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select(
+        col("doc_id"), col("lang"),
+        size(TextOps.whitespaceTokens(col("text"))).cast("long").as("n_tokens"),
+        TextOps.qualityScore(col("text"), qualityStopwords).as("quality"))
+      graft.ops.PrefixSum.withRunningTotal(docs, "n_tokens", "cum_tokens",
+        col("quality").desc, col("doc_id"))
+        .where(col("cum_tokens") <= 20000L)
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          col("quality"), col("cum_tokens"))
+        .orderBy("doc_id")
+    },
+
     // per-language token-count distribution (the corpus-stats report a
     // curation run starts from): exact interpolated quartiles + mean.
     // percentile() is a sort-based exact aggregate — per-group state is
@@ -809,6 +840,25 @@ object TextQueries {
           WHERE doc_id >= 20
             AND doc_id NOT IN (SELECT doc_id FROM contaminated)
           ORDER BY doc_id""",
+
+    "sm_shuffle" ->
+      """SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY (doc_id*2654435761)%1000000007, doc_id)
+             AS shuffle_pos
+         FROM documents ORDER BY doc_id""",
+
+    "cur_token_budget" ->
+      s"""WITH q AS (
+            SELECT doc_id, lang,
+                   CAST(len($tokensSql) AS BIGINT) AS n_tokens,
+                   $qualitySql AS quality
+            FROM documents
+          ), r AS (
+            SELECT *, SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id)
+              AS cum_tokens FROM q
+          )
+          SELECT doc_id, lang, n_tokens, quality, cum_tokens
+          FROM r WHERE cum_tokens <= 20000 ORDER BY doc_id""",
 
     "dd_ngram_jaccard" -> shingleCte,
     "dd_minhash_lsh" -> shingleCte, // LSH must find exactly the true pairs

@@ -21,7 +21,9 @@ class PartitionInvarianceSpec extends SparkSpec {
     "dd_maximal_spans",   // island merge over the posting seam
     "dd_compaction",      // parquet union + incremental posting walk
     "ann_hnsw_topk",      // sharded graph build + broadcast-query probe
-    "ann_ivfpq_topk")     // two-layer Lloyd + ADC probe
+    "ann_ivfpq_topk",     // two-layer Lloyd + ADC probe
+    "sm_shuffle",         // GlobalOrder two-phase numbering
+    "cur_token_budget")   // prefix sum over a float-keyed global order
 
   test("representative queries are invariant to shuffle.partitions in {1, 7}") {
     val key = "spark.sql.shuffle.partitions"
