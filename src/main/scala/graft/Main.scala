@@ -257,6 +257,44 @@ object Main {
           .write.mode("overwrite").parquet(s"$out/lang_stats.parquet")
         println(s"[curate] survivors=${spark.read.parquet(s"$out/survivors.parquet").count()}")
 
+      // the end-to-end corpus dedup a training pipeline runs daily:
+      // pair table (from scratch, or COMPACTED: yesterday's Parquet ∪
+      // today's incremental new-touching pairs) → connected components →
+      // canonical survivors, every stage materialized for downstream jobs
+      case "dedup" =>
+        val spark = session()
+        import org.apache.spark.sql.functions.{broadcast, col}
+        val dir = req("data")
+        val out = req("out")
+        val threshold = opts.getOrElse("threshold", "0.5").toDouble
+        val docs = Tables.documents(spark, dir)
+        val hashed = graft.text.Dedup.hashedShingleDocs(docs, "doc_id", "text")
+        val pairs = opts.get("new-from").map(_.toLong) match {
+          case Some(b) =>
+            // daily loop: reuse yesterday's old×old pair table if present,
+            // build + materialize it otherwise; today's pairs are computed
+            // incrementally (old×old never regenerated)
+            val oldPath = s"$out/pairs_old.parquet"
+            val oldPairs =
+              if (Files.exists(Paths.get(oldPath))) spark.read.parquet(oldPath)
+              else graft.text.Dedup.materializePairTable(
+                docs.where(col("doc_id") < b), "doc_id", "text", threshold, oldPath)
+            graft.text.Dedup.compactPairTable(
+              hashed, col("doc_id") >= b, oldPairs, threshold)
+          case None =>
+            graft.text.Dedup.jaccardPairsHashed(hashed, threshold)
+        }
+        pairs.write.mode("overwrite").parquet(s"$out/pairs.parquet")
+        val pairsBack = spark.read.parquet(s"$out/pairs.parquet")
+        graft.text.Dedup.connectedComponents(pairsBack)
+          .write.mode("overwrite").parquet(s"$out/components.parquet")
+        val drop = spark.read.parquet(s"$out/components.parquet")
+          .where(col("doc_id") =!= col("component")).select("doc_id")
+        docs.join(broadcast(drop), Seq("doc_id"), "left_anti")
+          .write.mode("overwrite").parquet(s"$out/canonical.parquet")
+        println(s"[dedup] pairs=${pairsBack.count()} " +
+          s"canonical=${spark.read.parquet(s"$out/canonical.parquet").count()}")
+
       case other =>
         System.err.println(s"unknown command: $other\n$usage")
         sys.exit(2)
@@ -269,6 +307,7 @@ object Main {
       |          gene-extract, gene-range, gene-stream, location-reorder,
       |          neighbor, ecocyc-enrich, kegg, found-gene-near-range,
       |          file-format, gentamycin,
-      |          curate [--data sfDir --out dir --min-quality 0.4 --semantic]
+      |          curate [--data sfDir --out dir --min-quality 0.4 --semantic],
+      |          dedup [--data sfDir --out dir --threshold 0.5 --new-from id]
       |(see Scaladoc for per-command arguments)""".stripMargin
 }

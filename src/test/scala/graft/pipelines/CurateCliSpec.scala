@@ -20,6 +20,33 @@ class CurateCliSpec extends SparkSpec {
     assert(stats.count() === 5) // five languages
   }
 
+  test("dedup CLI: pairs/components/canonical materialize; compacted loop == from-scratch") {
+    import org.apache.spark.sql.functions.col
+    val out = java.nio.file.Files.createTempDirectory("dedup_out").toString
+    graft.Main.main(Array("dedup", "--data", sf001, "--out", out))
+    val pairs = spark.read.parquet(s"$out/pairs.parquet")
+    val comps = spark.read.parquet(s"$out/components.parquet")
+    val canon = spark.read.parquet(s"$out/canonical.parquet")
+    val docs = graft.Tables.documents(spark, sf001)
+    val wantPairs = graft.text.Dedup.jaccardPairsHashed(
+      graft.text.Dedup.hashedShingleDocs(docs, "doc_id", "text"), 0.5)
+    assert(pairs.orderBy("d1", "d2").collect().toSeq ==
+      wantPairs.collect().toSeq)
+    // canonical = corpus minus non-min-id cluster members
+    val dropped = comps.where(col("doc_id") =!= col("component")).count()
+    assert(canon.count() == docs.count() - dropped)
+
+    // the incremental daily loop lands on the SAME pair table
+    val out2 = java.nio.file.Files.createTempDirectory("dedup_inc").toString
+    graft.Main.main(Array("dedup", "--data", sf001, "--out", out2,
+      "--new-from", "400"))
+    assert(spark.read.parquet(s"$out2/pairs.parquet")
+      .orderBy("d1", "d2").collect().toSeq == wantPairs.collect().toSeq)
+    // and yesterday's materialized old-pairs table exists for tomorrow
+    assert(spark.read.parquet(s"$out2/pairs_old.parquet").count() ==
+      wantPairs.where(col("d1") < 400 && col("d2") < 400).count())
+  }
+
   test("curate --min-quality threads INTO the pipeline (gate before representatives)") {
     val out = java.nio.file.Files.createTempDirectory("curate_mq").toString
     graft.Main.main(Array(
