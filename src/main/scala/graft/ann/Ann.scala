@@ -341,6 +341,24 @@ object Ann {
     cents
   }
 
+  /** (id, cell) coarse-quantizer assignment for every vector under an
+    * already-trained centroid matrix — one broadcast map pass. The
+    * building block behind cluster-balanced corpus selection
+    * (`cur_diverse`) and any per-cell statistic.
+    */
+  def assignCells(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cents: Array[Array[Double]]): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val centsB = spark.sparkContext.broadcast(cents)
+    ivfPrep(embeddings, idCol, vecCol)
+      .map { case (id, _, _, vn) => (id, nearestCell(vn, centsB.value)) }
+      .toDF("id", "cell")
+  }
+
   /** IVF probe against an already-trained centroid matrix: one map-only
     * index build with the K×dim matrix broadcast, then a (cell, query) ×
     * (cell, vector) equi-join with exact re-ranking.

@@ -499,6 +499,38 @@ object TextQueries {
         col("vec_id") < 20, k = 5, nProbe = 4, cents)
     },
 
+    // cluster-BALANCED ("diverse") curation: the top-quality docs PER
+    // EMBEDDING CLUSTER — keeps every semantic region represented instead
+    // of letting one dominant topic fill the budget. Cells come from the
+    // SAME deterministic IVF quantizer as ann_ivf (memoized, so this query
+    // also gets a FULL hash oracle via the embedded-centroid CTE);
+    // per-cell selection rides the BoundedTopK aggregate — 16 cells means
+    // a row_number window would funnel the corpus through 16 partitions,
+    // the aggregate combines map-side instead
+    "cur_diverse" -> { (s, d) =>
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      val cents = Ann.trainIvfCentroids(emb, "vec_id", "embedding")
+      ivfTrainedCentroids.set(cents)
+      val cells = Ann.assignCells(emb, "vec_id", "embedding", cents)
+        .select(col("id").as("doc_id"), col("cell"))
+      val q = Tables.documents(s, d).select(col("doc_id"),
+        TextOps.qualityScore(col("text"), qualityStopwords).as("quality"))
+      val topK = new graft.ops.BoundedTopK[(Double, Long)](
+        20, Ordering.by(t => (-t._1, t._2)), implicitly)
+      cells.join(q, Seq("doc_id"))
+        .select(col("cell"), col("quality"), col("doc_id"))
+        .as[(Int, Double, Long)]
+        .groupByKey(_._1)
+        .mapValues(t => (t._2, t._3))
+        .agg(topK.toColumn.name("top"))
+        .flatMap { case (cell, top) =>
+          top.map { case (ql, id) => (id, cell, ql) }
+        }
+        .toDF("doc_id", "cell", "quality")
+        .orderBy("doc_id")
+    },
+
     // IVF-PQ stays rows-only like HNSW: the ADC probe over trained product
     // codebooks is deterministic (spec-asserted with recall-vs-brute) but
     // replicating two nested Lloyd layers in SQL buys no verification the
@@ -620,13 +652,17 @@ object TextQueries {
     * cell), nProbe probing, and exact re-ranking — so everything DOWNSTREAM
     * of training is verified independently by DuckDB.
     */
-  private def ivfOracle(cents: Array[Array[Double]], nProbe: Int, k: Int): String = {
+  /** The shared assignment CTE prefix: centroid literals, vector prep,
+    * argmax cell per vector — reused by the IVF probe oracle and the
+    * cluster-balanced curation oracle.
+    */
+  private def ivfAssignCte(cents: Array[Array[Double]]): String = {
     val centsValues = cents.zipWithIndex.map { case (w, c) =>
       s"($c,[${w.map(_.toString).mkString(",")}])"
     }.mkString(",")
     val uDotW = """list_reduce(list_prepend(0.0, list_transform(
            generate_series(1, len(u)), i -> u[i] * w[i])), (x, y) -> x + y)"""
-    s"""WITH cents(cell, w) AS (VALUES $centsValues),
+    s"""cents(cell, w) AS (VALUES $centsValues),
         emb AS (
           SELECT vec_id AS id, embedding,
                  SQRT(${dot("embedding", "embedding")}) AS n
@@ -642,7 +678,11 @@ object TextQueries {
           SELECT id, cell FROM (SELECT id, cell,
               ROW_NUMBER() OVER (PARTITION BY id ORDER BY dt DESC, cell) AS r
             FROM cellscore) WHERE r = 1
-        ), probes AS (
+        )"""
+  }
+
+  private def ivfOracle(cents: Array[Array[Double]], nProbe: Int, k: Int): String = {
+    s"""WITH ${ivfAssignCte(cents)}, probes AS (
           SELECT id, cell FROM (SELECT id, cell,
               ROW_NUMBER() OVER (PARTITION BY id ORDER BY dt DESC, cell) AS r
             FROM cellscore WHERE id < 20) WHERE r <= $nProbe
@@ -660,12 +700,29 @@ object TextQueries {
         WHERE rank <= $k ORDER BY query_id, rank"""
   }
 
-  /** Static oracles plus the data-dependent IVF entry (present once the
-    * ann_ivf_topk query has trained its centroids in this JVM).
+  /** Cluster-balanced curation oracle: same assignment CTE, then top-`n`
+    * docs per cell by (quality desc, id).
+    */
+  private def diverseOracle(cents: Array[Array[Double]], n: Int): String =
+    s"""WITH ${ivfAssignCte(cents)}, q AS (
+          SELECT doc_id, $qualitySql AS quality FROM documents
+        )
+        SELECT doc_id, CAST(cell AS INTEGER) AS cell, quality
+        FROM (SELECT a.id AS doc_id, a.cell, q.quality,
+                ROW_NUMBER() OVER (PARTITION BY a.cell
+                  ORDER BY q.quality DESC, a.id) AS rk
+              FROM assign a JOIN q ON q.doc_id = a.id)
+        WHERE rk <= $n ORDER BY doc_id"""
+
+  /** Static oracles plus the data-dependent entries (present once a query
+    * has trained the centroids in this JVM — Verify runs every query
+    * before the dump).
     */
   def oracles: Map[String, String] =
     Option(ivfTrainedCentroids.get()) match {
-      case Some(cents) => staticOracles + ("ann_ivf_topk" -> ivfOracle(cents, nProbe = 4, k = 5))
+      case Some(cents) => staticOracles +
+        ("ann_ivf_topk" -> ivfOracle(cents, nProbe = 4, k = 5)) +
+        ("cur_diverse" -> diverseOracle(cents, n = 20))
       case None        => staticOracles
     }
 

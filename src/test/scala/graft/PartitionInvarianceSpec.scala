@@ -23,7 +23,8 @@ class PartitionInvarianceSpec extends SparkSpec {
     "ann_hnsw_topk",      // sharded graph build + broadcast-query probe
     "ann_ivfpq_topk",     // two-layer Lloyd + ADC probe
     "sm_shuffle",         // GlobalOrder two-phase numbering
-    "cur_token_budget")   // prefix sum over a float-keyed global order
+    "cur_token_budget",   // prefix sum over a float-keyed global order
+    "cur_diverse")        // IVF assignment + BoundedTopK per cell
 
   test("representative queries are invariant to shuffle.partitions in {1, 7}") {
     val key = "spark.sql.shuffle.partitions"
