@@ -104,6 +104,15 @@ class PlanAuditSpec extends SparkSpec {
       s"queries funneling through one partition: ${offenders.mkString(", ")}")
   }
 
+  test("cur_diverse: per-cell selection is a map-side-combining aggregate, not a Window") {
+    // 16 cells: a row_number().over(partitionBy(cell)) would funnel the
+    // corpus through 16 partitions — the BoundedTopK aggregate path must
+    // keep the plan Window-free
+    val plan = physical(q("cur_diverse"))
+    assert(!plan.contains("Window"),
+      s"cur_diverse must not select per-cell rows with a Window:\n$plan")
+  }
+
   test("cur_semantic: drop-list anti-join broadcasts, no nested loop") {
     val plan = physical(q("cur_semantic"))
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
