@@ -286,6 +286,11 @@ object Main {
         }
         pairs.write.mode("overwrite").parquet(s"$out/pairs.parquet")
         val pairsBack = spark.read.parquet(s"$out/pairs.parquet")
+        // today's full pair table is tomorrow's old×old: refresh pairs_old
+        // so a later run with a LARGER --new-from doesn't pair against a
+        // stale table that misses pairs formed between the two boundaries.
+        // (Safe ordering: pairsBack reads pairs.parquet, already written.)
+        pairsBack.write.mode("overwrite").parquet(s"$out/pairs_old.parquet")
         graft.text.Dedup.connectedComponents(pairsBack)
           .write.mode("overwrite").parquet(s"$out/components.parquet")
         val drop = spark.read.parquet(s"$out/components.parquet")

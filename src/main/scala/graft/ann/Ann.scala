@@ -759,6 +759,11 @@ object Ann {
     * Scale shape: build is one mapPartitions pass (shard graphs never
     * leave their tasks, memory = shard size × (vector + M links)); probe
     * moves only the broadcast queries and (query, id, score) triples.
+    * Contract: the QUERY SET is driver-collected and broadcast (every
+    * shard beam-searches every query), so `queryPred` must select a small
+    * set — enforced by `maxQueries` (fail-fast, no partial work). For
+    * large query sets use [[ivfTopK]]/[[ivfPqTopK]], whose probes stay
+    * distributed.
     */
   def hnswTopK(
       embeddings: DataFrame,
@@ -768,7 +773,8 @@ object Ann {
       k: Int,
       numShards: Int = 8,
       m: Int = 8,
-      ef: Int = 64): DataFrame = {
+      ef: Int = 64,
+      maxQueries: Int = 4096): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
 
@@ -782,7 +788,18 @@ object Ann {
         (id, if (n == 0.0) v.clone() else v.map(_ / n))
       }
 
-    val queries = prep(embeddings.where(queryPred)).collect().sortBy(_._1)
+    // Query vectors ARE collected and broadcast (unlike ivfTopK's
+    // distributed probes): every shard graph beam-searches every query, so
+    // the query set must be small. Enforce that contract instead of
+    // assuming it — the only other driver-side collects in the library are
+    // similarly bounded (the 4096-row IVF trainer, the union-find edge cap).
+    val overCap = prep(embeddings.where(queryPred)).take(maxQueries + 1)
+    require(overCap.length <= maxQueries,
+      s"hnswTopK: queryPred matched more than maxQueries=$maxQueries rows; " +
+        "the HNSW probe broadcasts the full query set to every shard — " +
+        "narrow the predicate, chunk the queries, or raise maxQueries " +
+        "deliberately (driver memory = queries x dim x 8 bytes).")
+    val queries = overCap.sortBy(_._1)
     val queriesB = spark.sparkContext.broadcast(queries)
     val kk = k; val mm = m; val eff = ef
 

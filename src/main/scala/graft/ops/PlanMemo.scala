@@ -18,7 +18,11 @@ import org.apache.spark.storage.StorageLevel
   * `spark.catalog.clearCache()`) degrades gracefully: the lineage recomputes
   * and [[get]] re-marks it for caching on next access.
   */
-private[graft] final class PlanMemo(maxEntries: Int = 32) {
+private[graft] final class PlanMemo(
+    maxEntries: Int = 32,
+    // injectable for specs; the default spots entries whose blocks died
+    // with their stopped SparkContext
+    isDead: DataFrame => Boolean = _.sparkSession.sparkContext.isStopped) {
 
   private val map =
     new java.util.LinkedHashMap[AnyRef, DataFrame](16, 0.75f, true) {
@@ -28,9 +32,30 @@ private[graft] final class PlanMemo(maxEntries: Int = 32) {
         else false
     }
 
-  /** The memoized frame for `key`, building (and persisting) on first use. */
+  /** The memoized frame for `key`, building (and persisting) on first use.
+    *
+    * Session hygiene: entries whose backing SparkContext has STOPPED are
+    * purged here before every lookup (their blocks died with the context;
+    * keeping the map entry would pin dead plan trees on the heap of a
+    * long-lived JVM that hosts many short-lived sessions). Entries of
+    * ABANDONED-but-unstopped sessions on a live shared context cannot be
+    * detected; for those the LRU bound (`maxEntries`, blocking unpersist
+    * on eviction) IS the contract — spec-pinned in PlanMemoSpec.
+    */
   def get(key: AnyRef)(build: => DataFrame): DataFrame = {
-    val df = map.synchronized(map.computeIfAbsent(key, _ => build))
+    val df = map.synchronized {
+      val it = map.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (isDead(e.getValue)) {
+          // unpersist is best-effort: a stopped context's blocks are gone
+          try e.getValue.unpersist(false)
+          catch { case scala.util.control.NonFatal(_) => () }
+          it.remove()
+        }
+      }
+      map.computeIfAbsent(key, _ => build)
+    }
     if (df.storageLevel == StorageLevel.NONE)
       df.persist(StorageLevel.MEMORY_AND_DISK)
     df
@@ -44,6 +69,9 @@ private[graft] final class PlanMemo(maxEntries: Int = 32) {
     removed.foreach(_.unpersist(true))
     removed.isDefined
   }
+
+  /** Live entry count (specs). */
+  def size: Int = map.synchronized(map.size())
 
   /** Drop EVERY entry and unpersist their blocks. */
   def clear(): Unit = {

@@ -17,6 +17,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingOps {
 
+  /** `a + b` clamped at Long.MaxValue for non-negative `b`. Idle-cell
+    * timeouts compute `newest + retentionMs`; a caller-supplied retention
+    * near Long.MaxValue would overflow negative and collapse the timeout
+    * to `watermark + 1`, evicting live idle state on the next tick.
+    */
+  private def saturatingAdd(a: Long, b: Long): Long =
+    if (a > Long.MaxValue - b) Long.MaxValue else a + b
+
   /** A1-style distribution counts as a streaming windowed aggregate:
     * tumbling event-time windows with a watermark bounding state.
     */
@@ -188,7 +196,7 @@ object StreamingOps {
             else {
               state.update(CellState(members))
               if (eventTime)
-                state.setTimeoutTimestamp(math.max(wm + 1, newest + retentionMs))
+                state.setTimeoutTimestamp(math.max(wm + 1, saturatingAdd(newest, retentionMs)))
             }
             out.result().iterator
           }
@@ -292,7 +300,7 @@ object StreamingOps {
             else {
               state.update(MinhashCellState(members))
               if (eventTime)
-                state.setTimeoutTimestamp(math.max(wm + 1, newest + retentionMs))
+                state.setTimeoutTimestamp(math.max(wm + 1, saturatingAdd(newest, retentionMs)))
             }
             out.result().iterator
           }

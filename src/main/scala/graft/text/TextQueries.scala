@@ -911,8 +911,11 @@ object TextQueries {
                    $qualitySql AS quality
             FROM documents
           ), r AS (
-            SELECT *, SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id)
-              AS cum_tokens FROM q
+            -- CAST: DuckDB's SUM(BIGINT) OVER returns HUGEINT (pandas
+            -- float64/object) while Spark emits int64; the driver's value
+            -- hash is dtype-sensitive (r7 regression). Mirrors sm_pack.
+            SELECT *, CAST(SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id)
+              AS BIGINT) AS cum_tokens FROM q
           )
           SELECT doc_id, lang, n_tokens, quality, cum_tokens
           FROM r WHERE cum_tokens <= 20000 ORDER BY doc_id""",

@@ -642,6 +642,17 @@ class TextOpsSpec extends SparkSpec {
     assert(hnswRecall >= 0.6, s"recall $hnswRecall too low")
     // no RNG anywhere: graph build + search must reproduce exactly
     assert(run() === hnsw)
+    // the query set is collected + broadcast, so the bounded-query-set
+    // contract must FAIL FAST rather than OOM the driver on a broad pred
+    val e = intercept[IllegalArgumentException] {
+      Ann.hnswTopK(df, "vec_id", "embedding", lit(true), 3,
+        numShards = 4, m = 8, ef = 32, maxQueries = 100)
+    }
+    assert(e.getMessage.contains("maxQueries"))
+    // at-cap query sets still run (the guard is > cap, not >= cap)
+    val atCap = Ann.hnswTopK(df, "vec_id", "embedding", col("vec_id") < 5, 3,
+      numShards = 4, m = 8, ef = 32, maxQueries = 5)
+    assert(atCap.count() === 15)
   }
 
   test("ivfPqTopK: deterministic compressed index, recall >= 0.6 vs brute force") {

@@ -16,6 +16,44 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def dtype_class(s: pd.Series) -> str:
+    """Coarse dtype class used for the strictness check. The driver's value
+    hash is dtype-sensitive, so an int64 Spark column vs a HUGEINT-born
+    float64/object DuckDB column fails there even when values are equal
+    (the cur_token_budget r7 trap). Classes: int / float / datetime / bool /
+    other. int-vs-float (or int-vs-object-numeric) is a hard FAIL here."""
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    if s.dtype == object:
+        # HUGEINT can surface as object of Python ints
+        non_null = s.dropna()
+        if len(non_null) and all(isinstance(v, (int, float)) and not isinstance(v, bool)
+                                 for v in non_null.head(100)):
+            return "float" if any(isinstance(v, float) for v in non_null.head(100)) else "int"
+    return "other"
+
+
+def dtype_strict_fail(name: str, got: pd.DataFrame, want: pd.DataFrame) -> bool:
+    """True (and prints FAIL) if any shared column drifts between the
+    int and float classes across Spark vs DuckDB. Must stay strictly
+    HARSHER than the driver's gate, never laxer."""
+    bad = False
+    for c in sorted(set(got.columns) & set(want.columns)):
+        gk, wk = dtype_class(got[c]), dtype_class(want[c])
+        if gk != wk and {gk, wk} <= {"int", "float"}:
+            print(f"FAIL {name}: col {c} dtype drift: spark={got[c].dtype} ({gk}) "
+                  f"vs duckdb={want[c].dtype} ({wk}) — cast the oracle "
+                  f"(HUGEINT from SUM/COUNT windows is the known trap)")
+            bad = True
+    return bad
+
+
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     # canonicalize dtypes for value-compare
@@ -48,6 +86,9 @@ def main(sf_dir: str, out_dir: str) -> int:
             want = con.execute(sql).df()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
+            fails += 1
+            continue
+        if dtype_strict_fail(name, got, want):
             fails += 1
             continue
         g, w = norm(got), norm(want)
