@@ -91,12 +91,51 @@ object Bench {
       ((scannedBp / sec).toLong, sec)
     }
 
+    // skew-hardened interval-stab join: a planted 90%-on-one-key points
+    // table vs a uniform table of the SAME size through the SAME sweep
+    // plan (broadcast disabled so the SkewAwareRangePartitioner path is
+    // the one measured). Records the number behind the r7 partitioner:
+    // skewed ≈ uniform means the hot key split into sub-partitions instead
+    // of one straggler task; uniform regression would show as
+    // skew_join_uniform_sec creep vs earlier rounds.
+    val runSkew = only.forall(_.contains("skew_join"))
+    val (skewSec, unifSec) = if (!runSkew) (0.0, 0.0) else {
+      import org.apache.spark.sql.functions.{col, hash, lit, pmod, when}
+      val nPts = 2000000L
+      val hot = 500000L
+      val skewed = spark.range(nPts).select(
+        col("id").as("pt_id"),
+        when(pmod(col("id"), lit(10)) =!= 0, lit(hot))
+          .otherwise(pmod(hash(col("id")), lit(1000000)).cast("long")).as("p"))
+      val uniform = spark.range(nPts).select(
+        col("id").as("pt_id"),
+        pmod(hash(col("id")), lit(1000000)).cast("long").as("p"))
+      val ivs = spark.range(20000).select(
+        col("id").as("iv_id"),
+        pmod(hash(col("id") + 7), lit(999950)).cast("long").as("s"))
+        .withColumn("e", col("s") + 49)
+      val thrKey = "spark.sql.autoBroadcastJoinThreshold"
+      val oldThr = spark.conf.get(thrKey)
+      spark.conf.set(thrKey, "-1")
+      def time(pts: org.apache.spark.sql.DataFrame): Double = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        graft.ops.RangeJoin
+          .pointInIntervalPlanned(pts, "p", ivs, "s", "e").count()
+        val t = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache(); System.gc()
+        t
+      }.min
+      try { val s = time(skewed); val u = time(uniform); (s, u) }
+      finally spark.conf.set(thrKey, oldThr)
+    }
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","timing":"best_of_3","queries":$qs,""" +
-        s""""scan_bp_per_sec":$bpPerSec,"scan_sec":$scanSec,"sf":"$sfDir"}""")
+        s""""scan_bp_per_sec":$bpPerSec,"scan_sec":$scanSec,""" +
+        s""""skew_join_skewed_sec":$skewSec,"skew_join_uniform_sec":$unifSec,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

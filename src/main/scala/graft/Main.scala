@@ -275,10 +275,17 @@ object Main {
             // build + materialize it otherwise; today's pairs are computed
             // incrementally (old×old never regenerated)
             val oldPath = s"$out/pairs_old.parquet"
+            // pairs_old is refreshed to the FULL compacted table after
+            // every run, so restrict it to old×old below TODAY's boundary:
+            // compactPairTable's union is disjoint-by-construction (old
+            // pairs never touch a new doc), and the incremental side owns
+            // everything touching ids >= b. No-op when pairs_old was
+            // freshly built from docs < b.
             val oldPairs =
-              if (Files.exists(Paths.get(oldPath))) spark.read.parquet(oldPath)
-              else graft.text.Dedup.materializePairTable(
-                docs.where(col("doc_id") < b), "doc_id", "text", threshold, oldPath)
+              (if (Files.exists(Paths.get(oldPath))) spark.read.parquet(oldPath)
+               else graft.text.Dedup.materializePairTable(
+                 docs.where(col("doc_id") < b), "doc_id", "text", threshold, oldPath))
+                .where(col("d1") < b && col("d2") < b)
             graft.text.Dedup.compactPairTable(
               hashed, col("doc_id") >= b, oldPairs, threshold)
           case None =>

@@ -42,9 +42,18 @@ class CurateCliSpec extends SparkSpec {
       "--new-from", "400"))
     assert(spark.read.parquet(s"$out2/pairs.parquet")
       .orderBy("d1", "d2").collect().toSeq == wantPairs.collect().toSeq)
-    // and yesterday's materialized old-pairs table exists for tomorrow
+    // pairs_old is REFRESHED to the full compacted table after every run
+    // (today's pair table is tomorrow's old×old) — were it left at the
+    // sub-boundary build, a later run with a larger --new-from would
+    // silently miss pairs formed entirely between the two boundaries
     assert(spark.read.parquet(s"$out2/pairs_old.parquet").count() ==
-      wantPairs.where(col("d1") < 400 && col("d2") < 400).count())
+      wantPairs.count())
+    // exactly that later run: larger boundary, reusing the refreshed
+    // old-pairs table — still equals the from-scratch pair table
+    graft.Main.main(Array("dedup", "--data", sf001, "--out", out2,
+      "--new-from", "450"))
+    assert(spark.read.parquet(s"$out2/pairs.parquet")
+      .orderBy("d1", "d2").collect().toSeq == wantPairs.collect().toSeq)
   }
 
   test("curate --min-quality threads INTO the pipeline (gate before representatives)") {
