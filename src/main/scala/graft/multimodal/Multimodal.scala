@@ -33,6 +33,9 @@ final case class MediaFeatures(
 /** A decoded raster image: `rgb` is row-major packed R,G,B bytes. */
 final case class DecodedImage(width: Int, height: Int, rgb: Array[Byte])
 
+/** Decoded mono 8-bit PCM audio: `samples` are unsigned (midpoint 128). */
+final case class DecodedAudio(sampleRate: Int, samples: Array[Byte])
+
 object Multimodal {
 
   /** REAL image decode: binary PPM (P6) — `P6 <w> <h> <maxval>` header
@@ -163,6 +166,125 @@ object Multimodal {
       decodeImageFeatures(assets, idCol, payloadCol)
         .select(col("asset_id").as("doc_id"), col("phash").as("simhash")),
       maxHamming, bands = bands, bits = 64)
+
+  /** REAL audio decode: canonical RIFF/WAVE with 8-bit mono PCM — the
+    * chunk walk is a genuine parse (magic, chunk sizes, word-aligned skip
+    * of unknown chunks, fmt validation, data bounds), not a fixed-offset
+    * read, so files with extra chunks (LIST/INFO etc.) decode correctly.
+    * Compressed/16-bit/stereo forms are rejected explicitly rather than
+    * mis-read. Samples are unsigned 8-bit (midpoint 128) per the WAV spec.
+    */
+  def decodeWavPcm8(bytes: Array[Byte]): DecodedAudio = {
+    def err(msg: String): Nothing =
+      throw new IllegalArgumentException(s"malformed WAV: $msg")
+    def u16(off: Int): Int =
+      (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+    def u32(off: Int): Long =
+      (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
+        ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
+    def tag(off: Int): String =
+      if (off + 4 > bytes.length) err("truncated chunk tag")
+      else new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (bytes.length < 12 || tag(0) != "RIFF") err("not RIFF")
+    if (tag(8) != "WAVE") err("not WAVE")
+    var pos = 12
+    var sampleRate = -1
+    var data: Array[Byte] = null
+    while (pos + 8 <= bytes.length && (sampleRate < 0 || data == null)) {
+      val t = tag(pos)
+      val sz = u32(pos + 4)
+      if (pos + 8 + sz > bytes.length) err(s"chunk '$t' overruns the file")
+      t match {
+        case "fmt " =>
+          if (sz < 16) err("fmt chunk too short")
+          val fmt = u16(pos + 8)
+          val channels = u16(pos + 10)
+          val bits = u16(pos + 22)
+          if (fmt != 1) err(s"audio format $fmt is not PCM")
+          if (channels != 1) err(s"$channels channels (mono only)")
+          if (bits != 8) err(s"$bits-bit samples (8-bit only)")
+          sampleRate = u32(pos + 12).toInt
+        case "data" =>
+          data = java.util.Arrays.copyOfRange(bytes, pos + 8, pos + 8 + sz.toInt)
+        case _ => () // unknown chunk: skip
+      }
+      pos += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+    }
+    if (sampleRate < 0) err("no fmt chunk")
+    if (data == null) err("no data chunk")
+    DecodedAudio(sampleRate, data)
+  }
+
+  /** Distributed REAL audio decode + integer-exact features over a binary
+    * payload column: sample count/rate, floor mean amplitude, peak,
+    * floor mean square deviation from the 8-bit midpoint (RMS² — kept
+    * squared so no float enters), and midpoint crossings (the
+    * zero-crossing rate's numerator). Map-side only, like the image twin.
+    */
+  def decodeAudioFeatures(
+      assets: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val f = udf { (bytes: Array[Byte]) =>
+      val a = decodeWavPcm8(bytes)
+      val n = a.samples.length
+      require(n > 0, "empty data chunk")
+      var sum = 0L; var peak = 0; var sq = 0L; var crossings = 0
+      var i = 0
+      while (i < n) {
+        val v = a.samples(i) & 0xff
+        sum += v
+        if (v > peak) peak = v
+        val d = v - 128L
+        sq += d * d
+        if (i > 0 && ((a.samples(i - 1) & 0xff) < 128) != (v < 128)) crossings += 1
+        i += 1
+      }
+      (a.sampleRate, n, (sum / n).toInt, peak, sq / n, crossings)
+    }
+    assets
+      .select(col(idCol).as("asset_id"), f(col(payloadCol)).as("f"))
+      .select(col("asset_id"),
+        col("f._1").as("sample_rate"), col("f._2").as("n_samples"),
+        col("f._3").as("mean_amp"), col("f._4").as("peak"),
+        col("f._5").as("rms_sq"), col("f._6").as("crossings"))
+  }
+
+  /** REAL integer box resize: output pixel (x,y) averages the source box
+    * with floor boundaries [x·w/outW, (x+1)·w/outW) × [y·h/outH,
+    * (y+1)·h/outH), floor mean per channel — the downscale step of any
+    * image feature pipeline (and the arithmetic [[imageAHash]]'s block
+    * grid embeds), exposed standalone so thumbnails/feature inputs share
+    * one exact definition. Upscale is out of scope (boxes would be empty).
+    */
+  def resizeBox(img: DecodedImage, outW: Int, outH: Int): DecodedImage = {
+    require(outW > 0 && outH > 0 && outW <= img.width && outH <= img.height,
+      s"resizeBox: ${img.width}x${img.height} -> ${outW}x$outH must downscale")
+    val out = new Array[Byte](outW * outH * 3)
+    var oy = 0
+    while (oy < outH) {
+      val y0 = oy * img.height / outH; val y1 = (oy + 1) * img.height / outH
+      var ox = 0
+      while (ox < outW) {
+        val x0 = ox * img.width / outW; val x1 = (ox + 1) * img.width / outW
+        var r = 0L; var g = 0L; var b = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val p = (y * img.width + x) * 3
+            r += img.rgb(p) & 0xff; g += img.rgb(p + 1) & 0xff; b += img.rgb(p + 2) & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val cnt = (y1 - y0).toLong * (x1 - x0)
+        val o = (oy * outW + ox) * 3
+        out(o) = (r / cnt).toByte; out(o + 1) = (g / cnt).toByte; out(o + 2) = (b / cnt).toByte
+        ox += 1
+      }
+      oy += 1
+    }
+    DecodedImage(outW, outH, out)
+  }
 
   /** STUB decode: a real implementation would decode the payload with an
     * image/audio codec; the deterministic fake derives features purely

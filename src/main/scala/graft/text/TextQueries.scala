@@ -572,6 +572,54 @@ object TextQueries {
         .where(length(col("text")) >= 64)
         .select(col("doc_id"), Multimodal.phash(col("text"), 64).as("simhash"))
       Dedup.simhashPairs(sigs, maxHamming = 3)
+    },
+
+    // REAL image decode in the gate: each qualifying document's 192-byte
+    // ASCII prefix becomes the raster of an in-query binary PPM (P6 header
+    // + raw RGB), [[Multimodal.decodePpm]] parses the actual bytes
+    // distributed, and [[Multimodal.imageAHash]] computes the canonical
+    // 8×8 average-hash (1 px per block at this size). Because the raster
+    // bytes ARE the prefix's character codes, DuckDB replicates the exact
+    // integer arithmetic — a FULL hash oracle over a real bytes→pixels
+    // decode, not the stub. The ASCII guard (octet_length == char length)
+    // keeps byte values and code points identical on both sides.
+    "mm_image_decode" -> { (s, d) =>
+      val prefix = substring(col("text"), 1, 192)
+      val withPayload = Tables.documents(s, d)
+        .where(length(col("text")) >= 192 && octet_length(prefix) === 192)
+        .withColumn("payload",
+          concat(lit("P6\n8 8\n255\n".getBytes(
+            java.nio.charset.StandardCharsets.US_ASCII)), prefix.cast("binary")))
+      Multimodal.decodeImageFeatures(withPayload, "doc_id", "payload")
+        .withColumnRenamed("asset_id", "doc_id")
+        .orderBy("doc_id")
+    },
+
+    // REAL audio decode in the gate, same construction as mm_image_decode:
+    // a canonical 44-byte WAV header (all bytes constant at a fixed 256
+    // samples / 8 kHz) + the document's 256-byte ASCII prefix as unsigned
+    // 8-bit PCM; [[Multimodal.decodeWavPcm8]] runs the actual RIFF chunk
+    // walk distributed and the features are integer-exact, so DuckDB
+    // replicates them — a FULL hash oracle over a real audio decode.
+    "mm_audio_decode" -> { (s, d) =>
+      val n = 256
+      val sr = 8000
+      val header = {
+        val bb = java.nio.ByteBuffer.allocate(44)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("RIFF".getBytes).putInt(36 + n).put("WAVE".getBytes)
+        bb.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+          .putInt(sr).putInt(sr).putShort(1).putShort(8)
+        bb.put("data".getBytes).putInt(n)
+        bb.array()
+      }
+      val prefix = substring(col("text"), 1, n)
+      val withPayload = Tables.documents(s, d)
+        .where(length(col("text")) >= n && octet_length(prefix) === n)
+        .withColumn("payload", concat(lit(header), prefix.cast("binary")))
+      Multimodal.decodeAudioFeatures(withPayload, "doc_id", "payload")
+        .withColumnRenamed("asset_id", "doc_id")
+        .orderBy("doc_id")
     }
   )
 
@@ -1166,6 +1214,69 @@ object TextQueries {
                  CAST(fi * 128 AS INTEGER) AS frame_off,
                  ${ph("substr(text, CAST(fi*128 + 1 AS INTEGER), 128)", 31)} AS frame_fp
           FROM e ORDER BY doc_id, frame_idx""",
+
+    // replica of the REAL decode path's arithmetic: the PPM raster is the
+    // 192-byte ASCII prefix, so codes == raster bytes; lum = 299R+587G+114B
+    // per pixel; at 8×8 each aHash block is one pixel, bit b set iff
+    // lum[b]*64 > total (integer cross-multiply, exactly imageAHash);
+    // bit 63 contributes Long.MinValue in the signed result
+    "mm_image_decode" ->
+      """WITH q AS (
+           SELECT doc_id, substring(text,1,192) AS s FROM documents
+           WHERE length(text) >= 192
+             AND octet_length(encode(substring(text,1,192))) = 192
+         ), cz AS (
+           SELECT doc_id,
+                  list_transform(string_split(s,''), c -> ascii(c)::BIGINT) AS codes
+           FROM q
+         ), lz AS (
+           SELECT doc_id, codes,
+             list_transform(generate_series(0,63), i ->
+               299*codes[3*i+1] + 587*codes[3*i+2] + 114*codes[3*i+3]) AS lum
+           FROM cz
+         ), f AS (
+           SELECT doc_id, lum,
+             list_sum(lum) AS total,
+             list_sum(list_transform(generate_series(0,63), i -> codes[3*i+1])) AS sr,
+             list_sum(list_transform(generate_series(0,63), i -> codes[3*i+2])) AS sg,
+             list_sum(list_transform(generate_series(0,63), i -> codes[3*i+3])) AS sb
+           FROM lz
+         )
+         SELECT doc_id,
+           CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+           CAST(sr // 64 AS INTEGER) AS mean_r,
+           CAST(sg // 64 AS INTEGER) AS mean_g,
+           CAST(sb // 64 AS INTEGER) AS mean_b,
+           CAST(list_sum(list_transform(generate_series(0,63), b ->
+             CASE WHEN lum[b+1]*64 > total
+                  THEN CASE WHEN b = 63 THEN -9223372036854775807::BIGINT - 1
+                            ELSE (1::BIGINT << b) END
+                  ELSE 0::BIGINT END)) AS BIGINT) AS phash
+         FROM f ORDER BY doc_id""",
+
+    // replica of the REAL audio decode's integer features over the same
+    // 256-byte ASCII prefix the query feeds the WAV parser as PCM samples
+    "mm_audio_decode" ->
+      """WITH q AS (
+           SELECT doc_id, substring(text,1,256) AS s FROM documents
+           WHERE length(text) >= 256
+             AND octet_length(encode(substring(text,1,256))) = 256
+         ), cz AS (
+           SELECT doc_id,
+                  list_transform(string_split(s,''), c -> ascii(c)::BIGINT) AS codes
+           FROM q
+         )
+         SELECT doc_id,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(256 AS INTEGER) AS n_samples,
+           CAST(list_sum(codes) // 256 AS INTEGER) AS mean_amp,
+           CAST(list_max(codes) AS INTEGER) AS peak,
+           CAST(list_sum(list_transform(codes, c -> (c-128)*(c-128))) // 256
+                AS BIGINT) AS rms_sq,
+           CAST(list_sum(list_transform(generate_series(1,255), i ->
+             CASE WHEN (codes[i] < 128) != (codes[i+1] < 128)
+                  THEN 1 ELSE 0 END)) AS INTEGER) AS crossings
+         FROM cz ORDER BY doc_id""",
 
     "mm_payload_stats" ->
       s"""SELECT doc_id,

@@ -24,7 +24,8 @@ class PartitionInvarianceSpec extends SparkSpec {
     "ann_ivfpq_topk",     // two-layer Lloyd + ADC probe
     "sm_shuffle",         // GlobalOrder two-phase numbering
     "cur_token_budget",   // prefix sum over a float-keyed global order
-    "cur_diverse")        // IVF assignment + BoundedTopK per cell
+    "cur_diverse",        // IVF assignment + BoundedTopK per cell
+    "mm_image_decode")    // real PPM decode UDF over in-query payloads
 
   test("representative queries are invariant to shuffle.partitions in {1, 7}") {
     val key = "spark.sql.shuffle.partitions"

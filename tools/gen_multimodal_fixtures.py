@@ -73,3 +73,27 @@ for (name, w, h, px) in imgs2:
 json.dump(expected, open(f"{OUT}/expected.json", "w"), indent=1)
 h1, h2 = expected["blob"]["ahash"], expected["blob_shift"]["ahash"]
 print("blob", h1, "blob_shift", h2, "hamming", bin(h1 ^ h2).count("1"))
+
+# independent box-resize expectations: floor boundaries, floor channel mean
+def resize(w, h, px, ow, oh):
+    out = []
+    for oy in range(oh):
+        y0, y1 = oy * h // oh, (oy + 1) * h // oh
+        for ox in range(ow):
+            x0, x1 = ox * w // ow, (ox + 1) * w // ow
+            cnt = (y1 - y0) * (x1 - x0)
+            sums = [0, 0, 0]
+            for y in range(y0, y1):
+                for x in range(x0, x1):
+                    for c in range(3):
+                        sums[c] += px[y * w + x][c]
+            out.extend(v // cnt for v in sums)
+    return out
+
+allimgs = {name: (w, h, px) for (name, w, h, px) in imgs + imgs2}
+exp_resize = {}
+for name, (ow, oh) in [("gradient", (8, 8)), ("stripes", (8, 8)), ("blob", (4, 4))]:
+    w, h, px = allimgs[name]
+    exp_resize[f"{name}_{ow}x{oh}"] = resize(w, h, px, ow, oh)
+json.dump(exp_resize, open(f"{OUT}/expected_resize.json", "w"))
+print("resize keys:", list(exp_resize.keys()))
