@@ -45,10 +45,17 @@ object Multimodal {
     * format; it exercises an actual bytes→pixels decode (header grammar,
     * raster bounds) without a codec dependency.
     */
-  def decodePpm(bytes: Array[Byte]): DecodedImage = {
-    var pos = 0
+  def decodePpm(bytes: Array[Byte]): DecodedImage = decodePpmAt(bytes, 0)._1
+
+  /** One PPM frame starting at `offset`; returns (frame, next offset) so
+    * [[decodeFrames]] can walk a concatenated multi-frame stream — each
+    * frame's raster length comes from ITS OWN header, so frame sizes may
+    * vary within one payload.
+    */
+  private def decodePpmAt(bytes: Array[Byte], offset: Int): (DecodedImage, Int) = {
+    var pos = offset
     def err(msg: String): Nothing =
-      throw new IllegalArgumentException(s"malformed PPM: $msg")
+      throw new IllegalArgumentException(s"malformed PPM at byte $offset: $msg")
     def token(): String = {
       while (pos < bytes.length &&
              (bytes(pos) == '#' || Character.isWhitespace(bytes(pos).toChar))) {
@@ -71,7 +78,49 @@ object Multimodal {
     pos += 1 // exactly one whitespace byte separates maxval from the raster
     val need = w.toLong * h * 3
     if (bytes.length - pos < need) err(s"raster truncated: need $need bytes")
-    DecodedImage(w, h, java.util.Arrays.copyOfRange(bytes, pos, pos + need.toInt))
+    (DecodedImage(w, h, java.util.Arrays.copyOfRange(bytes, pos, pos + need.toInt)),
+      pos + need.toInt)
+  }
+
+  /** REAL multi-frame decode: a video-shaped payload of CONCATENATED PPM
+    * frames (the uncompressed analogue of an MJPEG stream) walks frame by
+    * frame — each frame's own header drives how many raster bytes to
+    * consume, so mixed frame sizes are fine and a malformed frame fails
+    * fast with its byte offset. `maxFrames` bounds a corrupt-length
+    * runaway on untrusted bytes.
+    */
+  def decodeFrames(bytes: Array[Byte], maxFrames: Int = 100000): Seq[DecodedImage] = {
+    val out = Vector.newBuilder[DecodedImage]
+    var pos = 0
+    var n = 0
+    while (pos < bytes.length) {
+      require(n < maxFrames, s"decodeFrames: more than $maxFrames frames")
+      val (img, next) = decodePpmAt(bytes, pos)
+      out += img
+      pos = next
+      n += 1
+    }
+    out.result()
+  }
+
+  /** Distributed REAL video decode: one row per frame with the frame's
+    * dimensions and [[imageAHash]] — the per-frame fingerprint a
+    * scene-dedup or sampled-decode pipeline keys on. Map-side explode
+    * (flatMap), no shuffle until the caller aggregates.
+    */
+  def decodeVideoFrames(
+      assets: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets
+      .select(col(idCol).cast("long").as("asset_id"), col(payloadCol).as("p"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        decodeFrames(bytes).iterator.zipWithIndex.map { case (img, i) =>
+          (id, i, img.width, img.height, imageAHash(img))
+        }
+      }
+      .toDF("asset_id", "frame_idx", "width", "height", "frame_phash")
   }
 
   /** REAL perceptual hash over decoded pixels: average-hash (aHash) —

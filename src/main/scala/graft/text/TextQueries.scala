@@ -620,6 +620,27 @@ object TextQueries {
       Multimodal.decodeAudioFeatures(withPayload, "doc_id", "payload")
         .withColumnRenamed("asset_id", "doc_id")
         .orderBy("doc_id")
+    },
+
+    // REAL multi-frame (video-shaped) decode in the gate: each payload is
+    // two CONCATENATED PPM frames of DIFFERENT sizes (8×8 then 4×4), so
+    // [[Multimodal.decodeFrames]]'s walk must take each raster length
+    // from its own header — a fixed-stride reader would misparse frame 1.
+    // Per-frame [[Multimodal.imageAHash]] is the fingerprint; at 4×4 the
+    // 8×8 block grid is sparse (only odd rows/cols carry pixels), which
+    // the oracle replicates bit-for-bit.
+    "mm_video_frames" -> { (s, d) =>
+      val full = substring(col("text"), 1, 240)
+      val withPayload = Tables.documents(s, d)
+        .where(length(col("text")) >= 240 && octet_length(full) === 240)
+        .withColumn("payload", concat(
+          lit("P6\n8 8\n255\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)),
+          substring(col("text"), 1, 192).cast("binary"),
+          lit("P6\n4 4\n255\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)),
+          substring(col("text"), 193, 48).cast("binary")))
+      Multimodal.decodeVideoFrames(withPayload, "doc_id", "payload")
+        .withColumnRenamed("asset_id", "doc_id")
+        .orderBy("doc_id", "frame_idx")
     }
   )
 
@@ -1253,6 +1274,49 @@ object TextQueries {
                             ELSE (1::BIGINT << b) END
                   ELSE 0::BIGINT END)) AS BIGINT) AS phash
          FROM f ORDER BY doc_id""",
+
+    // replica of the REAL multi-frame decode: frame 0 = the 8×8 aHash over
+    // chars 1..192 (same arithmetic as mm_image_decode), frame 1 = the 4×4
+    // frame over chars 193..240 whose 8×8 block grid is sparse — only
+    // blocks at odd (row, col) hold a pixel, so bit (2y+1)*8+(2x+1) maps
+    // pixel (x,y), bit 63 again carrying Long.MinValue in the signed result
+    "mm_video_frames" ->
+      """WITH q AS (
+           SELECT doc_id, substring(text,1,240) AS s FROM documents
+           WHERE length(text) >= 240
+             AND octet_length(encode(substring(text,1,240))) = 240
+         ), cz AS (
+           SELECT doc_id,
+                  list_transform(string_split(s,''), c -> ascii(c)::BIGINT) AS codes
+           FROM q
+         ), f AS (
+           SELECT doc_id,
+             list_transform(generate_series(0,63), i ->
+               299*codes[3*i+1] + 587*codes[3*i+2] + 114*codes[3*i+3]) AS lum0,
+             list_transform(generate_series(0,15), i ->
+               299*codes[192+3*i+1] + 587*codes[192+3*i+2] + 114*codes[192+3*i+3]) AS lum4
+           FROM cz
+         ), g AS (
+           SELECT doc_id, lum0, lum4,
+                  list_sum(lum0) AS total0, list_sum(lum4) AS total4 FROM f
+         )
+         SELECT doc_id, CAST(0 AS INTEGER) AS frame_idx,
+           CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+           CAST(list_sum(list_transform(generate_series(0,63), b ->
+             CASE WHEN lum0[b+1]*64 > total0
+                  THEN CASE WHEN b = 63 THEN -9223372036854775807::BIGINT - 1
+                       ELSE (1::BIGINT << b) END
+                  ELSE 0::BIGINT END)) AS BIGINT) AS frame_phash
+         FROM g
+         UNION ALL
+         SELECT doc_id, CAST(1 AS INTEGER), CAST(4 AS INTEGER), CAST(4 AS INTEGER),
+           CAST(list_sum(list_transform(generate_series(0,15), j ->
+             CASE WHEN lum4[j+1]*16 > total4
+                  THEN CASE WHEN j = 15 THEN -9223372036854775807::BIGINT - 1
+                       ELSE (1::BIGINT << ((2*(j//4)+1)*8 + 2*(j%4)+1)) END
+                  ELSE 0::BIGINT END)) AS BIGINT)
+         FROM g
+         ORDER BY doc_id, frame_idx""",
 
     // replica of the REAL audio decode's integer features over the same
     // 256-byte ASCII prefix the query feeds the WAV parser as PCM samples
