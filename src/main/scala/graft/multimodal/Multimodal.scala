@@ -53,6 +53,18 @@ object Multimodal {
     * vary within one payload.
     */
   private def decodePpmAt(bytes: Array[Byte], offset: Int): (DecodedImage, Int) = {
+    val (w, h, rasterStart) = ppmHeader(bytes, offset)
+    val next = rasterStart + w * h * 3
+    (DecodedImage(w, h, java.util.Arrays.copyOfRange(bytes, rasterStart, next)),
+      next)
+  }
+
+  /** Validated header walk: (width, height, raster offset) of the frame at
+    * `offset`, bounds-checked against the remaining bytes — the shared
+    * parse under [[decodePpmAt]] (which copies the raster) and
+    * [[sampleFrames]]' skip path (which only advances past it).
+    */
+  private def ppmHeader(bytes: Array[Byte], offset: Int): (Int, Int, Int) = {
     var pos = offset
     def err(msg: String): Nothing =
       throw new IllegalArgumentException(s"malformed PPM at byte $offset: $msg")
@@ -78,8 +90,7 @@ object Multimodal {
     pos += 1 // exactly one whitespace byte separates maxval from the raster
     val need = w.toLong * h * 3
     if (bytes.length - pos < need) err(s"raster truncated: need $need bytes")
-    (DecodedImage(w, h, java.util.Arrays.copyOfRange(bytes, pos, pos + need.toInt)),
-      pos + need.toInt)
+    (w, h, pos)
   }
 
   /** REAL multi-frame decode: a video-shaped payload of CONCATENATED PPM
@@ -101,6 +112,41 @@ object Multimodal {
       n += 1
     }
     out.result()
+  }
+
+  /** Sampled multi-frame decode: every `stride`-th frame of a
+    * concatenated-PPM stream, MATERIALIZING ONLY the sampled rasters —
+    * unsampled frames cost a header parse plus a length skip (the real
+    * video-pipeline economics: headers are bytes, rasters are megabytes).
+    * Returns (frame index, frame) pairs so callers keep stream positions.
+    */
+  def sampleFrames(
+      bytes: Array[Byte], stride: Int,
+      maxFrames: Int = 100000): Seq[(Int, DecodedImage)] = {
+    require(stride > 0, "stride must be positive")
+    val out = Vector.newBuilder[(Int, DecodedImage)]
+    var pos = 0
+    var i = 0
+    while (pos < bytes.length) {
+      require(i < maxFrames, s"sampleFrames: more than $maxFrames frames")
+      if (i % stride == 0) {
+        val (img, next) = decodePpmAt(bytes, pos)
+        out += ((i, img))
+        pos = next
+      } else {
+        pos = skipPpmAt(bytes, pos) // header parse + raster skip, no copy
+      }
+      i += 1
+    }
+    out.result()
+  }
+
+  /** Header-only walk step: validates frame `offset`'s header and returns
+    * the next frame's offset without touching the raster bytes.
+    */
+  private def skipPpmAt(bytes: Array[Byte], offset: Int): Int = {
+    val (w, h, rasterStart) = ppmHeader(bytes, offset)
+    rasterStart + w * h * 3
   }
 
   /** Distributed REAL video decode: one row per frame with the frame's
