@@ -641,6 +641,25 @@ object TextQueries {
       Multimodal.decodeVideoFrames(withPayload, "doc_id", "payload")
         .withColumnRenamed("asset_id", "doc_id")
         .orderBy("doc_id", "frame_idx")
+    },
+
+    // near-identical images over the REAL decode path end-to-end: decode →
+    // imageAHash → 16-band pigeonhole (bands > maxHamming ⇒ no qualifying
+    // pair missed). Oracle = brute-force hamming self-join over the
+    // replicated hash arithmetic, exactly dd_hamming's proof shape — so
+    // the banding's completeness on real data is gate-checked, not just
+    // spec-asserted. maxHamming 13 keeps the radius under the 16-band
+    // guarantee while catching the corpus's true near-dups (identical
+    // 192-char prefixes pair at hd 0).
+    "mm_image_neardup" -> { (s, d) =>
+      val prefix = substring(col("text"), 1, 192)
+      val withPayload = Tables.documents(s, d)
+        .where(length(col("text")) >= 192 && octet_length(prefix) === 192)
+        .withColumn("payload",
+          concat(lit("P6\n8 8\n255\n".getBytes(
+            java.nio.charset.StandardCharsets.US_ASCII)), prefix.cast("binary")))
+      Multimodal.imageNearDupPairs(withPayload, "doc_id", "payload",
+        maxHamming = 13, bands = 16)
     }
   )
 
@@ -1274,6 +1293,37 @@ object TextQueries {
                             ELSE (1::BIGINT << b) END
                   ELSE 0::BIGINT END)) AS BIGINT) AS phash
          FROM f ORDER BY doc_id""",
+
+    // brute-force hamming pair join over the REAL-decode aHash — the
+    // banding provably finds exactly these pairs (bands > maxHamming)
+    "mm_image_neardup" ->
+      """WITH q AS (
+           SELECT doc_id, substring(text,1,192) AS s FROM documents
+           WHERE length(text) >= 192
+             AND octet_length(encode(substring(text,1,192))) = 192
+         ), cz AS (
+           SELECT doc_id,
+                  list_transform(string_split(s,''), c -> ascii(c)::BIGINT) AS codes
+           FROM q
+         ), f AS (
+           SELECT doc_id, list_transform(generate_series(0,63), i ->
+             299*codes[3*i+1] + 587*codes[3*i+2] + 114*codes[3*i+3]) AS lum
+           FROM cz
+         ), g AS (
+           SELECT doc_id, lum, list_sum(lum) AS total FROM f
+         ), sh AS (
+           SELECT doc_id, CAST(list_sum(list_transform(generate_series(0,63), b ->
+             CASE WHEN lum[b+1]*64 > total
+                  THEN CASE WHEN b = 63 THEN -9223372036854775807::BIGINT - 1
+                       ELSE (1::BIGINT << b) END
+                  ELSE 0::BIGINT END)) AS BIGINT) AS ph
+           FROM g
+         )
+         SELECT a.doc_id AS d1, b.doc_id AS d2,
+                CAST(bit_count(xor(a.ph, b.ph)) AS INTEGER) AS hd
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.ph, b.ph)) <= 13
+         ORDER BY d1, d2""",
 
     // replica of the REAL multi-frame decode: frame 0 = the 8×8 aHash over
     // chars 1..192 (same arithmetic as mm_image_decode), frame 1 = the 4×4
