@@ -381,6 +381,131 @@ object Multimodal {
     DecodedImage(outW, outH, out)
   }
 
+  /** LENIENT distributed image decode: the corrupt-corpus form of
+    * [[decodeImageFeatures]] — a malformed payload yields a row with null
+    * features and the parse error in `decode_error` instead of failing
+    * the task. At 100 TB a handful of corrupt samples per billion is the
+    * norm; strict decode would kill the whole job on the first one, and a
+    * silent drop would hide the corruption rate. Callers filter on
+    * `decode_error IS NULL` and audit the rest.
+    */
+  def decodeImageFeaturesLenient(
+      assets: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val f = udf { (bytes: Array[Byte]) =>
+      try {
+        val img = decodePpm(bytes)
+        var r = 0L; var g = 0L; var b = 0L
+        var p = 0
+        while (p < img.rgb.length) {
+          r += img.rgb(p) & 0xff; g += img.rgb(p + 1) & 0xff; b += img.rgb(p + 2) & 0xff
+          p += 3
+        }
+        val n = img.width.toLong * img.height
+        (Some((img.width, img.height, (r / n).toInt, (g / n).toInt,
+          (b / n).toInt, imageAHash(img))), null: String)
+      } catch {
+        case e: IllegalArgumentException => (None, e.getMessage)
+      }
+    }
+    assets
+      .select(col(idCol).as("asset_id"), f(col(payloadCol)).as("f"))
+      .select(col("asset_id"),
+        col("f._1._1").as("width"), col("f._1._2").as("height"),
+        col("f._1._3").as("mean_r"), col("f._1._4").as("mean_g"),
+        col("f._1._5").as("mean_b"), col("f._1._6").as("phash"),
+        col("f._2").as("decode_error"))
+  }
+
+  /** LENIENT distributed audio decode — same contract as
+    * [[decodeImageFeaturesLenient]]: null features + `decode_error` on a
+    * malformed payload, never a task failure.
+    */
+  def decodeAudioFeaturesLenient(
+      assets: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val f = udf { (bytes: Array[Byte]) =>
+      try {
+        val a = decodeWavPcm8(bytes)
+        val n = a.samples.length
+        require(n > 0, "empty data chunk")
+        var sum = 0L; var peak = 0; var sq = 0L; var crossings = 0
+        var i = 0
+        while (i < n) {
+          val v = a.samples(i) & 0xff
+          sum += v
+          if (v > peak) peak = v
+          val d = v - 128L
+          sq += d * d
+          if (i > 0 && ((a.samples(i - 1) & 0xff) < 128) != (v < 128)) crossings += 1
+          i += 1
+        }
+        (Some((a.sampleRate, n, (sum / n).toInt, peak, sq / n, crossings)),
+          null: String)
+      } catch {
+        case e: IllegalArgumentException => (None, e.getMessage)
+      }
+    }
+    assets
+      .select(col(idCol).as("asset_id"), f(col(payloadCol)).as("f"))
+      .select(col("asset_id"),
+        col("f._1._1").as("sample_rate"), col("f._1._2").as("n_samples"),
+        col("f._1._3").as("mean_amp"), col("f._1._4").as("peak"),
+        col("f._1._5").as("rms_sq"), col("f._1._6").as("crossings"),
+        col("f._2").as("decode_error"))
+  }
+
+  /** LENIENT multi-frame walk: frames decoded BEFORE the first malformed
+    * byte are kept (a truncated tail — the common corruption — loses only
+    * the tail), with the error that stopped the walk. `(frames, None)` on
+    * a clean stream.
+    */
+  def decodeFramesLenient(
+      bytes: Array[Byte],
+      maxFrames: Int = 100000): (Seq[DecodedImage], Option[String]) = {
+    val out = Vector.newBuilder[DecodedImage]
+    var pos = 0
+    var n = 0
+    while (pos < bytes.length) {
+      if (n >= maxFrames)
+        return (out.result(), Some(s"more than $maxFrames frames"))
+      try {
+        val (img, next) = decodePpmAt(bytes, pos)
+        out += img
+        pos = next
+        n += 1
+      } catch {
+        case e: IllegalArgumentException => return (out.result(), Some(e.getMessage))
+      }
+    }
+    (out.result(), None)
+  }
+
+  /** LENIENT distributed video decode: per-frame rows for every frame
+    * that decoded (prefix semantics of [[decodeFramesLenient]]), plus —
+    * only when the walk stopped early — one trailing row with null frame
+    * fields carrying `decode_error`. A clean corpus is byte-identical to
+    * [[decodeVideoFrames]] plus an all-null error column.
+    */
+  def decodeVideoFramesLenient(
+      assets: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets
+      .select(col(idCol).cast("long").as("asset_id"), col(payloadCol).as("p"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val (frames, err) = decodeFramesLenient(bytes)
+        val good = frames.iterator.zipWithIndex.map { case (img, i) =>
+          (id, Some(i), Some(img.width), Some(img.height),
+            Some(imageAHash(img)), None: Option[String])
+        }
+        good ++ err.iterator.map(m =>
+          (id, None: Option[Int], None: Option[Int], None: Option[Int],
+            None: Option[Long], Some(m)))
+      }
+      .toDF("asset_id", "frame_idx", "width", "height", "frame_phash",
+        "decode_error")
+  }
+
   /** STUB decode: a real implementation would decode the payload with an
     * image/audio codec; the deterministic fake derives features purely
     * from the bytes so tests are stable. Marked per the builder contract.
