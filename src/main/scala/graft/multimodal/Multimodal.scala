@@ -381,6 +381,55 @@ object Multimodal {
     DecodedImage(outW, outH, out)
   }
 
+  /** REAL audio fingerprint over decoded samples: the audio analogue of
+    * [[imageAHash]] — 64 windows with floor boundaries over the sample
+    * run; per-window ENERGY (squared deviation from the 8-bit midpoint,
+    * all integer); bit w set iff the window's mean energy exceeds the
+    * global mean (integer cross-multiply). Clips sharing most content
+    * land within a small hamming distance, so near-identical-clip
+    * detection rides the same pigeonhole banding as text/image.
+    */
+  def audioFingerprint(a: DecodedAudio): Long = {
+    val n = a.samples.length
+    require(n > 0, "audioFingerprint: empty sample run")
+    require(n.toLong <= (1L << 24),
+      s"audioFingerprint: $n samples exceeds the exact-arithmetic bound (2^24)")
+    val en = new Array[Long](n)
+    var total = 0L
+    var i = 0
+    while (i < n) {
+      val d = (a.samples(i) & 0xff) - 128L
+      en(i) = d * d
+      total += en(i)
+      i += 1
+    }
+    var sig = 0L
+    var w = 0
+    while (w < 64) {
+      val s0 = w * n / 64; val s1 = (w + 1) * n / 64
+      var s = 0L
+      var j = s0
+      while (j < s1) { s += en(j); j += 1 }
+      val cnt = (s1 - s0).toLong
+      if (cnt > 0 && s * n > total * cnt) sig |= 1L << w
+      w += 1
+    }
+    sig
+  }
+
+  /** Near-identical audio clips over a binary payload column: REAL WAV
+    * decode → [[audioFingerprint]] → the SAME pigeonhole banding as text
+    * simhash and image near-dup. Output: (d1, d2, hd), sorted.
+    */
+  def audioNearDupPairs(
+      assets: DataFrame, idCol: String, payloadCol: String,
+      maxHamming: Int, bands: Int = 8): DataFrame = {
+    val f = udf { (bytes: Array[Byte]) => audioFingerprint(decodeWavPcm8(bytes)) }
+    graft.text.Dedup.simhashPairs(
+      assets.select(col(idCol).as("doc_id"), f(col(payloadCol)).as("simhash")),
+      maxHamming, bands = bands, bits = 64)
+  }
+
   /** LENIENT distributed image decode: the corrupt-corpus form of
     * [[decodeImageFeatures]] — a malformed payload yields a row with null
     * features and the parse error in `decode_error` instead of failing

@@ -660,6 +660,32 @@ object TextQueries {
             java.nio.charset.StandardCharsets.US_ASCII)), prefix.cast("binary")))
       Multimodal.imageNearDupPairs(withPayload, "doc_id", "payload",
         maxHamming = 13, bands = 16)
+    },
+
+    // near-identical audio clips through the REAL decode path: WAV decode
+    // → energy-window fingerprint → 16-band pigeonhole; oracle = the
+    // brute-force hamming self-join over the replicated energy arithmetic
+    // (identical 256-char prefixes pair at hd 0), completing the
+    // text/image/audio near-dup triad — all three gate-checked against
+    // brute force.
+    "mm_audio_neardup" -> { (s, d) =>
+      val n = 256
+      val sr = 8000
+      val header = {
+        val bb = java.nio.ByteBuffer.allocate(44)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("RIFF".getBytes).putInt(36 + n).put("WAVE".getBytes)
+        bb.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+          .putInt(sr).putInt(sr).putShort(1).putShort(8)
+        bb.put("data".getBytes).putInt(n)
+        bb.array()
+      }
+      val prefix = substring(col("text"), 1, n)
+      val withPayload = Tables.documents(s, d)
+        .where(length(col("text")) >= n && octet_length(prefix) === n)
+        .withColumn("payload", concat(lit(header), prefix.cast("binary")))
+      Multimodal.audioNearDupPairs(withPayload, "doc_id", "payload",
+        maxHamming = 12, bands = 16)
     }
   )
 
@@ -1293,6 +1319,40 @@ object TextQueries {
                             ELSE (1::BIGINT << b) END
                   ELSE 0::BIGINT END)) AS BIGINT) AS phash
          FROM f ORDER BY doc_id""",
+
+    // brute-force hamming pair join over the REAL-decode audio energy
+    // fingerprint (4 samples per window at n=256) — banding completeness
+    "mm_audio_neardup" ->
+      """WITH q AS (
+           SELECT doc_id, substring(text,1,256) AS s FROM documents
+           WHERE length(text) >= 256
+             AND octet_length(encode(substring(text,1,256))) = 256
+         ), cz AS (
+           SELECT doc_id,
+                  list_transform(string_split(s,''), c -> ascii(c)::BIGINT) AS codes
+           FROM q
+         ), f AS (
+           SELECT doc_id, list_transform(generate_series(0,63), i ->
+               (codes[4*i+1]-128)*(codes[4*i+1]-128)
+             + (codes[4*i+2]-128)*(codes[4*i+2]-128)
+             + (codes[4*i+3]-128)*(codes[4*i+3]-128)
+             + (codes[4*i+4]-128)*(codes[4*i+4]-128)) AS en
+           FROM cz
+         ), g AS (
+           SELECT doc_id, en, list_sum(en) AS total FROM f
+         ), sh AS (
+           SELECT doc_id, CAST(list_sum(list_transform(generate_series(0,63), b ->
+             CASE WHEN en[b+1]*64 > total
+                  THEN CASE WHEN b = 63 THEN -9223372036854775807::BIGINT - 1
+                       ELSE (1::BIGINT << b) END
+                  ELSE 0::BIGINT END)) AS BIGINT) AS fp
+           FROM g
+         )
+         SELECT a.doc_id AS d1, b.doc_id AS d2,
+                CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hd
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.fp, b.fp)) <= 12
+         ORDER BY d1, d2""",
 
     // brute-force hamming pair join over the REAL-decode aHash — the
     // banding provably finds exactly these pairs (bands > maxHamming)
