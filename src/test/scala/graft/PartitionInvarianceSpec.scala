@@ -25,7 +25,8 @@ class PartitionInvarianceSpec extends SparkSpec {
     "sm_shuffle",         // GlobalOrder two-phase numbering
     "cur_token_budget",   // prefix sum over a float-keyed global order
     "cur_diverse",        // IVF assignment + BoundedTopK per cell
-    "mm_image_decode")    // real PPM decode UDF over in-query payloads
+    "mm_image_decode",    // real PPM decode UDF over in-query payloads
+    "mm_audio_neardup")   // decode UDF -> fingerprint -> pigeonhole banding
 
   test("representative queries are invariant to shuffle.partitions in {1, 7}") {
     val key = "spark.sql.shuffle.partitions"
