@@ -227,20 +227,25 @@ object Multimodal {
     * a bytes→pixels decoder is genuine per-row imperative logic, not an
     * expressible column expression.
     */
+  /** Feature tuple for one decoded image — the ONE implementation the
+    * strict and lenient UDFs share, so their clean-row outputs can never
+    * drift apart.
+    */
+  private def imageFeats(img: DecodedImage): (Int, Int, Int, Int, Int, Long) = {
+    var r = 0L; var g = 0L; var b = 0L
+    var p = 0
+    while (p < img.rgb.length) {
+      r += img.rgb(p) & 0xff; g += img.rgb(p + 1) & 0xff; b += img.rgb(p + 2) & 0xff
+      p += 3
+    }
+    val n = img.width.toLong * img.height
+    (img.width, img.height, (r / n).toInt, (g / n).toInt, (b / n).toInt,
+      imageAHash(img))
+  }
+
   def decodeImageFeatures(
       assets: DataFrame, idCol: String, payloadCol: String): DataFrame = {
-    val f = udf { (bytes: Array[Byte]) =>
-      val img = decodePpm(bytes)
-      var r = 0L; var g = 0L; var b = 0L
-      var p = 0
-      while (p < img.rgb.length) {
-        r += img.rgb(p) & 0xff; g += img.rgb(p + 1) & 0xff; b += img.rgb(p + 2) & 0xff
-        p += 3
-      }
-      val n = img.width.toLong * img.height
-      (img.width, img.height, (r / n).toInt, (g / n).toInt, (b / n).toInt,
-        imageAHash(img))
-    }
+    val f = udf { (bytes: Array[Byte]) => imageFeats(decodePpm(bytes)) }
     assets
       .select(col(idCol).as("asset_id"), f(col(payloadCol)).as("f"))
       .select(col("asset_id"),
@@ -316,25 +321,29 @@ object Multimodal {
     * squared so no float enters), and midpoint crossings (the
     * zero-crossing rate's numerator). Map-side only, like the image twin.
     */
+  /** Feature tuple for one decoded clip — shared by the strict and
+    * lenient UDFs (see [[imageFeats]]).
+    */
+  private def audioFeats(a: DecodedAudio): (Int, Int, Int, Int, Long, Int) = {
+    val n = a.samples.length
+    require(n > 0, "empty data chunk")
+    var sum = 0L; var peak = 0; var sq = 0L; var crossings = 0
+    var i = 0
+    while (i < n) {
+      val v = a.samples(i) & 0xff
+      sum += v
+      if (v > peak) peak = v
+      val d = v - 128L
+      sq += d * d
+      if (i > 0 && ((a.samples(i - 1) & 0xff) < 128) != (v < 128)) crossings += 1
+      i += 1
+    }
+    (a.sampleRate, n, (sum / n).toInt, peak, sq / n, crossings)
+  }
+
   def decodeAudioFeatures(
       assets: DataFrame, idCol: String, payloadCol: String): DataFrame = {
-    val f = udf { (bytes: Array[Byte]) =>
-      val a = decodeWavPcm8(bytes)
-      val n = a.samples.length
-      require(n > 0, "empty data chunk")
-      var sum = 0L; var peak = 0; var sq = 0L; var crossings = 0
-      var i = 0
-      while (i < n) {
-        val v = a.samples(i) & 0xff
-        sum += v
-        if (v > peak) peak = v
-        val d = v - 128L
-        sq += d * d
-        if (i > 0 && ((a.samples(i - 1) & 0xff) < 128) != (v < 128)) crossings += 1
-        i += 1
-      }
-      (a.sampleRate, n, (sum / n).toInt, peak, sq / n, crossings)
-    }
+    val f = udf { (bytes: Array[Byte]) => audioFeats(decodeWavPcm8(bytes)) }
     assets
       .select(col(idCol).as("asset_id"), f(col(payloadCol)).as("f"))
       .select(col("asset_id"),
@@ -438,23 +447,21 @@ object Multimodal {
     * silent drop would hide the corruption rate. Callers filter on
     * `decode_error IS NULL` and audit the rest.
     */
+  /** Null payloads and ANY decode failure become error rows — a corrupt
+    * corpus contains null cells as often as garbled bytes, and the
+    * contract is "never a task failure", so the net is NonFatal-wide.
+    */
+  private def leniently[T](bytes: Array[Byte])(decode: Array[Byte] => T)
+      : (Option[T], String) =
+    if (bytes == null) (None, "null payload")
+    else
+      try (Some(decode(bytes)), null)
+      catch { case scala.util.control.NonFatal(e) => (None, e.getMessage) }
+
   def decodeImageFeaturesLenient(
       assets: DataFrame, idCol: String, payloadCol: String): DataFrame = {
     val f = udf { (bytes: Array[Byte]) =>
-      try {
-        val img = decodePpm(bytes)
-        var r = 0L; var g = 0L; var b = 0L
-        var p = 0
-        while (p < img.rgb.length) {
-          r += img.rgb(p) & 0xff; g += img.rgb(p + 1) & 0xff; b += img.rgb(p + 2) & 0xff
-          p += 3
-        }
-        val n = img.width.toLong * img.height
-        (Some((img.width, img.height, (r / n).toInt, (g / n).toInt,
-          (b / n).toInt, imageAHash(img))), null: String)
-      } catch {
-        case e: IllegalArgumentException => (None, e.getMessage)
-      }
+      leniently(bytes)(b => imageFeats(decodePpm(b)))
     }
     assets
       .select(col(idCol).as("asset_id"), f(col(payloadCol)).as("f"))
@@ -472,26 +479,7 @@ object Multimodal {
   def decodeAudioFeaturesLenient(
       assets: DataFrame, idCol: String, payloadCol: String): DataFrame = {
     val f = udf { (bytes: Array[Byte]) =>
-      try {
-        val a = decodeWavPcm8(bytes)
-        val n = a.samples.length
-        require(n > 0, "empty data chunk")
-        var sum = 0L; var peak = 0; var sq = 0L; var crossings = 0
-        var i = 0
-        while (i < n) {
-          val v = a.samples(i) & 0xff
-          sum += v
-          if (v > peak) peak = v
-          val d = v - 128L
-          sq += d * d
-          if (i > 0 && ((a.samples(i - 1) & 0xff) < 128) != (v < 128)) crossings += 1
-          i += 1
-        }
-        (Some((a.sampleRate, n, (sum / n).toInt, peak, sq / n, crossings)),
-          null: String)
-      } catch {
-        case e: IllegalArgumentException => (None, e.getMessage)
-      }
+      leniently(bytes)(b => audioFeats(decodeWavPcm8(b)))
     }
     assets
       .select(col(idCol).as("asset_id"), f(col(payloadCol)).as("f"))
@@ -510,6 +498,7 @@ object Multimodal {
   def decodeFramesLenient(
       bytes: Array[Byte],
       maxFrames: Int = 100000): (Seq[DecodedImage], Option[String]) = {
+    if (bytes == null) return (Nil, Some("null payload"))
     val out = Vector.newBuilder[DecodedImage]
     var pos = 0
     var n = 0
@@ -522,7 +511,8 @@ object Multimodal {
         pos = next
         n += 1
       } catch {
-        case e: IllegalArgumentException => return (out.result(), Some(e.getMessage))
+        case scala.util.control.NonFatal(e) =>
+          return (out.result(), Some(e.getMessage))
       }
     }
     (out.result(), None)

@@ -153,6 +153,7 @@ object StreamingOps {
       bits: Int = 60,
       retentionMs: Long = Long.MaxValue / 4,
       watermarkDelay: Option[String] = None): Dataset[NearDupPair] = {
+    require(retentionMs >= 0, "retentionMs must be non-negative")
     require(bands > maxHamming, "pigeonhole guarantee needs bands > maxHamming")
     require(bits % bands == 0, "bands must divide bits")
     import docs.sparkSession.implicits._
@@ -239,6 +240,7 @@ object StreamingOps {
       bands: Int = 16,
       retentionMs: Long = Long.MaxValue / 4,
       watermarkDelay: Option[String] = None): Dataset[JaccardPair] = {
+    require(retentionMs >= 0, "retentionMs must be non-negative")
     require(numHashes % bands == 0, "bands must divide numHashes")
     import docs.sparkSession.implicits._
     val r = numHashes / bands

@@ -584,13 +584,9 @@ object TextQueries {
     // decode, not the stub. The ASCII guard (octet_length == char length)
     // keeps byte values and code points identical on both sides.
     "mm_image_decode" -> { (s, d) =>
-      val prefix = substring(col("text"), 1, 192)
-      val withPayload = Tables.documents(s, d)
-        .where(length(col("text")) >= 192 && octet_length(prefix) === 192)
-        .withColumn("payload",
-          concat(lit("P6\n8 8\n255\n".getBytes(
-            java.nio.charset.StandardCharsets.US_ASCII)), prefix.cast("binary")))
-      Multimodal.decodeImageFeatures(withPayload, "doc_id", "payload")
+      Multimodal.decodeImageFeatures(
+        withAsciiPayload(Tables.documents(s, d), 192, ppmHeaderBytes(8, 8)),
+        "doc_id", "payload")
         .withColumnRenamed("asset_id", "doc_id")
         .orderBy("doc_id")
     },
@@ -602,22 +598,9 @@ object TextQueries {
     // walk distributed and the features are integer-exact, so DuckDB
     // replicates them — a FULL hash oracle over a real audio decode.
     "mm_audio_decode" -> { (s, d) =>
-      val n = 256
-      val sr = 8000
-      val header = {
-        val bb = java.nio.ByteBuffer.allocate(44)
-          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-        bb.put("RIFF".getBytes).putInt(36 + n).put("WAVE".getBytes)
-        bb.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
-          .putInt(sr).putInt(sr).putShort(1).putShort(8)
-        bb.put("data".getBytes).putInt(n)
-        bb.array()
-      }
-      val prefix = substring(col("text"), 1, n)
-      val withPayload = Tables.documents(s, d)
-        .where(length(col("text")) >= n && octet_length(prefix) === n)
-        .withColumn("payload", concat(lit(header), prefix.cast("binary")))
-      Multimodal.decodeAudioFeatures(withPayload, "doc_id", "payload")
+      Multimodal.decodeAudioFeatures(
+        withAsciiPayload(Tables.documents(s, d), 256, wavHeaderBytes(256, 8000)),
+        "doc_id", "payload")
         .withColumnRenamed("asset_id", "doc_id")
         .orderBy("doc_id")
     },
@@ -630,14 +613,12 @@ object TextQueries {
     // 8×8 block grid is sparse (only odd rows/cols carry pixels), which
     // the oracle replicates bit-for-bit.
     "mm_video_frames" -> { (s, d) =>
-      val full = substring(col("text"), 1, 240)
-      val withPayload = Tables.documents(s, d)
-        .where(length(col("text")) >= 240 && octet_length(full) === 240)
+      // two frames, hand-concatenated: frame 0 = 8x8 over chars 1..192,
+      // frame 1 = 4x4 over chars 193..240 (the ASCII guard covers 240)
+      val withPayload = asciiQualifying(Tables.documents(s, d), 240)
         .withColumn("payload", concat(
-          lit("P6\n8 8\n255\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)),
-          substring(col("text"), 1, 192).cast("binary"),
-          lit("P6\n4 4\n255\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)),
-          substring(col("text"), 193, 48).cast("binary")))
+          lit(ppmHeaderBytes(8, 8)), substring(col("text"), 1, 192).cast("binary"),
+          lit(ppmHeaderBytes(4, 4)), substring(col("text"), 193, 48).cast("binary")))
       Multimodal.decodeVideoFrames(withPayload, "doc_id", "payload")
         .withColumnRenamed("asset_id", "doc_id")
         .orderBy("doc_id", "frame_idx")
@@ -652,14 +633,9 @@ object TextQueries {
     // guarantee while catching the corpus's true near-dups (identical
     // 192-char prefixes pair at hd 0).
     "mm_image_neardup" -> { (s, d) =>
-      val prefix = substring(col("text"), 1, 192)
-      val withPayload = Tables.documents(s, d)
-        .where(length(col("text")) >= 192 && octet_length(prefix) === 192)
-        .withColumn("payload",
-          concat(lit("P6\n8 8\n255\n".getBytes(
-            java.nio.charset.StandardCharsets.US_ASCII)), prefix.cast("binary")))
-      Multimodal.imageNearDupPairs(withPayload, "doc_id", "payload",
-        maxHamming = 13, bands = 16)
+      Multimodal.imageNearDupPairs(
+        withAsciiPayload(Tables.documents(s, d), 192, ppmHeaderBytes(8, 8)),
+        "doc_id", "payload", maxHamming = 13, bands = 16)
     },
 
     // near-identical audio clips through the REAL decode path: WAV decode
@@ -669,25 +645,51 @@ object TextQueries {
     // text/image/audio near-dup triad — all three gate-checked against
     // brute force.
     "mm_audio_neardup" -> { (s, d) =>
-      val n = 256
-      val sr = 8000
-      val header = {
-        val bb = java.nio.ByteBuffer.allocate(44)
-          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-        bb.put("RIFF".getBytes).putInt(36 + n).put("WAVE".getBytes)
-        bb.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
-          .putInt(sr).putInt(sr).putShort(1).putShort(8)
-        bb.put("data".getBytes).putInt(n)
-        bb.array()
-      }
-      val prefix = substring(col("text"), 1, n)
-      val withPayload = Tables.documents(s, d)
-        .where(length(col("text")) >= n && octet_length(prefix) === n)
-        .withColumn("payload", concat(lit(header), prefix.cast("binary")))
-      Multimodal.audioNearDupPairs(withPayload, "doc_id", "payload",
-        maxHamming = 12, bands = 16)
+      Multimodal.audioNearDupPairs(
+        withAsciiPayload(Tables.documents(s, d), 256, wavHeaderBytes(256, 8000)),
+        "doc_id", "payload", maxHamming = 12, bands = 16)
     }
   )
+
+  // ---------------------------------------- in-query binary payloads
+
+  /** Documents whose `len`-char prefix is pure ASCII (octet length ==
+    * char length) — the guard that keeps raster/PCM byte values identical
+    * to the character codes DuckDB sees, which is what lets the oracles
+    * replicate the decode arithmetic.
+    */
+  private def asciiQualifying(docs: DataFrame, len: Int): DataFrame =
+    docs.where(length(col("text")) >= len &&
+      octet_length(substring(col("text"), 1, len)) === len)
+
+  /** ONE definition of each constant header so a decode query and its
+    * near-dup twin can never drift onto different payloads.
+    */
+  private def ppmHeaderBytes(w: Int, h: Int): Array[Byte] =
+    s"P6\n$w $h\n255\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** Canonical 44-byte WAV header for `n` 8-bit mono PCM samples at
+    * `sampleRate` — every byte constant for fixed (n, sampleRate), which
+    * is what makes the oracle's arithmetic purely a function of the
+    * text prefix.
+    */
+  private def wavHeaderBytes(n: Int, sampleRate: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(44)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(36 + n).put("WAVE".getBytes)
+    bb.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(sampleRate).putInt(sampleRate).putShort(1).putShort(8)
+    bb.put("data".getBytes).putInt(n)
+    bb.array()
+  }
+
+  /** Qualifying documents with a `payload` column = `header` ++ the
+    * `len`-char ASCII prefix as raw bytes.
+    */
+  private def withAsciiPayload(
+      docs: DataFrame, len: Int, header: Array[Byte]): DataFrame =
+    asciiQualifying(docs, len).withColumn("payload",
+      concat(lit(header), substring(col("text"), 1, len).cast("binary")))
 
   // ------------------------------------------------------------ oracles
 

@@ -31,11 +31,15 @@ def dtype_class(s: pd.Series) -> str:
     if pd.api.types.is_datetime64_any_dtype(s):
         return "datetime"
     if s.dtype == object:
-        # HUGEINT can surface as object of Python ints
+        # HUGEINT can surface as object of Python ints/floats. Either way
+        # it is NOT the int64 column Spark wrote — the driver's
+        # dtype-sensitive hash fails on it — so classify object-numeric
+        # into the DRIFT class ("float") rather than "int"; anything else
+        # would make this check laxer than the driver's.
         non_null = s.dropna()
         if len(non_null) and all(isinstance(v, (int, float)) and not isinstance(v, bool)
                                  for v in non_null.head(100)):
-            return "float" if any(isinstance(v, float) for v in non_null.head(100)) else "int"
+            return "float"
     return "other"
 
 
