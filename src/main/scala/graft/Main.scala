@@ -297,7 +297,17 @@ object Main {
         // so a later run with a LARGER --new-from doesn't pair against a
         // stale table that misses pairs formed between the two boundaries.
         // (Safe ordering: pairsBack reads pairs.parquet, already written.)
-        pairsBack.write.mode("overwrite").parquet(s"$out/pairs_old.parquet")
+        // The refresh is write-temp-then-rename: a crash mid-write leaves
+        // yesterday's table intact, and a crash in the swap window leaves
+        // the directory ABSENT (next run rebuilds via the Files.exists
+        // fallback above) — never a partial table the next run would trust.
+        val oldFinal = Paths.get(s"$out/pairs_old.parquet")
+        val oldTmp = Paths.get(s"$out/pairs_old.parquet._tmp")
+        deleteRecursively(oldTmp)
+        pairsBack.write.mode("overwrite").parquet(oldTmp.toString)
+        deleteRecursively(oldFinal)
+        Files.move(oldTmp, oldFinal,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         graft.text.Dedup.connectedComponents(pairsBack)
           .write.mode("overwrite").parquet(s"$out/components.parquet")
         val drop = spark.read.parquet(s"$out/components.parquet")
@@ -312,6 +322,12 @@ object Main {
         sys.exit(2)
     }
   }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
 
   private val usage: String =
     """usage: graft.Main <command> --arg value ...

@@ -456,7 +456,14 @@ object Multimodal {
     if (bytes == null) (None, "null payload")
     else
       try (Some(decode(bytes)), null)
-      catch { case scala.util.control.NonFatal(e) => (None, e.getMessage) }
+      catch { case scala.util.control.NonFatal(e) => (None, errorLabel(e)) }
+
+  /** Never-null error label: a message-less exception would otherwise
+    * produce a row with null features AND null `decode_error`, which the
+    * `decode_error IS NULL` clean-row contract would misread as clean.
+    */
+  private def errorLabel(e: Throwable): String =
+    Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
 
   def decodeImageFeaturesLenient(
       assets: DataFrame, idCol: String, payloadCol: String): DataFrame = {
@@ -512,7 +519,7 @@ object Multimodal {
         n += 1
       } catch {
         case scala.util.control.NonFatal(e) =>
-          return (out.result(), Some(e.getMessage))
+          return (out.result(), Some(errorLabel(e)))
       }
     }
     (out.result(), None)
