@@ -439,6 +439,51 @@ object Multimodal {
       maxHamming, bands = bands, bits = 64)
   }
 
+  /** Clip-level video signature: bit-majority vote across the clip's
+    * per-frame [[imageAHash]] fingerprints — bit b of the signature is set
+    * iff MORE frames set bit b than clear it (ties clear), the simhash
+    * vote rule with whole frames as the feature unit. Clips sharing most
+    * frames land within a small hamming distance, so near-identical-video
+    * detection rides the same pigeonhole banding as text/image/audio. A
+    * frame whose raster is smaller than the 8×8 grid contributes a sparse
+    * hash (only its populated block bits vote +1), which the vote handles
+    * uniformly.
+    */
+  def clipSignature(frameHashes: Seq[Long]): Long = {
+    require(frameHashes.nonEmpty, "clipSignature: no frames")
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      var v = 0
+      val it = frameHashes.iterator
+      while (it.hasNext) v += (if (((it.next() >> b) & 1L) != 0L) 1 else -1)
+      if (v > 0) sig |= 1L << b
+      b += 1
+    }
+    sig
+  }
+
+  /** Near-identical video clips over a binary payload column of
+    * concatenated PPM frames: REAL multi-frame decode ([[decodeFrames]],
+    * each raster length from its own header) → per-frame [[imageAHash]] →
+    * [[clipSignature]] majority vote → the SAME pigeonhole banding as
+    * text simhash and image/audio near-dup
+    * ([[graft.text.Dedup.simhashPairs]]). Decode and vote are map-side;
+    * only (doc_id, 64-bit signature) rows enter the shuffle — payloads
+    * never leave their input partition, the economics a 100 TB video
+    * corpus requires. Output: (d1, d2, hd), sorted.
+    */
+  def videoNearDupPairs(
+      assets: DataFrame, idCol: String, payloadCol: String,
+      maxHamming: Int, bands: Int = 8): DataFrame = {
+    val f = udf { (bytes: Array[Byte]) =>
+      clipSignature(decodeFrames(bytes).map(imageAHash))
+    }
+    graft.text.Dedup.simhashPairs(
+      assets.select(col(idCol).as("doc_id"), f(col(payloadCol)).as("simhash")),
+      maxHamming, bands = bands, bits = 64)
+  }
+
   /** LENIENT distributed image decode: the corrupt-corpus form of
     * [[decodeImageFeatures]] — a malformed payload yields a row with null
     * features and the parse error in `decode_error` instead of failing

@@ -648,6 +648,30 @@ object TextQueries {
       Multimodal.audioNearDupPairs(
         withAsciiPayload(Tables.documents(s, d), 256, wavHeaderBytes(256, 8000)),
         "doc_id", "payload", maxHamming = 12, bands = 16)
+    },
+
+    // near-identical VIDEO CLIPS through the REAL multi-frame decode path,
+    // completing the text/image/audio/video near-dup quad: each payload is
+    // three concatenated PPM frames of MIXED sizes (8×8, 8×8, 4×4 over
+    // chars 1..192, 193..384, 385..432 — the header-driven walk is load-
+    // bearing), per-frame aHash, then the majority-vote clip signature.
+    // The 4×4 frame's sparse hash votes +1 only on its populated odd
+    // (row,col) bits, so dense bits need both 8×8 frames set (+2-1) and
+    // sparse bits a true 2-of-3 majority — all 64 bits vary across docs,
+    // keeping every band informative (no degenerate all-zero band
+    // buckets, which a uniformly-4×4 clip would create). Oracle =
+    // brute-force hamming self-join over the replicated vote arithmetic;
+    // at maxHamming 12 < 16 bands the pigeonhole guarantee makes banding
+    // completeness gate-checked on real data (the corpus separates: true
+    // near-dup pairs at hd 0, noise floor starts at hd 13 at sf0.01).
+    "mm_video_neardup" -> { (s, d) =>
+      val withPayload = asciiQualifying(Tables.documents(s, d), 432)
+        .withColumn("payload", concat(
+          lit(ppmHeaderBytes(8, 8)), substring(col("text"), 1, 192).cast("binary"),
+          lit(ppmHeaderBytes(8, 8)), substring(col("text"), 193, 192).cast("binary"),
+          lit(ppmHeaderBytes(4, 4)), substring(col("text"), 385, 48).cast("binary")))
+      Multimodal.videoNearDupPairs(withPayload, "doc_id", "payload",
+        maxHamming = 12, bands = 16)
     }
   )
 
@@ -1429,6 +1453,53 @@ object TextQueries {
                   ELSE 0::BIGINT END)) AS BIGINT)
          FROM g
          ORDER BY doc_id, frame_idx""",
+
+    // brute-force hamming pair join over the majority-vote CLIP signature
+    // of the three-frame video payload: frames 0/1 are dense 8×8 aHashes
+    // (lum*64 vs frame total), frame 2 the sparse 4×4 hash voting +1 only
+    // at odd (row,col) bits — bit b of the clip signature is set iff the
+    // three frame votes sum positive, bit 63 carrying Long.MinValue
+    "mm_video_neardup" ->
+      """WITH q AS (
+           SELECT doc_id, substring(text,1,432) AS s FROM documents
+           WHERE length(text) >= 432
+             AND octet_length(encode(substring(text,1,432))) = 432
+         ), cz AS (
+           SELECT doc_id,
+                  list_transform(string_split(s,''), c -> ascii(c)::BIGINT) AS codes
+           FROM q
+         ), lz AS (
+           SELECT doc_id,
+             list_transform(generate_series(0,63), i ->
+               299*codes[3*i+1] + 587*codes[3*i+2] + 114*codes[3*i+3]) AS lum0,
+             list_transform(generate_series(0,63), i ->
+               299*codes[192+3*i+1] + 587*codes[192+3*i+2] + 114*codes[192+3*i+3]) AS lum1,
+             list_transform(generate_series(0,15), i ->
+               299*codes[384+3*i+1] + 587*codes[384+3*i+2] + 114*codes[384+3*i+3]) AS lum4
+           FROM cz
+         ), tz AS (
+           SELECT doc_id, lum0, lum1, lum4, list_sum(lum0) AS t0,
+                  list_sum(lum1) AS t1, list_sum(lum4) AS t4 FROM lz
+         ), sh AS (
+           SELECT doc_id, CAST(list_sum(list_transform(generate_series(0,63), b ->
+             CASE WHEN
+               (CASE WHEN lum0[b+1]*64 > t0 THEN 1 ELSE -1 END)
+               + (CASE WHEN lum1[b+1]*64 > t1 THEN 1 ELSE -1 END)
+               + (CASE WHEN b % 2 = 1 AND (b // 8) % 2 = 1
+                       THEN CASE WHEN lum4[((b // 8 - 1) // 2) * 4
+                                         + (b % 8 - 1) // 2 + 1] * 16 > t4
+                                 THEN 1 ELSE -1 END
+                       ELSE -1 END) > 0
+             THEN CASE WHEN b = 63 THEN -9223372036854775807::BIGINT - 1
+                  ELSE (1::BIGINT << b) END
+             ELSE 0::BIGINT END)) AS BIGINT) AS sig
+           FROM tz
+         )
+         SELECT a.doc_id AS d1, b.doc_id AS d2,
+                CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hd
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.sig, b.sig)) <= 12
+         ORDER BY d1, d2""",
 
     // replica of the REAL audio decode's integer features over the same
     // 256-byte ASCII prefix the query feeds the WAV parser as PCM samples
