@@ -672,6 +672,33 @@ object TextQueries {
           lit(ppmHeaderBytes(4, 4)), substring(col("text"), 385, 48).cast("binary")))
       Multimodal.videoNearDupPairs(withPayload, "doc_id", "payload",
         maxHamming = 12, bands = 16)
+    },
+
+    // the LENIENT decode tier in the gate: a deterministic in-query
+    // corruption rule (doc_id % 7 == 0 → truncated raster, last byte
+    // dropped; doc_id % 7 == 3 → corrupted magic byte) damages a known
+    // subset of the mm_image_decode payloads, and
+    // decodeImageFeaturesLenient must turn EXACTLY those into
+    // null-feature rows carrying the parser's error string while decoding
+    // the rest bit-for-bit — the corrupt-corpus contract (a bad sample
+    // can never fail a task, and the error accounting is queryable)
+    // proven end-to-end, not just spec-side. The oracle replicates the
+    // corruption rule, the clean-row decode arithmetic, and the two
+    // literal error messages.
+    "mm_decode_errors" -> { (s, d) =>
+      val header = ppmHeaderBytes(8, 8)
+      val corruptHeader = { val h = header.clone(); h(0) = 'X'.toByte; h }
+      val withPayload = asciiQualifying(Tables.documents(s, d), 192)
+        .withColumn("payload",
+          when(col("doc_id") % 7 === 0,
+            concat(lit(header), substring(col("text"), 1, 191).cast("binary")))
+          .when(col("doc_id") % 7 === 3,
+            concat(lit(corruptHeader), substring(col("text"), 1, 192).cast("binary")))
+          .otherwise(
+            concat(lit(header), substring(col("text"), 1, 192).cast("binary"))))
+      Multimodal.decodeImageFeaturesLenient(withPayload, "doc_id", "payload")
+        .withColumnRenamed("asset_id", "doc_id")
+        .orderBy("doc_id")
     }
   )
 
@@ -1500,6 +1527,54 @@ object TextQueries {
          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.sig, b.sig)) <= 12
          ORDER BY d1, d2""",
+
+    // replica of the lenient tier's contract: clean docs reproduce the
+    // mm_image_decode arithmetic; the two corruption classes (truncated
+    // raster / corrupted magic, keyed on doc_id % 7) yield null features
+    // plus the decoder's exact error string
+    "mm_decode_errors" ->
+      """WITH q AS (
+           SELECT doc_id, substring(text,1,192) AS s FROM documents
+           WHERE length(text) >= 192
+             AND octet_length(encode(substring(text,1,192))) = 192
+         ), cz AS (
+           SELECT doc_id,
+                  list_transform(string_split(s,''), c -> ascii(c)::BIGINT) AS codes
+           FROM q WHERE doc_id % 7 NOT IN (0, 3)
+         ), lz AS (
+           SELECT doc_id, codes,
+             list_transform(generate_series(0,63), i ->
+               299*codes[3*i+1] + 587*codes[3*i+2] + 114*codes[3*i+3]) AS lum
+           FROM cz
+         ), f AS (
+           SELECT doc_id, lum,
+             list_sum(lum) AS total,
+             list_sum(list_transform(generate_series(0,63), i -> codes[3*i+1])) AS sr,
+             list_sum(list_transform(generate_series(0,63), i -> codes[3*i+2])) AS sg,
+             list_sum(list_transform(generate_series(0,63), i -> codes[3*i+3])) AS sb
+           FROM lz
+         )
+         SELECT doc_id,
+           CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+           CAST(sr // 64 AS INTEGER) AS mean_r,
+           CAST(sg // 64 AS INTEGER) AS mean_g,
+           CAST(sb // 64 AS INTEGER) AS mean_b,
+           CAST(list_sum(list_transform(generate_series(0,63), b ->
+             CASE WHEN lum[b+1]*64 > total
+                  THEN CASE WHEN b = 63 THEN -9223372036854775807::BIGINT - 1
+                            ELSE (1::BIGINT << b) END
+                  ELSE 0::BIGINT END)) AS BIGINT) AS phash,
+           CAST(NULL AS VARCHAR) AS decode_error
+         FROM f
+         UNION ALL
+         SELECT doc_id, CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
+           CAST(NULL AS INTEGER), CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
+           CAST(NULL AS BIGINT),
+           CASE WHEN doc_id % 7 = 0
+                THEN 'malformed PPM at byte 0: raster truncated: need 192 bytes'
+                ELSE 'malformed PPM at byte 0: magic ''X6'' is not P6' END
+         FROM q WHERE doc_id % 7 IN (0, 3)
+         ORDER BY doc_id""",
 
     // replica of the REAL audio decode's integer features over the same
     // 256-byte ASCII prefix the query feeds the WAV parser as PCM samples
