@@ -390,6 +390,27 @@ object Multimodal {
     DecodedImage(outW, outH, out)
   }
 
+  /** Distributed decode → integer box resize → features: the standard
+    * image-dedup normalization step (resize-then-hash gives inputs of any
+    * dimensions one comparable signature). Same map-side economics as
+    * [[decodeImageFeatures]]; the emitted width/height/means/phash are
+    * those of the RESIZED raster, and the arithmetic is [[resizeBox]]'s
+    * exact floor box means feeding [[imageAHash]] — no float anywhere.
+    */
+  def decodeResizedImageFeatures(
+      assets: DataFrame, idCol: String, payloadCol: String,
+      outW: Int, outH: Int): DataFrame = {
+    val f = udf { (bytes: Array[Byte]) =>
+      imageFeats(resizeBox(decodePpm(bytes), outW, outH))
+    }
+    assets
+      .select(col(idCol).as("asset_id"), f(col(payloadCol)).as("f"))
+      .select(col("asset_id"),
+        col("f._1").as("width"), col("f._2").as("height"),
+        col("f._3").as("mean_r"), col("f._4").as("mean_g"),
+        col("f._5").as("mean_b"), col("f._6").as("phash"))
+  }
+
   /** REAL audio fingerprint over decoded samples: the audio analogue of
     * [[imageAHash]] — 64 windows with floor boundaries over the sample
     * run; per-window ENERGY (squared deviation from the 8-bit midpoint,

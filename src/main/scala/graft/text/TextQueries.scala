@@ -699,6 +699,21 @@ object TextQueries {
       Multimodal.decodeImageFeaturesLenient(withPayload, "doc_id", "payload")
         .withColumnRenamed("asset_id", "doc_id")
         .orderBy("doc_id")
+    },
+
+    // resize-then-hash in the gate: the same 8×8 in-query PPM payloads as
+    // mm_image_decode, box-downscaled 8×8→4×4 (exact floor means over 2×2
+    // boxes, resizeBox) before feature extraction — the normalization step
+    // an image-dedup pipeline runs so different-resolution captures share
+    // one signature. Features are those of the RESIZED raster (4×4 aHash =
+    // the sparse odd-(row,col) block grid, as in mm_video_frames' frame 1);
+    // the oracle replicates the box means and the hash bit-for-bit.
+    "mm_image_resize" -> { (s, d) =>
+      Multimodal.decodeResizedImageFeatures(
+        withAsciiPayload(Tables.documents(s, d), 192, ppmHeaderBytes(8, 8)),
+        "doc_id", "payload", outW = 4, outH = 4)
+        .withColumnRenamed("asset_id", "doc_id")
+        .orderBy("doc_id")
     }
   )
 
@@ -1527,6 +1542,53 @@ object TextQueries {
          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.sig, b.sig)) <= 12
          ORDER BY d1, d2""",
+
+    // replica of resize-then-hash: resized pixel i (4×4, row i//4, col
+    // i%4) is the floor mean of its 2×2 source box per channel; the 4×4
+    // aHash populates only odd-(row,col) block bits, pixel 15 = bit 63
+    // carrying Long.MinValue
+    "mm_image_resize" ->
+      """WITH q AS (
+           SELECT doc_id, substring(text,1,192) AS s FROM documents
+           WHERE length(text) >= 192
+             AND octet_length(encode(substring(text,1,192))) = 192
+         ), cz AS (
+           SELECT doc_id,
+                  list_transform(string_split(s,''), c -> ascii(c)::BIGINT) AS codes
+           FROM q
+         ), rz AS (
+           SELECT doc_id,
+             list_transform(generate_series(0,15), i ->
+               list_transform(generate_series(0,2), k ->
+                 (codes[3*((i//4*2)*8 + (i%4)*2) + k + 1]
+                + codes[3*((i//4*2)*8 + (i%4)*2 + 1) + k + 1]
+                + codes[3*((i//4*2+1)*8 + (i%4)*2) + k + 1]
+                + codes[3*((i//4*2+1)*8 + (i%4)*2 + 1) + k + 1]) // 4)) AS px
+           FROM cz
+         ), lz AS (
+           SELECT doc_id, px,
+             list_transform(generate_series(0,15), i ->
+               299*px[i+1][1] + 587*px[i+1][2] + 114*px[i+1][3]) AS lum
+           FROM rz
+         ), f AS (
+           SELECT doc_id, lum,
+             list_sum(lum) AS total,
+             list_sum(list_transform(generate_series(0,15), i -> px[i+1][1])) AS sr,
+             list_sum(list_transform(generate_series(0,15), i -> px[i+1][2])) AS sg,
+             list_sum(list_transform(generate_series(0,15), i -> px[i+1][3])) AS sb
+           FROM lz
+         )
+         SELECT doc_id,
+           CAST(4 AS INTEGER) AS width, CAST(4 AS INTEGER) AS height,
+           CAST(sr // 16 AS INTEGER) AS mean_r,
+           CAST(sg // 16 AS INTEGER) AS mean_g,
+           CAST(sb // 16 AS INTEGER) AS mean_b,
+           CAST(list_sum(list_transform(generate_series(0,15), i ->
+             CASE WHEN lum[i+1]*16 > total
+                  THEN CASE WHEN i = 15 THEN -9223372036854775807::BIGINT - 1
+                            ELSE (1::BIGINT << ((2*(i//4)+1)*8 + 2*(i%4)+1)) END
+                  ELSE 0::BIGINT END)) AS BIGINT) AS phash
+         FROM f ORDER BY doc_id""",
 
     // replica of the lenient tier's contract: clean docs reproduce the
     // mm_image_decode arithmetic; the two corruption classes (truncated
