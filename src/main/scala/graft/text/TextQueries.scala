@@ -593,13 +593,15 @@ object TextQueries {
 
     // REAL audio decode in the gate, same construction as mm_image_decode:
     // a canonical 44-byte WAV header (all bytes constant at a fixed 256
-    // samples / 8 kHz) + the document's 256-byte ASCII prefix as unsigned
-    // 8-bit PCM; [[Multimodal.decodeWavPcm8]] runs the actual RIFF chunk
-    // walk distributed and the features are integer-exact, so DuckDB
+    // samples / 8 kHz) + the document's 256-byte ASCII prefix doubled mod
+    // 256 into full-range unsigned 8-bit PCM (see [[pcmDoubled]] — this
+    // makes peak and the midpoint-crossing count data-dependent);
+    // [[Multimodal.decodeWavPcm8]] runs the actual RIFF chunk walk
+    // distributed and the features are integer-exact, so DuckDB
     // replicates them — a FULL hash oracle over a real audio decode.
     "mm_audio_decode" -> { (s, d) =>
       Multimodal.decodeAudioFeatures(
-        withAsciiPayload(Tables.documents(s, d), 256, wavHeaderBytes(256, 8000)),
+        withPcmPayload(Tables.documents(s, d), 256, wavHeaderBytes(256, 8000)),
         "doc_id", "payload")
         .withColumnRenamed("asset_id", "doc_id")
         .orderBy("doc_id")
@@ -646,7 +648,7 @@ object TextQueries {
     // brute force.
     "mm_audio_neardup" -> { (s, d) =>
       Multimodal.audioNearDupPairs(
-        withAsciiPayload(Tables.documents(s, d), 256, wavHeaderBytes(256, 8000)),
+        withPcmPayload(Tables.documents(s, d), 256, wavHeaderBytes(256, 8000)),
         "doc_id", "payload", maxHamming = 12, bands = 16)
     },
 
@@ -756,6 +758,29 @@ object TextQueries {
       docs: DataFrame, len: Int, header: Array[Byte]): DataFrame =
     asciiQualifying(docs, len).withColumn("payload",
       concat(lit(header), substring(col("text"), 1, len).cast("binary")))
+
+  /** PCM "audio-ification" of an ASCII prefix: each byte doubles mod 256
+    * (oracle side: `(ascii*2) % 256`), spreading the 0–127 ASCII band over
+    * the full unsigned-8-bit range so the decoded samples genuinely
+    * straddle the 128 midpoint — peak exceeds 127 and midpoint crossings
+    * are DATA-dependent (code < 64 vs ≥ 64), not identically zero the way
+    * raw ASCII PCM left them. (A position-keyed XOR mask would instead
+    * make crossings a corpus-wide constant — every masked/unmasked
+    * boundary crosses — which exercises the code path but not the data
+    * dependence.) ONE builder shared by the audio decode query and its
+    * near-dup twin, so both always see the same payloads.
+    */
+  private val pcmDoubled = udf { (s: String) =>
+    val b = s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    var i = 0
+    while (i < b.length) { b(i) = (b(i) << 1).toByte; i += 1 }
+    b
+  }
+
+  private def withPcmPayload(
+      docs: DataFrame, len: Int, header: Array[Byte]): DataFrame =
+    asciiQualifying(docs, len).withColumn("payload",
+      concat(lit(header), pcmDoubled(substring(col("text"), 1, len))))
 
   // ------------------------------------------------------------ oracles
 
@@ -1389,7 +1414,8 @@ object TextQueries {
          FROM f ORDER BY doc_id""",
 
     // brute-force hamming pair join over the REAL-decode audio energy
-    // fingerprint (4 samples per window at n=256) — banding completeness
+    // fingerprint (4 samples per window at n=256) — banding completeness;
+    // samples are the ASCII codes doubled mod 256 (the pcmDoubled payload)
     "mm_audio_neardup" ->
       """WITH q AS (
            SELECT doc_id, substring(text,1,256) AS s FROM documents
@@ -1397,7 +1423,8 @@ object TextQueries {
              AND octet_length(encode(substring(text,1,256))) = 256
          ), cz AS (
            SELECT doc_id,
-                  list_transform(string_split(s,''), c -> ascii(c)::BIGINT) AS codes
+                  list_transform(string_split(s,''),
+                                 c -> (ascii(c)::BIGINT * 2) % 256) AS codes
            FROM q
          ), f AS (
            SELECT doc_id, list_transform(generate_series(0,63), i ->
@@ -1639,7 +1666,8 @@ object TextQueries {
          ORDER BY doc_id""",
 
     // replica of the REAL audio decode's integer features over the same
-    // 256-byte ASCII prefix the query feeds the WAV parser as PCM samples
+    // 256-byte prefix the query feeds the WAV parser as PCM samples —
+    // doubled mod 256 (pcmDoubled), so peak/crossings are data-dependent
     "mm_audio_decode" ->
       """WITH q AS (
            SELECT doc_id, substring(text,1,256) AS s FROM documents
@@ -1647,7 +1675,8 @@ object TextQueries {
              AND octet_length(encode(substring(text,1,256))) = 256
          ), cz AS (
            SELECT doc_id,
-                  list_transform(string_split(s,''), c -> ascii(c)::BIGINT) AS codes
+                  list_transform(string_split(s,''),
+                                 c -> (ascii(c)::BIGINT * 2) % 256) AS codes
            FROM q
          )
          SELECT doc_id,
