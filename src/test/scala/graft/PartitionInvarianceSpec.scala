@@ -26,7 +26,11 @@ class PartitionInvarianceSpec extends SparkSpec {
     "cur_token_budget",   // prefix sum over a float-keyed global order
     "cur_diverse",        // IVF assignment + BoundedTopK per cell
     "mm_image_decode",    // real PPM decode UDF over in-query payloads
-    "mm_audio_neardup")   // decode UDF -> fingerprint -> pigeonhole banding
+    "mm_audio_neardup",   // decode UDF -> fingerprint -> pigeonhole banding
+    "mm_video_frames",    // multi-frame walk flatMap explode
+    "mm_video_neardup",   // frame decode -> clip majority vote -> banding
+    "mm_decode_errors",   // lenient decode error rows amid clean rows
+    "mm_image_resize")    // decode -> integer box resize -> aHash
 
   test("representative queries are invariant to shuffle.partitions in {1, 7}") {
     val key = "spark.sql.shuffle.partitions"
