@@ -169,6 +169,30 @@ object Multimodal {
       .toDF("asset_id", "frame_idx", "width", "height", "frame_phash")
   }
 
+  /** Distributed SAMPLED video decode: the [[sampleFrames]] stride walk as
+    * an operator — one row per SAMPLED frame (index, dims, [[imageAHash]]),
+    * with unsampled frames costing a header parse + raster skip and never
+    * being materialized. This is the shape video pipelines actually run at
+    * scale (decode every Nth frame, not the stream); like
+    * [[decodeVideoFrames]] it is a map-side explode — payloads stay in
+    * their input partition.
+    */
+  def sampleVideoFrames(
+      assets: DataFrame, idCol: String, payloadCol: String,
+      stride: Int): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets
+      .select(col(idCol).cast("long").as("asset_id"), col(payloadCol).as("p"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        sampleFrames(bytes, stride).iterator.map { case (i, img) =>
+          (id, i, img.width, img.height, imageAHash(img))
+        }
+      }
+      .toDF("asset_id", "frame_idx", "width", "height", "frame_phash")
+  }
+
   /** REAL perceptual hash over decoded pixels: average-hash (aHash) —
     * integer-exact so it reproduces bit-for-bit across languages (the
     * committed fixtures carry expected values computed by an independent

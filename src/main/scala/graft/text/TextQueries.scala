@@ -667,13 +667,22 @@ object TextQueries {
     // completeness gate-checked on real data (the corpus separates: true
     // near-dup pairs at hd 0, noise floor starts at hd 13 at sf0.01).
     "mm_video_neardup" -> { (s, d) =>
-      val withPayload = asciiQualifying(Tables.documents(s, d), 432)
-        .withColumn("payload", concat(
-          lit(ppmHeaderBytes(8, 8)), substring(col("text"), 1, 192).cast("binary"),
-          lit(ppmHeaderBytes(8, 8)), substring(col("text"), 193, 192).cast("binary"),
-          lit(ppmHeaderBytes(4, 4)), substring(col("text"), 385, 48).cast("binary")))
-      Multimodal.videoNearDupPairs(withPayload, "doc_id", "payload",
-        maxHamming = 12, bands = 16)
+      Multimodal.videoNearDupPairs(withVideoPayload432(Tables.documents(s, d)),
+        "doc_id", "payload", maxHamming = 12, bands = 16)
+    },
+
+    // the SAMPLED decode path in the gate: the same three-frame payload at
+    // stride 2 materializes frames 0 and 2 only — frame 1 is header-parsed
+    // and SKIPPED (sampleFrames' raster-skip walk, the I/O economics a
+    // video pipeline runs at scale). The oracle emits exactly the frame-0
+    // 8×8 hash and the frame-2 sparse 4×4 hash; a walker that misparsed
+    // the skipped frame's length would compute frame 2 from the wrong
+    // offset and hash-mismatch.
+    "mm_video_sample" -> { (s, d) =>
+      Multimodal.sampleVideoFrames(withVideoPayload432(Tables.documents(s, d)),
+        "doc_id", "payload", stride = 2)
+        .withColumnRenamed("asset_id", "doc_id")
+        .orderBy("doc_id", "frame_idx")
     },
 
     // the LENIENT decode tier in the gate: a deterministic in-query
@@ -758,6 +767,18 @@ object TextQueries {
       docs: DataFrame, len: Int, header: Array[Byte]): DataFrame =
     asciiQualifying(docs, len).withColumn("payload",
       concat(lit(header), substring(col("text"), 1, len).cast("binary")))
+
+  /** ONE definition of the three-frame video payload (8×8, 8×8, 4×4 over
+    * chars 1..192, 193..384, 385..432) shared by every video gate query,
+    * so the near-dup, sampling, and lenient twins can never drift onto
+    * different streams.
+    */
+  private def withVideoPayload432(docs: DataFrame): DataFrame =
+    asciiQualifying(docs, 432)
+      .withColumn("payload", concat(
+        lit(ppmHeaderBytes(8, 8)), substring(col("text"), 1, 192).cast("binary"),
+        lit(ppmHeaderBytes(8, 8)), substring(col("text"), 193, 192).cast("binary"),
+        lit(ppmHeaderBytes(4, 4)), substring(col("text"), 385, 48).cast("binary")))
 
   /** PCM "audio-ification" of an ASCII prefix: each byte doubles mod 256
     * (oracle side: `(ascii*2) % 256`), spreading the 0–127 ASCII band over
@@ -1515,6 +1536,48 @@ object TextQueries {
          FROM g
          UNION ALL
          SELECT doc_id, CAST(1 AS INTEGER), CAST(4 AS INTEGER), CAST(4 AS INTEGER),
+           CAST(list_sum(list_transform(generate_series(0,15), j ->
+             CASE WHEN lum4[j+1]*16 > total4
+                  THEN CASE WHEN j = 15 THEN -9223372036854775807::BIGINT - 1
+                       ELSE (1::BIGINT << ((2*(j//4)+1)*8 + 2*(j%4)+1)) END
+                  ELSE 0::BIGINT END)) AS BIGINT)
+         FROM g
+         ORDER BY doc_id, frame_idx""",
+
+    // replica of the SAMPLED walk at stride 2 over the three-frame stream:
+    // only frames 0 (dense 8×8 over chars 1..192) and 2 (sparse 4×4 over
+    // chars 385..432) appear; frame 1 exists solely as the 203 bytes the
+    // skip path must step over correctly to land frame 2's offset
+    "mm_video_sample" ->
+      """WITH q AS (
+           SELECT doc_id, substring(text,1,432) AS s FROM documents
+           WHERE length(text) >= 432
+             AND octet_length(encode(substring(text,1,432))) = 432
+         ), cz AS (
+           SELECT doc_id,
+                  list_transform(string_split(s,''), c -> ascii(c)::BIGINT) AS codes
+           FROM q
+         ), f AS (
+           SELECT doc_id,
+             list_transform(generate_series(0,63), i ->
+               299*codes[3*i+1] + 587*codes[3*i+2] + 114*codes[3*i+3]) AS lum0,
+             list_transform(generate_series(0,15), i ->
+               299*codes[384+3*i+1] + 587*codes[384+3*i+2] + 114*codes[384+3*i+3]) AS lum4
+           FROM cz
+         ), g AS (
+           SELECT doc_id, lum0, lum4,
+                  list_sum(lum0) AS total0, list_sum(lum4) AS total4 FROM f
+         )
+         SELECT doc_id, CAST(0 AS INTEGER) AS frame_idx,
+           CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+           CAST(list_sum(list_transform(generate_series(0,63), b ->
+             CASE WHEN lum0[b+1]*64 > total0
+                  THEN CASE WHEN b = 63 THEN -9223372036854775807::BIGINT - 1
+                       ELSE (1::BIGINT << b) END
+                  ELSE 0::BIGINT END)) AS BIGINT) AS frame_phash
+         FROM g
+         UNION ALL
+         SELECT doc_id, CAST(2 AS INTEGER), CAST(4 AS INTEGER), CAST(4 AS INTEGER),
            CAST(list_sum(list_transform(generate_series(0,15), j ->
              CASE WHEN lum4[j+1]*16 > total4
                   THEN CASE WHEN j = 15 THEN -9223372036854775807::BIGINT - 1
