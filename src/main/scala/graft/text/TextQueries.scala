@@ -725,6 +725,24 @@ object TextQueries {
         "doc_id", "payload", outW = 4, outH = 4)
         .withColumnRenamed("asset_id", "doc_id")
         .orderBy("doc_id")
+    },
+
+    // the lenient VIDEO walk's prefix semantics in the gate: dropping the
+    // final raster byte of the shared three-frame stream (doc_id % 5 == 0)
+    // must keep frames 0 and 1 bit-for-bit and append ONE error row whose
+    // message carries frame 2's exact byte offset (406 = two 11-byte
+    // headers + two 192-byte rasters) — a truncated tail loses only the
+    // tail, the contract that makes a 100 TB crawl resumable. Clean docs
+    // are identical to a strict decode plus an all-null error column.
+    "mm_video_errors" -> { (s, d) =>
+      val withCorrupt = withVideoPayload432(Tables.documents(s, d))
+        .withColumn("payload",
+          when(col("doc_id") % 5 === 0,
+            expr("substring(payload, 1, length(payload) - 1)"))
+          .otherwise(col("payload")))
+      Multimodal.decodeVideoFramesLenient(withCorrupt, "doc_id", "payload")
+        .withColumnRenamed("asset_id", "doc_id")
+        .orderBy("doc_id", "frame_idx")
     }
   )
 
@@ -1679,6 +1697,66 @@ object TextQueries {
                             ELSE (1::BIGINT << ((2*(i//4)+1)*8 + 2*(i%4)+1)) END
                   ELSE 0::BIGINT END)) AS BIGINT) AS phash
          FROM f ORDER BY doc_id""",
+
+    // replica of the lenient video walk: every doc yields frames 0 and 1
+    // (dense 8×8 hashes); frame 2's sparse 4×4 row appears only for clean
+    // docs, and corrupt docs (doc_id % 5 = 0, last raster byte dropped)
+    // instead carry one null-frame error row with frame 2's byte offset
+    "mm_video_errors" ->
+      """WITH q AS (
+           SELECT doc_id, substring(text,1,432) AS s FROM documents
+           WHERE length(text) >= 432
+             AND octet_length(encode(substring(text,1,432))) = 432
+         ), cz AS (
+           SELECT doc_id,
+                  list_transform(string_split(s,''), c -> ascii(c)::BIGINT) AS codes
+           FROM q
+         ), f AS (
+           SELECT doc_id,
+             list_transform(generate_series(0,63), i ->
+               299*codes[3*i+1] + 587*codes[3*i+2] + 114*codes[3*i+3]) AS lum0,
+             list_transform(generate_series(0,63), i ->
+               299*codes[192+3*i+1] + 587*codes[192+3*i+2] + 114*codes[192+3*i+3]) AS lum1,
+             list_transform(generate_series(0,15), i ->
+               299*codes[384+3*i+1] + 587*codes[384+3*i+2] + 114*codes[384+3*i+3]) AS lum4
+           FROM cz
+         ), g AS (
+           SELECT doc_id, lum0, lum1, lum4, list_sum(lum0) AS t0,
+                  list_sum(lum1) AS t1, list_sum(lum4) AS t4 FROM f
+         )
+         SELECT doc_id, CAST(0 AS INTEGER) AS frame_idx,
+           CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+           CAST(list_sum(list_transform(generate_series(0,63), b ->
+             CASE WHEN lum0[b+1]*64 > t0
+                  THEN CASE WHEN b = 63 THEN -9223372036854775807::BIGINT - 1
+                       ELSE (1::BIGINT << b) END
+                  ELSE 0::BIGINT END)) AS BIGINT) AS frame_phash,
+           CAST(NULL AS VARCHAR) AS decode_error
+         FROM g
+         UNION ALL
+         SELECT doc_id, CAST(1 AS INTEGER), CAST(8 AS INTEGER), CAST(8 AS INTEGER),
+           CAST(list_sum(list_transform(generate_series(0,63), b ->
+             CASE WHEN lum1[b+1]*64 > t1
+                  THEN CASE WHEN b = 63 THEN -9223372036854775807::BIGINT - 1
+                       ELSE (1::BIGINT << b) END
+                  ELSE 0::BIGINT END)) AS BIGINT),
+           CAST(NULL AS VARCHAR)
+         FROM g
+         UNION ALL
+         SELECT doc_id, CAST(2 AS INTEGER), CAST(4 AS INTEGER), CAST(4 AS INTEGER),
+           CAST(list_sum(list_transform(generate_series(0,15), j ->
+             CASE WHEN lum4[j+1]*16 > t4
+                  THEN CASE WHEN j = 15 THEN -9223372036854775807::BIGINT - 1
+                       ELSE (1::BIGINT << ((2*(j//4)+1)*8 + 2*(j%4)+1)) END
+                  ELSE 0::BIGINT END)) AS BIGINT),
+           CAST(NULL AS VARCHAR)
+         FROM g WHERE doc_id % 5 != 0
+         UNION ALL
+         SELECT doc_id, CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
+           CAST(NULL AS INTEGER), CAST(NULL AS BIGINT),
+           'malformed PPM at byte 406: raster truncated: need 48 bytes'
+         FROM q WHERE doc_id % 5 = 0
+         ORDER BY doc_id, frame_idx""",
 
     // replica of the lenient tier's contract: clean docs reproduce the
     // mm_image_decode arithmetic; the two corruption classes (truncated
