@@ -114,6 +114,54 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming clip-signature near-dup equals batch videoNearDupPairs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.multimodal.Multimodal
+    // the gate's three-frame video payloads over the REAL documents table;
+    // clip signatures are plain 64-bit simhashes, so the streaming band
+    // machinery needs NO video-specific code — the batch/streaming seam is
+    // the (doc_id, signature) row, same as text
+    val hdr8 = "P6\n8 8\n255\n".getBytes("US-ASCII")
+    val hdr4 = "P6\n4 4\n255\n".getBytes("US-ASCII")
+    val docs = graft.Tables.documents(spark, sf001)
+      .where(length(col("text")) >= 432 &&
+        octet_length(substring(col("text"), 1, 432)) === 432)
+      .withColumn("payload", concat(
+        lit(hdr8), substring(col("text"), 1, 192).cast("binary"),
+        lit(hdr8), substring(col("text"), 193, 192).cast("binary"),
+        lit(hdr4), substring(col("text"), 385, 48).cast("binary")))
+    val sigs = docs.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])].collect().sortBy(_._1)
+      .map { case (id, p) =>
+        (id, Multimodal.clipSignature(
+          Multimodal.decodeFrames(p).map(Multimodal.imageAHash)))
+      }
+    assert(sigs.length >= 30)
+    val batches = sigs.grouped(math.max(sigs.length / 3, 1)).toSeq
+
+    val input = MemoryStream[StreamingOps.SigDoc]
+    val pairs = StreamingOps.streamingSimhashPairs(
+      input.toDS(), maxHamming = 12, bands = 16, bits = 64)
+    val q = pairs.writeStream
+      .format("memory").queryName("clip_out").outputMode(OutputMode.Append())
+      .start()
+    try {
+      batches.zipWithIndex.foreach { case (b, i) =>
+        input.addData(b.map { case (id, sig) => StreamingOps.SigDoc(id, sig, 1000L * i) })
+        q.processAllAvailable()
+      }
+      val got = spark.table("clip_out").select("d1", "d2", "hd")
+        .distinct().as[(Long, Long, Int)].collect().toSet
+      val want = Multimodal.videoNearDupPairs(docs, "doc_id", "payload",
+          maxHamming = 12, bands = 16)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(got === want)
+      assert(want.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streamingMinhashPairs equals batch dd_minhash_lsh on real documents") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
