@@ -145,14 +145,20 @@ object Bench {
         java.nio.file.Files.writeString(tmp, oracles
           .map { case (k, v) => s"${JsonEscape(k)}: ${JsonEscape(v)}" }
           .mkString("{", ",", "}"))
+        // stderr must not backpressure the child: an undrained pipe fills
+        // at ~64KB and deadlocks both processes (Try can't catch a hang)
         val proc = new ProcessBuilder(
-          "python3", "tools/bench_duckdb.py", sfDir, tmp.toString).start()
+          "python3", "tools/bench_duckdb.py", sfDir, tmp.toString)
+          .redirectError(ProcessBuilder.Redirect.DISCARD)
+          .start()
         val out = new String(proc.getInputStream.readAllBytes(),
           java.nio.charset.StandardCharsets.UTF_8)
         val rc = proc.waitFor()
         java.nio.file.Files.deleteIfExists(tmp)
         require(rc == 0, s"bench_duckdb.py exited $rc")
-        "\"([^\"]+)\":\\s*(-?[0-9.eE+]+)".r.findAllMatchIn(out)
+        // the char class must admit '-' INSIDE the number too: json.dumps
+        // emits sub-1e-4 timings as scientific notation ("8.3e-05")
+        "\"([^\"]+)\":\\s*([0-9.eE+-]+)".r.findAllMatchIn(out)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       }.getOrElse(Map.empty)
 

@@ -297,17 +297,25 @@ object Main {
         // so a later run with a LARGER --new-from doesn't pair against a
         // stale table that misses pairs formed between the two boundaries.
         // (Safe ordering: pairsBack reads pairs.parquet, already written.)
-        // The refresh is write-temp-then-rename: a crash mid-write leaves
-        // yesterday's table intact, and a crash in the swap window leaves
+        // The refresh is write-temp-then-rename, and the LIVE table is only
+        // ever touched by atomic renames: a crash mid-write leaves
+        // yesterday's table intact; a crash between the two renames leaves
         // the directory ABSENT (next run rebuilds via the Files.exists
-        // fallback above) — never a partial table the next run would trust.
+        // fallback above); the recursive delete runs only against the
+        // trash name, whose partial remains are never read — never a
+        // partial table the next run would trust.
         val oldFinal = Paths.get(s"$out/pairs_old.parquet")
         val oldTmp = Paths.get(s"$out/pairs_old.parquet._tmp")
+        val oldTrash = Paths.get(s"$out/pairs_old.parquet._trash")
         deleteRecursively(oldTmp)
+        deleteRecursively(oldTrash)
         pairsBack.write.mode("overwrite").parquet(oldTmp.toString)
-        deleteRecursively(oldFinal)
+        if (Files.exists(oldFinal))
+          Files.move(oldFinal, oldTrash,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         Files.move(oldTmp, oldFinal,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        deleteRecursively(oldTrash)
         graft.text.Dedup.connectedComponents(pairsBack)
           .write.mode("overwrite").parquet(s"$out/components.parquet")
         val drop = spark.read.parquet(s"$out/components.parquet")
@@ -326,7 +334,9 @@ object Main {
   private def deleteRecursively(p: java.nio.file.Path): Unit =
     if (Files.exists(p)) {
       import scala.jdk.CollectionConverters._
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      val walk = Files.walk(p)
+      try walk.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      finally walk.close()
     }
 
   private val usage: String =

@@ -787,11 +787,11 @@ object TextQueries {
       concat(lit(header), substring(col("text"), 1, len).cast("binary")))
 
   /** ONE definition of the three-frame video payload (8×8, 8×8, 4×4 over
-    * chars 1..192, 193..384, 385..432) shared by every video gate query,
-    * so the near-dup, sampling, and lenient twins can never drift onto
-    * different streams.
+    * chars 1..192, 193..384, 385..432) shared by every video gate query
+    * AND the streaming parity spec, so the near-dup, sampling, lenient,
+    * and streaming twins can never drift onto different streams.
     */
-  private def withVideoPayload432(docs: DataFrame): DataFrame =
+  private[graft] def withVideoPayload432(docs: DataFrame): DataFrame =
     asciiQualifying(docs, 432)
       .withColumn("payload", concat(
         lit(ppmHeaderBytes(8, 8)), substring(col("text"), 1, 192).cast("binary"),

@@ -119,19 +119,13 @@ class StreamingOpsSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     implicit val sqlCtx = spark.sqlContext
     import graft.multimodal.Multimodal
-    // the gate's three-frame video payloads over the REAL documents table;
-    // clip signatures are plain 64-bit simhashes, so the streaming band
-    // machinery needs NO video-specific code — the batch/streaming seam is
-    // the (doc_id, signature) row, same as text
-    val hdr8 = "P6\n8 8\n255\n".getBytes("US-ASCII")
-    val hdr4 = "P6\n4 4\n255\n".getBytes("US-ASCII")
-    val docs = graft.Tables.documents(spark, sf001)
-      .where(length(col("text")) >= 432 &&
-        octet_length(substring(col("text"), 1, 432)) === 432)
-      .withColumn("payload", concat(
-        lit(hdr8), substring(col("text"), 1, 192).cast("binary"),
-        lit(hdr8), substring(col("text"), 193, 192).cast("binary"),
-        lit(hdr4), substring(col("text"), 385, 48).cast("binary")))
+    // the gate's three-frame video payloads over the REAL documents table
+    // (the SAME builder the gate queries use, so this parity can't drift
+    // onto a stale stream); clip signatures are plain 64-bit simhashes, so
+    // the streaming band machinery needs NO video-specific code — the
+    // batch/streaming seam is the (doc_id, signature) row, same as text
+    val docs = graft.text.TextQueries.withVideoPayload432(
+      graft.Tables.documents(spark, sf001))
     val sigs = docs.select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])].collect().sortBy(_._1)
       .map { case (id, p) =>

@@ -11,8 +11,7 @@ import sys, json, os, time
 
 import duckdb
 
-TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings"]
+from crosscheck import TABLES  # one table list for both gate tools
 
 
 def main(sf_dir: str, oracle_path: str, runs: int = 2) -> int:
