@@ -126,6 +126,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(!physical(q("x3_consistency_text")).contains("ScalaUDF"))
   }
 
+  test("mm video family: binary payloads never cross a shuffle; banding joins nothing") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // the 100 TB claim of the decode tier: decode/vote/sample are map-side,
+    // so every Exchange in every video query carries only ids + fixed-width
+    // feature rows — never the payload bytes
+    for (name <- Seq("mm_video_frames", "mm_video_sample", "mm_video_errors",
+        "mm_video_neardup")) {
+      val df = q(name)
+      val shuffles = df.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      shuffles.foreach { e =>
+        val bad = e.output.filter(a =>
+          a.name == "payload" || a.name == "p" || a.dataType.typeName == "binary")
+        assert(bad.isEmpty,
+          s"$name shuffles payload bytes: ${bad.map(_.name).mkString(",")}")
+      }
+    }
+    // the clip near-dup rides the posting-list banding: per-cell MapGroups,
+    // no join anywhere (dd_hamming's audited shape)
+    val opt = optimized(q("mm_video_neardup"))
+    assert(opt.contains("MapGroups"), s"expected per-cell MapGroups:\n$opt")
+    assert(!opt.contains("Join"), s"banding must not join:\n$opt")
+  }
+
   test("ev_sessionize: windows and aggregation partition by user_id") {
     val plan = physical(q("ev_sessionize"))
     assert(plan.contains("hashpartitioning(user_id"),
