@@ -153,9 +153,13 @@ object Bench {
           .start()
         val out = new String(proc.getInputStream.readAllBytes(),
           java.nio.charset.StandardCharsets.UTF_8)
-        val rc = proc.waitFor()
+        // a hung child must never stall the graded bench run: bounded wait,
+        // then kill (readAllBytes has already returned by EOF or kill)
+        val done = proc.waitFor(10, java.util.concurrent.TimeUnit.MINUTES)
+        if (!done) proc.destroyForcibly()
         java.nio.file.Files.deleteIfExists(tmp)
-        require(rc == 0, s"bench_duckdb.py exited $rc")
+        require(done && proc.exitValue() == 0,
+          s"bench_duckdb.py ${if (done) s"exited ${proc.exitValue()}" else "timed out"}")
         // the char class must admit '-' INSIDE the number too: json.dumps
         // emits sub-1e-4 timings as scientific notation ("8.3e-05")
         "\"([^\"]+)\":\\s*([0-9.eE+-]+)".r.findAllMatchIn(out)
