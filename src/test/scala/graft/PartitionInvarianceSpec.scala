@@ -30,7 +30,9 @@ class PartitionInvarianceSpec extends SparkSpec {
     "mm_video_frames",    // multi-frame walk flatMap explode
     "mm_video_neardup",   // frame decode -> clip majority vote -> banding
     "mm_decode_errors",   // lenient decode error rows amid clean rows
-    "mm_image_resize")    // decode -> integer box resize -> aHash
+    "mm_image_resize",    // decode -> integer box resize -> aHash
+    "mm_video_sample",    // stride walk, skipped-frame offset arithmetic
+    "mm_video_errors")    // lenient prefix walk, error rows amid frames
 
   test("representative queries are invariant to shuffle.partitions in {1, 7}") {
     val key = "spark.sql.shuffle.partitions"
