@@ -727,6 +727,23 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // the lenient AUDIO decode in the gate, completing the corrupt-corpus
+    // contract across all three modalities: dropping the payload's final
+    // byte (doc_id % 3 == 0) makes the data chunk's declared size overrun
+    // the file, so the RIFF walk must reject it with its exact message
+    // while clean docs keep the mm_audio_decode features bit-for-bit.
+    "mm_audio_errors" -> { (s, d) =>
+      val withCorrupt = withPcmPayload(
+          Tables.documents(s, d), 256, wavHeaderBytes(256, 8000))
+        .withColumn("payload",
+          when(col("doc_id") % 3 === 0,
+            expr("substring(payload, 1, length(payload) - 1)"))
+          .otherwise(col("payload")))
+      Multimodal.decodeAudioFeaturesLenient(withCorrupt, "doc_id", "payload")
+        .withColumnRenamed("asset_id", "doc_id")
+        .orderBy("doc_id")
+    },
+
     // the lenient VIDEO walk's prefix semantics in the gate: dropping the
     // final raster byte of the shared three-frame stream (doc_id % 5 == 0)
     // must keep frames 0 and 1 bit-for-bit and append ONE error row whose
@@ -1697,6 +1714,41 @@ object TextQueries {
                             ELSE (1::BIGINT << ((2*(i//4)+1)*8 + 2*(i%4)+1)) END
                   ELSE 0::BIGINT END)) AS BIGINT) AS phash
          FROM f ORDER BY doc_id""",
+
+    // replica of the lenient audio decode: clean docs reproduce the
+    // doubled-PCM feature arithmetic; corrupt docs (doc_id % 3 = 0, last
+    // byte dropped so the data chunk overruns) carry the RIFF walk's
+    // literal rejection message with null features
+    "mm_audio_errors" ->
+      """WITH q AS (
+           SELECT doc_id, substring(text,1,256) AS s FROM documents
+           WHERE length(text) >= 256
+             AND octet_length(encode(substring(text,1,256))) = 256
+         ), cz AS (
+           SELECT doc_id,
+                  list_transform(string_split(s,''),
+                                 c -> (ascii(c)::BIGINT * 2) % 256) AS codes
+           FROM q WHERE doc_id % 3 != 0
+         )
+         SELECT doc_id,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(256 AS INTEGER) AS n_samples,
+           CAST(list_sum(codes) // 256 AS INTEGER) AS mean_amp,
+           CAST(list_max(codes) AS INTEGER) AS peak,
+           CAST(list_sum(list_transform(codes, c -> (c-128)*(c-128))) // 256
+                AS BIGINT) AS rms_sq,
+           CAST(list_sum(list_transform(generate_series(1,255), i ->
+             CASE WHEN (codes[i] < 128) != (codes[i+1] < 128)
+                  THEN 1 ELSE 0 END)) AS INTEGER) AS crossings,
+           CAST(NULL AS VARCHAR) AS decode_error
+         FROM cz
+         UNION ALL
+         SELECT doc_id, CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
+           CAST(NULL AS INTEGER), CAST(NULL AS INTEGER), CAST(NULL AS BIGINT),
+           CAST(NULL AS INTEGER),
+           'malformed WAV: chunk ''data'' overruns the file'
+         FROM q WHERE doc_id % 3 = 0
+         ORDER BY doc_id""",
 
     // replica of the lenient video walk: every doc yields frames 0 and 1
     // (dense 8×8 hashes); frame 2's sparse 4×4 row appears only for clean

@@ -32,7 +32,8 @@ class PartitionInvarianceSpec extends SparkSpec {
     "mm_decode_errors",   // lenient decode error rows amid clean rows
     "mm_image_resize",    // decode -> integer box resize -> aHash
     "mm_video_sample",    // stride walk, skipped-frame offset arithmetic
-    "mm_video_errors")    // lenient prefix walk, error rows amid frames
+    "mm_video_errors",    // lenient prefix walk, error rows amid frames
+    "mm_audio_errors")    // lenient RIFF rejection amid clean decodes
 
   test("representative queries are invariant to shuffle.partitions in {1, 7}") {
     val key = "spark.sql.shuffle.partitions"
