@@ -667,6 +667,21 @@ object Dedup {
     * document-sized moves) with the exact bit_count verify in-task;
     * this is the classic Charikar/Manku-Jain-Sarma web-dedup shape.
     *
+    * Hot-cell safety: a boilerplate-heavy corpus makes some cells huge,
+    * and identical signatures (exact/near-exact duplicates — the common
+    * case for a hot bucket, which collide in EVERY band) would make a
+    * naive in-task verify O(m²) hamming compares per cell. The verify
+    * therefore collapses the cell to its DISTINCT signatures first:
+    * hamming runs over u distinct values (O(u²) for u ≤ m), within-
+    * signature (hd 0) pairs are enumerated from their band-0 cell ONLY
+    * (each pair reaches the dedup exchange once instead of `bands`
+    * times), and cross-signature doc pairs expand only for qualifying
+    * signature pairs. Per-cell cost drops to O(m log m + u² + output);
+    * the output itself is inherently quadratic in group sizes — that is
+    * the operator's all-pairs contract, and callers who only need
+    * components feed [[connectedComponents]] which never materializes
+    * within-group quadratic structure beyond these pairs.
+    *
     * Input: (doc_id, simhash). Output: (d1, d2, hd), sorted.
     */
   def simhashPairs(
@@ -693,19 +708,58 @@ object Dedup {
         }: _*)).as("cell"))
       .as[(Long, Long, Long)]
       .groupByKey(_._3)
-      .flatMapGroups { (_, it) =>
+      .flatMapGroups { (cellKey, it) =>
+        // sort by (sig, doc): identical signatures become runs, docs
+        // ascend within a run
         val members = it.map(t => (t._1, t._2)).toArray
-        java.util.Arrays.sort(members, Ordering.by((p: (Long, Long)) => p._1))
-        val out = Vector.newBuilder[(Long, Long, Int)]
+        java.util.Arrays.sort(members,
+          Ordering.by((p: (Long, Long)) => (p._2, p._1)))
+        // run boundaries: starts(k) .. starts(k+1) share signature sigs(k)
+        val starts = Vector.newBuilder[Int]
         var i = 0
         while (i < members.length) {
-          var j = i + 1
-          while (j < members.length) {
-            val hd = java.lang.Long.bitCount(members(i)._2 ^ members(j)._2)
-            if (hd <= maxHamming) out += ((members(i)._1, members(j)._1, hd))
-            j += 1
-          }
+          if (i == 0 || members(i)._2 != members(i - 1)._2) starts += i
           i += 1
+        }
+        val s = starts.result() :+ members.length
+        val mask = (1L << width) - 1
+        val out = Vector.newBuilder[(Long, Long, Int)]
+        var a = 0
+        while (a < s.length - 1) {
+          val sigA = members(s(a))._2
+          // within-signature (hd 0) pairs: identical sigs collide in all
+          // bands, so enumerate them from sig's band-0 cell only
+          if (cellKey == (sigA & mask)) {
+            var p = s(a)
+            while (p < s(a + 1)) {
+              var q = p + 1
+              while (q < s(a + 1)) {
+                out += ((members(p)._1, members(q)._1, 0))
+                q += 1
+              }
+              p += 1
+            }
+          }
+          // cross-signature: ONE hamming compare per distinct pair, doc
+          // pairs expand only when it qualifies
+          var b = a + 1
+          while (b < s.length - 1) {
+            val hd = java.lang.Long.bitCount(sigA ^ members(s(b))._2)
+            if (hd <= maxHamming) {
+              var p = s(a)
+              while (p < s(a + 1)) {
+                var q = s(b)
+                while (q < s(b + 1)) {
+                  val da = members(p)._1; val db = members(q)._1
+                  out += ((math.min(da, db), math.max(da, db), hd))
+                  q += 1
+                }
+                p += 1
+              }
+            }
+            b += 1
+          }
+          a += 1
         }
         out.result().iterator
       }

@@ -522,6 +522,37 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("simhashPairs: hot identical-signature cell collapses to distinct-sig compares") {
+    import spark.implicits._
+    // a boilerplate-shaped corpus: one signature shared by 60 docs (the
+    // hot bucket that collides in EVERY band), one near signature (hd 2),
+    // one far signature group, plus distinct noise — the collapsed verify
+    // must emit exactly the brute-force pair set: C(60,2) within-sig
+    // pairs once each, all 60×2 cross pairs to the near group, none to
+    // the far one
+    val hot = 0xA5A5_1234_5678_9L
+    val near = hot ^ 0x3L           // hd 2
+    val far = hot ^ 0x00FF_F000_0000_0L
+    val sigRows =
+      (0L until 60L).map(i => (i, hot)) ++
+        Seq((100L, near), (101L, near)) ++
+        (200L until 203L).map(i => (i, far)) ++
+        (300L until 320L).map(i => (i, hot + 0x10000L * (i - 299L)))
+    val signed = sigRows.toDF("doc_id", "simhash")
+    val got = Dedup.simhashPairs(signed, maxHamming = 3, bands = 16, bits = 64)
+      .as[(Long, Long, Int)].collect()
+    // no duplicate emission survives the dedup
+    assert(got.length === got.map(p => (p._1, p._2)).distinct.length)
+    val sigs = sigRows.toMap
+    val want = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      hd = java.lang.Long.bitCount(sigs(a) ^ sigs(b)) if hd <= 3
+    } yield (a, b, hd)).toSet
+    assert(got.toSet === want)
+    assert(want.count(p => p._3 == 0) === 60 * 59 / 2 + 1 + 3,
+      "C(60,2) hot pairs + the near-sig internal pair + C(3,2) far pairs")
+  }
+
   test("cosinePairs: distributed block join matches brute-force, no collect") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)
