@@ -136,34 +136,85 @@ object Bench {
     // (no python3, no duckdb module, parse error) yields an empty map and
     // the bench line simply omits per-query DuckDB numbers. A query whose
     // oracle errors reports -1 and is excluded from duckdb_total_sec.
+    //
+    // Timings are cached in target/duckdb_twin_cache.json keyed on
+    // (query name, sha256 of the oracle SQL, sfDir): only queries whose
+    // SQL changed since the last run are re-timed, so the twin costs ~0 s
+    // on an unchanged suite instead of ~80 s. SPARK_GRAFT_DUCKDB_FRESH=1
+    // ignores the cache (full re-time); SPARK_GRAFT_SKIP_DUCKDB=1 (alias
+    // of the older SPARK_GRAFT_NO_DUCKDB) skips the twin entirely for dev
+    // loops.
     val duck: Map[String, Double] =
-      if (sys.env.contains("SPARK_GRAFT_NO_DUCKDB")) Map.empty
+      if (sys.env.contains("SPARK_GRAFT_NO_DUCKDB") ||
+          sys.env.contains("SPARK_GRAFT_SKIP_DUCKDB")) Map.empty
       else scala.util.Try {
+        val numRe = "\"([^\"]+)\":\\s*([0-9.eE+-]+)".r
+        def sha(s: String): String = java.security.MessageDigest
+          .getInstance("SHA-256")
+          .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .map("%02x".format(_)).mkString
+        def cacheKey(n: String, sql: String) = s"$n|${sha(sql)}|$sfDir"
         val oracles = SparkEntry.oracleSql.toSeq.sortBy(_._1)
           .filter { case (n, _) => only.forall(_.contains(n)) }
-        val tmp = java.nio.file.Files.createTempFile("graft_oracle_sql", ".json")
-        java.nio.file.Files.writeString(tmp, oracles
-          .map { case (k, v) => s"${JsonEscape(k)}: ${JsonEscape(v)}" }
-          .mkString("{", ",", "}"))
-        // stderr must not backpressure the child: an undrained pipe fills
-        // at ~64KB and deadlocks both processes (Try can't catch a hang)
-        val proc = new ProcessBuilder(
-          "python3", "tools/bench_duckdb.py", sfDir, tmp.toString)
-          .redirectError(ProcessBuilder.Redirect.DISCARD)
-          .start()
-        val out = new String(proc.getInputStream.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8)
-        // a hung child must never stall the graded bench run: bounded wait,
-        // then kill (readAllBytes has already returned by EOF or kill)
-        val done = proc.waitFor(10, java.util.concurrent.TimeUnit.MINUTES)
-        if (!done) proc.destroyForcibly()
-        java.nio.file.Files.deleteIfExists(tmp)
-        require(done && proc.exitValue() == 0,
-          s"bench_duckdb.py ${if (done) s"exited ${proc.exitValue()}" else "timed out"}")
-        // the char class must admit '-' INSIDE the number too: json.dumps
-        // emits sub-1e-4 timings as scientific notation ("8.3e-05")
-        "\"([^\"]+)\":\\s*([0-9.eE+-]+)".r.findAllMatchIn(out)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        val cachePath = java.nio.file.Paths.get("target/duckdb_twin_cache.json")
+        val cached: Map[String, Double] =
+          if (sys.env.contains("SPARK_GRAFT_DUCKDB_FRESH") ||
+              !java.nio.file.Files.exists(cachePath)) Map.empty
+          else scala.util.Try {
+            numRe.findAllMatchIn(java.nio.file.Files.readString(cachePath))
+              .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          }.getOrElse(Map.empty)
+        val (hit, miss) =
+          oracles.partition { case (n, sql) => cached.contains(cacheKey(n, sql)) }
+        val timedMiss: Map[String, Double] = if (miss.isEmpty) Map.empty else {
+          val tmp = java.nio.file.Files.createTempFile("graft_oracle_sql", ".json")
+          java.nio.file.Files.writeString(tmp, miss
+            .map { case (k, v) => s"${JsonEscape(k)}: ${JsonEscape(v)}" }
+            .mkString("{", ",", "}"))
+          // stderr must not backpressure the child: an undrained pipe fills
+          // at ~64KB and deadlocks both processes (Try can't catch a hang)
+          val proc = new ProcessBuilder(
+            "python3", "tools/bench_duckdb.py", sfDir, tmp.toString)
+            .redirectError(ProcessBuilder.Redirect.DISCARD)
+            .start()
+          // a hung child must never stall the graded bench run — and the
+          // bound has to be ARMED BEFORE readAllBytes (a blocked read would
+          // otherwise prevent ever reaching waitFor): a daemon watchdog
+          // kills the child at 10 min, which closes its stdout and
+          // unblocks the read
+          @volatile var killed = false
+          val watchdog = new Thread(() => {
+            if (!proc.waitFor(10, java.util.concurrent.TimeUnit.MINUTES)) {
+              killed = true
+              proc.destroyForcibly()
+            }
+          }, "bench-duckdb-watchdog")
+          watchdog.setDaemon(true)
+          watchdog.start()
+          val out = new String(proc.getInputStream.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8)
+          proc.waitFor() // stdout already at EOF: exits promptly or was killed
+          java.nio.file.Files.deleteIfExists(tmp)
+          require(!killed && proc.exitValue() == 0,
+            s"bench_duckdb.py ${if (killed) "timed out" else s"exited ${proc.exitValue()}"}")
+          // the char class must admit '-' INSIDE the number too: json.dumps
+          // emits sub-1e-4 timings as scientific notation ("8.3e-05")
+          numRe.findAllMatchIn(out)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
+        // write back the merged cache (stale keys pruned to the current
+        // suite so renamed/retired queries don't accumulate forever)
+        scala.util.Try {
+          val merged = oracles.flatMap { case (n, sql) =>
+            timedMiss.get(n).orElse(cached.get(cacheKey(n, sql)))
+              .map(cacheKey(n, sql) -> _)
+          }
+          java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
+          java.nio.file.Files.writeString(cachePath, merged
+            .map { case (k, v) => s"${JsonEscape(k)}: $v" }
+            .mkString("{", ",", "}") + "\n")
+        }
+        hit.map { case (n, sql) => n -> cached(cacheKey(n, sql)) }.toMap ++ timedMiss
       }.getOrElse(Map.empty)
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -683,91 +683,10 @@ object Multimodal {
     }
   }
 
-  /** Frame sampling as a 1→N generator over the payload column — the
-    * video-pipeline shape (decode only every `stride`-th frame) with the
-    * whole plumbing in oracle-matchable column expressions: frames are
-    * `frameSize`-char windows, every `stride`-th full frame explodes to a
-    * row carrying its offset and a polynomial fingerprint (the stub for
-    * per-frame decode output). Scale shape: map-side explode, no shuffle
-    * until the caller aggregates.
-    */
-  def frameSample(
-      docs: DataFrame,
-      idCol: String,
-      payloadCol: String,
-      frameSize: Int,
-      stride: Int): DataFrame = {
-    require(frameSize > 0 && stride > 0)
-    docs.select(
-        col(idCol).as("doc_id"),
-        col(payloadCol).as("t"),
-        floor(length(col(payloadCol)) / frameSize).cast("int").as("n_frames"))
-      .where(col("n_frames") > 0)
-      .select(col("doc_id"), col("t"),
-        explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
-      .select(
-        col("doc_id"),
-        col("frame_idx"),
-        (col("frame_idx") * frameSize).cast("int").as("frame_off"),
-        graft.text.TextOps.polyHash(
-          expr(s"substring(t, frame_idx * $frameSize + 1, $frameSize)")).as("frame_fp"))
-      .orderBy("doc_id", "frame_idx")
-  }
-
-  /** Perceptual-hash STUB over the payload: a real implementation hashes
-    * decoded image/audio features; the deterministic fake frames the
-    * payload (`frameSize`-char windows, full frames only) and majority-
-    * votes each frame's two polynomial fingerprints into a 60-bit
-    * signature — the same simhash vote rule as [[graft.text.Dedup.simhash]]
-    * but with FRAMES as the feature unit, so payloads sharing most frames
-    * land within a small hamming distance. Swap the frame fingerprint for
-    * codec output and the near-dup machinery downstream is unchanged.
-    */
-  def phash(payload: Column, frameSize: Int): Column = {
-    require(frameSize > 0)
-    val udfImpl = udf { (s: String) =>
-      val nFrames = s.length / frameSize
-      val votes = new Array[Int](60)
-      var f = 0
-      while (f < nFrames) {
-        var h1 = 0L
-        var h2 = 0L
-        var i = f * frameSize
-        val end = i + frameSize
-        while (i < end) {
-          val c = s.charAt(i).toLong
-          h1 = (h1 * 31 + c) % 1000000007L
-          h2 = (h2 * 131 + c) % 1000000007L
-          i += 1
-        }
-        var b = 0
-        while (b < 30) {
-          votes(b) += (if (((h1 >> b) & 1L) == 1L) 1 else -1)
-          votes(b + 30) += (if (((h2 >> b) & 1L) == 1L) 1 else -1)
-          b += 1
-        }
-        f += 1
-      }
-      var sig = 0L
-      var b = 0
-      while (b < 60) {
-        if (votes(b) > 0) sig |= (1L << b)
-        b += 1
-      }
-      sig
-    }
-    udfImpl(payload)
-  }
-
-  /** Payload-level stats as pure column expressions (oracle-matchable):
-    * byte length of the UTF-8 payload, frame count at a fixed frame size,
-    * and the polynomial checksum of the text form.
-    */
-  def payloadStats(docs: DataFrame, idCol: String, textCol: String, frameSize: Int): DataFrame =
-    docs.select(
-      col(idCol).as("doc_id"),
-      octet_length(col(textCol)).as("payload_len"),
-      floor(octet_length(col(textCol)) / frameSize).cast("int").as("n_frames"),
-      graft.text.TextOps.polyHash(col(textCol)).as("checksum"))
-      .orderBy("doc_id")
+  // The r8-era stub tier (frameSample / phash / payloadStats — synthetic
+  // frame fingerprints over the TEXT column) was retired in r10: the real
+  // decode tier above (decodePpm/decodeWavPcm8/decodeFrames/sampleFrames +
+  // imageAHash/clipSignature) proves the same Spark-side plumbing on
+  // actual byte walks, and its gate queries (mm_image_decode,
+  // mm_video_sample, mm_image_neardup, …) carry full hash oracles.
 }

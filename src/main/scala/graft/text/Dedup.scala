@@ -121,75 +121,287 @@ object Dedup {
     docs.select(col(idCol).as("doc_id"), hashShinglesUdf(k)(col(textCol)).as("hs"))
       .select(col("doc_id"), col("hs"), size(col("hs")).as("n"))
 
-  /** EXACT Jaccard near-dup pairs over hashed shingle sets via the
-    * inverted index: explode (doc_id, hash), self-join on the hash,
-    * count matches per pair (= |A∩B|), then the Jaccard threshold on
-    * |A∩B| / (n1 + n2 − |A∩B|). Output: (d1, d2, inter, j) with d1 < d2,
-    * j >= threshold, sorted.
-    *
-    * Scale shape: every shuffled row is (long, long) — the shingle hash
-    * and a doc id — so the self-join and the pair-count aggregation move
-    * a few bytes per posting regardless of document size; AQE splits hot
-    * shingle keys. For corpora with pathological boilerplate (single
-    * shingles shared by millions of docs, where the join output grows as
-    * Σ c_s²) the prefix-filtered [[jaccardPairsPrefix]] bounds the blowup;
-    * tests pin the two paths equal.
-    *
-    * The input is consumed in a SINGLE pass (sizes ride the postings), so
-    * nothing is persisted here — no cached block outlives the call.
-    * Multi-consumer pipelines persist at the seam instead ([[pairTable]]).
+  /** Default per-task group-membership cap for the banded/posting pair
+    * generators: a grid cell or posting group larger than this is split by
+    * [[gridTagged]] salting, so no task's buffered member array exceeds
+    * ~4× this count (≈ a few tens of MB of heap) regardless of corpus
+    * skew. The working bound is ENFORCED by a `require` inside every
+    * group emitter — a sampling miss fails loud instead of OOMing an
+    * executor.
     */
-  def jaccardPairsHashed(hashed: DataFrame, threshold: Double): DataFrame = {
+  private[text] val DefaultGroupCap: Int = 1 << 18
+
+  /** Default id-hash sampling modulus for [[hotKeys]] (1/64 ≈ 1.6% of
+    * docs). A group at the cap (2^18 docs) appears ~4096 times in the
+    * sample vs a flag threshold of 2048 — the Chernoff miss probability
+    * is e^(−512)-scale, i.e. a genuinely hot key is never missed; keys
+    * flagged spuriously just get salted unnecessarily, which cannot
+    * affect output (hotness steers PARTITIONING only).
+    */
+  private[text] val DefaultSampleMod: Int = 64
+
+  /** Estimated hot keys — (keyCol, blocks) for every group whose
+    * membership exceeds ~cap/2 — from a DETERMINISTIC id-hash sample
+    * (`xxhash64(docCol) % sampleMod == 0`, so the estimate is stable
+    * across partition layouts and the predicate pushes below any
+    * shingle/signature UDF in `rows`' lineage: the sampled pass computes
+    * signatures for 1/sampleMod of the docs, not all of them).
+    * `sampleMod <= 1` counts exactly (used by spec fixtures and by
+    * sig-level callers whose input is already small).
+    *
+    * blocks = ceil(estimated count / cap), min 2 — the grid arm count
+    * for [[gridTagged]].
+    */
+  private[text] def hotKeys(
+      rows: DataFrame, keyCol: String, docCol: String,
+      cap: Int, sampleMod: Int): DataFrame = {
+    val sampled =
+      if (sampleMod <= 1) rows
+      else rows.where(pmod(xxhash64(col(docCol)), lit(sampleMod.toLong)) === 0)
+    val thresh =
+      if (sampleMod <= 1) cap.toLong
+      else math.max(1L, cap.toLong / (2L * sampleMod))
+    sampled.groupBy(keyCol).agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") > thresh)
+      .select(col(keyCol),
+        greatest(lit(2L),
+          ceil(col("cnt") * lit(sampleMod.toLong) / lit(cap.toDouble)))
+          .cast("int").as("blocks"))
+  }
+
+  /** Triangle block-grid salting of hot groups (same shape as the cosine
+    * near-dup block grid, `ann/Ann.scala`): a member of a hot key is
+    * assigned block `b = xxhash64(blockBy) % blocks` and replicated to the
+    * `blocks` grid cells `(min(b,k), max(b,k))`; a DIAGONAL cell (ci==cj)
+    * pairs within its single block, an OFF-DIAGONAL cell pairs strictly
+    * ACROSS its two blocks — every unordered member pair meets in exactly
+    * one cell, each task holds at most ~2 blocks ≈ 2·cap members, and the
+    * quadratic pair work of a hot key spreads over blocks·(blocks+1)/2
+    * tasks instead of one straggler. Non-hot keys (the overwhelming
+    * majority) take `blocks = 1`: a single diagonal cell, one copy, same
+    * single-shuffle cost as the unsalted form, since `hot` is a
+    * broadcast join (its size is bounded by Σc/(cap/2) entries — tiny
+    * whenever the job is feasible at all).
+    *
+    * Adds (gblk, gci, gcj) to `rows`; the caller groups by
+    * (keyCol, gci, gcj) and splits members by gblk.
+    */
+  private[text] def gridTagged(
+      rows: DataFrame, keyCol: String, blockBy: String, hot: DataFrame): DataFrame =
+    rows.join(broadcast(hot), Seq(keyCol), "left")
+      .withColumn("gb", coalesce(col("blocks"), lit(1)))
+      .withColumn("gblk", pmod(xxhash64(col(blockBy)), col("gb").cast("long")).cast("int"))
+      .withColumn("gk", explode(sequence(lit(0), col("gb") - lit(1))))
+      .withColumn("gci", least(col("gblk"), col("gk")).cast("int"))
+      .withColumn("gcj", greatest(col("gblk"), col("gk")).cast("int"))
+      .drop("blocks", "gb", "gk")
+
+  /** The executable form of the per-task memory bound: group emitters call
+    * this before buffering; a membership beyond the salted-grid working
+    * bound (sampling missed a hot key — Chernoff-improbable, see
+    * [[DefaultSampleMod]]) fails loud instead of OOMing an executor.
+    */
+  private def requireBounded(m: Int, cap: Int): Unit =
+    require(m <= 4L * cap + 1024,
+      s"pair-group membership $m exceeds the salted working bound (cap=$cap); " +
+        "lower sampleMod (more sampling) or cap — a hot key escaped detection")
+
+  /** Lazy cross-block pair emitter for (doc, n, isNew) members: pairs each
+    * element of `a` with each of `b` (never within a side — diagonal cells
+    * own those), canonically oriented d1 < d2, skipping old×old pairs IN
+    * PLACE (nothing is generated then filtered, and nothing quadratic is
+    * ever buffered).
+    */
+  private[text] def crossPairs(
+      a: Array[(Long, Long, Boolean)],
+      b: Array[(Long, Long, Boolean)]): Iterator[(Long, Long, Long, Long)] =
+    if (a.isEmpty || b.isEmpty) Iterator.empty
+    else new Iterator[(Long, Long, Long, Long)] {
+      private var i = 0
+      private var j = 0
+      private def ok: Boolean = a(i)._3 || b(j)._3
+      private def step(): Unit = { j += 1; if (j >= b.length) { j = 0; i += 1 } }
+      private def advance(): Unit = while (i < a.length && !ok) step()
+      advance()
+      def hasNext: Boolean = i < a.length
+      def next(): (Long, Long, Long, Long) = {
+        val (da, na, _) = a(i)
+        val (db, nb, _) = b(j)
+        val p = if (da < db) (da, na, db, nb) else (db, nb, da, na)
+        step(); advance()
+        p
+      }
+    }
+
+  /** Lazy i<j pair walk over sorted ids — nothing quadratic materializes
+    * in the task; downstream exchanges consume pairs as they stream out.
+    */
+  private[text] def idPairsWithin(ids: Array[Long]): Iterator[(Long, Long)] =
+    new Iterator[(Long, Long)] {
+      private var i = 0
+      private var j = 1
+      def hasNext: Boolean = i < ids.length - 1
+      def next(): (Long, Long) = {
+        val p = (ids(i), ids(j))
+        j += 1
+        if (j >= ids.length) { i += 1; j = i + 1 }
+        p
+      }
+    }
+
+  /** Lazy cross-block id-pair emitter (off-diagonal grid cells): each a×b
+    * pair once, canonically oriented (min, max), nothing buffered.
+    */
+  private[text] def idPairsAcross(a: Array[Long], b: Array[Long]): Iterator[(Long, Long)] =
+    if (a.isEmpty || b.isEmpty) Iterator.empty
+    else new Iterator[(Long, Long)] {
+      private var i = 0
+      private var j = 0
+      def hasNext: Boolean = i < a.length
+      def next(): (Long, Long) = {
+        val x = a(i); val y = b(j)
+        j += 1
+        if (j >= b.length) { j = 0; i += 1 }
+        (math.min(x, y), math.max(x, y))
+      }
+    }
+
+  /** Lazy qualifying-hamming pair walk over one block's distinct
+    * signatures: every i<j pair with 1 <= popcount(xor) <= maxH, emitted
+    * (min sig, max sig, hd) with non-qualifying pairs skipped IN PLACE.
+    */
+  private[text] def hammingPairsWithin(
+      s: Array[Long], maxH: Int): Iterator[(Long, Long, Int)] =
+    new Iterator[(Long, Long, Int)] {
+      private var i = 0
+      private var j = 1
+      private def ok: Boolean = java.lang.Long.bitCount(s(i) ^ s(j)) <= maxH
+      private def step(): Unit = { j += 1; if (j >= s.length) { i += 1; j = i + 1 } }
+      private def advance(): Unit = while (i < s.length - 1 && !ok) step()
+      advance()
+      def hasNext: Boolean = i < s.length - 1
+      def next(): (Long, Long, Int) = {
+        val hd = java.lang.Long.bitCount(s(i) ^ s(j))
+        val p = (math.min(s(i), s(j)), math.max(s(i), s(j)), hd)
+        step(); advance()
+        p
+      }
+    }
+
+  /** [[hammingPairsWithin]] across two blocks of an off-diagonal grid
+    * cell — pairs strictly between `a` and `b`.
+    */
+  private[text] def hammingPairsAcross(
+      a: Array[Long], b: Array[Long], maxH: Int): Iterator[(Long, Long, Int)] =
+    if (a.isEmpty || b.isEmpty) Iterator.empty
+    else new Iterator[(Long, Long, Int)] {
+      private var i = 0
+      private var j = 0
+      private def ok: Boolean = java.lang.Long.bitCount(a(i) ^ b(j)) <= maxH
+      private def step(): Unit = { j += 1; if (j >= b.length) { j = 0; i += 1 } }
+      private def advance(): Unit = while (i < a.length && !ok) step()
+      advance()
+      def hasNext: Boolean = i < a.length
+      def next(): (Long, Long, Int) = {
+        val hd = java.lang.Long.bitCount(a(i) ^ b(j))
+        val p = (math.min(a(i), b(j)), math.max(a(i), b(j)), hd)
+        step(); advance()
+        p
+      }
+    }
+
+  /** Shared posting-list pair counting behind [[jaccardPairsHashed]] and
+    * [[jaccardPairsIncremental]]: explode postings, salt hot shingles
+    * ([[hotKeys]] + [[gridTagged]]), emit per-cell pairs lazily, count
+    * (d1, d2) co-occurrences map-side-combined. `isNew = None` treats
+    * every doc as new (all pairs emitted).
+    */
+  private def jaccardPairRows(
+      hashed: DataFrame, isNew: Option[Column],
+      cap: Int, sampleMod: Int): DataFrame = {
     val spark = hashed.sparkSession
     import spark.implicits._
-    // posting-list pair generation: ONE shuffle of Σc (shingle, doc) rows
-    // into per-shingle groups, pairs emitted in-task in sorted-id order,
-    // then map-side-combined (d1, d2) counts — vs the posting SELF-JOIN,
-    // which shuffles both copies and feeds the raw Σc² join output into
-    // the count exchange (measured 1.6× slower at sf0.1). Per-key
-    // concentration is the same in both forms (a join partitions by the
-    // shingle too); a boilerplate shingle shared by millions of docs
-    // needs [[jaccardPairsPrefix]] either way.
-    //
-    // Each posting CARRIES its document's shingle count: the pair rows
-    // arrive at the count exchange as (d1, n1, d2, n2), so the Jaccard
-    // denominator needs no size-lookup joins afterwards — two fewer
-    // stages, and the input is consumed in a single pass (no persist to
-    // leak). The n columns ride the groupBy key at +16 bytes per DISTINCT
-    // pair (n is functionally dependent on the id, so the group count is
-    // unchanged).
-    val pairs = hashed
-      .select(col("doc_id"), col("n").cast("long").as("n"), explode(col("hs")).as("s"))
-      .as[(Long, Long, Long)]
-      .groupByKey(_._3)
-      .flatMapGroups { (_, it) =>
-        val members = it.map(t => (t._1, t._2)).toArray
-        java.util.Arrays.sort(members, Ordering.by[(Long, Long), Long](_._1))
-        new Iterator[(Long, Long, Long, Long)] {
-          private var i = 0
-          private var j = 1
-          def hasNext: Boolean = i < members.length - 1
-          def next(): (Long, Long, Long, Long) = {
-            val p = (members(i)._1, members(i)._2, members(j)._1, members(j)._2)
-            j += 1
-            if (j >= members.length) { i += 1; j = i + 1 }
-            p
+    val postings = hashed.select(
+      col("doc_id"), col("n").cast("long").as("n"),
+      isNew.map(_.cast("boolean")).getOrElse(lit(true)).as("is_new"),
+      explode(col("hs")).as("s"))
+    val tagged = gridTagged(postings, "s", "doc_id",
+      hotKeys(postings, "s", "doc_id", cap, sampleMod))
+    val capL = cap
+    tagged
+      .select(col("s"), col("gci"), col("gcj"), col("gblk"),
+        col("doc_id"), col("n"), col("is_new"))
+      .as[(Long, Int, Int, Int, Long, Long, Boolean)]
+      .groupByKey(t => (t._1, t._2, t._3))
+      .flatMapGroups { (key, it) =>
+        val (_, ci, cj) = key
+        if (ci == cj) {
+          val members = it.map(t => (t._5, t._6, t._7)).toArray
+          requireBounded(members.length, capL)
+          java.util.Arrays.sort(members,
+            Ordering.by[(Long, Long, Boolean), Long](_._1))
+          incrementalPairs(members)
+        } else {
+          val aB = Array.newBuilder[(Long, Long, Boolean)]
+          val bB = Array.newBuilder[(Long, Long, Boolean)]
+          var m = 0
+          it.foreach { t =>
+            if (t._4 == ci) aB += ((t._5, t._6, t._7)) else bB += ((t._5, t._6, t._7))
+            m += 1
           }
+          requireBounded(m, capL)
+          crossPairs(aB.result(), bB.result())
         }
       }
       .toDF("d1", "n1", "d2", "n2")
       .groupBy("d1", "d2", "n1", "n2").agg(count(lit(1)).as("inter"))
+  }
+
+  /** The shared Jaccard threshold tail: threshold on the RAW ratio (same
+    * predicate as the oracle), then tie-proof floor-form 6dp rounding for
+    * display — IEEE-identical in both engines, unlike decimal HALF_UP vs
+    * double ROUND on exact .0000005 ties (reachable: j is a
+    * small-integer rational).
+    */
+  private def jaccardThreshold(pairs: DataFrame, threshold: Double): DataFrame =
     pairs
-      // threshold on the RAW ratio (same predicate as the oracle), then
-      // tie-proof floor-form 6dp rounding for display — IEEE-identical
-      // in both engines, unlike decimal HALF_UP vs double ROUND on
-      // exact .0000005 ties (reachable: j is a small-integer rational)
       .withColumn("jraw", col("inter") / (col("n1") + col("n2") - col("inter")))
       .where(col("jraw") >= threshold)
       .withColumn("j", floor(col("jraw") * 1000000.0 + 0.5) / 1000000.0)
       .select("d1", "d2", "inter", "j")
       .orderBy("d1", "d2")
-  }
+
+  /** EXACT Jaccard near-dup pairs over hashed shingle sets via the
+    * inverted index: explode (doc_id, hash), group postings per shingle,
+    * count pair matches (= |A∩B|), then the Jaccard threshold on
+    * |A∩B| / (n1 + n2 − |A∩B|). Output: (d1, d2, inter, j) with d1 < d2,
+    * j >= threshold, sorted.
+    *
+    * Scale shape: every shuffled row is (long, long) — the shingle hash
+    * and a doc id — so posting grouping and the pair-count aggregation
+    * move a few bytes per posting regardless of document size. Pairs are
+    * emitted by LAZY iterators (nothing quadratic is ever buffered in a
+    * task), and hot shingles — boilerplate shared by ≫`cap` docs — are
+    * split across a triangle block grid ([[gridTagged]]) so per-task
+    * member arrays stay under ~4·cap (`requireBounded`) and a hot key's
+    * quadratic pair work parallelizes instead of pinning one straggler
+    * task. Hot detection is a deterministic 1/sampleMod id-hash sample
+    * ([[hotKeys]]): one cheap extra aggregation whose misclassification
+    * can only change partitioning, never output. For corpora where even
+    * the pair OUTPUT of boilerplate blows up (Σ c_s²), the
+    * prefix-filtered [[jaccardPairsPrefix]] / [[jaccardPairsPrefixDf]]
+    * bound candidate generation itself; tests pin all paths equal.
+    *
+    * Each posting CARRIES its document's shingle count: the pair rows
+    * arrive at the count exchange as (d1, n1, d2, n2), so the Jaccard
+    * denominator needs no size-lookup joins afterwards — two fewer
+    * stages. Nothing is persisted here — no cached block outlives the
+    * call; multi-consumer pipelines persist at the seam ([[pairTable]]).
+    */
+  def jaccardPairsHashed(
+      hashed: DataFrame, threshold: Double,
+      cap: Int = DefaultGroupCap, sampleMod: Int = DefaultSampleMod): DataFrame =
+    jaccardThreshold(jaccardPairRows(hashed, None, cap, sampleMod), threshold)
 
   /** Incremental near-dup pairs: exactly the [[jaccardPairsHashed]] pairs
     * that TOUCH a new-batch document (`isNew`), computed without pairing
@@ -208,28 +420,10 @@ object Dedup {
   def jaccardPairsIncremental(
       hashed: DataFrame,
       isNew: Column,
-      threshold: Double): DataFrame = {
-    val spark = hashed.sparkSession
-    import spark.implicits._
-    val pairs = hashed
-      .select(col("doc_id"), col("n").cast("long").as("n"),
-        isNew.cast("boolean").as("is_new"), explode(col("hs")).as("s"))
-      .as[(Long, Long, Boolean, Long)]
-      .groupByKey(_._4)
-      .flatMapGroups { (_, it) =>
-        val members = it.map(t => (t._1, t._2, t._3)).toArray
-        java.util.Arrays.sort(members, Ordering.by[(Long, Long, Boolean), Long](_._1))
-        incrementalPairs(members)
-      }
-      .toDF("d1", "n1", "d2", "n2")
-      .groupBy("d1", "d2", "n1", "n2").agg(count(lit(1)).as("inter"))
-    pairs
-      .withColumn("jraw", col("inter") / (col("n1") + col("n2") - col("inter")))
-      .where(col("jraw") >= threshold)
-      .withColumn("j", floor(col("jraw") * 1000000.0 + 0.5) / 1000000.0)
-      .select("d1", "d2", "inter", "j")
-      .orderBy("d1", "d2")
-  }
+      threshold: Double,
+      cap: Int = DefaultGroupCap,
+      sampleMod: Int = DefaultSampleMod): DataFrame =
+    jaccardThreshold(jaccardPairRows(hashed, Some(isNew), cap, sampleMod), threshold)
 
   /** The incremental per-group pair emitter: a LAZY two-index walk over the
     * id-sorted members (same shape as jaccardPairsHashed's) that skips
@@ -529,7 +723,9 @@ object Dedup {
       shingled: DataFrame,
       threshold: Double,
       numHashes: Int = 32,
-      bands: Int = 16): DataFrame = {
+      bands: Int = 16,
+      cap: Int = DefaultGroupCap,
+      sampleMod: Int = DefaultSampleMod): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     // NOT persisted (library calls must not leak cached blocks past their
@@ -542,30 +738,54 @@ object Dedup {
     // so the bucket grouping shuffles a few ints per row, not documents
     val sig = sh.select(col("doc_id"), minhashSignature(col("shingles"), numHashes).as("sig"))
     // posting-list candidate generation (see jaccardPairsHashed): one
-    // shuffle of (bucket, doc) rows into per-bucket groups, sorted-id
-    // pairs emitted in-task — no banded self-join, no raw pair explosion
-    // into the dedup exchange
+    // shuffle of (bucket, doc) rows into per-bucket groups, pairs emitted
+    // in-task by LAZY iterators — no banded self-join, no raw pair
+    // explosion into the dedup exchange, nothing quadratic buffered on a
+    // task's heap. Hot buckets (an all-identical boilerplate corpus puts
+    // its whole duplicate class in one bucket per band) are split across
+    // the triangle block grid ([[gridTagged]]), bounding per-task member
+    // arrays at ~4·cap and spreading the bucket's quadratic candidate
+    // work over blocks·(blocks+1)/2 tasks.
     val spark = shingled.sparkSession
     import spark.implicits._
-    val candidates = sig.select(
+    // the banded bucket VALUE is folded to a 64-bit key before anything
+    // shuffles (8 bytes/row instead of a ~40-char string): a hash
+    // collision merely MERGES two buckets, which can only add candidate
+    // pairs that exact verification then rejects — output is unaffected,
+    // so the narrow key is free
+    val bucketRows = sig.select(
         explode(array((0 until bands).map { b =>
           concat_ws("_", lit(b) +:
             (0 until r).map(i => element_at(col("sig"), b * r + i + 1)): _*)
-        }: _*)).as("bucket"),
+        }: _*)).as("bucket_s"),
         col("doc_id"))
-      .as[(String, Long)]
-      .groupByKey(_._1)
-      .flatMapGroups { (_, it) =>
-        val ids = it.map(_._2).toArray
-        java.util.Arrays.sort(ids)
-        val out = Vector.newBuilder[(Long, Long)]
-        var i = 0
-        while (i < ids.length) {
-          var j = i + 1
-          while (j < ids.length) { out += ((ids(i), ids(j))); j += 1 }
-          i += 1
+      .select(xxhash64(col("bucket_s")).as("bucket"), col("doc_id"))
+    val capL = cap
+    val candidates = gridTagged(bucketRows, "bucket", "doc_id",
+        hotKeys(bucketRows, "bucket", "doc_id", cap, sampleMod))
+      .select(col("bucket"), col("gci"), col("gcj"), col("gblk"), col("doc_id"))
+      .as[(Long, Int, Int, Int, Long)]
+      .groupByKey(t => (t._1, t._2, t._3))
+      .flatMapGroups { (key, it) =>
+        val (_, ci, cj) = key
+        if (ci == cj) {
+          val idsB = new scala.collection.mutable.ArrayBuilder.ofLong
+          it.foreach(t => idsB += t._5)
+          val ids = idsB.result()
+          requireBounded(ids.length, capL)
+          java.util.Arrays.sort(ids)
+          idPairsWithin(ids)
+        } else {
+          val aB = new scala.collection.mutable.ArrayBuilder.ofLong
+          val bB = new scala.collection.mutable.ArrayBuilder.ofLong
+          var m = 0
+          it.foreach { t =>
+            if (t._4 == ci) aB += t._5 else bB += t._5
+            m += 1
+          }
+          requireBounded(m, capL)
+          idPairsAcross(aB.result(), bB.result())
         }
-        out.result().iterator
       }
       .toDF("d1", "d2")
       .dropDuplicates("d1", "d2")
@@ -662,110 +882,108 @@ object Dedup {
     * banding — split the `bits`-bit signature into `bands` contiguous
     * bands; a pair differing in <= maxHamming bits has at least
     * `bands − maxHamming` bands untouched, so with `bands > maxHamming`
-    * every qualifying pair collides on an exact band value. Candidates
-    * generate per band CELL (shuffle keys are band-tagged ints — nothing
-    * document-sized moves) with the exact bit_count verify in-task;
-    * this is the classic Charikar/Manku-Jain-Sarma web-dedup shape.
+    * every qualifying pair collides on an exact band value (the classic
+    * Charikar/Manku-Jain-Sarma web-dedup shape).
     *
-    * Hot-cell safety: a boilerplate-heavy corpus makes some cells huge,
-    * and identical signatures (exact/near-exact duplicates — the common
-    * case for a hot bucket, which collide in EVERY band) would make a
-    * naive in-task verify O(m²) hamming compares per cell. The verify
-    * therefore collapses the cell to its DISTINCT signatures first:
-    * hamming runs over u distinct values (O(u²) for u ≤ m), within-
-    * signature (hd 0) pairs are enumerated from their band-0 cell ONLY
-    * (each pair reaches the dedup exchange once instead of `bands`
-    * times), and cross-signature doc pairs expand only for qualifying
-    * signature pairs. Per-cell cost drops to O(m log m + u² + output);
-    * the output itself is inherently quadratic in group sizes — that is
-    * the operator's all-pairs contract, and callers who only need
-    * components feed [[connectedComponents]] which never materializes
-    * within-group quadratic structure beyond these pairs.
+    * Execution decomposes at the SIGNATURE level, so no task ever holds a
+    * cell's documents:
     *
-    * Input: (doc_id, simhash). Output: (d1, d2, hd), sorted.
+    *  1. Banding runs over DISTINCT signatures only. A cell's members are
+    *     u distinct 8-byte sigs (compact primitive arrays), compared
+    *     in-task with lazy emitters ([[hammingPairsWithin]]/`Across` —
+    *     nothing quadratic buffered); cells beyond `cellCap` distinct
+    *     sigs split across the triangle block grid ([[gridTagged]], exact
+    *     counting — the input is already the small sig-level set), and
+    *     `requireBounded` makes the per-task bound executable. Qualifying
+    *     (sa, sb, hd) SIG pairs dedup across bands at sig scale — the
+    *     former doc-level dropDuplicates exchange (quadratic in group
+    *     sizes, ×bands duplicated) is gone entirely.
+    *  2. Within-signature (hd 0) doc pairs — the boilerplate hot case,
+    *     where millions of docs share one signature — come from a plain
+    *     self-equi-join on the signature: Spark's join buffers groups in
+    *     spillable UnsafeRow arrays, so a multi-million-doc duplicate
+    *     class streams through disk instead of a task's heap
+    *     (spec: planted 2M-doc single-signature corpus).
+    *  3. Cross-signature doc pairs expand by joining the qualifying sig
+    *     pairs back to (doc, sig) — again spill-safe joins, with AQE free
+    *     to broadcast the (typically tiny) sig-pair side.
+    *
+    * The pair OUTPUT is inherently quadratic in duplicate-class sizes —
+    * the operator's all-pairs contract. Callers that only need clusters
+    * feed [[connectedComponents]]; `sorted = false` skips the final
+    * global sort so such consumers stream pairs without a
+    * TakeOrdered/Sort barrier.
+    *
+    * Input: (doc_id, simhash). Output: (d1, d2, hd), sorted unless
+    * `sorted = false`.
     */
   def simhashPairs(
       signed: DataFrame,
       maxHamming: Int,
       bands: Int = 4,
-      bits: Int = 60): DataFrame = {
+      bits: Int = 60,
+      cellCap: Int = DefaultGroupCap,
+      sorted: Boolean = true): DataFrame = {
     require(bands > maxHamming, "pigeonhole guarantee needs bands > maxHamming")
     require(bits % bands == 0, "bands must divide bits")
     val spark = signed.sparkSession
     import spark.implicits._
     val width = bits / bands
-    // posting-list form (see jaccardPairsHashed): ONE shuffle of the
-    // bands×n (cell, doc, sig) rows into per-cell groups; the hamming
-    // verify runs in-task over the cell's member array, so only
-    // qualifying pairs reach the cross-band dedup shuffle. The banded
-    // SELF-join shape shuffled both copies and materialized the raw
-    // per-cell pair explosion into the dedup exchange.
-    signed.select(col("doc_id"), col("simhash"),
-        explode(array((0 until bands).map { b =>
-          (lit(b.toLong) * lit(1L << width)) +
-            shiftrightunsigned(col("simhash"), b * width)
-              .bitwiseAND(lit((1L << width) - 1))
-        }: _*)).as("cell"))
-      .as[(Long, Long, Long)]
-      .groupByKey(_._3)
-      .flatMapGroups { (cellKey, it) =>
-        // sort by (sig, doc): identical signatures become runs, docs
-        // ascend within a run
-        val members = it.map(t => (t._1, t._2)).toArray
-        java.util.Arrays.sort(members,
-          Ordering.by((p: (Long, Long)) => (p._2, p._1)))
-        // run boundaries: starts(k) .. starts(k+1) share signature sigs(k)
-        val starts = Vector.newBuilder[Int]
-        var i = 0
-        while (i < members.length) {
-          if (i == 0 || members(i)._2 != members(i - 1)._2) starts += i
-          i += 1
+    // identical projection shape on every consumer of `signed` below
+    // (doc first, sig second) so the sig-keyed exchanges canonicalize
+    // equal and ReusedExchange computes the signature lineage once
+    val docSig = signed.select(col("doc_id"), col("simhash"))
+
+    // [1] qualifying signature pairs over the distinct-sig banding
+    val sigs = signed.select(col("simhash").as("sig")).distinct()
+    val cells = sigs.select(col("sig"),
+      explode(array((0 until bands).map { b =>
+        (lit(b.toLong) * lit(1L << width)) +
+          shiftrightunsigned(col("sig"), b * width)
+            .bitwiseAND(lit((1L << width) - 1))
+      }: _*)).as("cell"))
+    val capL = cellCap
+    val maxH = maxHamming
+    val sigPairs = gridTagged(cells, "cell", "sig",
+        hotKeys(cells, "cell", "sig", cellCap, sampleMod = 1))
+      .select(col("cell"), col("gci"), col("gcj"), col("gblk"), col("sig"))
+      .as[(Long, Int, Int, Int, Long)]
+      .groupByKey(t => (t._1, t._2, t._3))
+      .flatMapGroups { (key, it) =>
+        val (_, ci, cj) = key
+        val aB = new scala.collection.mutable.ArrayBuilder.ofLong
+        val bB = new scala.collection.mutable.ArrayBuilder.ofLong
+        var m = 0
+        it.foreach { t =>
+          if (t._4 == ci) aB += t._5 else bB += t._5
+          m += 1
         }
-        val s = starts.result() :+ members.length
-        val mask = (1L << width) - 1
-        val out = Vector.newBuilder[(Long, Long, Int)]
-        var a = 0
-        while (a < s.length - 1) {
-          val sigA = members(s(a))._2
-          // within-signature (hd 0) pairs: identical sigs collide in all
-          // bands, so enumerate them from sig's band-0 cell only
-          if (cellKey == (sigA & mask)) {
-            var p = s(a)
-            while (p < s(a + 1)) {
-              var q = p + 1
-              while (q < s(a + 1)) {
-                out += ((members(p)._1, members(q)._1, 0))
-                q += 1
-              }
-              p += 1
-            }
-          }
-          // cross-signature: ONE hamming compare per distinct pair, doc
-          // pairs expand only when it qualifies
-          var b = a + 1
-          while (b < s.length - 1) {
-            val hd = java.lang.Long.bitCount(sigA ^ members(s(b))._2)
-            if (hd <= maxHamming) {
-              var p = s(a)
-              while (p < s(a + 1)) {
-                var q = s(b)
-                while (q < s(b + 1)) {
-                  val da = members(p)._1; val db = members(q)._1
-                  out += ((math.min(da, db), math.max(da, db), hd))
-                  q += 1
-                }
-                p += 1
-              }
-            }
-            b += 1
-          }
-          a += 1
-        }
-        out.result().iterator
+        requireBounded(m, capL)
+        if (ci == cj) hammingPairsWithin(aB.result(), maxH)
+        else hammingPairsAcross(aB.result(), bB.result(), maxH)
       }
-      .toDF("d1", "d2", "hd")
-      .dropDuplicates("d1", "d2")
-      .orderBy("d1", "d2")
+      .toDF("sa", "sb", "hd")
+      // sig-level dedup across colliding bands: hd is a function of
+      // (sa, sb), so keeping an arbitrary row is exact
+      .dropDuplicates("sa", "sb")
+
+    // [2] hd-0 doc pairs: spill-safe self-join on the signature
+    val within = docSig.select(col("doc_id").as("d1"), col("simhash").as("s"))
+      .join(docSig.select(col("doc_id").as("d2"), col("simhash").as("s")), Seq("s"))
+      .where(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"), lit(0).as("hd"))
+
+    // [3] cross-sig doc expansion: join the (small) qualifying sig pairs
+    // back to docs on each side; disjoint from [2] by hd >= 1, and each
+    // doc pair appears exactly once (a doc has exactly one signature)
+    val cross = sigPairs
+      .join(docSig.select(col("doc_id").as("da"), col("simhash").as("sa")), Seq("sa"))
+      .join(docSig.select(col("doc_id").as("db"), col("simhash").as("sb")), Seq("sb"))
+      .select(least(col("da"), col("db")).as("d1"),
+        greatest(col("da"), col("db")).as("d2"), col("hd"))
+
+    val out = within.unionByName(cross)
+    if (sorted) out.orderBy("d1", "d2") else out
   }
 
   /** Connected components over near-dup pairs — the canonical-document

@@ -289,12 +289,21 @@ object TextQueries {
     // normalized-text dedup: casing/punctuation/whitespace-insensitive
     // exact dedup — normalize is scan-stage compute, then one groupBy on
     // the canonical form (same scale shape as j7's exact dedup)
+    // normalized exact dedup groups by a 96-bit CONTENT DIGEST (+ length)
+    // computed map-side, not by the normalized text itself: grouping by
+    // the string shuffles the whole corpus body (the r10 exchange audit
+    // caught exactly that), while the digest exchange is four fixed-width
+    // columns per doc. Identical output to text-keyed grouping (the
+    // oracle's form) absent a same-length 96-bit double collision —
+    // P ≈ n²/2^97, immaterial at any corpus size this engine targets.
     "dd_normalized" -> { (s, d) =>
+      val norm = TextOps.normalizeText(col("text"))
       Tables.documents(s, d)
-        .groupBy(TextOps.normalizeText(col("text")).as("norm_text"))
+        .select(col("doc_id"), xxhash64(norm).as("h64"), hash(norm).as("h32"),
+          length(norm).as("norm_len"))
+        .groupBy("h64", "h32", "norm_len")
         .agg(min(col("doc_id")).as("rep_doc_id"), count(lit(1)).as("n_dups"))
-        .select(col("rep_doc_id"), col("n_dups"),
-          length(col("norm_text")).as("norm_len"))
+        .select("rep_doc_id", "n_dups", "norm_len")
         .orderBy("rep_doc_id")
     },
 
@@ -552,27 +561,12 @@ object TextQueries {
     },
 
     // ---- multimodal plumbing --------------------------------------------
-
-    "mm_payload_stats" -> { (s, d) =>
-      Multimodal.payloadStats(Tables.documents(s, d), "doc_id", "text", frameSize = 256)
-    },
-
-    "mm_frame_sample" -> { (s, d) =>
-      Multimodal.frameSample(Tables.documents(s, d), "doc_id", "text",
-        frameSize = 128, stride = 2)
-    },
-
-    // multimodal near-dup: perceptual-hash (stub decode, frame-vote
-    // simhash) + the SAME pigeonhole band machinery as dd_hamming — the
-    // "find near-identical images/clips" pipeline with the decode swapped
-    // for the deterministic fake. Oracle = brute-force hamming pair join
-    // over the replicated vote arithmetic.
-    "mm_phash_neardup" -> { (s, d) =>
-      val sigs = Tables.documents(s, d)
-        .where(length(col("text")) >= 64)
-        .select(col("doc_id"), Multimodal.phash(col("text"), 64).as("simhash"))
-      Dedup.simhashPairs(sigs, maxHamming = 3)
-    },
+    // (the r8-era stub-tier gate queries — mm_payload_stats /
+    // mm_frame_sample / mm_phash_neardup, which fingerprinted the TEXT
+    // column through synthetic frame hashes — were retired in r10: the
+    // real decode tier below proves the same plumbing on actual
+    // bytes→pixels/PCM/frame walks, with mm_video_sample covering stride
+    // sampling and mm_image_neardup covering perceptual near-dup)
 
     // REAL image decode in the gate: each qualifying document's 192-byte
     // ASCII prefix becomes the raster of an in-query binary PPM (P6 header
@@ -1416,20 +1410,6 @@ object TextQueries {
                   ORDER BY cos DESC, neighbor_id) AS rank FROM s)
           WHERE rank <= 5 ORDER BY query_id, rank""",
 
-    "mm_frame_sample" ->
-      s"""WITH f AS (
-            SELECT doc_id, text,
-                   CAST(FLOOR(length(text) / 128) AS INTEGER) AS n_frames
-            FROM documents
-          ), e AS (
-            SELECT doc_id, text, unnest(range(0, n_frames, 2)) AS fi
-            FROM f WHERE n_frames > 0
-          )
-          SELECT doc_id, CAST(fi AS INTEGER) AS frame_idx,
-                 CAST(fi * 128 AS INTEGER) AS frame_off,
-                 ${ph("substr(text, CAST(fi*128 + 1 AS INTEGER), 128)", 31)} AS frame_fp
-          FROM e ORDER BY doc_id, frame_idx""",
-
     // replica of the REAL decode path's arithmetic: the PPM raster is the
     // 192-byte ASCII prefix, so codes == raster bytes; lum = 299R+587G+114B
     // per pixel; at 8×8 each aHash block is one pixel, bit b set iff
@@ -1882,41 +1862,6 @@ object TextQueries {
            CAST(list_sum(list_transform(generate_series(1,255), i ->
              CASE WHEN (codes[i] < 128) != (codes[i+1] < 128)
                   THEN 1 ELSE 0 END)) AS INTEGER) AS crossings
-         FROM cz ORDER BY doc_id""",
-
-    "mm_payload_stats" ->
-      s"""SELECT doc_id,
-            CAST(octet_length(encode(text)) AS INTEGER) AS payload_len,
-            CAST(FLOOR(octet_length(encode(text)) / 256) AS INTEGER) AS n_frames,
-            ${ph("text", 31)} AS checksum
-          FROM documents ORDER BY doc_id""",
-
-    // brute-force hamming pair join over the frame-vote phash — the
-    // pigeonhole banding provably finds exactly these pairs
-    "mm_phash_neardup" ->
-      s"""WITH fr AS (
-            SELECT doc_id, text, unnest(range(0,
-                CAST(length(text) // 64 AS INTEGER), 1)) AS f
-            FROM documents WHERE length(text) >= 64
-          ), fh AS (
-            SELECT doc_id,
-                   ${ph("substr(text, CAST(f*64 + 1 AS INTEGER), 64)", 31)} AS h1,
-                   ${ph("substr(text, CAST(f*64 + 1 AS INTEGER), 64)", 131)} AS h2
-            FROM fr
-          ), sig AS (
-            SELECT doc_id, list(h1) AS h1s, list(h2) AS h2s FROM fh GROUP BY doc_id
-          ), sh AS (
-          SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 59), b ->
-            CASE WHEN list_sum(list_transform(
-                CASE WHEN b < 30 THEN h1s ELSE h2s END, h ->
-                CASE WHEN (h // (1::BIGINT << (CASE WHEN b < 30 THEN b ELSE b - 30 END))) % 2 = 1
-                     THEN 1 ELSE -1 END)) > 0
-                 THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS simhash
-          FROM sig)
-          SELECT a.doc_id AS d1, b.doc_id AS d2,
-                 CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hd
-          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
-          ORDER BY d1, d2"""
+         FROM cz ORDER BY doc_id"""
   )
 }

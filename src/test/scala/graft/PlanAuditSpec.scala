@@ -71,16 +71,98 @@ class PlanAuditSpec extends SparkSpec {
       s"LSH banding must bucket-join:\n$plan")
   }
 
-  test("dd_hamming: posting-list cells, in-task verify, no join anywhere") {
+  test("dd_hamming: sig-level banding cells, equi-joins only, every exchange fixed-width") {
     val df = q("dd_hamming")
     val plan = physical(df)
-    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
-    // candidates generate per band cell inside MapGroups (hamming verify
-    // runs in-task over the member array) — the plan must contain NO join
-    // at all: only qualifying pairs reach the cross-band dedup shuffle
+    // the r10 decomposition: banding + hamming verify run over DISTINCT
+    // signatures inside MapGroups; doc expansion (hd-0 self-join, sig-pair
+    // join-back) is spill-safe EQUI-joins on long keys — never an
+    // all-pairs physical join
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"simhash banding degenerated to an all-pairs join:\n$plan")
     val opt = optimized(df)
     assert(opt.contains("MapGroups"), s"expected per-cell MapGroups:\n$opt")
-    assert(!opt.contains("Join"), s"posting-list form must not join:\n$opt")
+    // the memory-bound claim, executable: no exchange carries anything but
+    // fixed-width atoms (doc ids, sigs, cells, grid tags, hd) — document
+    // text, signature ARRAYS, and payload bytes never shuffle
+    withAqeOff { assertExchangesFixedWidth("dd_hamming", q("dd_hamming")) }
+  }
+
+  /** Plan `f` with AQE off so ShuffleExchangeExec nodes are visible to
+    * `plan.collect`: under AQE the executedPlan root is an
+    * AdaptiveSparkPlanExec whose inner plan is a FIELD, not a child —
+    * a bare collect over it returns nothing, silently turning every
+    * exchange audit vacuous (the r10 audit fix; the static exchange
+    * shape asserted here is what AQE then refines at runtime).
+    */
+  private def withAqeOff[T](f: => T): T = {
+    val k = "spark.sql.adaptive.enabled"
+    val old = spark.conf.get(k)
+    spark.conf.set(k, "false")
+    try f finally spark.conf.set(k, old)
+  }
+
+  /** All exchanges in the plan, descending into persisted-seam scans
+    * (InMemoryTableScan): the dedup pair-table memo hides its pair-stage
+    * exchanges inside the cached plan, and skipping them would exempt
+    * exactly the stage the audit is about.
+    */
+  private def shufflesOf(plan: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec] =
+    plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => Seq(e)
+      case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        shufflesOf(s.relation.cachedPlan)
+    }.flatten
+
+  private def shufflesOf(df: DataFrame)
+      : Seq[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec] =
+    shufflesOf(df.queryExecution.executedPlan)
+
+  /** Every ShuffleExchange in `df`'s physical plan carries only atomic
+    * fixed-width columns (long/int/double/bool/date …) apart from
+    * `allowNames` — no string, array, map, struct, or binary attribute.
+    * This is the executable form of the dedup/ANN scaladoc claims that
+    * shuffles move "(long, long) rows", not document content.
+    */
+  private def assertExchangesFixedWidth(
+      name: String, df: DataFrame, allowNames: Set[String] = Set.empty): Unit = {
+    import org.apache.spark.sql.types.{ArrayType, BinaryType, MapType, StringType, StructType}
+    val shuffles = shufflesOf(df)
+    assert(shuffles.nonEmpty, s"$name: expected at least one exchange to audit")
+    shuffles.foreach { e =>
+      val bad = e.output.filter { a =>
+        !allowNames(a.name) && (a.dataType match {
+          case _: ArrayType | _: MapType | _: StructType | BinaryType | StringType => true
+          case _ => false
+        })
+      }
+      assert(bad.isEmpty, s"$name shuffles wide/variable content: " +
+        bad.map(b => s"${b.name}:${b.dataType.simpleString}").mkString(", "))
+    }
+  }
+
+  test("dedup family: exchanges carry ids/sigs/counts only — corpus content never shuffles") {
+    // jaccard postings ride (doc, n, shingle-hash) longs; incremental adds
+    // a boolean; pair tables and components are (long, long[, double]).
+    // A refactor that widens any of these exchanges (e.g. joins shingle
+    // arrays back in, or shuffles text) fails here.
+    // drop memoized pair tables so their cached plans rebuild under the
+    // AQE-off planning below (a cache captured under AQE would hide its
+    // exchanges behind the adaptive wrapper)
+    graft.text.Dedup.clearPairTables()
+    withAqeOff {
+      for (name <- Seq("dd_ngram_jaccard", "dd_incremental", "dd_compaction",
+          "dd_simhash", "dd_components", "dd_canonical", "dd_normalized"))
+        assertExchangesFixedWidth(name, q(name))
+      // MinHash+LSH: the banded bucket folds to a LONG key before the
+      // shuffle (collision = merged buckets = extra candidates that exact
+      // verification rejects — free), so only the exact-verify join's
+      // shingle sets — the documented contract for the few surviving
+      // candidates — are allowed BY NAME; everything else stays fixed-width
+      assertExchangesFixedWidth("dd_minhash_lsh", q("dd_minhash_lsh"),
+        allowNames = Set("shingles", "sh1", "sh2"))
+    }
   }
 
   test("j6_ordered_reorder: no single-partition Exchange in the plan") {
@@ -127,28 +209,35 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("mm video family: binary payloads never cross a shuffle; banding joins nothing") {
-    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     // the 100 TB claim of the decode tier: decode/vote/sample are map-side,
     // so every Exchange in every video query carries only ids + fixed-width
-    // feature rows — never the payload bytes
-    for (name <- Seq("mm_video_frames", "mm_video_sample", "mm_video_errors",
-        "mm_video_neardup")) {
-      val df = q(name)
-      val shuffles = df.queryExecution.executedPlan.collect {
-        case e: ShuffleExchangeExec => e
-      }
-      shuffles.foreach { e =>
-        val bad = e.output.filter(a =>
-          a.name == "payload" || a.name == "p" || a.dataType.typeName == "binary")
-        assert(bad.isEmpty,
-          s"$name shuffles payload bytes: ${bad.map(_.name).mkString(",")}")
+    // feature rows — never the payload bytes (withAqeOff because a bare
+    // collect over an AQE executedPlan is VACUOUS — the r10 audit fix;
+    // nonEmpty guards against ever regressing to that)
+    withAqeOff {
+      for (name <- Seq("mm_video_frames", "mm_video_sample", "mm_video_errors",
+          "mm_video_neardup")) {
+        val shuffles = shufflesOf(q(name))
+        assert(shuffles.nonEmpty, s"$name: expected at least one exchange to audit")
+        shuffles.foreach { e =>
+          val bad = e.output.filter(a =>
+            a.name == "payload" || a.name == "p" || a.dataType.typeName == "binary")
+          assert(bad.isEmpty,
+            s"$name shuffles payload bytes: ${bad.map(_.name).mkString(",")}")
+        }
       }
     }
-    // the clip near-dup rides the posting-list banding: per-cell MapGroups,
-    // no join anywhere (dd_hamming's audited shape)
-    val opt = optimized(q("mm_video_neardup"))
+    // the clip near-dup rides the shared sig-level banding (dd_hamming's
+    // audited r10 shape): per-cell MapGroups over distinct sigs, doc
+    // expansion via equi-joins on long keys, no all-pairs physical join —
+    // and the fixed-width exchange audit above already proved no payload
+    // crosses a shuffle
+    val nd = q("mm_video_neardup")
+    val opt = optimized(nd)
     assert(opt.contains("MapGroups"), s"expected per-cell MapGroups:\n$opt")
-    assert(!opt.contains("Join"), s"banding must not join:\n$opt")
+    val ndPlan = physical(nd)
+    assert(!ndPlan.contains("BroadcastNestedLoopJoin") && !ndPlan.contains("CartesianProduct"),
+      s"clip banding degenerated to an all-pairs join:\n$ndPlan")
   }
 
   test("ev_sessionize: windows and aggregation partition by user_id") {

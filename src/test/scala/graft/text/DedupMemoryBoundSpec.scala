@@ -1,0 +1,130 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import org.scalatest.concurrent.TimeLimits.failAfter
+import org.scalatest.time.{Seconds, Span}
+import graft.SparkSpec
+
+/** Executable evidence for the per-task memory bounds of the banded pair
+  * generators (the round-10 hardening item): hot groups never materialize
+  * on a task's heap —
+  *
+  *  - a multi-million-doc duplicate class (one signature shared by 2M
+  *    docs — every band cell "hot") streams through simhashPairs' spill-
+  *    safe self-join; the pre-decomposition code built the C(2M,2) pair
+  *    vector inside one flatMapGroups task and could not complete at all;
+  *  - a cell with more DISTINCT signatures than `cellCap` splits across
+  *    the triangle block grid, with the in-task `requireBounded` check
+  *    proving no member array exceeded the salted working bound (the
+  *    spec would throw otherwise), and the output still exactly equals
+  *    brute force;
+  *  - the same grid bound holds for hot shingle postings (Jaccard) and
+  *    hot LSH buckets (MinHash), pinned equal to the unsalted path.
+  */
+class DedupMemoryBoundSpec extends SparkSpec {
+
+  test("simhashPairs: 2M docs sharing ONE signature stream through without " +
+    "task-heap materialization (hd-0 via spill-safe self-join)") {
+    import spark.implicits._
+    // every band cell of this corpus is maximally hot: all 2M docs share
+    // all 4 band values. The decomposition keeps tasks at ONE distinct
+    // sig; doc expansion rides the self-join, which buffers groups in
+    // spillable UnsafeRow arrays — so taking a few pairs off the top is
+    // linear work. (The output SET is quadratic by contract — the spec
+    // must not count it; sorted = false avoids a TakeOrdered scan.)
+    val signed = spark.range(2000000L)
+      .select(col("id").as("doc_id"), lit(0x0ABC_DEF0_1234_5L).as("simhash"))
+    failAfter(Span(120, Seconds)) {
+      val got = Dedup.simhashPairs(signed, maxHamming = 3, sorted = false)
+        .limit(10).collect()
+      assert(got.length === 10)
+      got.foreach { r =>
+        assert(r.getLong(0) < r.getLong(1))
+        assert(r.getInt(2) === 0)
+      }
+    }
+  }
+
+  test("simhashPairs: cell with distinct sigs beyond cellCap splits across " +
+    "the block grid and still equals brute force") {
+    import spark.implicits._
+    // 3000 docs with DISTINCT signatures all sharing band 0 (low 15 bits
+    // equal => one shared hot cell) plus a planted qualifying cluster;
+    // cellCap 256 forces blocks = ceil(3000/256) = 12. requireBounded
+    // inside every grid task throws if any member array exceeds the
+    // salted working bound, so a green run IS the memory-bound proof.
+    val width = 15
+    val low = 0x4321L // shared band-0 value
+    val rnd = new scala.util.Random(7)
+    val cluster = (0 until 30).map { i =>
+      // base high pattern with <=1 extra bit flipped: pairwise hd <= 2
+      val base = 0x0FF0_0F00L << width
+      val s = if (i == 0) base else base ^ (1L << (width + (i % 40)))
+      (1000L + i, s | low)
+    }
+    val noise = (0 until 2970).map { i =>
+      val high = rnd.nextLong() & ((1L << 45) - 1)
+      (2000L + i, (high << width) | low)
+    }
+    val all = (cluster ++ noise).distinct
+    val signed = all.toDF("doc_id", "simhash")
+    val got = Dedup.simhashPairs(signed, maxHamming = 3, cellCap = 256)
+      .as[(Long, Long, Int)].collect().toSet
+    val want = (for {
+      (da, sa) <- all; (db, sb) <- all if da < db
+      hd = java.lang.Long.bitCount(sa ^ sb) if hd <= 3
+    } yield (da, db, hd)).toSet
+    assert(got === want)
+    assert(want.size >= 30 * 29 / 2, "planted cluster must qualify")
+  }
+
+  test("jaccardPairsHashed: hot-shingle grid path equals the unsalted path " +
+    "(full and incremental)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu", "nu", "xi")
+    // shared boilerplate prefix = hot shingles riding every doc; planted
+    // near-dup pairs must survive both paths identically
+    def doc(): String = "common boiler plate header " +
+      Seq.fill(12)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val base = Seq.tabulate(120)(_ => doc())
+    val texts = base.updated(5, base(4).replaceFirst("alpha", "omega"))
+      .updated(77, base(76).replaceFirst("beta", "omega"))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val hashed = Dedup.hashedShingleDocs(df, "doc_id", "text")
+    val plain = Dedup.jaccardPairsHashed(hashed, 0.5).collect().toSeq
+    // cap 8 & exact counting: the boilerplate shingles (count 120 > 8)
+    // split into ceil(120/8) = 15 blocks — 120 grid cells each bounded
+    val salted = Dedup.jaccardPairsHashed(hashed, 0.5, cap = 8, sampleMod = 1)
+      .collect().toSeq
+    assert(salted === plain)
+    assert(plain.nonEmpty, "fixture must produce pairs")
+    val isNew = col("doc_id") >= 60
+    val plainInc = Dedup.jaccardPairsIncremental(hashed, isNew, 0.5).collect().toSeq
+    val saltedInc = Dedup.jaccardPairsIncremental(hashed, isNew, 0.5,
+      cap = 8, sampleMod = 1).collect().toSeq
+    assert(saltedInc === plainInc)
+    assert(plainInc.nonEmpty && plainInc.size < plain.size,
+      "incremental fixture must drop old×old pairs")
+  }
+
+  test("minhashLshPairs: hot-bucket grid path equals the unsalted path") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val vocab = Vector("data", "spark", "query", "join", "scan", "agg",
+      "row", "col", "sort", "hash", "merge", "batch")
+    def doc(): String = Seq.fill(25)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    // 40 IDENTICAL docs: one bucket per band holds all of them (the hot
+    // LSH bucket), plus distinct noise and one planted near-dup
+    val dup = doc()
+    val texts = Seq.fill(40)(dup) ++ Seq.tabulate(30)(_ => doc()) :+
+      dup.replaceFirst("data", "datum")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val sh = Dedup.shingleDocs(df, "doc_id", "text")
+    val plain = Dedup.minhashLshPairs(sh, 0.5).collect().toSeq
+    val salted = Dedup.minhashLshPairs(sh, 0.5, cap = 8, sampleMod = 1).collect().toSeq
+    assert(salted === plain)
+    assert(plain.size >= 40 * 39 / 2, "hot duplicate class must pair")
+  }
+}

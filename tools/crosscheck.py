@@ -71,6 +71,32 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 
+def canonical_hash(df: pd.DataFrame) -> str:
+    """Stable content hash for the frozen-output pins of the not-SQL-
+    expressible queries: canonical column order / dtypes / row order via
+    norm(), then CSV with %.17g floats (bit-exact round-trip for binary64
+    — these queries are deterministic, spec-asserted) hashed with sha256.
+    """
+    import hashlib
+    body = norm(df).to_csv(index=False, float_format="%.17g", na_rep="\\N")
+    return hashlib.sha256(body.encode("utf-8")).hexdigest()
+
+
+def load_pins() -> dict:
+    """tools/pins.json: {sf_name: {query: sha256}} frozen-output pins for
+    the no-oracle queries (ann_hnsw_topk, ann_ivfpq_topk, x5_blat_text,
+    tx_quantiles_sketch). The pin asserts DETERMINISM + NON-REGRESSION
+    against an output reviewed once at pin time — not independent
+    correctness (DuckDB cannot express these); independent evidence lives
+    in the ScalaTest recall/truth-table/determinism specs. Regenerate
+    deliberately with tools/pin_update.py after a reviewed change.
+    """
+    p = os.path.join(os.path.dirname(os.path.abspath(__file__)), "pins.json")
+    if os.path.exists(p):
+        return json.load(open(p))
+    return {}
+
+
 def main(sf_dir: str, out_dir: str) -> int:
     con = duckdb.connect()
     for t in TABLES:
