@@ -151,13 +151,28 @@ def main(sf_dir: str, out_dir: str) -> int:
                 break
         if ok:
             print(f"OK   {name}: {len(g)} rows")
-    # rows-only queries (no oracle)
+    # no-oracle queries: frozen-output pin when one exists for this SF
+    # (determinism + non-regression — see load_pins), rows-only otherwise
+    pins = load_pins().get(os.path.basename(sf_dir.rstrip("/")), {})
     for d in sorted(glob.glob(f"{out_dir}/*/")):
         name = os.path.basename(d.rstrip("/"))
         if name not in oracle:
             files = glob.glob(f"{d}/*.parquet")
-            n = sum(pd.read_parquet(f).shape[0] for f in files) if files else 0
-            print(f"{'OK  ' if n > 0 else 'WARN'} {name}: rows-only, {n} rows")
+            if not files:
+                print(f"WARN {name}: rows-only, 0 rows")
+                continue
+            df = pd.concat([pd.read_parquet(f) for f in files])
+            if name in pins:
+                h = canonical_hash(df)
+                if h == pins[name]:
+                    print(f"OK   {name}: pinned output, {len(df)} rows, hash match")
+                else:
+                    print(f"FAIL {name}: pinned-output hash mismatch "
+                          f"({h[:12]} != {pins[name][:12]}) — output changed; "
+                          "review + tools/pin_update.py if intended")
+                    fails += 1
+            else:
+                print(f"{'OK  ' if len(df) > 0 else 'WARN'} {name}: rows-only, {len(df)} rows")
     print(f"\n{'ALL GREEN' if fails == 0 else f'{fails} FAILURES'}")
     return 1 if fails else 0
 
