@@ -529,6 +529,59 @@ object Multimodal {
       maxHamming, bands = bands, bits = 64)
   }
 
+  /** The LENIENT per-payload clip fingerprint shared by the batch
+    * ([[clipSignaturesLenient]]) and streaming
+    * ([[graft.streaming.StreamingOps.streamingClipSignaturesLenient]])
+    * tiers — one function, so batch/streaming parity holds by
+    * construction. Prefix semantics of [[decodeFramesLenient]]: frames
+    * decoded before the first malformed byte still vote (a truncated tail
+    * keeps a usable — hamming-close — signature plus the error label); a
+    * payload with NO decodable frame yields (None, 0, error) instead of a
+    * task/micro-batch failure.
+    */
+  def clipSignatureLenient(bytes: Array[Byte]): (Option[Long], Int, Option[String]) = {
+    val (frames, err) = decodeFramesLenient(bytes)
+    val sig =
+      if (frames.nonEmpty) Some(clipSignature(frames.map(imageAHash))) else None
+    (sig, frames.length,
+      if (frames.isEmpty && err.isEmpty) Some("no decodable frames") else err)
+  }
+
+  /** LENIENT clip signatures: (doc_id, simhash, n_frames, decode_error)
+    * per payload — the corrupt-corpus form of the [[videoNearDupPairs]]
+    * signature stage. Clean payloads carry a null error; truncated
+    * payloads keep their prefix-vote signature AND the error label;
+    * undecodable payloads carry a null signature. Callers filter
+    * `simhash IS NOT NULL` for pairing and audit the rest.
+    */
+  def clipSignaturesLenient(
+      assets: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets
+      .select(col(idCol).cast("long").as("asset_id"), col(payloadCol).as("p"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        val (sig, n, err) = clipSignatureLenient(bytes)
+        (id, sig, n, err)
+      }
+      .toDF("doc_id", "simhash", "n_frames", "decode_error")
+  }
+
+  /** LENIENT video near-dup: [[videoNearDupPairs]] over a corpus that may
+    * contain corrupt payloads — undecodable clips drop out of the banding
+    * (they have no signature), everything else pairs normally, and no
+    * corrupt sample can fail the job.
+    */
+  def videoNearDupPairsLenient(
+      assets: DataFrame, idCol: String, payloadCol: String,
+      maxHamming: Int, bands: Int = 8): DataFrame =
+    graft.text.Dedup.simhashPairs(
+      clipSignaturesLenient(assets, idCol, payloadCol)
+        .where(col("simhash").isNotNull)
+        .select(col("doc_id"), col("simhash")),
+      maxHamming, bands = bands, bits = 64)
+
   /** LENIENT distributed image decode: the corrupt-corpus form of
     * [[decodeImageFeatures]] — a malformed payload yields a row with null
     * features and the parse error in `decode_error` instead of failing

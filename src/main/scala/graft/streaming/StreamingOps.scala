@@ -105,6 +105,53 @@ object StreamingOps {
   final case class CellState(members: List[(Long, Long, Long)]) // (docId, sig, tsMs)
   final case class NearDupPair(d1: Long, d2: Long, hd: Int)
 
+  final case class PayloadDoc(docId: Long, payload: Array[Byte], tsMs: Long)
+  final case class LenientClipSig(
+      docId: Long, sig: Option[Long], nFrames: Int,
+      decodeError: Option[String], tsMs: Long)
+
+  /** Streaming LENIENT clip-signature extraction — the streaming twin of
+    * the batch lenient decode tier
+    * ([[graft.multimodal.Multimodal.clipSignaturesLenient]], same
+    * per-payload function, so parity holds by construction): each
+    * arriving video payload decodes with prefix semantics; a corrupt
+    * record yields an error-labelled row instead of FAILING THE
+    * MICRO-BATCH (which is what the strict decoder would do — one garbled
+    * sample would wedge the whole stream, with every restart re-reading
+    * the same poison record). Stateless map: route rows with
+    * `decodeError` to an audit sink, feed `sig`-bearing rows onward.
+    */
+  def streamingClipSignaturesLenient(
+      docs: Dataset[PayloadDoc]): Dataset[LenientClipSig] = {
+    import docs.sparkSession.implicits._
+    docs.map { d =>
+      val (sig, n, err) = graft.multimodal.Multimodal.clipSignatureLenient(d.payload)
+      LenientClipSig(d.docId, sig, n, err, d.tsMs)
+    }
+  }
+
+  /** Streaming LENIENT video near-dup: [[streamingClipSignaturesLenient]]
+    * (undecodable payloads drop out of banding; truncated ones pair by
+    * their prefix-vote signature) composed with [[streamingSimhashPairs]]
+    * — the end-to-end "flag near-identical clips at ingest, survive the
+    * corrupt ones" stream. Distinct-ed output equals the batch
+    * [[graft.multimodal.Multimodal.videoNearDupPairsLenient]] pair set
+    * (spec-pinned with a corrupt record mid-stream).
+    */
+  def streamingVideoNearDupPairsLenient(
+      docs: Dataset[PayloadDoc],
+      maxHamming: Int,
+      bands: Int = 8,
+      bits: Int = 64,
+      retentionMs: Long = Long.MaxValue / 4,
+      watermarkDelay: Option[String] = None): Dataset[NearDupPair] = {
+    import docs.sparkSession.implicits._
+    streamingSimhashPairs(
+      streamingClipSignaturesLenient(docs)
+        .flatMap(s => s.sig.map(g => SigDoc(s.docId, g, s.tsMs))),
+      maxHamming, bands, bits, retentionMs, watermarkDelay)
+  }
+
   /** Band-cell carriers: the exploded (cell, doc) rows CARRY their event
     * time as a real timestamp field, because the watermark must be applied
     * AFTER the typed explode and IMMEDIATELY BEFORE groupByKey — a typed

@@ -156,6 +156,83 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("LENIENT streaming tier: corrupt payloads mid-stream survive and pin to batch lenient") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.multimodal.Multimodal
+    // the gate's three-frame video payloads (same builder as the gate
+    // queries), with three corruptions planted DRIVER-side so batch and
+    // stream see byte-identical inputs:
+    //  - one payload truncated INSIDE frame 2 (frames 0,1 must survive —
+    //    prefix semantics — and the clip still pairs by its 2-frame vote)
+    //  - one with a garbled magic byte (zero frames, error row)
+    //  - one emptied (zero frames, "no decodable frames")
+    val base = graft.text.TextQueries.withVideoPayload432(
+        graft.Tables.documents(spark, sf001))
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])].collect().sortBy(_._1)
+    assert(base.length >= 30)
+    val third = base.length / 3
+    // corrupt three MIDDLE rows: they arrive in micro-batch 2 of 3, so a
+    // strict decoder would fail the stream mid-flight, not at the edges
+    val idxTrunc = third + 1
+    val idxMagic = third + 2
+    val idxEmpty = third + 3
+    val corrupted = base.zipWithIndex.map {
+      case ((id, p), i) if i == idxTrunc => (id, p.take(11 + 192 + 11 + 192 + 20))
+      case ((id, p), i) if i == idxMagic =>
+        val q = p.clone(); q(0) = 'X'.toByte; (id, q)
+      case ((id, _), i) if i == idxEmpty => (id, Array.empty[Byte])
+      case ((id, p), _) => (id, p)
+    }
+    val corruptedDf = corrupted.toSeq.toDF("doc_id", "payload")
+
+    val input = MemoryStream[StreamingOps.PayloadDoc]
+    // two queries over the same stream: the signature audit sink and the
+    // near-dup pair sink (each consumes the MemoryStream independently)
+    val sigQ = StreamingOps.streamingClipSignaturesLenient(input.toDS())
+      .writeStream.format("memory").queryName("lenient_sigs")
+      .outputMode(OutputMode.Append()).start()
+    val pairQ = StreamingOps.streamingVideoNearDupPairsLenient(
+        input.toDS(), maxHamming = 12, bands = 16)
+      .writeStream.format("memory").queryName("lenient_pairs")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      corrupted.grouped(math.max(third, 1)).zipWithIndex.foreach { case (b, i) =>
+        input.addData(b.map { case (id, p) => StreamingOps.PayloadDoc(id, p, 1000L * i) })
+        sigQ.processAllAvailable()
+        pairQ.processAllAvailable()
+      }
+      // the stream SURVIVED the corrupt micro-batch (strict decode would
+      // have thrown inside batch 2 and wedged both queries) — and the
+      // signature rows equal the batch lenient tier exactly
+      val gotSigs = spark.table("lenient_sigs")
+        .select("docId", "sig", "nFrames", "decodeError")
+        .as[(Long, Option[Long], Int, Option[String])].collect().toSet
+      val wantSigs = Multimodal.clipSignaturesLenient(corruptedDf, "doc_id", "payload")
+        .as[(Long, Option[Long], Int, Option[String])].collect().toSet
+      assert(gotSigs === wantSigs)
+      // the planted corruptions produced exactly the expected shapes
+      val byId = gotSigs.map(s => s._1 -> s).toMap
+      val trunc = byId(corrupted(idxTrunc)._1)
+      assert(trunc._2.isDefined && trunc._3 === 2 && trunc._4.isDefined,
+        s"truncated clip must keep its 2-frame prefix signature: $trunc")
+      assert(byId(corrupted(idxMagic)._1)._2.isEmpty)
+      assert(byId(corrupted(idxEmpty)._1)._4 === Some("no decodable frames"))
+      assert(gotSigs.count(_._4.isEmpty) === base.length - 3)
+      // pair parity vs the batch lenient near-dup on the same corrupted
+      // corpus (at-least-once per colliding band -> distinct at the sink)
+      val gotPairs = spark.table("lenient_pairs").select("d1", "d2", "hd")
+        .distinct().as[(Long, Long, Int)].collect().toSet
+      val wantPairs = Multimodal.videoNearDupPairsLenient(
+          corruptedDf, "doc_id", "payload", maxHamming = 12, bands = 16)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(gotPairs === wantPairs)
+      assert(wantPairs.nonEmpty)
+    } finally { sigQ.stop(); pairQ.stop() }
+  }
+
   test("streamingMinhashPairs equals batch dd_minhash_lsh on real documents") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
