@@ -166,7 +166,9 @@ object Bench {
           }.getOrElse(Map.empty)
         val (hit, miss) =
           oracles.partition { case (n, sql) => cached.contains(cacheKey(n, sql)) }
-        val timedMiss: Map[String, Double] = if (miss.isEmpty) Map.empty else {
+        // the miss re-time is its own Try: a subprocess failure must cost
+        // only the missing queries, never the already-cached hits
+        val timedMiss: Map[String, Double] = scala.util.Try { if (miss.isEmpty) Map.empty[String, Double] else {
           val tmp = java.nio.file.Files.createTempFile("graft_oracle_sql", ".json")
           java.nio.file.Files.writeString(tmp, miss
             .map { case (k, v) => s"${JsonEscape(k)}: ${JsonEscape(v)}" }
@@ -201,7 +203,7 @@ object Bench {
           // emits sub-1e-4 timings as scientific notation ("8.3e-05")
           numRe.findAllMatchIn(out)
             .map(m => m.group(1) -> m.group(2).toDouble).toMap
-        }
+        } }.getOrElse(Map.empty)
         // write back the merged cache (stale keys pruned to the current
         // suite so renamed/retired queries don't accumulate forever)
         scala.util.Try {

@@ -917,24 +917,24 @@ object Dedup {
     * Input: (doc_id, simhash). Output: (d1, d2, hd), sorted unless
     * `sorted = false`.
     */
-  def simhashPairs(
+  /** Stage [1] of the simhash decomposition, shared with
+    * [[simhashComponents]]: qualifying (sa, sb, hd) SIGNATURE pairs
+    * (1 <= hd <= maxHamming, sa < sb, distinct) from pigeonhole banding
+    * over the DISTINCT signatures of `signed`. Grid-salted at `cellCap`
+    * (exact counting — the input is already the small sig-level set);
+    * per-task arrays are compact longs bounded by `requireBounded`.
+    */
+  private[text] def simhashSigPairs(
       signed: DataFrame,
       maxHamming: Int,
-      bands: Int = 4,
-      bits: Int = 60,
-      cellCap: Int = DefaultGroupCap,
-      sorted: Boolean = true): DataFrame = {
+      bands: Int,
+      bits: Int,
+      cellCap: Int): DataFrame = {
     require(bands > maxHamming, "pigeonhole guarantee needs bands > maxHamming")
     require(bits % bands == 0, "bands must divide bits")
     val spark = signed.sparkSession
     import spark.implicits._
     val width = bits / bands
-    // identical projection shape on every consumer of `signed` below
-    // (doc first, sig second) so the sig-keyed exchanges canonicalize
-    // equal and ReusedExchange computes the signature lineage once
-    val docSig = signed.select(col("doc_id"), col("simhash"))
-
-    // [1] qualifying signature pairs over the distinct-sig banding
     val sigs = signed.select(col("simhash").as("sig")).distinct()
     val cells = sigs.select(col("sig"),
       explode(array((0 until bands).map { b =>
@@ -944,7 +944,7 @@ object Dedup {
       }: _*)).as("cell"))
     val capL = cellCap
     val maxH = maxHamming
-    val sigPairs = gridTagged(cells, "cell", "sig",
+    gridTagged(cells, "cell", "sig",
         hotKeys(cells, "cell", "sig", cellCap, sampleMod = 1))
       .select(col("cell"), col("gci"), col("gcj"), col("gblk"), col("sig"))
       .as[(Long, Int, Int, Int, Long)]
@@ -966,6 +966,22 @@ object Dedup {
       // sig-level dedup across colliding bands: hd is a function of
       // (sa, sb), so keeping an arbitrary row is exact
       .dropDuplicates("sa", "sb")
+  }
+
+  def simhashPairs(
+      signed: DataFrame,
+      maxHamming: Int,
+      bands: Int = 4,
+      bits: Int = 60,
+      cellCap: Int = DefaultGroupCap,
+      sorted: Boolean = true): DataFrame = {
+    // identical projection shape on every consumer of `signed` below
+    // (doc first, sig second) so the sig-keyed exchanges canonicalize
+    // equal and ReusedExchange computes the signature lineage once
+    val docSig = signed.select(col("doc_id"), col("simhash"))
+
+    // [1] qualifying signature pairs over the distinct-sig banding
+    val sigPairs = simhashSigPairs(signed, maxHamming, bands, bits, cellCap)
 
     // [2] hd-0 doc pairs: spill-safe self-join on the signature
     val within = docSig.select(col("doc_id").as("d1"), col("simhash").as("s"))
@@ -984,6 +1000,64 @@ object Dedup {
 
     val out = within.unionByName(cross)
     if (sorted) out.orderBy("d1", "d2") else out
+  }
+
+  /** Connected components of the simhash near-dup graph WITHOUT
+    * materializing the quadratic pair set — the right operator when a
+    * caller only needs duplicate CLUSTERS (canonical selection), which is
+    * what a dedup pipeline actually consumes. [[simhashPairs]] must emit
+    * C(m, 2) rows for an m-doc duplicate class (its all-pairs contract);
+    * at 100 TB a boilerplate class of millions of docs makes that
+    * relation astronomically larger than the corpus. The components are
+    * nevertheless fully determined by LINEAR structure:
+    *
+    *   - STAR edges: every doc connects to its signature's min-doc
+    *     representative (one edge per doc — a within-sig clique and its
+    *     star have identical connectivity);
+    *   - SIG edges: each qualifying signature pair ([[simhashSigPairs]],
+    *     the shared banding stage) lifts to one edge between the two
+    *     representatives.
+    *
+    * Total edges: n + |qualifying sig pairs|, so [[connectedComponents]]
+    * runs on input proportional to the corpus, not to duplicate-class
+    * squares. Output is IDENTICAL to
+    * `connectedComponents(simhashPairs(signed, …))` (same node set: docs
+    * in at least one pair; same connectivity; same min-id labels) —
+    * spec-pinned, and gate-checked against the recursive-CTE oracle as
+    * `dd_sim_components`.
+    */
+  def simhashComponents(
+      signed: DataFrame,
+      maxHamming: Int,
+      bands: Int = 4,
+      bits: Int = 60,
+      cellCap: Int = DefaultGroupCap): DataFrame = {
+    val docSig = signed.select(col("doc_id"), col("simhash"))
+    val sigPairs = simhashSigPairs(signed, maxHamming, bands, bits, cellCap)
+    // per-signature representative (min doc) + membership count
+    val reps = docSig.groupBy("simhash")
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("cnt"))
+    // a doc participates in the pair graph iff its sig has >= 2 members
+    // (within-sig clique) OR its sig qualifies against another sig —
+    // restricting to those keeps the node set identical to the pair form
+    val pairedSigs = sigPairs.select(col("sa").as("simhash"))
+      .unionByName(sigPairs.select(col("sb").as("simhash"))).distinct()
+    val activeReps = reps.join(pairedSigs, Seq("simhash"), "left_semi")
+      .unionByName(reps.where(col("cnt") >= 2))
+      .dropDuplicates("simhash")
+      .select(col("simhash"), col("rep"))
+    // star edges: (rep, doc) for every non-rep doc of an active sig —
+    // rep is the sig's min doc, so d1 < d2 holds by construction
+    val starEdges = docSig.join(activeReps, Seq("simhash"))
+      .where(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("d1"), col("doc_id").as("d2"))
+    // sig edges between representatives (orientation normalized)
+    val sigEdges = sigPairs
+      .join(reps.select(col("simhash").as("sa"), col("rep").as("ra")), Seq("sa"))
+      .join(reps.select(col("simhash").as("sb"), col("rep").as("rb")), Seq("sb"))
+      .select(least(col("ra"), col("rb")).as("d1"),
+        greatest(col("ra"), col("rb")).as("d2"))
+    connectedComponents(starEdges.unionByName(sigEdges))
   }
 
   /** Connected components over near-dup pairs — the canonical-document

@@ -274,6 +274,17 @@ object TextQueries {
       Dedup.pairTable(Tables.documents(s, d), "doc_id", "text", 0.5)
     },
 
+    // the boilerplate-scale production path in the gate (r10): PPJoin
+    // prefix + size + positional filters with shingles ordered by
+    // ascending DOCUMENT FREQUENCY, so corpus-wide-common shingles never
+    // enter a prefix and the Σc² candidate blowup of the inverted index
+    // disappears. Identical output to dd_ngram_jaccard (the prefix lemma
+    // holds under any fixed total order) — same full-hash oracle.
+    "dd_ppjoin" -> { (s, d) =>
+      Dedup.jaccardPairsPrefixDf(
+        Dedup.hashedShingleDocs(Tables.documents(s, d), "doc_id", "text"), 0.5)
+    },
+
     "dd_minhash_lsh" -> { (s, d) =>
       Dedup.minhashLshPairs(
         Dedup.shingleDocs(Tables.documents(s, d), "doc_id", "text"), 0.5)
@@ -458,6 +469,18 @@ object TextQueries {
     "dd_components" -> { (s, d) =>
       Dedup.connectedComponents(
         Dedup.pairTable(Tables.documents(s, d), "doc_id", "text", 0.5))
+    },
+
+    // duplicate clusters straight from the simhash banding WITHOUT the
+    // quadratic all-pairs relation (r10): star edges to per-signature
+    // representatives + sig-level qualifying edges — linear input to
+    // components regardless of duplicate-class sizes. Oracle = recursive
+    // CTE over the brute-force hamming pair join (dd_hamming's arithmetic).
+    "dd_sim_components" -> { (s, d) =>
+      Dedup.simhashComponents(
+        Tables.documents(s, d).select(
+          col("doc_id"), Dedup.simhash(col("text")).as("simhash")),
+        maxHamming = 3)
     },
 
     // the end-to-end dedup a training pipeline actually runs: near-dup
@@ -1178,6 +1201,7 @@ object TextQueries {
           FROM r WHERE cum_tokens <= 20000 ORDER BY doc_id""",
 
     "dd_ngram_jaccard" -> shingleCte,
+    "dd_ppjoin" -> shingleCte, // df-ordered prefix join: identical pair set
     "dd_minhash_lsh" -> shingleCte, // LSH must find exactly the true pairs
     // incremental = the full pair set restricted to pairs touching the
     // new batch — the implementation never GENERATES old×old, the oracle
@@ -1342,6 +1366,41 @@ object TextQueries {
           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
           WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
           ORDER BY d1, d2""",
+
+    // components over the brute-force simhash pair graph — same label
+    // rule (min doc id) as dd_components' oracle
+    "dd_sim_components" ->
+      s"""WITH RECURSIVE toks AS (
+            SELECT doc_id, unnest(list_distinct($tokensSql)) AS t FROM documents
+          ), th AS (
+            SELECT doc_id, ${ph("t", 31)} AS h1, ${ph("t", 131)} AS h2 FROM toks
+          ), sig AS (
+            SELECT doc_id, list(h1) AS h1s, list(h2) AS h2s FROM th GROUP BY doc_id
+          ), sh AS (
+          SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 59), b ->
+            CASE WHEN list_sum(list_transform(
+                CASE WHEN b < 30 THEN h1s ELSE h2s END, h ->
+                CASE WHEN (h // (1::BIGINT << (CASE WHEN b < 30 THEN b ELSE b - 30 END))) % 2 = 1
+                     THEN 1 ELSE -1 END)) > 0
+                 THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS simhash
+          FROM sig),
+          pairs AS (
+            SELECT a.doc_id AS d1, b.doc_id AS d2
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+          ),
+          edges AS (
+            SELECT d1 AS src, d2 AS dst FROM pairs
+            UNION ALL SELECT d2, d1 FROM pairs
+          ),
+          cc AS (
+            SELECT DISTINCT src AS id, src AS comp FROM edges
+            UNION
+            SELECT e.dst AS id, cc.comp
+            FROM cc JOIN edges e ON e.src = cc.id
+          )
+          SELECT id AS doc_id, MIN(comp) AS component
+          FROM cc GROUP BY id ORDER BY doc_id""",
 
     "dd_cosine_neardup" ->
       s"""SELECT a.vec_id AS a, b.vec_id AS b,

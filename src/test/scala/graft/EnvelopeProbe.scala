@@ -45,7 +45,8 @@ object EnvelopeProbe {
     spark.sparkContext.addSparkListener(listener)
 
     val family = Seq(
-      "dd_normalized", "dd_simhash", "dd_hamming", "dd_ngram_jaccard",
+      "dd_normalized", "dd_simhash", "dd_hamming", "dd_sim_components",
+      "dd_ngram_jaccard", "dd_ppjoin",
       "dd_incremental", "dd_minhash_lsh", "dd_components", "dd_canonical",
       "dd_cosine_neardup", "dd_dup_windows", "dd_maximal_spans",
       "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",

@@ -78,6 +78,47 @@ class DedupMemoryBoundSpec extends SparkSpec {
     assert(want.size >= 30 * 29 / 2, "planted cluster must qualify")
   }
 
+  test("simhashComponents: linear star+sig edges give exactly the pair-graph components") {
+    import spark.implicits._
+    // mixed corpus: two within-sig duplicate classes, a cross-sig cluster
+    // (hd 2 chain), singleton sigs qualifying nothing, singleton sigs
+    // qualifying ACROSS (both node-set edge cases) — pinned against
+    // components over the full quadratic pair relation
+    val s0 = 0x0123_4567_89AL
+    val rows =
+      (0L until 40L).map(i => (i, s0)) ++                 // class A (clique)
+        (100L until 130L).map(i => (i, s0 ^ 0x3L)) ++     // class B, hd 2 from A
+        Seq((200L, s0 ^ 0xFF00000000L)) ++                // singleton, hd 8 from all
+        Seq((300L, 0x7777_0000_111L), (301L, 0x7777_0000_111L ^ 0x1L)) ++ // 2 singleton sigs, hd 1
+        (400L until 420L).map(i => // noise: multiplicative-hash sigs, pairwise far
+          (i, (i * 2654435761L) & ((1L << 60) - 1)))
+    val signed = rows.toDF("doc_id", "simhash")
+    val got = Dedup.simhashComponents(signed, maxHamming = 3)
+      .as[(Long, Long)].collect().toSeq
+    val want = Dedup.connectedComponents(
+        Dedup.simhashPairs(signed, maxHamming = 3))
+      .as[(Long, Long)].collect().toSeq
+    assert(got === want)
+    val labels = got.toMap
+    assert(labels(129L) === 0L, "A and B must merge through the hd-2 sig edge")
+    assert(labels(301L) === 300L, "singleton-sig pair must form its own component")
+    assert(!labels.contains(200L) && !labels.contains(400L),
+      "docs with no qualifying pair must not appear")
+
+    // the operator's reason to exist: a duplicate class big enough that
+    // the pair relation (C(50k,2) ≈ 1.25e9 rows) would dwarf the corpus —
+    // components run on ~n star edges instead, in seconds
+    val big = spark.range(50000L)
+      .select(col("id").as("doc_id"), lit(0x0BAD_CAFE_001L).as("simhash"))
+      .unionByName(spark.range(50L)
+        .select((col("id") + 60000L).as("doc_id"),
+          lit(0x0BAD_CAFE_001L ^ 0x11L).as("simhash"))) // hd 2 satellite class
+    val comps = Dedup.simhashComponents(big, maxHamming = 3)
+    assert(comps.count() === 50050L)
+    assert(comps.agg(org.apache.spark.sql.functions.countDistinct(col("component")))
+      .as[Long].head() === 1L, "one merged cluster")
+  }
+
   test("jaccardPairsHashed: hot-shingle grid path equals the unsalted path " +
     "(full and incremental)") {
     import spark.implicits._

@@ -4,14 +4,19 @@
 Usage: python3 tools/bench_duckdb.py <sfDir> <oracleSqlJson> [runsPerQuery]
 Times each oracle SQL (best of N, default 2 — the judge's methodology)
 against the testdata parquet tables and prints ONE JSON object
-{name: seconds}; a query whose oracle errors reports -1. Driver-side
-tooling only — not part of the library.
+{name: seconds}; a query whose oracle errors or exceeds the per-query
+time limit reports -1 (excluded from totals) — one pathological oracle
+(e.g. a recursive CTE over a large pair join) must not starve every
+other twin timing or trip the caller's whole-process watchdog.
+Driver-side tooling only — not part of the library.
 """
-import sys, json, os, time
+import sys, json, os, time, threading
 
 import duckdb
 
 from crosscheck import TABLES  # one table list for both gate tools
+
+PER_QUERY_LIMIT_S = 120.0
 
 
 def main(sf_dir: str, oracle_path: str, runs: int = 2) -> int:
@@ -25,15 +30,21 @@ def main(sf_dir: str, oracle_path: str, runs: int = 2) -> int:
     for name, sql in sorted(oracle.items()):
         best = None
         for _ in range(runs):
+            timer = threading.Timer(PER_QUERY_LIMIT_S, con.interrupt)
+            timer.start()
             t0 = time.perf_counter()
             try:
                 con.execute(sql).fetchall()
-            except Exception:
+            except Exception:  # includes the interrupt
                 best = -1.0
                 break
+            finally:
+                timer.cancel()
             dt = time.perf_counter() - t0
             if best is None or dt < best:
                 best = dt
+            if dt > PER_QUERY_LIMIT_S / 2:
+                break  # one timed run is evidence enough near the limit
         out[name] = best
     print(json.dumps(out))
     return 0
