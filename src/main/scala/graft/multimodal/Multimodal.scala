@@ -608,6 +608,17 @@ object Multimodal {
   private def errorLabel(e: Throwable): String =
     Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
 
+  /** Public lenient wrapper for single-signature extraction (the
+    * streaming image/audio lenient twins): (Some(sig), None) on success,
+    * (None, Some(label)) on null payload or any decode failure — the
+    * [[leniently]] contract with the never-null error exposed as Option.
+    */
+  def signatureLeniently(bytes: Array[Byte])(
+      f: Array[Byte] => Long): (Option[Long], Option[String]) = {
+    val (v, err) = leniently(bytes)(f)
+    (v, Option(err))
+  }
+
   def decodeImageFeaturesLenient(
       assets: DataFrame, idCol: String, payloadCol: String): DataFrame = {
     val f = udf { (bytes: Array[Byte]) =>

@@ -130,6 +130,38 @@ object StreamingOps {
     }
   }
 
+  /** Streaming LENIENT image/audio signature extraction — the remaining
+    * two modalities of the lenient tier (video above): per-payload
+    * perceptual hash ([[graft.multimodal.Multimodal.imageAHash]] /
+    * `audioFingerprint`) under the same never-fail contract; a corrupt
+    * payload yields `sig = None` + the parser's error label instead of
+    * failing the micro-batch. `nFrames` is 1 for a decoded still/clip, 0
+    * on error (keeping one row shape across all three modalities).
+    * Compose with [[streamingSimhashPairs]] exactly like the video twin.
+    */
+  def streamingImageSignaturesLenient(
+      docs: Dataset[PayloadDoc]): Dataset[LenientClipSig] = {
+    import docs.sparkSession.implicits._
+    import graft.multimodal.Multimodal
+    docs.map { d =>
+      val (sig, err) = Multimodal.signatureLeniently(d.payload)(b =>
+        Multimodal.imageAHash(Multimodal.decodePpm(b)))
+      LenientClipSig(d.docId, sig, if (sig.isDefined) 1 else 0, err, d.tsMs)
+    }
+  }
+
+  /** [[streamingImageSignaturesLenient]] for WAV/PCM payloads. */
+  def streamingAudioSignaturesLenient(
+      docs: Dataset[PayloadDoc]): Dataset[LenientClipSig] = {
+    import docs.sparkSession.implicits._
+    import graft.multimodal.Multimodal
+    docs.map { d =>
+      val (sig, err) = Multimodal.signatureLeniently(d.payload)(b =>
+        Multimodal.audioFingerprint(Multimodal.decodeWavPcm8(b)))
+      LenientClipSig(d.docId, sig, if (sig.isDefined) 1 else 0, err, d.tsMs)
+    }
+  }
+
   /** Streaming LENIENT video near-dup: [[streamingClipSignaturesLenient]]
     * (undecodable payloads drop out of banding; truncated ones pair by
     * their prefix-vote signature) composed with [[streamingSimhashPairs]]

@@ -233,6 +233,99 @@ class StreamingOpsSpec extends SparkSpec {
     } finally { sigQ.stop(); pairQ.stop() }
   }
 
+  test("LENIENT image/audio streaming signatures survive corruption and match batch decode") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.multimodal.Multimodal
+    // image payloads from the gate's PPM builder shape: header + the
+    // 192-char ASCII prefix as raster (same construction as mm_image_decode)
+    val hdr = "P6\n8 8\n255\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val imgs = graft.Tables.documents(spark, sf001)
+      .where(length(col("text")) >= 192)
+      .select(col("doc_id"), substring(col("text"), 1, 192).cast("binary").as("raster"))
+      .as[(Long, Array[Byte])].collect().sortBy(_._1).take(30)
+      .map { case (id, raster) => (id, hdr ++ raster) }
+    val corrupted = imgs.zipWithIndex.map {
+      case ((id, p), 10) => (id, p.take(60))                  // truncated raster
+      case ((id, p), 11) => val q = p.clone(); q(0) = 'Z'.toByte; (id, q)
+      case ((id, _), 12) => (id, null: Array[Byte])           // null payload
+      case ((id, p), _) => (id, p)
+    }
+    val input = MemoryStream[StreamingOps.PayloadDoc]
+    val q = StreamingOps.streamingImageSignaturesLenient(input.toDS())
+      .writeStream.format("memory").queryName("img_lenient")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      corrupted.grouped(10).zipWithIndex.foreach { case (b, i) =>
+        input.addData(b.map { case (id, p) => StreamingOps.PayloadDoc(id, p, 1000L * i) })
+        q.processAllAvailable()
+      }
+      val got = spark.table("img_lenient")
+        .select("docId", "sig", "decodeError")
+        .as[(Long, Option[Long], Option[String])].collect().toSet
+      // pinned against the BATCH lenient image decoder on the same bytes
+      val want = Multimodal.decodeImageFeaturesLenient(
+          corrupted.toSeq.toDF("doc_id", "payload"), "doc_id", "payload")
+        .select(col("asset_id"), col("phash"), col("decode_error"))
+        .as[(Long, Option[Long], Option[String])].collect().toSet
+      assert(got === want)
+      assert(got.count(_._3.isDefined) === 3 && got.count(_._2.isDefined) === 27)
+      assert(got.exists(s => s._1 == corrupted(12)._1 && s._3 === Some("null payload")))
+    } finally q.stop()
+
+    // audio: canonical WAV header + doubled-PCM bytes (the gate's shape);
+    // one truncated data chunk mid-stream
+    val wavHdr = {
+      val bb = java.nio.ByteBuffer.allocate(44)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes).putInt(36 + 256).put("WAVE".getBytes)
+      bb.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+        .putInt(8000).putInt(8000).putShort(1).putShort(8)
+      bb.put("data".getBytes).putInt(256)
+      bb.array()
+    }
+    val wavs = graft.Tables.documents(spark, sf001)
+      .where(length(col("text")) >= 256)
+      .select(col("doc_id"), substring(col("text"), 1, 256).as("s"))
+      .as[(Long, String)].collect().sortBy(_._1).take(20)
+      .map { case (id, s) => (id, wavHdr ++ s.map(c => ((c * 2) % 256).toByte).toArray) }
+    val wavCorrupt = wavs.zipWithIndex.map {
+      case ((id, p), 7) => (id, p.take(100)) // data chunk overruns the file
+      case ((id, p), _) => (id, p)
+    }
+    val input2 = MemoryStream[StreamingOps.PayloadDoc]
+    val q2 = StreamingOps.streamingAudioSignaturesLenient(input2.toDS())
+      .writeStream.format("memory").queryName("wav_lenient")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      wavCorrupt.grouped(7).zipWithIndex.foreach { case (b, i) =>
+        input2.addData(b.map { case (id, p) => StreamingOps.PayloadDoc(id, p, 1000L * i) })
+        q2.processAllAvailable()
+      }
+      val got2 = spark.table("wav_lenient")
+        .select("docId", "sig", "decodeError")
+        .as[(Long, Option[Long], Option[String])].collect().toSet
+      // the signature is audioFingerprint (not a batch DF column) — pin
+      // against the shared per-payload function + the batch lenient
+      // decoder's ERROR surface
+      val want2 = wavCorrupt.map { case (id, p) =>
+        val (sig, err) = Multimodal.signatureLeniently(p)(b =>
+          Multimodal.audioFingerprint(Multimodal.decodeWavPcm8(b)))
+        (id, sig, err)
+      }.toSet
+      assert(got2 === want2)
+      val wantErrs = Multimodal.decodeAudioFeaturesLenient(
+          wavCorrupt.toSeq.toDF("doc_id", "payload"), "doc_id", "payload")
+        .where(col("decode_error").isNotNull)
+        .select(col("asset_id"), col("decode_error"))
+        .as[(Long, String)].collect().toMap
+      assert(got2.filter(_._3.isDefined).map(s => s._1 -> s._3.get).toMap === wantErrs)
+      assert(wantErrs.size === 1 &&
+        wantErrs.head._2.contains("overruns the file"))
+    } finally q2.stop()
+  }
+
   test("streamingMinhashPairs equals batch dd_minhash_lsh on real documents") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
