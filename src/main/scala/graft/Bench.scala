@@ -204,15 +204,24 @@ object Bench {
           numRe.findAllMatchIn(out)
             .map(m => m.group(1) -> m.group(2).toDouble).toMap
         } }.getOrElse(Map.empty)
-        // write back the merged cache (stale keys pruned to the current
-        // suite so renamed/retired queries don't accumulate forever)
+        // write back the merged cache. Rules (from the r10 review):
+        //  - NEVER cache a -1 (failed/interrupted) timing — a transient
+        //    failure must re-time next run, not pin the query out of
+        //    duckdb_total_sec forever;
+        //  - prune against the FULL oracle registry, not the possibly
+        //    SPARK_GRAFT_ONLY-filtered subset — a dev subset run must not
+        //    wipe the other ~80 cached entries (keys from any SF survive
+        //    as long as their (name, sql-hash) is still current)
         scala.util.Try {
-          val merged = oracles.flatMap { case (n, sql) =>
-            timedMiss.get(n).orElse(cached.get(cacheKey(n, sql)))
-              .map(cacheKey(n, sql) -> _)
-          }
+          val validPrefixes = SparkEntry.oracleSql
+            .map { case (n, sql) => s"$n|${sha(sql)}|" }.toSet
+          val merged =
+            cached.filter { case (k, _) => validPrefixes.exists(k.startsWith) } ++
+              timedMiss.collect { case (n, s) if s >= 0 =>
+                cacheKey(n, SparkEntry.oracleSql(n)) -> s
+              }
           java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
-          java.nio.file.Files.writeString(cachePath, merged
+          java.nio.file.Files.writeString(cachePath, merged.toSeq.sortBy(_._1)
             .map { case (k, v) => s"${JsonEscape(k)}: $v" }
             .mkString("{", ",", "}") + "\n")
         }

@@ -799,6 +799,12 @@ object Dedup {
         }
       }
       .toDF("d1", "d2")
+      // the folded bucket key makes one corner REACHABLE that the
+      // string key could not: two band-buckets of the SAME doc colliding
+      // in xxhash64 put that doc twice in one group, and the pair walk
+      // would emit (d, d) — which exact verification cannot reject
+      // (j = 1.0). Guard it explicitly.
+      .where(col("d1") =!= col("d2"))
       .dropDuplicates("d1", "d2")
 
     // exact verification joins the (persisted) shingle sets back in for

@@ -15,6 +15,10 @@ class PartitionInvarianceSpec extends SparkSpec {
     "j6_ordered_reorder", // two-phase global ordering
     "w3_gap_emission",    // distributed lag boundary carry
     "dd_ngram_jaccard",   // posting-list pair generation
+    "dd_ppjoin",          // df-ordered prefix join (r10; sampling-based hot
+                          // detection must not leak layout into output)
+    "dd_hamming",         // sig-level banding + grid salting (r10 shape)
+    "dd_sim_components",  // star+sig-edge components (r10)
     "dd_dup_windows",     // window-hash postings + semi join
     "sm_pack",            // distributed prefix sum
     "t1_topk_per_group",  // bounded top-k aggregate

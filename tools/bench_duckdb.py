@@ -30,16 +30,33 @@ def main(sf_dir: str, oracle_path: str, runs: int = 2) -> int:
     for name, sql in sorted(oracle.items()):
         best = None
         for _ in range(runs):
-            timer = threading.Timer(PER_QUERY_LIMIT_S, con.interrupt)
+            fired = []
+
+            def _interrupt():
+                fired.append(True)
+                con.interrupt()
+
+            timer = threading.Timer(PER_QUERY_LIMIT_S, _interrupt)
             timer.start()
             t0 = time.perf_counter()
             try:
                 con.execute(sql).fetchall()
             except Exception:  # includes the interrupt
-                best = -1.0
+                # a failed/interrupted SECOND run must not discard a valid
+                # first measurement
+                if best is None:
+                    best = -1.0
                 break
             finally:
                 timer.cancel()
+                if fired:
+                    # the timer can fire in the gap after execute() returns;
+                    # a pending interrupt flag would poison the NEXT query on
+                    # this connection — drain it with a throwaway statement
+                    try:
+                        con.execute("SELECT 1").fetchall()
+                    except Exception:
+                        pass
             dt = time.perf_counter() - t0
             if best is None or dt < best:
                 best = dt
