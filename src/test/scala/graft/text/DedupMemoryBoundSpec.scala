@@ -150,6 +150,27 @@ class DedupMemoryBoundSpec extends SparkSpec {
       "incremental fixture must drop old×old pairs")
   }
 
+  test("requireBounded fails LOUD when a hot key escapes detection") {
+    import spark.implicits._
+    // sampleMod far above the corpus size: the id-hash sample keeps ~no
+    // rows, hot detection sees nothing, and a 1200-member boilerplate
+    // posting lands unsalted in one task with cap 8 (working bound
+    // 4·8 + 1024 = 1056) — the in-task bound must throw its diagnostic
+    // instead of buffering toward an OOM (with the default sampleMod
+    // this configuration is Chernoff-unreachable; the spec forces the
+    // miss to prove the net)
+    val texts = Seq.tabulate(1200)(i => s"common boiler plate unique$i")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val hashed = Dedup.hashedShingleDocs(df, "doc_id", "text")
+    val ex = intercept[Exception] {
+      Dedup.jaccardPairsHashed(hashed, 0.5, cap = 8, sampleMod = 1000000).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("salted working bound")),
+      s"expected the requireBounded diagnostic, got: ${messages(ex).mkString(" | ")}")
+  }
+
   test("minhashLshPairs: hot-bucket grid path equals the unsalted path") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)
