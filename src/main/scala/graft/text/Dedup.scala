@@ -1077,6 +1077,58 @@ object Dedup {
     connectedComponents(starEdges.unionByName(sigEdges))
   }
 
+  /** Connected components of the Jaccard near-dup graph WITHOUT running
+    * pair generation over exact-duplicate classes — the Jaccard twin of
+    * [[simhashComponents]]. Docs with IDENTICAL shingle sets form j=1.0
+    * cliques in the pair relation (C(m,2) rows for an m-doc boilerplate
+    * class — the dominant blowup on a duplicate-heavy corpus), yet
+    * contribute nothing to connectivity beyond a star:
+    *
+    *   - collapse docs by a 96-bit shingle-set digest (+ n)
+    *     (xxhash64 + hash over the sorted distinct hash array — same
+    *     collision argument as dd_normalized: P ≈ n²/2^97, and a
+    *     collision additionally needs equal set SIZE);
+    *   - run [[jaccardPairsHashed]] over one REPRESENTATIVE per class
+    *     (identical sets have identical Jaccard to everything, so a
+    *     qualifying rep pair lifts to all members and vice versa);
+    *   - star edges connect each member to its class rep (min doc).
+    *
+    * Output is IDENTICAL to
+    * `connectedComponents(jaccardPairsHashed(hashed, t))`: same node set
+    * (members of multi-doc non-empty classes ∪ docs in qualifying cross
+    * pairs), same connectivity, same min-id labels — spec-pinned, and
+    * gate-checked as `dd_jac_components` against the same recursive-CTE
+    * oracle as `dd_components`.
+    */
+  def jaccardComponents(
+      hashed: DataFrame,
+      threshold: Double,
+      cap: Int = DefaultGroupCap,
+      sampleMod: Int = DefaultSampleMod): DataFrame = {
+    require(threshold <= 1.0, "identical sets (j = 1.0) must qualify")
+    val digested = hashed.select(col("doc_id"), col("hs"),
+      col("n").cast("long").as("n"),
+      xxhash64(col("hs")).as("h64"), hash(col("hs")).as("h32"))
+    // ONE shingle array per DISTINCT class rides the aggregation exchange
+    // (first() is deterministic here: every member's hs is identical by
+    // digest) — the minimum movement that gets rep sets to the pair
+    // stage; per-doc rows carry only fixed-width digests
+    val classes = digested.groupBy("h64", "h32", "n")
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("cnt"),
+        first(col("hs")).as("hs"))
+    val repHashed = classes.select(col("rep").as("doc_id"), col("hs"), col("n"))
+    val repPairs = jaccardPairsHashed(repHashed, threshold, cap, sampleMod)
+      .select(col("d1"), col("d2"))
+    // within-class stars: identical non-empty sets have j = 1.0, which
+    // qualifies at any threshold <= 1; rep is the class min, so d1 < d2
+    val starEdges = digested.select(col("doc_id"), col("h64"), col("h32"), col("n"))
+      .join(classes.where(col("cnt") >= 2 && col("n") > 0)
+        .select(col("h64"), col("h32"), col("n"), col("rep")), Seq("h64", "h32", "n"))
+      .where(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("d1"), col("doc_id").as("d2"))
+    connectedComponents(starEdges.unionByName(repPairs))
+  }
+
   /** Connected components over near-dup pairs — the canonical-document
     * selection step of a dedup pipeline (clusters of transitively-similar
     * docs collapse to their min id).

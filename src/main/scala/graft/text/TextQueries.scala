@@ -471,6 +471,16 @@ object TextQueries {
         Dedup.pairTable(Tables.documents(s, d), "doc_id", "text", 0.5))
     },
 
+    // the Jaccard twin of dd_sim_components (r10): exact-duplicate
+    // classes collapse to one representative BEFORE pair generation, so
+    // a boilerplate class of m identical docs costs m star edges instead
+    // of C(m,2) j=1.0 pairs. Same output, same recursive-CTE oracle as
+    // dd_components.
+    "dd_jac_components" -> { (s, d) =>
+      Dedup.jaccardComponents(
+        Dedup.hashedShingleDocs(Tables.documents(s, d), "doc_id", "text"), 0.5)
+    },
+
     // duplicate clusters straight from the simhash banding WITHOUT the
     // quadratic all-pairs relation (r10): star edges to per-signature
     // representatives + sig-level qualifying edges — linear input to
@@ -1293,6 +1303,23 @@ object TextQueries {
                  FLOOR(count(*) FILTER (h IN (SELECT h FROM hot))
                    / count(*) * 1000000.0 + 0.5) / 1000000.0 AS dup_frac
           FROM wins GROUP BY doc_id ORDER BY doc_id""",
+
+    // same oracle as dd_components: the digest-collapsed path must land
+    // on the identical component labelling
+    "dd_jac_components" ->
+      s"""WITH RECURSIVE pairs AS ($shingleCte),
+          edges AS (
+            SELECT d1 AS src, d2 AS dst FROM pairs
+            UNION ALL SELECT d2, d1 FROM pairs
+          ),
+          cc AS (
+            SELECT DISTINCT src AS id, src AS comp FROM edges
+            UNION
+            SELECT e.dst AS id, cc.comp
+            FROM cc JOIN edges e ON e.src = cc.id
+          )
+          SELECT id AS doc_id, MIN(comp) AS component
+          FROM cc GROUP BY id ORDER BY doc_id""",
 
     "dd_components" ->
       s"""WITH RECURSIVE pairs AS ($shingleCte),

@@ -19,6 +19,7 @@ class PartitionInvarianceSpec extends SparkSpec {
                           // detection must not leak layout into output)
     "dd_hamming",         // sig-level banding + grid salting (r10 shape)
     "dd_sim_components",  // star+sig-edge components (r10)
+    "dd_jac_components",  // digest-collapsed jaccard components (r10)
     "dd_dup_windows",     // window-hash postings + semi join
     "sm_pack",            // distributed prefix sum
     "t1_topk_per_group",  // bounded top-k aggregate

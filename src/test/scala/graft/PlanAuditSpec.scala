@@ -153,8 +153,8 @@ class PlanAuditSpec extends SparkSpec {
     graft.text.Dedup.clearPairTables()
     withAqeOff {
       for (name <- Seq("dd_ngram_jaccard", "dd_incremental", "dd_compaction",
-          "dd_simhash", "dd_components", "dd_sim_components", "dd_canonical",
-          "dd_normalized"))
+          "dd_simhash", "dd_components", "dd_sim_components",
+          "dd_jac_components", "dd_canonical", "dd_normalized"))
         assertExchangesFixedWidth(name, q(name))
       // MinHash+LSH: the banded bucket folds to a LONG key before the
       // shuffle (collision = merged buckets = extra candidates that exact

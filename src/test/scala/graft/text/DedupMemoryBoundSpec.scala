@@ -150,6 +150,42 @@ class DedupMemoryBoundSpec extends SparkSpec {
       "incremental fixture must drop old×old pairs")
   }
 
+  test("jaccardComponents: digest-collapsed path equals pair-graph components") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    def doc(): String = Seq.fill(20)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    // planted: an exact-dup class of 25, a second class of 3, a near-dup
+    // bridge between a class member and an outside doc, isolated docs,
+    // and an empty doc (empty shingle set must never cluster)
+    val dup1 = doc(); val dup2 = doc()
+    val bridge = dup1.replaceFirst("alpha", "omega")
+    val texts = Seq.fill(25)(dup1) ++ Seq.fill(3)(dup2) ++
+      Seq(bridge, "") ++ Seq.tabulate(15)(_ => doc())
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val hashed = Dedup.hashedShingleDocs(df, "doc_id", "text")
+    val got = Dedup.jaccardComponents(hashed, 0.5)
+      .as[(Long, Long)].collect().toSeq
+    val want = Dedup.connectedComponents(Dedup.jaccardPairsHashed(hashed, 0.5))
+      .as[(Long, Long)].collect().toSeq
+    assert(got === want)
+    val labels = got.toMap
+    assert(labels(24L) === 0L, "exact-dup class clusters to its min id")
+    assert(labels.get(28L).contains(0L) || labels(28L) === labels(0L),
+      "the near-dup bridge joins the class")
+    assert(!labels.contains(29L), "empty shingle set never clusters")
+
+    // the blowup case: 30k identical docs = 4.5e8 pair rows in the pair
+    // relation, ONE rep + 30k star edges here — clusters in seconds
+    val bigDocs = spark.range(30000L)
+      .select(col("id").as("doc_id"),
+        lit("alpha beta gamma delta epsilon zeta eta").as("text"))
+    val comps = Dedup.jaccardComponents(
+      Dedup.hashedShingleDocs(bigDocs, "doc_id", "text"), 0.5)
+    assert(comps.count() === 30000L)
+  }
+
   test("requireBounded fails LOUD when a hot key escapes detection") {
     import spark.implicits._
     // sampleMod far above the corpus size: the id-hash sample keeps ~no
