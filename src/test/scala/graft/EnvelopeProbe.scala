@@ -46,7 +46,7 @@ object EnvelopeProbe {
 
     val family = Seq(
       "dd_normalized", "dd_simhash", "dd_hamming", "dd_sim_components",
-      "dd_ngram_jaccard", "dd_ppjoin",
+      "dd_ngram_jaccard", "dd_ppjoin", "dd_jac_components",
       "dd_incremental", "dd_minhash_lsh", "dd_components", "dd_canonical",
       "dd_cosine_neardup", "dd_dup_windows", "dd_maximal_spans",
       "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
