@@ -24,14 +24,33 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS) which vanilla Spark rejects
-    * ([PARQUET_TYPE_ILLEGAL]). Read it as a raw nanos long — comparisons and
-    * ordering on the long match DuckDB's TIMESTAMP_NS semantics exactly, with
-    * no sub-microsecond truncation.
+  /** `events.ts` has shipped with two physical layouts across driver testdata
+    * generations: parquet TIMESTAMP(NANOS) (which vanilla Spark rejects with
+    * [PARQUET_TYPE_ILLEGAL] — the legacy flag reads it as a raw nanos long)
+    * and plain timestamp[us] (read as TIMESTAMP_NTZ). Normalize both to an
+    * epoch-MICROSECOND BIGINT at this seam: µs is the precision the DuckDB
+    * oracle shares (`epoch_us(ts)`), and every downstream consumer — window
+    * ids, sessionization gaps, as-of ordering — computes on the long, so the
+    * two engines agree bit-for-bit whichever layout the writer produced.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
+    normalizeEventTs(load(s, d, "events"))
+  }
+
+  /** `ts` → epoch-µs long, whatever the physical type (see [[events]]).
+    * Naive timestamps are interpreted as UTC — every entry point (Verify,
+    * Bench, Main, the test base) pins `spark.sql.session.timeZone=UTC`, so
+    * the NTZ→TIMESTAMP cast is the identity on the stored µs value.
+    * Works on streaming DataFrames too (pure column transform).
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", org.apache.spark.sql.functions.expr("ts div 1000"))
+      case _        => df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -241,13 +241,14 @@ object RelationalQueries {
 
     // Tumbling event-time windows over the events stream, batch form —
     // the SQL-checkable twin of StreamingOps.windowedCounts (1h windows).
-    // Window id = µs-floored timestamp div window length (see
-    // ev_sessionize for why both engines compute on µs longs).
+    // Window id = epoch-µs timestamp div window length; Tables.events
+    // already normalizes ts to an epoch-µs long (the precision DuckDB's
+    // epoch_us(ts) shares), so both engines window on the same value.
     "ev_window" -> { (s, d) =>
       import s.implicits._
       val windowUs = 3600L * 1000000L
       Tables.events(s, d)
-        .withColumn("window_start", expr(s"ts div 1000 div $windowUs") * windowUs)
+        .withColumn("window_start", expr(s"ts div $windowUs") * windowUs)
         .groupBy($"window_start", $"event_type")
         .agg(count(lit(1)).as("n_events"),
              countDistinct($"user_id").as("n_users"),
@@ -262,13 +263,13 @@ object RelationalQueries {
     // never funnels through one task; value sums use the cents trick.
     "ev_sessionize" -> { (s, d) =>
       import s.implicits._
-      // microsecond precision on BOTH engines: DuckDB's parquet reader
-      // truncates TIMESTAMP(NANOS) to µs, so the µs-floored long is the
-      // value the two engines share exactly (gap classification included)
+      // microsecond precision on BOTH engines: Tables.events normalizes ts
+      // to an epoch-µs long, the exact value DuckDB's epoch_us(ts) yields,
+      // so gap classification agrees bit-for-bit
       val gapUs = 6L * 3600 * 1000000L
       val w = Window.partitionBy($"user_id").orderBy($"tsu", $"event_id")
       Tables.events(s, d)
-        .withColumn("tsu", expr("ts div 1000"))
+        .withColumn("tsu", $"ts")
         .withColumn("prev_ts", lag($"tsu", 1).over(w))
         .withColumn("is_new",
           when($"prev_ts".isNull || $"tsu" - $"prev_ts" > gapUs, 1L).otherwise(0L))

@@ -413,8 +413,11 @@ class StreamingOpsSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$sf0001/events.parquet"),
       dir.resolve("events.parquet"))
     val schema = spark.read.parquet(s"$sf0001/events.parquet").schema
+    // Tables.normalizeEventTs handles whichever physical ts layout the
+    // driver wrote (nanos-long or timestamp[us]) — see Tables.events
     def prep(df: org.apache.spark.sql.DataFrame) =
-      df.withColumn("tsm", timestamp_micros(expr("ts div 1000")))
+      graft.Tables.normalizeEventTs(df)
+        .withColumn("tsm", timestamp_micros(col("ts")))
     val streamed = StreamingOps.windowedCounts(
       prep(spark.readStream.schema(schema).parquet(dir.toString)),
       "tsm", "event_type", "1 day", "1 hour")
@@ -444,9 +447,8 @@ class StreamingOpsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     // the same events through the stateful streaming sessionizer, fed
     // time-ordered across three micro-batches (same 6h gap)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val events = spark.read.parquet(s"$sf0001/events.parquet")
-      .select($"user_id", expr("ts div 1000").as("tsu"), $"event_type")
+    val events = graft.Tables.events(spark, sf0001)
+      .select($"user_id", $"ts".as("tsu"), $"event_type")
       .orderBy("tsu").as[(Long, Long, String)].collect()
       .map { case (u, tsu, et) => Event(u, new Timestamp(tsu / 1000), et) }
     val input = MemoryStream[Event]
