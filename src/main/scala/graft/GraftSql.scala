@@ -17,7 +17,7 @@ object GraftSql {
     graft.plans.IntervalStabJoinStrategy.register(spark)
     Tables.all.foreach { name =>
       val df =
-        if (name == "events") Tables.events(spark, sfDir) // nanos-as-long conf
+        if (name == "events") Tables.events(spark, sfDir) // ts → epoch-µs long
         else Tables.load(spark, sfDir, name)
       df.createOrReplaceTempView(name)
     }
