@@ -81,6 +81,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.directSimilarityDescriptor)
     ext.injectFunction(GraftExtensions.consistencySimilarityDescriptor)
     ext.injectFunction(GraftExtensions.textEditSimilarityDescriptor)
+    ext.injectFunction(GraftExtensions.sortedLongIntersectCountDescriptor)
   }
 }
 
@@ -100,6 +101,11 @@ object GraftExtensions {
     new ExpressionInfo(classOf[TextEditSimilarity].getName, "text_edit_similarity_native"),
     (children: Seq[Expression]) => TextEditSimilarity(children(0), children(1)))
 
+  private val sortedLongIntersectCountDescriptor = (
+    FunctionIdentifier("sorted_long_intersect_count"),
+    new ExpressionInfo(classOf[SortedLongIntersectCount].getName, "sorted_long_intersect_count"),
+    (children: Seq[Expression]) => SortedLongIntersectCount(children(0), children(1)))
+
   /** Register on a live session (same builder the extension uses). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -113,6 +119,10 @@ object GraftExtensions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "text_edit_similarity_native",
       children => TextEditSimilarity(children(0), children(1)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sorted_long_intersect_count",
+      children => SortedLongIntersectCount(children(0), children(1)),
       "built-in")
   }
 }

@@ -634,29 +634,28 @@ object Dedup {
   }
 
   /** Exact two-pointer merge verification of candidate pairs against the
-    * hash-sorted shingle arrays — shared by both prefix variants.
+    * hash-sorted shingle arrays — shared by both prefix variants. The
+    * merge count is the native codegen expression
+    * [[graft.functions.SortedLongIntersectCount]]: the `Seq[Long]` UDF it
+    * replaced boxed both arrays per candidate pair and broke whole-stage
+    * codegen across the fused verify stage — the hottest per-row cost in
+    * `dd_ppjoin`'s r10 stage profile.
     */
+  private[text] def verifyCandidatesProbe(
+      hashed: DataFrame, candidates: DataFrame, threshold: Double): DataFrame =
+    verifyCandidates(hashed, candidates, threshold)
+
   private def verifyCandidates(
       hashed: DataFrame, candidates: DataFrame, threshold: Double): DataFrame = {
     // NOT persisted (library calls must not leak cached blocks past their
     // final action — same rule as ivfTopK): the joins recompute the
     // shingle lineage per side; at scale the shingle table is a
     // materialized stage the caller persists, like [[pairTable]]
-    val interUdf = udf { (a: Seq[Long], b: Seq[Long]) =>
-      var i = 0; var j = 0; var c = 0L
-      val (na, nb) = (a.length, b.length)
-      while (i < na && j < nb) {
-        val x = a(i); val y = b(j)
-        if (x == y) { c += 1; i += 1; j += 1 }
-        else if (x < y) i += 1
-        else j += 1
-      }
-      c
-    }
+    graft.functions.GraftExtensions.register(hashed.sparkSession)
     candidates
       .join(hashed.select(col("doc_id").as("d1"), col("hs").as("h1"), col("n").as("n1")), "d1")
       .join(hashed.select(col("doc_id").as("d2"), col("hs").as("h2"), col("n").as("n2")), "d2")
-      .withColumn("inter", interUdf(col("h1"), col("h2")))
+      .withColumn("inter", expr("sorted_long_intersect_count(h1, h2)"))
       .withColumn("jraw", col("inter") / (col("n1") + col("n2") - col("inter")))
       .where(col("jraw") >= threshold)
       .withColumn("j", floor(col("jraw") * 1000000.0 + 0.5) / 1000000.0)
@@ -678,27 +677,62 @@ object Dedup {
         transform(col("o"), x => x.getField("s")).as("ord"))
   }
 
+  /** The sketch-ordered frame behind [[jaccardPairsPrefixDf]]: shingles
+    * sorted by (ESTIMATED document frequency, hash) where the estimate
+    * comes from a driver-built, task-broadcast count-min sketch over the
+    * shingle stream. Estimates only steer the ORDER (never a value or a
+    * prune decision), and CMS merges are cell-wise additions, so the order
+    * is a deterministic fixed total order — exactness and reproducibility
+    * are untouched; overcounting a rare shingle merely costs a little
+    * pruning quality. Exposed so the spec can count candidates under the
+    * production ordering.
+    */
+  private[text] def cmsOrdered(hashed: DataFrame): DataFrame = {
+    // depth 5 × width 2^16 longs ≈ 2.6 MB — a fixed-size broadcast at any
+    // corpus scale; seed fixed for run-to-run determinism
+    val cms = hashed.select(explode(col("hs")).as("s"))
+      .stat.countMinSketch("s", 5, 1 << 16, 42)
+    val bc = hashed.sparkSession.sparkContext.broadcast(cms)
+    val orderUdf = udf { (hs: Seq[Long]) =>
+      val sketch = bc.value
+      hs.toArray.sortBy(h => (sketch.estimateCount(h), h))
+    }
+    hashed.select(col("doc_id"), col("n"), orderUdf(col("hs")).as("ord"))
+  }
+
   /** The PRODUCTION refinement of [[jaccardPairsPrefix]] at boilerplate
     * scale: shingles order by ASCENDING DOCUMENT FREQUENCY (ties by hash),
     * so a doc's prefix holds its RAREST shingles and corpus-wide
     * boilerplate never enters a prefix — the candidate join's hottest keys
-    * simply disappear. Costs one extra df aggregation pass plus a per-doc
-    * reorder; identical output to [[jaccardPairsHashed]] (the prefix lemma
-    * holds under any fixed total order — spec-pinned, along with the
-    * candidate-count reduction on a planted-boilerplate corpus).
+    * simply disappear. Identical output to [[jaccardPairsHashed]] (the
+    * prefix lemma holds under any fixed total order — spec-pinned, along
+    * with the candidate-count reduction on a planted-boilerplate corpus).
     *
-    * The input is pinned behind ONE deliberate doc-keyed exchange: five
-    * plan branches consume the shingle table (df counting, the ordered
-    * re-agg, both prefix-join sides via it, and the two verify sides),
-    * and without a shared exchange each branch re-runs the shingle-hash
-    * UDF over the whole corpus — Spark's ReusedExchange turns that into
-    * one hashing pass (measured 7.2 s → ~4 s at sf0.1). This exchange is
+    * Frequencies come from a broadcast count-min sketch ([[cmsOrdered]]),
+    * NOT an exact df aggregation: exact df costs a shingle-keyed shuffle
+    * of the whole exploded corpus plus a per-doc re-aggregation — at
+    * 100 TB that exchange is the heaviest stage in the query, and it buys
+    * nothing but ordering precision that the prefix lemma doesn't need.
+    * With the sketch the ordering is a MAP-ONLY transform of the shingle
+    * table (one aggregate pass builds the 2.6 MB sketch). At sf0.1 the
+    * swap is wall-neutral (the sketch job replaces the df stages — the
+    * win is the exchange it deletes at scale); the r10 wall win here was
+    * the native verify kernel (see [[verifyCandidatesProbe]] scaladoc):
+    * 3.8 s → 1.6 s once the boxed `Seq[Long]` UDF stopped splitting the
+    * fused verify stage out of whole-stage codegen. The exact-df form is
+    * kept as [[dfOrdered]] for the spec's candidate-count comparisons.
+    *
+    * The input is pinned behind ONE deliberate doc-keyed exchange: the
+    * sketch build, both prefix-join sides, and the two verify sides all
+    * consume the shingle table, and without a shared exchange each branch
+    * re-runs the shingle-hash UDF over the whole corpus — Spark's
+    * ReusedExchange turns that into one hashing pass. This exchange is
     * the in-query form of the materialized shingle stage a 100 TB
     * pipeline persists explicitly (the [[pairTable]] seam note).
     */
   def jaccardPairsPrefixDf(hashed: DataFrame, threshold: Double): DataFrame = {
     val base = hashed.repartition(col("doc_id"))
-    verifyCandidates(base, prefixCandidates(dfOrdered(base), threshold), threshold)
+    verifyCandidates(base, prefixCandidates(cmsOrdered(base), threshold), threshold)
   }
 
   /** Deterministic affine permutation parameters for H minhash functions. */

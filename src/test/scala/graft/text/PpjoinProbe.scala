@@ -1,0 +1,43 @@
+package graft.text
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev-only stage timing for dd_ppjoin at sf0.1 (not part of the engine
+  * surface): brackets which stage of jaccardPairsPrefixDf dominates its
+  * bench cost — the df ordering passes, the prefix candidate join, or the
+  * exact verify.
+  */
+object PpjoinProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .appName("ppjoin-probe")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    def time(label: String)(f: => Long): Unit = {
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); val c = f
+        ((System.nanoTime() - t0) / 1e9, c)
+      }
+      println(f"PROBE $label%-22s best=${ts.map(_._1).min}%6.2f s rows=${ts.head._2}")
+    }
+
+    val hashed = Dedup.hashedShingleDocs(
+      graft.Tables.documents(spark, d), "doc_id", "text")
+    val base = hashed.repartition(col("doc_id"))
+
+    time("hashed_scan") { hashed.count() }
+    time("dfOrdered") { Dedup.dfOrdered(base).count() }
+    time("candidates") {
+      Dedup.prefixCandidates(Dedup.dfOrdered(base), 0.5).count()
+    }
+    time("full_ppjoin") { Dedup.jaccardPairsPrefixDf(hashed, 0.5).count() }
+    time("inverted_index") { Dedup.jaccardPairsHashed(hashed, 0.5).count() }
+    spark.stop()
+  }
+}

@@ -141,6 +141,11 @@ class TextOpsSpec extends SparkSpec {
     val candDf = Dedup.prefixCandidates(Dedup.dfOrdered(hashed), 0.5).count()
     assert(candDf < candHash,
       s"df ordering must prune boilerplate candidates: $candDf vs $candHash")
+    // the production path orders by a count-min-sketch ESTIMATE of df —
+    // boilerplate overcounts identically, so it still never enters a prefix
+    val candCms = Dedup.prefixCandidates(Dedup.cmsOrdered(hashed), 0.5).count()
+    assert(candCms < candHash,
+      s"cms ordering must prune boilerplate candidates: $candCms vs $candHash")
   }
 
   test("pairTable: memoized seam equals direct computation, reused across consumers") {
