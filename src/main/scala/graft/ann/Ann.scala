@@ -18,22 +18,33 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
-  /** Left-to-right dot product as a compiled tight loop. A Catalyst
-    * higher-order `aggregate` has the same semantics but evaluates
-    * interpreted per element (~10× slower on the 12M-pair brute scan);
-    * the UDF keeps the exact fold order, so oracle doubles still match.
+  /** Left-to-right dot product as the native codegen expression
+    * [[graft.functions.DoubleArrayDot]]. The ladder, measured: a Catalyst
+    * higher-order `aggregate` evaluates interpreted per element (~10×
+    * slower on the 12M-pair brute scan); a `Seq[Double]` UDF compiles the
+    * loop but boxes both arrays per pair AND splits the surrounding stage
+    * out of whole-stage codegen (the dd_ppjoin r10 profile); the native
+    * expression reads `ArrayData.getDouble` in generated code with the
+    * same strict fold order, so oracle doubles still match bit-for-bit.
+    * Resolved by registry name — every Ann entry point that sees a
+    * DataFrame calls [[kernels]] on its session first.
     */
-  private val dotUdf = udf { (a: Seq[Double], b: Seq[Double]) =>
-    var s = 0.0
-    var i = 0
-    val n = a.length
-    while (i < n) { s += a(i) * b(i); i += 1 }
-    s
+  private def dotNative(a: Column, b: Column): Column =
+    call_function("double_array_dot_native", a, b)
+
+  /** Idempotent kernel-function registration on the session owning `df`. */
+  private def kernels(df: DataFrame): DataFrame = {
+    graft.functions.GraftExtensions.register(df.sparkSession)
+    df
   }
 
-  /** Cosine similarity of two array<double> columns (fold left-to-right). */
+  /** Cosine similarity of two array<double> columns (fold left-to-right).
+    * Uses the registered native dot kernel — call
+    * [[graft.functions.GraftExtensions.register]] (any Ann/GraftSql entry
+    * point does) before resolving a plan built from this Column alone.
+    */
   def cosine(a: Column, b: Column): Column =
-    dotUdf(a, b) / (sqrt(dotUdf(a, a)) * sqrt(dotUdf(b, b)))
+    dotNative(a, b) / (sqrt(dotNative(a, a)) * sqrt(dotNative(b, b)))
 
   private def asDouble(c: Column): Column = transform(c, _.cast("double"))
 
@@ -49,11 +60,11 @@ object Ann {
     * oracle's doubles still match bit-for-bit.
     */
   private def withNorm(embeddings: DataFrame, idCol: String, vecCol: String): DataFrame =
-    embeddings.select(
+    kernels(embeddings).select(
       col(idCol).as("id"), asDouble(col(vecCol)).as("v"),
-      sqrt(dotUdf(asDouble(col(vecCol)), asDouble(col(vecCol)))).as("nrm"))
+      sqrt(dotNative(asDouble(col(vecCol)), asDouble(col(vecCol)))).as("nrm"))
 
-  private def dotCol(a: Column, b: Column): Column = dotUdf(a, b)
+  private def dotCol(a: Column, b: Column): Column = dotNative(a, b)
 
   def cosineTopK(
       embeddings: DataFrame,
@@ -353,6 +364,7 @@ object Ann {
       cents: Array[Array[Double]]): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
+    kernels(embeddings) // dotNative resolves by registry name
     val centsB = spark.sparkContext.broadcast(cents)
     ivfPrep(embeddings, idCol, vecCol)
       .map { case (id, _, _, vn) => (id, nearestCell(vn, centsB.value)) }
@@ -373,6 +385,7 @@ object Ann {
       cents: Array[Array[Double]]): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
+    kernels(embeddings) // dotNative resolves by registry name
 
     // NOT persisted: prep is a map-only pass, and the corpus is scanned
     // exactly twice (the bounded training take-ordered above, then the
@@ -408,7 +421,7 @@ object Ann {
     // dropDuplicates here would be a pure no-op Exchange of vector-laden rows.
     probes.join(index, Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", dotUdf(col("qvec"), col("nvec")) / (col("qn") * col("nn")))
+      .withColumn("cos", dotNative(col("qvec"), col("nvec")) / (col("qn") * col("nn")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),

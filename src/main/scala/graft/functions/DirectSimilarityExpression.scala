@@ -82,6 +82,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.consistencySimilarityDescriptor)
     ext.injectFunction(GraftExtensions.textEditSimilarityDescriptor)
     ext.injectFunction(GraftExtensions.sortedLongIntersectCountDescriptor)
+    ext.injectFunction(GraftExtensions.doubleArrayDotDescriptor)
   }
 }
 
@@ -106,6 +107,11 @@ object GraftExtensions {
     new ExpressionInfo(classOf[SortedLongIntersectCount].getName, "sorted_long_intersect_count"),
     (children: Seq[Expression]) => SortedLongIntersectCount(children(0), children(1)))
 
+  private val doubleArrayDotDescriptor = (
+    FunctionIdentifier("double_array_dot_native"),
+    new ExpressionInfo(classOf[DoubleArrayDot].getName, "double_array_dot_native"),
+    (children: Seq[Expression]) => DoubleArrayDot(children(0), children(1)))
+
   /** Register on a live session (same builder the extension uses). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -123,6 +129,10 @@ object GraftExtensions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sorted_long_intersect_count",
       children => SortedLongIntersectCount(children(0), children(1)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "double_array_dot_native",
+      children => DoubleArrayDot(children(0), children(1)),
       "built-in")
   }
 }
