@@ -39,12 +39,23 @@ object Ann {
   }
 
   /** Cosine similarity of two array<double> columns (fold left-to-right).
-    * Uses the registered native dot kernel — call
-    * [[graft.functions.GraftExtensions.register]] (any Ann/GraftSql entry
-    * point does) before resolving a plan built from this Column alone.
+    * Deliberately UDF-backed, NOT [[dotNative]]: this is the one public
+    * Column builder with no session in scope, and a registry-resolved
+    * function here would make previously-working standalone calls fail
+    * analysis on sessions that never touched an Ann entry point. The hot
+    * pair paths all go through the DataFrame entry points, which use the
+    * native kernel.
     */
-  def cosine(a: Column, b: Column): Column =
-    dotNative(a, b) / (sqrt(dotNative(a, a)) * sqrt(dotNative(b, b)))
+  def cosine(a: Column, b: Column): Column = {
+    val dotUdf = udf { (x: Seq[Double], y: Seq[Double]) =>
+      var s = 0.0
+      var i = 0
+      val n = x.length
+      while (i < n) { s += x(i) * y(i); i += 1 }
+      s
+    }
+    dotUdf(a, b) / (sqrt(dotUdf(a, a)) * sqrt(dotUdf(b, b)))
+  }
 
   private def asDouble(c: Column): Column = transform(c, _.cast("double"))
 
@@ -364,7 +375,6 @@ object Ann {
       cents: Array[Array[Double]]): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    kernels(embeddings) // dotNative resolves by registry name
     val centsB = spark.sparkContext.broadcast(cents)
     ivfPrep(embeddings, idCol, vecCol)
       .map { case (id, _, _, vn) => (id, nearestCell(vn, centsB.value)) }

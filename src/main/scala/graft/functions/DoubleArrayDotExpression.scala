@@ -18,8 +18,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * profiled in `dd_ppjoin`'s verify — see
   * [[SortedLongIntersectCount]]). Reads `ArrayData.getDouble` directly.
   *
-  * Mismatched lengths fold over the common prefix (callers own the
-  * equal-dim contract); nulls propagate.
+  * Mismatched lengths throw (`IllegalArgumentException`): a ragged
+  * embedding row is data corruption, and a silent common-prefix fold would
+  * turn it into a plausible-looking wrong score that flows into ranks
+  * undetected (the UDF this replaces also failed loud, via
+  * IndexOutOfBounds). Nulls propagate.
   */
 case class DoubleArrayDot(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -39,7 +42,8 @@ case class DoubleArrayDot(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    DoubleArrayDot.requireSameDim(n, y.numElements())
     var s = 0.0
     var i = 0
     while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
@@ -52,7 +56,13 @@ case class DoubleArrayDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "double_array_dot_native: mismatched vector dimensions " + $n +
+         |    " vs " + $b.numElements() +
+         |    " (ragged embedding row — refusing to fold a silent prefix)");
+         |}
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $s += $a.getDouble($i) * $b.getDouble($i);
@@ -64,4 +74,14 @@ case class DoubleArrayDot(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DoubleArrayDot =
     copy(left = newLeft, right = newRight)
+}
+
+object DoubleArrayDot {
+  /** Interpreted-path dimension check (the generated code inlines the
+    * same guard with identical error text).
+    */
+  def requireSameDim(na: Int, nb: Int): Unit =
+    if (na != nb) throw new IllegalArgumentException(
+      s"double_array_dot_native: mismatched vector dimensions $na vs $nb " +
+        "(ragged embedding row — refusing to fold a silent prefix)")
 }

@@ -296,14 +296,19 @@ object CoverageQueries {
                  FROM documents) t
            WHERE length(w) >= 2) g
          GROUP BY bg ORDER BY cnt DESC, bg LIMIT 20""",
+    // both engines compare at epoch-µs precision (epoch_us here, the
+    // Tables.events µs normalization on the Spark side): under a NANOS
+    // parquet layout a raw c.ts > p.ts would order at ns in DuckDB but µs
+    // in Spark and the gate would diverge on same-µs events
     "j3_directional_next" ->
       """SELECT event_id, user_id, click_event_id FROM (
            SELECT p.event_id, p.user_id, c.event_id AS click_event_id,
                   ROW_NUMBER() OVER (PARTITION BY p.event_id
-                    ORDER BY c.ts, c.event_id) AS rn
+                    ORDER BY CAST(epoch_us(c.ts) AS BIGINT), c.event_id) AS rn
            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
            JOIN (SELECT * FROM events WHERE event_type = 'click') c
-             ON p.user_id = c.user_id AND c.ts > p.ts) t
+             ON p.user_id = c.user_id
+            AND CAST(epoch_us(c.ts) AS BIGINT) > CAST(epoch_us(p.ts) AS BIGINT)) t
          WHERE rn = 1 ORDER BY event_id""",
     "j8_range_classify" ->
       """SELECT l_orderkey, l_linenumber,

@@ -317,11 +317,16 @@ object RelationalQueries {
          FROM orders JOIN lineitem
            ON l_orderkey >= o_orderkey AND l_orderkey <= o_orderkey + 9
          GROUP BY o_orderkey ORDER BY o_orderkey""",
+    // as-of at epoch-µs precision on both engines (see the j3 oracle note:
+    // a raw p.ts >= c.ts would compare at ns under a NANOS parquet layout
+    // while Spark's Tables.events normalizes to µs)
     "j2_asof_join" ->
       """SELECT p.event_id, p.user_id, c.event_id AS click_event_id
-         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
-           ON p.user_id = c.user_id AND p.ts >= c.ts
+         FROM (SELECT *, CAST(epoch_us(ts) AS BIGINT) AS tsu
+               FROM events WHERE event_type = 'purchase') p
+         ASOF LEFT JOIN (SELECT *, CAST(epoch_us(ts) AS BIGINT) AS tsu
+               FROM events WHERE event_type = 'click') c
+           ON p.user_id = c.user_id AND p.tsu >= c.tsu
          ORDER BY p.event_id""",
     "j4_star_revenue" ->
       """SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_items,

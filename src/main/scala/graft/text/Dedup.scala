@@ -633,6 +633,13 @@ object Dedup {
       .dropDuplicates("d1", "d2")
   }
 
+  /** Test/probe-visible alias of [[verifyCandidates]] so PpjoinProbe can
+    * time the verify stage in isolation against materialized candidates.
+    */
+  private[text] def verifyCandidatesProbe(
+      hashed: DataFrame, candidates: DataFrame, threshold: Double): DataFrame =
+    verifyCandidates(hashed, candidates, threshold)
+
   /** Exact two-pointer merge verification of candidate pairs against the
     * hash-sorted shingle arrays — shared by both prefix variants. The
     * merge count is the native codegen expression
@@ -641,10 +648,6 @@ object Dedup {
     * codegen across the fused verify stage — the hottest per-row cost in
     * `dd_ppjoin`'s r10 stage profile.
     */
-  private[text] def verifyCandidatesProbe(
-      hashed: DataFrame, candidates: DataFrame, threshold: Double): DataFrame =
-    verifyCandidates(hashed, candidates, threshold)
-
   private def verifyCandidates(
       hashed: DataFrame, candidates: DataFrame, threshold: Double): DataFrame = {
     // NOT persisted (library calls must not leak cached blocks past their
@@ -686,11 +689,18 @@ object Dedup {
     * are untouched; overcounting a rare shingle merely costs a little
     * pruning quality. Exposed so the spec can count candidates under the
     * production ordering.
+    *
+    * `sketchFrom` feeds the sketch-build ACTION (an eager separate job —
+    * exchange reuse never spans jobs, so anything in its lineage re-runs):
+    * pass the PRE-repartition shingle frame so the build is a map-only
+    * scan+hash pass with no shuffle; defaults to `hashed` itself.
     */
-  private[text] def cmsOrdered(hashed: DataFrame): DataFrame = {
+  private[text] def cmsOrdered(
+      hashed: DataFrame, sketchFrom: DataFrame = null): DataFrame = {
     // depth 5 × width 2^16 longs ≈ 2.6 MB — a fixed-size broadcast at any
     // corpus scale; seed fixed for run-to-run determinism
-    val cms = hashed.select(explode(col("hs")).as("s"))
+    val src = Option(sketchFrom).getOrElse(hashed)
+    val cms = src.select(explode(col("hs")).as("s"))
       .stat.countMinSketch("s", 5, 1 << 16, 42)
     val bc = hashed.sparkSession.sparkContext.broadcast(cms)
     val orderUdf = udf { (hs: Seq[Long]) =>
@@ -722,17 +732,21 @@ object Dedup {
     * fused verify stage out of whole-stage codegen. The exact-df form is
     * kept as [[dfOrdered]] for the spec's candidate-count comparisons.
     *
-    * The input is pinned behind ONE deliberate doc-keyed exchange: the
-    * sketch build, both prefix-join sides, and the two verify sides all
-    * consume the shingle table, and without a shared exchange each branch
-    * re-runs the shingle-hash UDF over the whole corpus — Spark's
-    * ReusedExchange turns that into one hashing pass. This exchange is
-    * the in-query form of the materialized shingle stage a 100 TB
-    * pipeline persists explicitly (the [[pairTable]] seam note).
+    * The MAIN action's input is pinned behind ONE deliberate doc-keyed
+    * exchange: both prefix-join sides and the two verify sides consume the
+    * shingle table, and without a shared exchange each branch re-runs the
+    * shingle-hash UDF over the whole corpus — Spark's ReusedExchange turns
+    * that into one hashing pass. The sketch build is a SEPARATE eager job
+    * (exchange reuse never spans jobs), so it deliberately reads the
+    * pre-repartition `hashed` frame: one map-only scan+hash pass, no
+    * shuffle re-run. At 100 TB both passes read the materialized shingle
+    * stage the pipeline persists explicitly (the [[pairTable]] seam note),
+    * so the extra scan is a cheap re-read, not a re-hash.
     */
   def jaccardPairsPrefixDf(hashed: DataFrame, threshold: Double): DataFrame = {
     val base = hashed.repartition(col("doc_id"))
-    verifyCandidates(base, prefixCandidates(cmsOrdered(base), threshold), threshold)
+    verifyCandidates(base,
+      prefixCandidates(cmsOrdered(base, sketchFrom = hashed), threshold), threshold)
   }
 
   /** Deterministic affine permutation parameters for H minhash functions. */

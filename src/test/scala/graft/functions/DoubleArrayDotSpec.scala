@@ -51,4 +51,17 @@ class DoubleArrayDotSpec extends SparkSpec {
       .collect().head
     assert(n.isNullAt(0))
   }
+
+  test("ragged vectors fail loud instead of folding a silent prefix") {
+    GraftExtensions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT double_array_dot_native(array(1.0D, 2.0D), array(1.0D))")
+        .collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq
+    assert(causes(e).exists(_.getMessage != null) &&
+      causes(e).exists(c => Option(c.getMessage).exists(
+        _.contains("mismatched vector dimensions"))))
+  }
 }

@@ -3,10 +3,14 @@ package graft.text
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Dev-only stage timing for dd_ppjoin at sf0.1 (not part of the engine
-  * surface): brackets which stage of jaccardPairsPrefixDf dominates its
-  * bench cost — the df ordering passes, the prefix candidate join, or the
-  * exact verify.
+/** Dev-only stage timing for dd_ppjoin (not part of the engine surface):
+  * brackets which stage of jaccardPairsPrefixDf dominates its bench cost —
+  * the ordering pass (exact-df vs the production CMS estimate), the prefix
+  * candidate join, or the exact verify (timed in isolation against
+  * materialized candidates) — with the inverted index as the density
+  * baseline. This is the probe that caught the boxed-UDF verify kernel
+  * (r10: full 3.8 s with ~2.5 s in verify; 1.6 s after
+  * SortedLongIntersectCount).
   */
 object PpjoinProbe {
   def main(args: Array[String]): Unit = {
@@ -32,10 +36,19 @@ object PpjoinProbe {
     val base = hashed.repartition(col("doc_id"))
 
     time("hashed_scan") { hashed.count() }
-    time("dfOrdered") { Dedup.dfOrdered(base).count() }
-    time("candidates") {
-      Dedup.prefixCandidates(Dedup.dfOrdered(base), 0.5).count()
+    time("dfOrdered_exact") { Dedup.dfOrdered(base).count() }
+    time("cmsOrdered_prod") { Dedup.cmsOrdered(base, sketchFrom = hashed).count() }
+    time("candidates_prod") {
+      Dedup.prefixCandidates(
+        Dedup.cmsOrdered(base, sketchFrom = hashed), 0.5).count()
     }
+    // isolate verify: materialize the candidate pairs, then time only the
+    // array joins + native merge kernel
+    val cands = Dedup.prefixCandidates(
+      Dedup.cmsOrdered(base, sketchFrom = hashed), 0.5).collect()
+    import spark.implicits._
+    val candDf = cands.map(r => (r.getLong(0), r.getLong(1))).toSeq.toDF("d1", "d2")
+    time("verify_isolated") { Dedup.verifyCandidatesProbe(base, candDf, 0.5).count() }
     time("full_ppjoin") { Dedup.jaccardPairsPrefixDf(hashed, 0.5).count() }
     time("inverted_index") { Dedup.jaccardPairsHashed(hashed, 0.5).count() }
     spark.stop()
