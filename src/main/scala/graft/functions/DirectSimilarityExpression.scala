@@ -112,27 +112,27 @@ object GraftExtensions {
     new ExpressionInfo(classOf[DoubleArrayDot].getName, "double_array_dot_native"),
     (children: Seq[Expression]) => DoubleArrayDot(children(0), children(1)))
 
-  /** Register on a live session (same builder the extension uses). */
+  /** Register on a live session (same builder the extension uses).
+    * Idempotent AND quiet: library entry points (Dedup verify, every Ann
+    * DataFrame builder) call this on each plan construction, and a
+    * replace-always registration would log a
+    * "function replaced a previously registered function" WARN per kernel
+    * per query — skip names that are already present instead.
+    */
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "direct_similarity_native",
-      children => DirectSimilarity(children(0), children(1)),
-      "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "consistency_similarity_native",
-      children => ConsistencySimilarity(children(0), children(1), children(2)),
-      "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "text_edit_similarity_native",
-      children => TextEditSimilarity(children(0), children(1)),
-      "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "sorted_long_intersect_count",
-      children => SortedLongIntersectCount(children(0), children(1)),
-      "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "double_array_dot_native",
-      children => DoubleArrayDot(children(0), children(1)),
-      "built-in")
+    val reg = spark.sessionState.functionRegistry
+    def ensure(name: String, builder: Seq[Expression] => Expression): Unit =
+      if (!reg.functionExists(FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, builder, "built-in")
+    ensure("direct_similarity_native",
+      children => DirectSimilarity(children(0), children(1)))
+    ensure("consistency_similarity_native",
+      children => ConsistencySimilarity(children(0), children(1), children(2)))
+    ensure("text_edit_similarity_native",
+      children => TextEditSimilarity(children(0), children(1)))
+    ensure("sorted_long_intersect_count",
+      children => SortedLongIntersectCount(children(0), children(1)))
+    ensure("double_array_dot_native",
+      children => DoubleArrayDot(children(0), children(1)))
   }
 }

@@ -43,12 +43,17 @@ object PpjoinProbe {
         Dedup.cmsOrdered(base, sketchFrom = hashed), 0.5).count()
     }
     // isolate verify: materialize the candidate pairs, then time only the
-    // array joins + native merge kernel
+    // array joins + native merge kernel. Only meaningful when the candidate
+    // set is small enough that the driver-local relation doesn't distort
+    // the plan (a 500k-row parallelized local collection loses partition
+    // stats and times the probe harness, not the verify stage).
     val cands = Dedup.prefixCandidates(
       Dedup.cmsOrdered(base, sketchFrom = hashed), 0.5).collect()
-    import spark.implicits._
-    val candDf = cands.map(r => (r.getLong(0), r.getLong(1))).toSeq.toDF("d1", "d2")
-    time("verify_isolated") { Dedup.verifyCandidatesProbe(base, candDf, 0.5).count() }
+    if (cands.length <= 200000) {
+      import spark.implicits._
+      val candDf = cands.map(r => (r.getLong(0), r.getLong(1))).toSeq.toDF("d1", "d2")
+      time("verify_isolated") { Dedup.verifyCandidatesProbe(base, candDf, 0.5).count() }
+    } else println(s"PROBE verify_isolated       skipped (${cands.length} candidates)")
     time("full_ppjoin") { Dedup.jaccardPairsPrefixDf(hashed, 0.5).count() }
     time("inverted_index") { Dedup.jaccardPairsHashed(hashed, 0.5).count() }
     spark.stop()

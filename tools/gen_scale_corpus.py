@@ -1,0 +1,74 @@
+#!/usr/bin/env python3
+"""Regenerable 10x scale corpora for the memory-envelope and regime-bracket
+probes (EnvelopeProbe / DupHeavyProbe / PpjoinProbe). The round-10 envelope
+run originally used a throwaway /tmp corpus; this script makes those
+measurements reproducible. Driver-side tooling only — not part of the
+library. Seeded, so every run writes byte-identical logical content.
+
+Usage:
+  python3 tools/gen_scale_corpus.py sf1    /tmp/sf1      # 50.5k docs (49.5k
+        synthetic in the sf0.1 31-word vocabulary + a planted 1000-doc
+        identical class), 20k x 64-dim embeddings
+  python3 tools/gen_scale_corpus.py sf1dup /tmp/sf1dup   # duplicate-heavy:
+        100 identical classes x 400 docs + 10k uniques (50k docs)
+"""
+import sys
+import numpy as np
+import pandas as pd
+
+VOCAB = ["a", "agg", "batch", "big", "column", "customer", "data", "dup",
+         "fast", "filter", "group", "hash", "join", "key", "line", "merge",
+         "order", "part", "query", "row", "scan", "slow", "small", "sort",
+         "spark", "stream", "table", "the", "value", "vector", "window"]
+LANGS = ["en", "en", "zh", "es", "fr", "de"]  # en twice ~ sf0.1 mix
+
+
+def doc_text(rng, lo=8, hi=90):
+    n = rng.integers(lo, hi + 1)
+    return " ".join(rng.choice(VOCAB, size=n))
+
+
+def docs_frame(texts, start_id):
+    rng = np.random.default_rng(7)
+    n = len(texts)
+    return pd.DataFrame({
+        "doc_id": np.arange(start_id, start_id + n, dtype=np.int64),
+        "text": texts,
+        "lang": rng.choice(LANGS, size=n),
+        "source": [f"src{int(i)}" for i in rng.integers(0, 20, size=n)],
+        "n_chars": np.array([len(t) for t in texts], dtype=np.int64),
+    })
+
+
+def gen_sf1(out):
+    rng = np.random.default_rng(42)
+    uniques = [doc_text(rng) for _ in range(49_500)]
+    planted = [uniques[0]] * 1000  # the identical boilerplate class
+    df = docs_frame(uniques + planted, 0)
+    df.to_parquet(f"{out}/documents.parquet", index=False)
+    erng = np.random.default_rng(43)
+    n_emb, dim = 20_000, 64
+    emb = erng.standard_normal((n_emb, dim)).astype(np.float32)
+    pd.DataFrame({
+        "vec_id": np.arange(n_emb, dtype=np.int64),
+        "embedding": list(emb),
+        "label": erng.integers(0, 10, size=n_emb).astype(np.int32),
+    }).to_parquet(f"{out}/embeddings.parquet", index=False)
+    print(f"sf1 -> {out}: {len(df)} docs, {n_emb}x{dim} embeddings")
+
+
+def gen_sf1dup(out):
+    rng = np.random.default_rng(44)
+    classes = [doc_text(rng) for _ in range(100)]
+    texts = [t for t in classes for _ in range(400)]
+    texts += [doc_text(rng) for _ in range(10_000)]
+    df = docs_frame(texts, 0)
+    df.to_parquet(f"{out}/documents.parquet", index=False)
+    print(f"sf1dup -> {out}: {len(df)} docs (100x400 identical + 10k uniques)")
+
+
+if __name__ == "__main__":
+    kind, out = sys.argv[1], sys.argv[2]
+    import os
+    os.makedirs(out, exist_ok=True)
+    {"sf1": gen_sf1, "sf1dup": gen_sf1dup}[kind](out)
