@@ -209,6 +209,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(!physical(q("x3_consistency_text")).contains("ScalaUDF"))
   }
 
+  test("dd_ppjoin verify runs the native merge kernel, not a boxed UDF") {
+    // the r10 profile: a Seq[Long] UDF here boxed both shingle arrays per
+    // candidate pair and split the fused verify stage out of codegen
+    // (3.99 s → 1.4 s at sf0.1 when replaced). Per-DOC UDFs (shingle
+    // hashing, the CMS ordering) are sanctioned — the guard is that the
+    // per-PAIR intersect stays native.
+    val plan = physical(q("dd_ppjoin"))
+    assert(plan.contains("sorted_long_intersect_count"),
+      s"expected the native intersect kernel in the verify plan:\n$plan")
+  }
+
+  test("ann brute/ivf/lsh scoring runs the native dot kernel; brute plan is UDF-free") {
+    // same pathology class: the Seq[Double] dot UDF boxed both vectors per
+    // scored pair (ann_cosine_topk 0.82 s → ~0.5 s replaced)
+    val brute = physical(q("ann_cosine_topk"))
+    assert(brute.contains("double_array_dot_native"),
+      s"expected the native dot kernel in the brute plan:\n$brute")
+    assert(!brute.contains("ScalaUDF"),
+      s"brute cosine must stay entirely inside codegen:\n$brute")
+    assert(physical(q("ann_ivf_topk")).contains("double_array_dot_native"))
+    assert(physical(q("ann_lsh_topk")).contains("double_array_dot_native"))
+  }
+
   test("mm video family: binary payloads never cross a shuffle; banding joins nothing") {
     // the 100 TB claim of the decode tier: decode/vote/sample are map-side,
     // so every Exchange in every video query carries only ids + fixed-width
