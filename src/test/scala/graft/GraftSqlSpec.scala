@@ -13,12 +13,16 @@ class GraftSqlSpec extends SparkSpec {
       """SELECT direct_similarity('acgt', 'acgg') AS udf_score,
                 direct_similarity_native('acgt', 'acgg') AS native_score,
                 consistency_similarity('aaaa', 'aata', 1) AS cons,
-                revcomp('acgt') AS rc""").head
+                revcomp('acgt') AS rc,
+                sorted_long_intersect_count(array(1L,3L,5L), array(3L,5L,7L)) AS inter,
+                double_array_dot_native(array(1.0D,2.0D), array(3.0D,4.0D)) AS dot""").head
     assert(row.getDouble(0) === 3.0)
     assert(row.getDouble(1) === 3.0)
     assert(row.getDouble(2) === 3.0)
     assert(row.getString(3) === "acgt")
-    // events view readable (nanos-as-long path)
+    assert(row.getLong(4) === 2L)
+    assert(row.getDouble(5) === 11.0)
+    // events view readable (ts normalized to epoch-µs at the loader seam)
     assert(spark.sql("SELECT count(*) FROM events").head.getLong(0) > 0)
   }
 
