@@ -142,10 +142,14 @@ class TextOpsSpec extends SparkSpec {
     assert(candDf < candHash,
       s"df ordering must prune boilerplate candidates: $candDf vs $candHash")
     // the production path orders by a count-min-sketch ESTIMATE of df —
-    // boilerplate overcounts identically, so it still never enters a prefix
+    // boilerplate overcounts identically, so it still never enters a prefix,
+    // and on a small corpus (few CMS collisions) the estimate's candidate
+    // set should sit within 10% of the exact-df ordering's
     val candCms = Dedup.prefixCandidates(Dedup.cmsOrdered(hashed), 0.5).count()
     assert(candCms < candHash,
       s"cms ordering must prune boilerplate candidates: $candCms vs $candHash")
+    assert(candCms <= (candDf * 1.1).toLong,
+      s"cms ordering should closely track exact df: $candCms vs exact $candDf")
   }
 
   test("pairTable: memoized seam equals direct computation, reused across consumers") {
