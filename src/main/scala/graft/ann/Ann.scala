@@ -202,25 +202,15 @@ object Ann {
   }
 
   /** LSH bit signature for one hash table: bit p = sign(v · plane_{offset+p}).
-    * Plane matrix is baked into the UDF closure (deterministic, no RNG).
+    * The plane matrix is deterministic ([[planeComponent]], no RNG) and is
+    * baked into the native codegen expression
+    * [[graft.functions.HyperplaneSignature]] (r11): the `Seq[Float]` UDF it
+    * replaces boxed every vector component per corpus row on the
+    * full-corpus map path of `ann_lsh_topk`.
     */
   def hyperplaneSignature(vec: Column, dim: Int, numPlanes: Int, planeOffset: Int = 0): Column = {
-    val planes: Array[Array[Double]] =
-      Array.tabulate(numPlanes, dim)((p, j) => planeComponent(planeOffset + p, j))
-    val sigUdf = udf { (v: Seq[Float]) =>
-      var sig = 0L
-      var p = 0
-      while (p < planes.length) {
-        val plane = planes(p)
-        var dot = 0.0
-        var j = 0
-        while (j < plane.length) { dot += v(j).toDouble * plane(j); j += 1 }
-        if (dot > 0) sig |= (1L << p)
-        p += 1
-      }
-      sig
-    }
-    sigUdf(vec)
+    import org.apache.spark.sql.graft.GraftColumnBridge.{column => colOf, expression}
+    colOf(graft.functions.HyperplaneSignature(expression(vec), dim, numPlanes, planeOffset))
   }
 
   /** IVF (inverted-file) approximate top-k — the other classic ANN scale

@@ -77,62 +77,72 @@ case class DirectSimilarity(left: Expression, right: Expression)
   * [[GraftExtensions.register]] on an existing session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(GraftExtensions.directSimilarityDescriptor)
-    ext.injectFunction(GraftExtensions.consistencySimilarityDescriptor)
-    ext.injectFunction(GraftExtensions.textEditSimilarityDescriptor)
-    ext.injectFunction(GraftExtensions.sortedLongIntersectCountDescriptor)
-    ext.injectFunction(GraftExtensions.doubleArrayDotDescriptor)
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.descriptors.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
-  private val directSimilarityDescriptor = (
-    FunctionIdentifier("direct_similarity_native"),
-    new ExpressionInfo(classOf[DirectSimilarity].getName, "direct_similarity_native"),
-    (children: Seq[Expression]) => DirectSimilarity(children(0), children(1)))
+  /** Extract a foldable int argument at function-resolution time (the SQL
+    * forms of the signature kernels take literal config ints — a
+    * non-foldable argument is a user error, failed loud with the offending
+    * expression in the message).
+    */
+  private def foldInt(fn: String, arg: String)(e: Expression): Int =
+    if (e.foldable) e.eval() match {
+      case i: Int => i
+      case other => throw new IllegalArgumentException(
+        s"$fn: $arg must be a literal INT, got $other")
+    } else throw new IllegalArgumentException(
+      s"$fn: $arg must be a foldable literal, got $e")
 
-  private val consistencySimilarityDescriptor = (
-    FunctionIdentifier("consistency_similarity_native"),
-    new ExpressionInfo(classOf[ConsistencySimilarity].getName, "consistency_similarity_native"),
-    (children: Seq[Expression]) => ConsistencySimilarity(children(0), children(1), children(2)))
+  // builders are STABLE vals shared by the extension injection, the
+  // session-level register() below, and its already-ours check — reference
+  // identity is the registration tag
+  private val builders: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("direct_similarity_native", classOf[DirectSimilarity].getName,
+      children => DirectSimilarity(children(0), children(1))),
+    ("consistency_similarity_native", classOf[ConsistencySimilarity].getName,
+      children => ConsistencySimilarity(children(0), children(1), children(2))),
+    ("text_edit_similarity_native", classOf[TextEditSimilarity].getName,
+      children => TextEditSimilarity(children(0), children(1))),
+    ("sorted_long_intersect_count", classOf[SortedLongIntersectCount].getName,
+      children => SortedLongIntersectCount(children(0), children(1))),
+    ("double_array_dot_native", classOf[DoubleArrayDot].getName,
+      children => DoubleArrayDot(children(0), children(1))),
+    ("minhash_signature_native", classOf[MinhashSignature].getName,
+      children => MinhashSignature(children(0),
+        foldInt("minhash_signature_native", "numHashes")(children(1)))),
+    ("hyperplane_signature_native", classOf[HyperplaneSignature].getName,
+      children => HyperplaneSignature(children(0),
+        foldInt("hyperplane_signature_native", "dim")(children(1)),
+        foldInt("hyperplane_signature_native", "numPlanes")(children(2)),
+        foldInt("hyperplane_signature_native", "planeOffset")(children(3)))),
+    ("shingle_strings_native", classOf[ShingleStrings].getName,
+      children => ShingleStrings(children(0),
+        foldInt("shingle_strings_native", "k")(children(1)))),
+    ("hashed_shingles_native", classOf[HashedShingles].getName,
+      children => HashedShingles(children(0),
+        foldInt("hashed_shingles_native", "k")(children(1)))))
 
-  private val textEditSimilarityDescriptor = (
-    FunctionIdentifier("text_edit_similarity_native"),
-    new ExpressionInfo(classOf[TextEditSimilarity].getName, "text_edit_similarity_native"),
-    (children: Seq[Expression]) => TextEditSimilarity(children(0), children(1)))
+  private val descriptors = builders.map { case (name, className, builder) =>
+    (FunctionIdentifier(name), new ExpressionInfo(className, name), builder)
+  }
 
-  private val sortedLongIntersectCountDescriptor = (
-    FunctionIdentifier("sorted_long_intersect_count"),
-    new ExpressionInfo(classOf[SortedLongIntersectCount].getName, "sorted_long_intersect_count"),
-    (children: Seq[Expression]) => SortedLongIntersectCount(children(0), children(1)))
-
-  private val doubleArrayDotDescriptor = (
-    FunctionIdentifier("double_array_dot_native"),
-    new ExpressionInfo(classOf[DoubleArrayDot].getName, "double_array_dot_native"),
-    (children: Seq[Expression]) => DoubleArrayDot(children(0), children(1)))
-
-  /** Register on a live session (same builder the extension uses).
+  /** Register on a live session (same builder vals the extension injects).
     * Idempotent AND quiet: library entry points (Dedup verify, every Ann
-    * DataFrame builder) call this on each plan construction, and a
-    * replace-always registration would log a
-    * "function replaced a previously registered function" WARN per kernel
-    * per query — skip names that are already present instead.
+    * DataFrame builder) call this on each plan construction, so a name
+    * already bound to OUR builder (reference identity — the vals above) is
+    * skipped without the "function replaced" WARN. A name bound to a
+    * FOREIGN builder (user-registered or stale) is replaced, not silently
+    * kept: resolving a kernel name to someone else's implementation is the
+    * failure mode, and the one-time WARN on reclaim is then informative.
     */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    def ensure(name: String, builder: Seq[Expression] => Expression): Unit =
-      if (!reg.functionExists(FunctionIdentifier(name)))
-        reg.createOrReplaceTempFunction(name, builder, "built-in")
-    ensure("direct_similarity_native",
-      children => DirectSimilarity(children(0), children(1)))
-    ensure("consistency_similarity_native",
-      children => ConsistencySimilarity(children(0), children(1), children(2)))
-    ensure("text_edit_similarity_native",
-      children => TextEditSimilarity(children(0), children(1)))
-    ensure("sorted_long_intersect_count",
-      children => SortedLongIntersectCount(children(0), children(1)))
-    ensure("double_array_dot_native",
-      children => DoubleArrayDot(children(0), children(1)))
+    builders.foreach { case (name, _, builder) =>
+      val id = FunctionIdentifier(name)
+      val alreadyOurs = reg.lookupFunctionBuilder(id).exists(_ eq builder)
+      if (!alreadyOurs) reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
   }
 }

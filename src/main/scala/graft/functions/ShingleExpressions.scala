@@ -1,0 +1,151 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.text.TextOps.HashPrime
+
+/** Native tokenize → k-shingle → distinct in one codegen-fused pass
+  * (r11): the map-stage front of the whole dedup family. Replaces the
+  * per-doc `String => Array[String]` shingle UDF — output order is the
+  * same first-appearance order (`LinkedHashSet` semantics), so every
+  * downstream consumer (MinHash signatures, exact verify joins, the
+  * streaming twin's batch comparisons) sees identical arrays.
+  *
+  * Tokenization is byte-identical to the UDF it replaces
+  * (`text.trim.split("\\s+")` on the materialized string — a regex split
+  * needs the `String`; the win is on the OUTPUT side, where the UDF paid
+  * a catalyst→Scala converter per shingle, and in keeping the projection
+  * inside whole-stage codegen). SQL form:
+  * `shingle_strings_native(text, k)` with a foldable int k.
+  */
+case class ShingleStrings(child: Expression, k: Int) extends UnaryExpression {
+
+  require(k > 0, s"shingle size k must be positive, got $k")
+
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires string, got $t")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingle_strings_native"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleStrings.compute(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = ctx.addReferenceObj("shingleHelper", ShingleStrings,
+      ShingleStrings.getClass.getName)
+    nullSafeCodeGen(ctx, ev, t => s"${ev.value} = $helper.compute($t, $k);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleStrings =
+    copy(child = newChild)
+}
+
+object ShingleStrings {
+  def compute(text: UTF8String, k: Int): GenericArrayData = {
+    val toks = text.toString.trim.split("\\s+")
+    if (toks.length < k) new GenericArrayData(Array.empty[Any])
+    else {
+      val seen = new java.util.LinkedHashSet[String]()
+      var i = 0
+      while (i + k <= toks.length) {
+        val sb = new java.lang.StringBuilder(toks(i))
+        var j = 1
+        while (j < k) { sb.append(' ').append(toks(i + j)); j += 1 }
+        seen.add(sb.toString)
+        i += 1
+      }
+      val out = new Array[Any](seen.size)
+      val it = seen.iterator()
+      var n = 0
+      while (it.hasNext) { out(n) = UTF8String.fromString(it.next()); n += 1 }
+      new GenericArrayData(out)
+    }
+  }
+}
+
+/** Native fused text → sorted distinct 60-bit k-shingle hashes (r11): the
+  * `hashedShingleDocs` kernel under `dd_ngram_jaccard` / `dd_ppjoin` /
+  * `dd_jac_components` and the curation pipeline. One compiled pass:
+  * tokenize, then hash each k-token window directly off the token chars
+  * (base-31 and base-131 polynomial folds packed into one long, single
+  * space between tokens — char-identical to hashing the materialized
+  * `"w1 w2 w3"` shingle string). No shingle string is ever allocated, and
+  * unlike the `String => Array[Long]` UDF it replaces the output longs go
+  * straight into an `UnsafeArrayData` with no converter pass. Sort+dedup
+  * replaces `distinct.sorted` (same result, no boxing).
+  *
+  * Distinct-hash counts equal distinct-shingle counts unless two of a
+  * corpus's shingles collide in the 60-bit space (P < 1e-6 below ~1e6
+  * distinct shingles). SQL form: `hashed_shingles_native(text, k)`.
+  */
+case class HashedShingles(child: Expression, k: Int) extends UnaryExpression {
+
+  require(k > 0, s"shingle size k must be positive, got $k")
+
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires string, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hashed_shingles_native"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashedShingles.compute(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = ctx.addReferenceObj("hashedShingleHelper", HashedShingles,
+      HashedShingles.getClass.getName)
+    nullSafeCodeGen(ctx, ev, t => s"${ev.value} = $helper.compute($t, $k);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HashedShingles =
+    copy(child = newChild)
+}
+
+object HashedShingles {
+  def compute(text: UTF8String, k: Int): UnsafeArrayData = {
+    val toks = text.toString.trim.split("\\s+")
+    if (toks.length < k) UnsafeArrayData.fromPrimitiveArray(Array.empty[Long])
+    else {
+      val out = new Array[Long](toks.length - k + 1)
+      var i = 0
+      while (i + k <= toks.length) {
+        var h1 = 0L; var h2 = 0L; var w = 0
+        while (w < k) {
+          if (w > 0) { h1 = (h1 * 31 + 32) % HashPrime; h2 = (h2 * 131 + 32) % HashPrime }
+          val t = toks(i + w); var j = 0
+          while (j < t.length) {
+            val c = t.charAt(j).toLong
+            h1 = (h1 * 31 + c) % HashPrime
+            h2 = (h2 * 131 + c) % HashPrime
+            j += 1
+          }
+          w += 1
+        }
+        out(i) = h1 * HashPrime + h2
+        i += 1
+      }
+      // sort + in-place dedup == distinct.sorted, without boxing
+      java.util.Arrays.sort(out)
+      var n = 0
+      var r = 0
+      while (r < out.length) {
+        if (r == 0 || out(r) != out(r - 1)) { out(n) = out(r); n += 1 }
+        r += 1
+      }
+      UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(out, n))
+    }
+  }
+}

@@ -44,72 +44,18 @@ object Dedup {
 
   import TextOps.HashPrime
 
-  /** Tokenize + k-shingle + distinct in one compiled pass (same output as
-    * the Column-expression [[TextOps.wordShingles]] chain, ~10× faster than
-    * its interpreted higher-order functions on wide corpora).
+  /** shingle sets per doc: (id, shingles array<string>) — the native
+    * codegen expression [[graft.functions.ShingleStrings]] (r11): tokenize
+    * + k-shingle + distinct in one fused pass, first-appearance order,
+    * no per-shingle catalyst→Scala converter (same output as the
+    * Column-expression [[TextOps.wordShingles]] chain, which measured
+    * ~10× slower through interpreted higher-order functions).
     */
-  private def shingleUdf(k: Int) = udf { (text: String) =>
-    val toks = text.trim.split("\\s+")
-    if (toks.length < k) Array.empty[String]
-    else {
-      val seen = new java.util.LinkedHashSet[String]()
-      var i = 0
-      while (i + k <= toks.length) {
-        val sb = new java.lang.StringBuilder(toks(i))
-        var j = 1
-        while (j < k) { sb.append(' ').append(toks(i + j)); j += 1 }
-        seen.add(sb.toString)
-        i += 1
-      }
-      val out = new Array[String](seen.size)
-      seen.toArray(out)
-      out
-    }
-  }
-
-  /** shingle sets per doc: (id, shingles array<string>). */
-  def shingleDocs(docs: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame =
+  def shingleDocs(docs: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.graft.GraftColumnBridge.{column => colOf, expression}
     docs.select(
       col(idCol).as("doc_id"),
-      shingleUdf(k)(col(textCol)).as("shingles"))
-
-  /** Fused text → sorted distinct 60-bit k-shingle hashes. One compiled
-    * pass: tokenize, then hash each k-token window directly off the token
-    * chars (base-31 and base-131 polynomial folds packed into one long,
-    * single space between tokens — char-identical to hashing the
-    * materialized `"w1 w2 w3"` shingle string). No shingle string is ever
-    * allocated, so the per-doc cost is one sweep over the text — the
-    * string-array [[shingleDocs]] + rehash path measured 3× slower.
-    *
-    * Distinct-hash counts equal distinct-shingle counts unless two of a
-    * corpus's shingles collide in the 60-bit space (P < 1e-6 below ~1e6
-    * distinct shingles; swap the longs for the strings if a corpus ever
-    * demands certainty — every downstream shape is unchanged).
-    */
-  private def hashShinglesUdf(k: Int) = udf { (text: String) =>
-    val toks = text.trim.split("\\s+")
-    if (toks.length < k) Array.empty[Long]
-    else {
-      val out = new Array[Long](toks.length - k + 1)
-      var i = 0
-      while (i + k <= toks.length) {
-        var h1 = 0L; var h2 = 0L; var w = 0
-        while (w < k) {
-          if (w > 0) { h1 = (h1 * 31 + 32) % HashPrime; h2 = (h2 * 131 + 32) % HashPrime }
-          val t = toks(i + w); var j = 0
-          while (j < t.length) {
-            val c = t.charAt(j).toLong
-            h1 = (h1 * 31 + c) % HashPrime
-            h2 = (h2 * 131 + c) % HashPrime
-            j += 1
-          }
-          w += 1
-        }
-        out(i) = h1 * HashPrime + h2
-        i += 1
-      }
-      out.distinct.sorted
-    }
+      colOf(graft.functions.ShingleStrings(expression(col(textCol)), k)).as("shingles"))
   }
 
   /** The same 60-bit hash over an already-shingled string array (the
@@ -133,10 +79,18 @@ object Dedup {
     out.distinct.sorted
   }
 
-  /** (doc_id, hs sorted distinct shingle hashes, n = |hs|) from raw text. */
-  def hashedShingleDocs(docs: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame =
-    docs.select(col(idCol).as("doc_id"), hashShinglesUdf(k)(col(textCol)).as("hs"))
+  /** (doc_id, hs sorted distinct shingle hashes, n = |hs|) from raw text —
+    * the native fused expression [[graft.functions.HashedShingles]] (r11):
+    * one sweep over the text, no shingle string ever allocated, no
+    * converter pass on the output longs (the string-array [[shingleDocs]]
+    * + rehash path measured 3× slower even as a UDF).
+    */
+  def hashedShingleDocs(docs: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.graft.GraftColumnBridge.{column => colOf, expression}
+    docs.select(col(idCol).as("doc_id"),
+        colOf(graft.functions.HashedShingles(expression(col(textCol)), k)).as("hs"))
       .select(col("doc_id"), col("hs"), size(col("hs")).as("n"))
+  }
 
   /** Default per-task group-membership cap for the banded/posting pair
     * generators: a grid cell or posting group larger than this is split by
@@ -703,11 +657,13 @@ object Dedup {
     val cms = src.select(explode(col("hs")).as("s"))
       .stat.countMinSketch("s", 5, 1 << 16, 42)
     val bc = hashed.sparkSession.sparkContext.broadcast(cms)
-    val orderUdf = udf { (hs: Seq[Long]) =>
-      val sketch = bc.value
-      hs.toArray.sortBy(h => (sketch.estimateCount(h), h))
-    }
-    hashed.select(col("doc_id"), col("n"), orderUdf(col("hs")).as("ord"))
+    // native codegen sort (r11): the Seq[Long] sortBy UDF this replaces
+    // boxed the array and tupled every element — see
+    // [[graft.functions.CmsOrderedSort]]; constructed via the column
+    // bridge because the broadcast sketch is not a SQL-expressible arg
+    import org.apache.spark.sql.graft.GraftColumnBridge.{column => colOf, expression}
+    hashed.select(col("doc_id"), col("n"),
+      colOf(graft.functions.CmsOrderedSort(expression(col("hs")), bc)).as("ord"))
   }
 
   /** The PRODUCTION refinement of [[jaccardPairsPrefix]] at boilerplate
@@ -749,44 +705,25 @@ object Dedup {
       prefixCandidates(cmsOrdered(base, sketchFrom = hashed), threshold), threshold)
   }
 
-  /** Deterministic affine permutation parameters for H minhash functions. */
-  private def hashParams(h: Int): Seq[(Long, Long)] =
-    (0 until h).map { i =>
-      val a = ((2L * i + 1) * 2654435761L) % HashPrime
-      val b = (i * 40503L * 2654435789L + 17) % HashPrime
-      (a, b)
-    }
-
   /** Per-document MinHash signature (the function under the
     * [[minhashSignature]] Column and the streaming twin): H minima over
     * the polynomial shingle hashes. Empty shingle sets get an all-sentinel
     * signature (they bucket together and are rejected by exact
-    * verification).
+    * verification). Parameters and arithmetic live in
+    * [[graft.functions.MinhashSignature]] — one source of truth shared by
+    * the native expression, this Scala path, and the streaming twin.
     */
-  private[graft] def minhashSigOf(sh: Seq[String], numHashes: Int): Array[Long] = {
-    val params = hashParams(numHashes).toArray
-    val sig = Array.fill(params.length)(HashPrime)
-    sh.foreach { s =>
-      // polynomial shingle hash (same fold as TextOps.polyHash)
-      var h = 0L
-      var i = 0
-      while (i < s.length) { h = (h * 31 + s.charAt(i)) % HashPrime; i += 1 }
-      var p = 0
-      while (p < params.length) {
-        val (a, b) = params(p)
-        val v = (h * a + b) % HashPrime
-        if (v < sig(p)) sig(p) = v
-        p += 1
-      }
-    }
-    sig
-  }
+  private[graft] def minhashSigOf(sh: Seq[String], numHashes: Int): Array[Long] =
+    graft.functions.MinhashSignature.computeStrings(sh, numHashes)
 
-  /** MinHash signature column: compiled tight loop over [[minhashSigOf]]. */
+  /** MinHash signature column — the native codegen expression
+    * [[graft.functions.MinhashSignature]] (r11): the `Seq[String]` UDF it
+    * replaces boxed every shingle through catalyst→Scala converters on the
+    * full-corpus map path (the r10 verdict's #1 headroom item).
+    */
   def minhashSignature(shingles: Column, numHashes: Int = 32): Column = {
-    val h = numHashes
-    val sigUdf = udf { (sh: Seq[String]) => minhashSigOf(sh, h) }
-    sigUdf(shingles)
+    import org.apache.spark.sql.graft.GraftColumnBridge.{column => colOf, expression}
+    colOf(graft.functions.MinhashSignature(expression(shingles), numHashes))
   }
 
   /** MinHash+LSH near-dup pairs, exact-verified: band the signature

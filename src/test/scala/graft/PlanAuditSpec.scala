@@ -212,12 +212,25 @@ class PlanAuditSpec extends SparkSpec {
   test("dd_ppjoin verify runs the native merge kernel, not a boxed UDF") {
     // the r10 profile: a Seq[Long] UDF here boxed both shingle arrays per
     // candidate pair and split the fused verify stage out of codegen
-    // (3.99 s → 1.4 s at sf0.1 when replaced). Per-DOC UDFs (shingle
-    // hashing, the CMS ordering) are sanctioned — the guard is that the
-    // per-PAIR intersect stays native.
+    // (3.99 s → 1.4 s at sf0.1 when replaced)
     val plan = physical(q("dd_ppjoin"))
     assert(plan.contains("sorted_long_intersect_count"),
       s"expected the native intersect kernel in the verify plan:\n$plan")
+  }
+
+  test("r11: full-corpus map paths are native — no ScalaUDF in any dedup/ANN signature plan") {
+    // the r10 verdict's headroom item: shingle hashing, MinHash/hyperplane
+    // signatures, and the CMS-ordered prefix sort were the last boxed UDFs
+    // on full-corpus map stages; all are native codegen expressions now, so
+    // these plans must be ScalaUDF-free END TO END (a regression that
+    // reintroduces a converter-boxed stage on the corpus-wide path fails
+    // here, not in a cluster bill)
+    for (name <- Seq("dd_minhash_lsh", "ann_lsh_topk", "dd_ppjoin",
+        "dd_ngram_jaccard", "dd_jac_components")) {
+      val plan = physical(q(name))
+      assert(!plan.contains("ScalaUDF"),
+        s"$name: expected a fully native map path, found a ScalaUDF:\n$plan")
+    }
   }
 
   test("ann brute/ivf/lsh scoring runs the native dot kernel; brute plan is UDF-free") {
