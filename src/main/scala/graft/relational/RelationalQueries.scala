@@ -319,15 +319,26 @@ object RelationalQueries {
          GROUP BY o_orderkey ORDER BY o_orderkey""",
     // as-of at epoch-µs precision on both engines (see the j3 oracle note:
     // a raw p.ts >= c.ts would compare at ns under a NANOS parquet layout
-    // while Spark's Tables.events normalizes to µs)
+    // while Spark's Tables.events normalizes to µs). Deliberately NOT
+    // DuckDB's ASOF JOIN (r11): ASOF picks an ARBITRARY right row when two
+    // clicks share (user_id, tsu), while Spark's AsOfJoin deterministically
+    // takes the greatest click_event_id — µs truncation makes such ties
+    // reachable in a regenerated corpus, so the oracle pins the same
+    // tie-break explicitly (the j3 ROW_NUMBER pattern: latest tsu, then
+    // greatest event_id).
     "j2_asof_join" ->
-      """SELECT p.event_id, p.user_id, c.event_id AS click_event_id
-         FROM (SELECT *, CAST(epoch_us(ts) AS BIGINT) AS tsu
-               FROM events WHERE event_type = 'purchase') p
-         ASOF LEFT JOIN (SELECT *, CAST(epoch_us(ts) AS BIGINT) AS tsu
-               FROM events WHERE event_type = 'click') c
-           ON p.user_id = c.user_id AND p.tsu >= c.tsu
-         ORDER BY p.event_id""",
+      """SELECT event_id, user_id, click_event_id FROM (
+           SELECT p.event_id AS event_id, p.user_id AS user_id,
+                  c.event_id AS click_event_id,
+                  ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                     ORDER BY c.tsu DESC, c.event_id DESC) AS rn
+           FROM (SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS tsu
+                 FROM events WHERE event_type = 'purchase') p
+           LEFT JOIN (SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS tsu
+                 FROM events WHERE event_type = 'click') c
+             ON p.user_id = c.user_id AND p.tsu >= c.tsu
+         ) WHERE rn = 1
+         ORDER BY event_id""",
     "j4_star_revenue" ->
       """SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_items,
                 CAST(SUM(ROUND(l_extendedprice * (1 - l_discount) * 100)) AS BIGINT) AS revenue_cents

@@ -48,11 +48,44 @@ class SchemaCanarySpec extends SparkSpec {
         if (name == "events") Tables.events(spark, sf0001)
         else Tables.load(spark, sf0001, name)
       val got = df.schema.fields.map(f => f.name -> f.dataType.simpleString).toSeq
-      if (got == expected(name)) None
-      else Some(s"$name:\n  expected ${expected(name)}\n  got      $got")
+      expected.get(name) match {
+        // a table the driver added but the contract doesn't know: report it
+        // as the pointed diff this spec promises, not a NoSuchElementException
+        case None => Some(s"$name: no contract entry for this table — the " +
+          s"driver added it? got schema $got; add the expected entry above")
+        case Some(exp) if got == exp => None
+        case Some(exp) => Some(s"$name:\n  expected $exp\n  got      $got")
+      }
     }
     assert(diffs.isEmpty,
       "driver testdata schema drift (absorb at the Tables loader seam, " +
         "see scaladoc):\n" + diffs.mkString("\n"))
+  }
+
+  test("events.ts raw physical layout pinned; normalized values land in epoch-µs range") {
+    // normalizeEventTs DIVIDES any raw Long by 1000 (the nanos layout);
+    // a driver generation that ships ts as raw epoch-µs or epoch-ms BIGINT
+    // would silently come out 1000–1e6× off, and the post-normalization
+    // type check above can't see it (bigint either way). Two guards:
+    // the raw physical type is pinned pre-normalization, and the
+    // normalized values must be plausible epoch-µs (years 2000–2100) —
+    // either trips as one pointed diff whatever the driver ships next.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = Tables.load(spark, sf0001, "events").schema("ts").dataType.simpleString
+    assert(raw == "timestamp_ntz",
+      s"events.ts RAW physical type drifted to '$raw' (current generation: " +
+        "timestamp_ntz = parquet timestamp[us]; nanos generations read as " +
+        "bigint under the legacy flag). Verify normalizeEventTs interprets " +
+        "the new layout correctly BEFORE updating this pin — a raw epoch-µs " +
+        "or epoch-ms bigint would be silently divided by 1000.")
+    import org.apache.spark.sql.functions._
+    val row = Tables.events(spark, sf0001)
+      .agg(min("ts").as("lo"), max("ts").as("hi")).collect().head
+    val (lo, hi) = (row.getLong(0), row.getLong(1))
+    val us2000 = 946684800000000L // 2000-01-01 in epoch-µs
+    val us2100 = 4102444800000000L
+    assert(lo >= us2000 && hi <= us2100,
+      s"normalized events.ts range [$lo, $hi] is not plausible epoch-µs — " +
+        "the raw layout changed scale (µs/ms/ns mixup at the loader seam)")
   }
 }

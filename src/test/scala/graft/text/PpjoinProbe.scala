@@ -47,13 +47,18 @@ object PpjoinProbe {
     // set is small enough that the driver-local relation doesn't distort
     // the plan (a 500k-row parallelized local collection loses partition
     // stats and times the probe harness, not the verify stage).
-    val cands = Dedup.prefixCandidates(
-      Dedup.cmsOrdered(base, sketchFrom = hashed), 0.5).collect()
-    if (cands.length <= 200000) {
+    // guard BEFORE collecting: a limit(cap+1).count() costs one cheap job,
+    // while collect-then-check would OOM the driver on the very corpus the
+    // guard exists for
+    val candFrame = Dedup.prefixCandidates(
+      Dedup.cmsOrdered(base, sketchFrom = hashed), 0.5)
+    val underCap = candFrame.limit(200001).count() <= 200000
+    if (underCap) {
       import spark.implicits._
-      val candDf = cands.map(r => (r.getLong(0), r.getLong(1))).toSeq.toDF("d1", "d2")
+      val candDf = candFrame.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .toSeq.toDF("d1", "d2")
       time("verify_isolated") { Dedup.verifyCandidatesProbe(base, candDf, 0.5).count() }
-    } else println(s"PROBE verify_isolated       skipped (${cands.length} candidates)")
+    } else println("PROBE verify_isolated       skipped (> 200k candidates)")
     time("full_ppjoin") { Dedup.jaccardPairsPrefixDf(hashed, 0.5).count() }
     time("inverted_index") { Dedup.jaccardPairsHashed(hashed, 0.5).count() }
     spark.stop()
