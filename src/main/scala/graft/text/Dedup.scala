@@ -1183,19 +1183,30 @@ object Dedup {
     * is O(log D) — 25 rounds covers any realistic graph, and
     * non-convergence now throws instead of mislabeling.
     *
-    * Each round ends in `localCheckpoint` (eager): without it the plan
-    * nests one join DEEPER per round and Catalyst's plan stringification
-    * alone OOMs around 20 rounds (observed). On a production cluster
-    * prefer reliable `checkpoint` (localCheckpoint does not survive
-    * executor loss).
+    * Each round ends in an eager checkpoint: without it the plan nests one
+    * join DEEPER per round and Catalyst's plan stringification alone OOMs
+    * around 20 rounds (observed). WHICH checkpoint is a runtime knob
+    * (r11): set `graft.components.checkpointDir` on the session conf to a
+    * reliable location (HDFS/S3 on a cluster) and every round writes a
+    * RELIABLE `checkpoint` there — a lost executor replays from storage
+    * instead of failing the 20-round job. Unset, rounds use
+    * `localCheckpoint` (executor-local blocks — fine on local[N] and for
+    * short graphs, documented as not surviving executor loss). Both paths
+    * are spec-pinned to identical labels (`ComponentsCheckpointSpec`).
     */
   private def iterativeComponents(pairs: DataFrame, maxIterations: Int): DataFrame = {
+    val spark = pairs.sparkSession
+    val reliableDir = spark.conf.getOption("graft.components.checkpointDir")
+    reliableDir.foreach(spark.sparkContext.setCheckpointDir)
+    def materialize(df: DataFrame): DataFrame =
+      if (reliableDir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
     val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
-      .localCheckpoint(true)
+    var labels = materialize(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("comp", col("id")))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
@@ -1205,16 +1216,16 @@ object Dedup {
       // fails with "key not found: id#N"
       val propagated = edges.join(labels, edges("src") === labels("id"))
         .select(col("dst").as("id"), col("comp").as("comp"))
-      val hopped = labels.select(col("id").as("id"), col("comp").as("comp"))
-        .union(propagated)
-        .groupBy("id").agg(min("comp").as("comp"))
-        .localCheckpoint(true)
-      val doubled = hopped.as("a")
-        .join(hopped.select(col("id").as("cid"), col("comp").as("ccomp")).as("b"),
-          col("a.comp") === col("b.cid"), "left")
-        .select(col("a.id").as("id"),
-          least(col("a.comp"), coalesce(col("ccomp"), col("a.comp"))).as("comp"))
-        .localCheckpoint(true)
+      val hopped = materialize(
+        labels.select(col("id").as("id"), col("comp").as("comp"))
+          .union(propagated)
+          .groupBy("id").agg(min("comp").as("comp")))
+      val doubled = materialize(
+        hopped.as("a")
+          .join(hopped.select(col("id").as("cid"), col("comp").as("ccomp")).as("b"),
+            col("a.comp") === col("b.cid"), "left")
+          .select(col("a.id").as("id"),
+            least(col("a.comp"), coalesce(col("ccomp"), col("a.comp"))).as("comp")))
       val changed = doubled.join(labels.select(col("id"), col("comp").as("old")), "id")
         .where(col("comp") =!= col("old")).count()
       labels = doubled
