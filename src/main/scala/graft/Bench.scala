@@ -129,6 +129,67 @@ object Bench {
       finally spark.conf.set(thrKey, oldThr)
     }
 
+    // sf1 scale envelope (r11, verdict ask #6): the 10× memory-envelope
+    // run, promoted from a one-off probe (r10 EnvelopeProbe) to a
+    // per-round bench section so scale regressions get a trend line, not
+    // an anecdote. Runs the dedup + ANN + components families ONCE each
+    // (an envelope, not a timing race) against the committed-generator
+    // corpus (tools/gen_scale_corpus.py — regenerated on the spot if the
+    // dir is missing) and records wall seconds + max per-task
+    // peakExecutionMemory + total spill from real task metrics. The claim
+    // tracked: per-task memory is bounded by the grid/cap machinery, so a
+    // 10× corpus moves WALL, never PEAK. Strictly optional: any failure
+    // (no python3, generator error) yields an empty section, never a
+    // failed bench. SPARK_GRAFT_SKIP_SF1=1 skips for dev loops.
+    val sf1Json: String =
+      if (sys.env.contains("SPARK_GRAFT_SKIP_SF1") || only.isDefined) "{}"
+      else scala.util.Try {
+        val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/sf1")
+        if (!java.nio.file.Files.exists(
+            java.nio.file.Paths.get(sf1Dir, "documents.parquet"))) {
+          java.nio.file.Files.createDirectories(java.nio.file.Paths.get(sf1Dir))
+          val p = new ProcessBuilder(
+            "python3", "tools/gen_scale_corpus.py", "sf1", sf1Dir)
+            .redirectError(ProcessBuilder.Redirect.DISCARD)
+            .redirectOutput(ProcessBuilder.Redirect.DISCARD)
+            .start()
+          require(p.waitFor(10, java.util.concurrent.TimeUnit.MINUTES) &&
+            p.exitValue() == 0, "gen_scale_corpus.py failed")
+        }
+        @volatile var peak = 0L
+        @volatile var spill = 0L
+        val listener = new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+            val m = t.taskMetrics
+            if (m != null) {
+              peak = math.max(peak, m.peakExecutionMemory)
+              spill += m.memoryBytesSpilled + m.diskBytesSpilled
+            }
+          }
+        }
+        spark.sparkContext.addSparkListener(listener)
+        val family = Seq(
+          "dd_ngram_jaccard", "dd_ppjoin", "dd_minhash_lsh", "dd_simhash",
+          "dd_hamming", "dd_jac_components", "dd_sim_components",
+          "dd_components", "dd_canonical",
+          "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk")
+        val rowsJson = try {
+          family.map { name =>
+            peak = 0L; spill = 0L
+            val t0 = System.nanoTime()
+            SparkEntry.queries(name)(spark, sf1Dir).count()
+            val sec = (System.nanoTime() - t0) / 1e9
+            // listener events are queued on a private bus with no flush
+            // API; the count() is synchronous and the bus drains in ms
+            Thread.sleep(500)
+            spark.catalog.clearCache(); System.gc()
+            f""""$name":{"sec":$sec%.3f,"peak_task_mb":${peak / 1048576},"spill_mb":${spill / 1048576}}"""
+          }.mkString(",")
+        } finally spark.sparkContext.removeSparkListener(listener)
+        s"""{"dir":"$sf1Dir","timing":"single_run","queries":{$rowsJson}}"""
+      }.getOrElse("{}")
+
     // DuckDB twin timings (the Spark-vs-DuckDB ratio the judge re-derives
     // by hand each round, made self-reporting): dump the selected oracle
     // SQL, time each in ONE python3 subprocess (best-of-2, the judge's
@@ -238,7 +299,8 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","timing":"best_of_3","queries":$qs,""" +
         s""""queries_duckdb":$duckQs,"duckdb_total_sec":$duckTotal,""" +
         s""""scan_bp_per_sec":$bpPerSec,"scan_sec":$scanSec,""" +
-        s""""skew_join_skewed_sec":$skewSec,"skew_join_uniform_sec":$unifSec,"sf":"$sfDir"}"""
+        s""""skew_join_skewed_sec":$skewSec,"skew_join_uniform_sec":$unifSec,""" +
+        s""""sf1_envelope":$sf1Json,"sf":"$sfDir"}"""
     println(line)
     // the driver's BENCH_r*.json tail-capture truncates the per-query map;
     // the full line also lands in a file so nothing is lost per round
