@@ -122,7 +122,9 @@ object GraftExtensions {
         foldInt("shingle_strings_native", "k")(children(1)))),
     ("hashed_shingles_native", classOf[HashedShingles].getName,
       children => HashedShingles(children(0),
-        foldInt("hashed_shingles_native", "k")(children(1)))))
+        foldInt("hashed_shingles_native", "k")(children(1)))),
+    ("simhash_native", classOf[Simhash].getName,
+      children => Simhash(children(0))))
 
   private val descriptors = builders.map { case (name, className, builder) =>
     (FunctionIdentifier(name), new ExpressionInfo(className, name), builder)

@@ -226,6 +226,76 @@ object HyperplaneSignature {
   }
 }
 
+/** Native 60-bit SimHash over distinct whitespace tokens (r11, completing
+  * the no-boxed-UDF sweep of the dedup map paths): two 30-bit polynomial
+  * hashes (bases 31/131) supply the bit pool; bit b of the signature is
+  * set iff the token-majority vote for that bit is positive. Pure integer
+  * arithmetic — bit-identical in any engine (the DuckDB oracle computes
+  * the same fold in SQL). Replaces the per-doc `String => Long` UDF under
+  * `dd_simhash` / `dd_hamming` / `dd_sim_components`; the Catalyst-HOF
+  * twin (`Dedup.simhashSpec`) stays as the executable spec.
+  *
+  * SQL form: `simhash_native(text)`.
+  */
+case class Simhash(child: Expression) extends UnaryExpression {
+
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires string, got $t")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_native"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Simhash.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = ctx.addReferenceObj("simhashHelper", Simhash, Simhash.getClass.getName)
+    nullSafeCodeGen(ctx, ev, t => s"${ev.value} = $helper.compute($t);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Simhash =
+    copy(child = newChild)
+}
+
+object Simhash {
+  import graft.text.TextOps.HashPrime
+
+  def compute(text: UTF8String): Long = {
+    val toks = new java.util.LinkedHashSet[String]()
+    text.toString.trim.split("\\s+").foreach(toks.add)
+    val votes = new Array[Int](60)
+    val it = toks.iterator()
+    while (it.hasNext) {
+      val t = it.next()
+      var h1 = 0L
+      var h2 = 0L
+      var i = 0
+      while (i < t.length) {
+        val c = t.charAt(i).toLong
+        h1 = (h1 * 31 + c) % HashPrime
+        h2 = (h2 * 131 + c) % HashPrime
+        i += 1
+      }
+      var b = 0
+      while (b < 30) {
+        votes(b) += (if (((h1 >> b) & 1L) == 1L) 1 else -1)
+        votes(b + 30) += (if (((h2 >> b) & 1L) == 1L) 1 else -1)
+        b += 1
+      }
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 60) {
+      if (votes(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+}
+
 /** Native CMS-ordered shingle sort — the last boxed stage of the production
   * PPJoin path (`Dedup.cmsOrdered`, r11 verdict ask #2): sorts an
   * `array<bigint>` of shingle hashes by (count-min-sketch estimated

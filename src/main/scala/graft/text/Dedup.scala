@@ -828,46 +828,16 @@ object Dedup {
     * set iff the token-majority vote for that bit is positive.
     * Pure integer arithmetic → bit-identical in any engine.
     *
-    * Compiled tight loop (one pass over tokens, 60 int ops per token) —
-    * the Column-expression spec below ([[simhashSpec]]) has identical
-    * semantics but evaluates interpreted per element through Catalyst
-    * higher-order functions, ~10× slower on wide corpora. Equality of the
-    * two is asserted in tests; the UDF is the production path.
+    * The native codegen expression [[graft.functions.Simhash]] (r11): one
+    * compiled pass over tokens, 60 int ops per token, fused into
+    * whole-stage codegen — the Column-expression spec below
+    * ([[simhashSpec]]) has identical semantics but evaluates interpreted
+    * per element through Catalyst higher-order functions, ~10× slower on
+    * wide corpora. Equality of the two is asserted in tests.
     */
   def simhash(text: Column): Column = {
-    val udfImpl = udf { (s: String) =>
-      val toks = new java.util.LinkedHashSet[String]()
-      s.trim.split("\\s+").foreach(toks.add)
-      val votes = new Array[Int](60)
-      val it = toks.iterator()
-      while (it.hasNext) {
-        val t = it.next()
-        // two polynomial hashes, same fold as TextOps.polyHash
-        var h1 = 0L
-        var h2 = 0L
-        var i = 0
-        while (i < t.length) {
-          val c = t.charAt(i).toLong
-          h1 = (h1 * 31 + c) % HashPrime
-          h2 = (h2 * 131 + c) % HashPrime
-          i += 1
-        }
-        var b = 0
-        while (b < 30) {
-          votes(b) += (if (((h1 >> b) & 1L) == 1L) 1 else -1)
-          votes(b + 30) += (if (((h2 >> b) & 1L) == 1L) 1 else -1)
-          b += 1
-        }
-      }
-      var sig = 0L
-      var b = 0
-      while (b < 60) {
-        if (votes(b) > 0) sig |= (1L << b)
-        b += 1
-      }
-      sig
-    }
-    udfImpl(text)
+    import org.apache.spark.sql.graft.GraftColumnBridge.{column => colOf, expression}
+    colOf(graft.functions.Simhash(expression(text)))
   }
 
   /** The Column-expression (Catalyst HOF) form of [[simhash]] — kept as

@@ -226,7 +226,8 @@ class PlanAuditSpec extends SparkSpec {
     // reintroduces a converter-boxed stage on the corpus-wide path fails
     // here, not in a cluster bill)
     for (name <- Seq("dd_minhash_lsh", "ann_lsh_topk", "dd_ppjoin",
-        "dd_ngram_jaccard", "dd_jac_components")) {
+        "dd_ngram_jaccard", "dd_jac_components",
+        "dd_simhash", "dd_hamming", "dd_sim_components")) {
       val plan = physical(q(name))
       assert(!plan.contains("ScalaUDF"),
         s"$name: expected a fully native map path, found a ScalaUDF:\n$plan")

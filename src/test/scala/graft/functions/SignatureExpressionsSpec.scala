@@ -158,6 +158,33 @@ class SignatureExpressionsSpec extends SparkSpec {
     assert(!hashed.queryExecution.executedPlan.toString.contains("ScalaUDF"))
   }
 
+  test("simhash_native equals the UDF vote fold bit-for-bit on 200 texts") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    def refSimhash(s: String): Long = {
+      val toks = s.trim.split("\\s+").distinct
+      val votes = new Array[Int](60)
+      toks.foreach { t =>
+        var h1 = 0L; var h2 = 0L
+        t.foreach { c => h1 = (h1 * 31 + c) % P; h2 = (h2 * 131 + c) % P }
+        for (b <- 0 until 30) {
+          votes(b) += (if (((h1 >> b) & 1L) == 1L) 1 else -1)
+          votes(b + 30) += (if (((h2 >> b) & 1L) == 1L) 1 else -1)
+        }
+      }
+      (0 until 60).foldLeft(0L)((sig, b) => if (votes(b) > 0) sig | (1L << b) else sig)
+    }
+    val df = sampleTexts.zipWithIndex.map(_.swap).toDF("id", "text")
+    df.createOrReplaceTempView("sh_test")
+    val got = spark.sql("SELECT id, simhash_native(text) AS s FROM sh_test ORDER BY id")
+      .as[(Int, Long)].collect().toSeq
+    val want = sampleTexts.zipWithIndex.map { case (t, i) => (i, refSimhash(t)) }
+    assert(got === want)
+    val viaColumn = df.select(col("id"), graft.text.Dedup.simhash(col("text")).as("s"))
+    assert(!viaColumn.queryExecution.executedPlan.toString.contains("ScalaUDF"))
+    assert(viaColumn.orderBy("id").as[(Int, Long)].collect().toSeq === want)
+  }
+
   test("CmsOrderedSort equals the sketch sortBy the UDF computed; deterministic across runs") {
     import spark.implicits._
     val docs = sampleTexts.zipWithIndex.map(_.swap).toDF("doc_id", "text")
