@@ -124,7 +124,13 @@ object GraftExtensions {
       children => HashedShingles(children(0),
         foldInt("hashed_shingles_native", "k")(children(1)))),
     ("simhash_native", classOf[Simhash].getName,
-      children => Simhash(children(0))))
+      children => Simhash(children(0))),
+    ("token_ngrams_native", classOf[TokenNgrams].getName,
+      children => TokenNgrams(children(0),
+        foldInt("token_ngrams_native", "n")(children(1)))),
+    ("window_hashes_native", classOf[WindowHashes].getName,
+      children => WindowHashes(children(0),
+        foldInt("window_hashes_native", "k")(children(1)))))
 
   private val descriptors = builders.map { case (name, className, builder) =>
     (FunctionIdentifier(name), new ExpressionInfo(className, name), builder)

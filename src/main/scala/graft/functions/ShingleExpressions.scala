@@ -114,6 +114,132 @@ case class HashedShingles(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Native order-preserving token n-grams WITH duplicates (r11): every
+  * stride-1 window of `n` whitespace tokens, space-joined — the per-doc
+  * front of the corpus heavy-hitters query (`tx_top_ngrams`), where the
+  * count of each occurrence matters so [[ShingleStrings]]' distinct
+  * semantics don't apply. Replaces the per-doc bigram UDF.
+  * SQL form: `token_ngrams_native(text, n)`.
+  */
+case class TokenNgrams(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n > 0, s"ngram size n must be positive, got $n")
+
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires string, got $t")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "token_ngrams_native"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TokenNgrams.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = ctx.addReferenceObj("ngramHelper", TokenNgrams,
+      TokenNgrams.getClass.getName)
+    nullSafeCodeGen(ctx, ev, t => s"${ev.value} = $helper.compute($t, $n);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenNgrams =
+    copy(child = newChild)
+}
+
+object TokenNgrams {
+  def compute(text: UTF8String, n: Int): GenericArrayData = {
+    val toks = text.toString.trim.split("\\s+")
+    if (toks.length < n) new GenericArrayData(Array.empty[Any])
+    else {
+      val out = new Array[Any](toks.length - n + 1)
+      var i = 0
+      while (i + n <= toks.length) {
+        val sb = new java.lang.StringBuilder(toks(i))
+        var j = 1
+        while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+        out(i) = UTF8String.fromString(sb.toString)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+}
+
+/** Native rolling k-token window hashes (r11): for every stride-1 window
+  * of `k` whitespace tokens, the base-31 polynomial hash of the
+  * space-joined window string — the substring-level dedup signal under
+  * `dd_dup_windows` / `dd_maximal_spans` / `cur_dedup_spans` (the
+  * window-posting seam's per-doc map stage). TRUE rolling computation
+  * exactly as the UDF it replaces: one pass builds prefix hashes and
+  * powers of the joined string, then each window is
+  * `(H[e] − H[s]·31^(e−s)) mod p` — O(total chars) per document and
+  * bit-identical to hashing each window string separately (the oracle's
+  * form). Docs with fewer than k tokens produce no windows.
+  * SQL form: `window_hashes_native(text, k)`.
+  */
+case class WindowHashes(child: Expression, k: Int) extends UnaryExpression {
+
+  require(k > 0, s"window size k must be positive, got $k")
+
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires string, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "window_hashes_native"
+
+  override protected def nullSafeEval(input: Any): Any =
+    WindowHashes.compute(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = ctx.addReferenceObj("windowHashHelper", WindowHashes,
+      WindowHashes.getClass.getName)
+    nullSafeCodeGen(ctx, ev, t => s"${ev.value} = $helper.compute($t, $k);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WindowHashes =
+    copy(child = newChild)
+}
+
+object WindowHashes {
+  def compute(text: UTF8String, k: Int): UnsafeArrayData = {
+    val toks = text.toString.trim.split("\\s+")
+    if (toks.length < k) UnsafeArrayData.fromPrimitiveArray(Array.empty[Long])
+    else {
+      val joined = toks.mkString(" ")
+      val n = joined.length
+      val prefix = new Array[Long](n + 1)
+      val pow = new Array[Long](n + 1)
+      pow(0) = 1L
+      var i = 0
+      while (i < n) {
+        prefix(i + 1) = (prefix(i) * 31 + joined.charAt(i)) % HashPrime
+        pow(i + 1) = (pow(i) * 31) % HashPrime
+        i += 1
+      }
+      val starts = new Array[Int](toks.length)
+      var t = 1
+      while (t < toks.length) {
+        starts(t) = starts(t - 1) + toks(t - 1).length + 1
+        t += 1
+      }
+      val out = new Array[Long](toks.length - k + 1)
+      var w = 0
+      while (w < out.length) {
+        val s0 = starts(w)
+        val e0 = if (w + k < toks.length) starts(w + k) - 1 else n
+        val h = (prefix(e0) - prefix(s0) * pow(e0 - s0)) % HashPrime
+        out(w) = if (h < 0) h + HashPrime else h
+        w += 1
+      }
+      UnsafeArrayData.fromPrimitiveArray(out)
+    }
+  }
+}
+
 object HashedShingles {
   def compute(text: UTF8String, k: Int): UnsafeArrayData = {
     val toks = text.toString.trim.split("\\s+")

@@ -44,41 +44,14 @@ object TextOps {
     * the joined string, then each window is `(H[e] − H[s]·31^(e−s)) mod p`
     * — O(total chars) per document, not O(chars × k). Bit-identical to
     * hashing each window string separately (the oracle's form). Docs with
-    * fewer than k tokens produce no windows.
+    * fewer than k tokens produce no windows. The kernel is the native
+    * codegen expression [[graft.functions.WindowHashes]] (r11) — the
+    * `String => Array[Long]` UDF it replaced paid a converter pass on
+    * every output window hash.
     */
   def windowHashes(text: Column, k: Int): Column = {
-    val impl = udf { (s: String) =>
-      val toks = s.trim.split("\\s+")
-      if (toks.length < k) Array.empty[Long]
-      else {
-        val joined = toks.mkString(" ")
-        val n = joined.length
-        val prefix = new Array[Long](n + 1)
-        val pow = new Array[Long](n + 1)
-        pow(0) = 1L
-        var i = 0
-        while (i < n) {
-          prefix(i + 1) = (prefix(i) * 31 + joined.charAt(i)) % HashPrime
-          pow(i + 1) = (pow(i) * 31) % HashPrime
-          i += 1
-        }
-        // char offset where token t starts in `joined`
-        val starts = new Array[Int](toks.length)
-        var t = 1
-        while (t < toks.length) {
-          starts(t) = starts(t - 1) + toks(t - 1).length + 1
-          t += 1
-        }
-        Array.tabulate(toks.length - k + 1) { w =>
-          val s0 = starts(w)
-          val e0 =
-            if (w + k < toks.length) starts(w + k) - 1 else n
-          val h = (prefix(e0) - prefix(s0) * pow(e0 - s0)) % HashPrime
-          if (h < 0) h + HashPrime else h
-        }
-      }
-    }
-    impl(text)
+    import org.apache.spark.sql.graft.GraftColumnBridge.{column => colOf, expression}
+    colOf(graft.functions.WindowHashes(expression(text), k))
   }
 
   /** LRU-bounded memo for the window-posting stage (same seam treatment as

@@ -113,16 +113,14 @@ object TextQueries {
     },
 
     // corpus-level heavy hitters: the 20 most frequent token bigrams —
-    // compiled per-doc bigram pass (Catalyst HOFs evaluate interpreted
-    // per element, measured 10× slower here), then partial (map-side)
-    // aggregation and a 20-row TakeOrdered; the shuffle carries one row
-    // per distinct bigram, never per token
+    // native codegen per-doc bigram pass (r11 `TokenNgrams`; Catalyst HOFs
+    // evaluate interpreted per element, measured 10× slower here), then
+    // partial (map-side) aggregation and a 20-row TakeOrdered; the shuffle
+    // carries one row per distinct bigram, never per token
     "tx_top_ngrams" -> { (s, d) =>
-      val bigrams = udf { (text: String) =>
-        val toks = text.trim.split("\\s+")
-        if (toks.length < 2) Array.empty[String]
-        else Array.tabulate(toks.length - 1)(i => toks(i) + " " + toks(i + 1))
-      }
+      import org.apache.spark.sql.graft.GraftColumnBridge.{column => colOf, expression}
+      def bigrams(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        colOf(graft.functions.TokenNgrams(expression(text), 2))
       Tables.documents(s, d)
         .select(explode(bigrams(col("text"))).as("bigram"))
         .groupBy("bigram").agg(count(lit(1)).as("cnt"))

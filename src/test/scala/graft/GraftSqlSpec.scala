@@ -22,6 +22,19 @@ class GraftSqlSpec extends SparkSpec {
     assert(row.getString(3) === "acgt")
     assert(row.getLong(4) === 2L)
     assert(row.getDouble(5) === 11.0)
+    // the r11 signature kernels are first-class SQL functions too
+    val sig = spark.sql(
+      """SELECT shingle_strings_native('a b c d', 3) AS sh,
+                size(hashed_shingles_native('a b c d', 3)) AS nh,
+                size(minhash_signature_native(array('a b c'), 4)) AS nm,
+                simhash_native('a b c') AS sim,
+                hyperplane_signature_native(
+                  array(CAST(0.5 AS FLOAT), CAST(-0.25 AS FLOAT)), 2, 4, 0) AS hp""").head
+    assert(sig.getSeq[String](0) === Seq("a b c", "b c d"))
+    assert(sig.getInt(1) === 2)
+    assert(sig.getInt(2) === 4)
+    assert(sig.getLong(3) !== 0L)
+    assert(sig.getLong(4) >= 0L && sig.getLong(4) < 16L)
     // events view readable (ts normalized to epoch-µs at the loader seam)
     assert(spark.sql("SELECT count(*) FROM events").head.getLong(0) > 0)
   }

@@ -185,6 +185,53 @@ class SignatureExpressionsSpec extends SparkSpec {
     assert(viaColumn.orderBy("id").as[(Int, Long)].collect().toSeq === want)
   }
 
+  test("token_ngrams_native: order-preserving n-grams WITH duplicates on 200 texts") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    def refNgrams(text: String, n: Int): Seq[String] = {
+      val toks = text.trim.split("\\s+")
+      if (toks.length < n) Seq.empty
+      else (0 to toks.length - n).map(i => toks.slice(i, i + n).mkString(" "))
+    }
+    val df = sampleTexts.zipWithIndex.map(_.swap).toDF("id", "text")
+    df.createOrReplaceTempView("ng_test")
+    for (n <- Seq(1, 2, 3)) {
+      val got = spark.sql(
+        s"SELECT id, token_ngrams_native(text, $n) AS ng FROM ng_test ORDER BY id")
+        .as[(Int, Seq[String])].collect().toSeq
+      val want = sampleTexts.zipWithIndex.map { case (t, i) => (i, refNgrams(t, n)) }
+      assert(got === want, s"n=$n")
+    }
+  }
+
+  test("window_hashes_native: rolling hash equals per-window polyHash rehash on 200 texts") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    // independent reference: hash each window STRING separately (the
+    // oracle's non-rolling form the rolling computation must equal)
+    def refWindows(text: String, k: Int): Seq[Long] = {
+      val toks = text.trim.split("\\s+")
+      if (toks.length < k) Seq.empty
+      else (0 to toks.length - k).map { i =>
+        var h = 0L
+        toks.slice(i, i + k).mkString(" ").foreach(c => h = (h * 31 + c) % P)
+        h
+      }
+    }
+    val df = sampleTexts.zipWithIndex.map(_.swap).toDF("id", "text")
+    df.createOrReplaceTempView("wh_test")
+    for (k <- Seq(2, 5)) {
+      val got = spark.sql(
+        s"SELECT id, window_hashes_native(text, $k) AS wh FROM wh_test ORDER BY id")
+        .as[(Int, Seq[Long])].collect().toSeq
+      val want = sampleTexts.zipWithIndex.map { case (t, i) => (i, refWindows(t, k)) }
+      assert(got === want, s"k=$k")
+    }
+    // the production seam rides the same expression, UDF-free
+    val viaColumn = df.select(graft.text.TextOps.windowHashes(col("text"), 5).as("wh"))
+    assert(!viaColumn.queryExecution.executedPlan.toString.contains("ScalaUDF"))
+  }
+
   test("CmsOrderedSort equals the sketch sortBy the UDF computed; deterministic across runs") {
     import spark.implicits._
     val docs = sampleTexts.zipWithIndex.map(_.swap).toDF("doc_id", "text")
