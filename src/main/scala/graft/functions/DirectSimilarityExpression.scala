@@ -130,7 +130,9 @@ object GraftExtensions {
         foldInt("token_ngrams_native", "n")(children(1)))),
     ("window_hashes_native", classOf[WindowHashes].getName,
       children => WindowHashes(children(0),
-        foldInt("window_hashes_native", "k")(children(1)))))
+        foldInt("window_hashes_native", "k")(children(1)))),
+    ("hash_shingle_array_native", classOf[HashShingleArray].getName,
+      children => HashShingleArray(children(0))))
 
   private val descriptors = builders.map { case (name, className, builder) =>
     (FunctionIdentifier(name), new ExpressionInfo(className, name), builder)

@@ -114,6 +114,65 @@ case class HashedShingles(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Native 60-bit hash over an ALREADY-shingled string array (r11): the
+  * compatibility twin of [[HashedShingles]] for callers that hold shingle
+  * strings (the `Dedup.jaccardPairs(shingled)` entry) — same packed
+  * base-31/base-131 folds over each shingle's chars, sorted distinct
+  * output. SQL form: `hash_shingle_array_native(shingles)`.
+  */
+case class HashShingleArray(child: Expression) extends UnaryExpression {
+
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hash_shingle_array_native"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashShingleArray.compute(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = ctx.addReferenceObj("hashShingleArrayHelper", HashShingleArray,
+      HashShingleArray.getClass.getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $helper.compute($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HashShingleArray =
+    copy(child = newChild)
+}
+
+object HashShingleArray {
+  def compute(arr: org.apache.spark.sql.catalyst.util.ArrayData): UnsafeArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i).toString
+      var h1 = 0L; var h2 = 0L; var j = 0
+      while (j < s.length) {
+        val c = s.charAt(j).toLong
+        h1 = (h1 * 31 + c) % HashPrime
+        h2 = (h2 * 131 + c) % HashPrime
+        j += 1
+      }
+      out(i) = h1 * HashPrime + h2
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    var m = 0
+    var r = 0
+    while (r < out.length) {
+      if (r == 0 || out(r) != out(r - 1)) { out(m) = out(r); m += 1 }
+      r += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(out, m))
+  }
+}
+
 /** Native order-preserving token n-grams WITH duplicates (r11): every
   * stride-1 window of `n` whitespace tokens, space-joined — the per-doc
   * front of the corpus heavy-hitters query (`tx_top_ngrams`), where the

@@ -60,23 +60,12 @@ object Dedup {
 
   /** The same 60-bit hash over an already-shingled string array (the
     * [[shingleDocs]] output) — compatibility entry for callers that hold
-    * shingle strings; [[hashedShingleDocs]] is the fast path.
+    * shingle strings; [[hashedShingleDocs]] is the fast path. Native
+    * codegen ([[graft.functions.HashShingleArray]], r11).
     */
-  private val hashShingleArrayUdf = udf { (sh: Seq[String]) =>
-    val out = new Array[Long](sh.length)
-    var i = 0
-    sh.foreach { s =>
-      var h1 = 0L; var h2 = 0L; var j = 0
-      while (j < s.length) {
-        val c = s.charAt(j).toLong
-        h1 = (h1 * 31 + c) % HashPrime
-        h2 = (h2 * 131 + c) % HashPrime
-        j += 1
-      }
-      out(i) = h1 * HashPrime + h2
-      i += 1
-    }
-    out.distinct.sorted
+  private def hashShingleArray(shingles: Column): Column = {
+    import org.apache.spark.sql.graft.GraftColumnBridge.{column => colOf, expression}
+    colOf(graft.functions.HashShingleArray(expression(shingles)))
   }
 
   /** (doc_id, hs sorted distinct shingle hashes, n = |hs|) from raw text —
@@ -531,7 +520,7 @@ object Dedup {
     */
   def jaccardPairs(shingled: DataFrame, threshold: Double): DataFrame =
     jaccardPairsHashed(
-      shingled.select(col("doc_id"), hashShingleArrayUdf(col("shingles")).as("hs"))
+      shingled.select(col("doc_id"), hashShingleArray(col("shingles")).as("hs"))
         .select(col("doc_id"), col("hs"), size(col("hs")).as("n")),
       threshold)
 

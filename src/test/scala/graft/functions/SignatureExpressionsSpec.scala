@@ -232,6 +232,25 @@ class SignatureExpressionsSpec extends SparkSpec {
     assert(!viaColumn.queryExecution.executedPlan.toString.contains("ScalaUDF"))
   }
 
+  test("hash_shingle_array_native equals the per-shingle rehash (sorted distinct)") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val shingleSets = sampleTexts.zipWithIndex.map { case (t, i) => (i, refShingles(t, 3)) }
+    val df = shingleSets.toDF("id", "shingles")
+    df.createOrReplaceTempView("hsa_test")
+    val got = spark.sql(
+      "SELECT id, hash_shingle_array_native(shingles) AS hs FROM hsa_test ORDER BY id")
+      .as[(Int, Seq[Long])].collect().toSeq
+    val want = shingleSets.map { case (i, sh) =>
+      (i, sh.map { s =>
+        var h1 = 0L; var h2 = 0L
+        s.foreach { c => h1 = (h1 * 31 + c) % P; h2 = (h2 * 131 + c) % P }
+        h1 * P + h2
+      }.distinct.sorted)
+    }
+    assert(got === want)
+  }
+
   test("CmsOrderedSort equals the sketch sortBy the UDF computed; deterministic across runs") {
     import spark.implicits._
     val docs = sampleTexts.zipWithIndex.map(_.swap).toDF("doc_id", "text")

@@ -52,6 +52,23 @@ class ComponentsCheckpointSpec extends SparkSpec {
     }
   }
 
+  test("gate queries are knob-neutral: components gates identical with the conf set") {
+    // at gate scale the edge sets sit under smallEdgeLimit (driver-side
+    // union-find — no checkpoints at all), so the knob must be a strict
+    // no-op there; this pins that setting it in production config cannot
+    // perturb gate output wherever each path engages
+    import graft.SparkEntry
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-gates").toString
+    for (name <- Seq("dd_components", "dd_sim_components", "dd_jac_components")) {
+      val base = SparkEntry.queries(name)(spark, sf0001).collect().toSeq
+      spark.conf.set(confKey, dir)
+      try {
+        val knobbed = SparkEntry.queries(name)(spark, sf0001).collect().toSeq
+        assert(knobbed === base, s"$name output changed under $confKey")
+      } finally spark.conf.unset(confKey)
+    }
+  }
+
   test("default (localCheckpoint) path unchanged and equal to the reliable path") {
     import spark.implicits._
     assert(spark.conf.getOption(confKey).isEmpty)
