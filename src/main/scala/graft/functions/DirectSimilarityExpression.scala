@@ -132,7 +132,12 @@ object GraftExtensions {
       children => WindowHashes(children(0),
         foldInt("window_hashes_native", "k")(children(1)))),
     ("hash_shingle_array_native", classOf[HashShingleArray].getName,
-      children => HashShingleArray(children(0))))
+      children => HashShingleArray(children(0))),
+    ("repetition_stats_native", classOf[RepetitionStats].getName,
+      children => RepetitionStats(children(0))),
+    ("span_surgery_native", classOf[SpanSurgery].getName,
+      children => SpanSurgery(children(0), children(1),
+        foldInt("span_surgery_native", "k")(children(2)))))
 
   private val descriptors = builders.map { case (name, className, builder) =>
     (FunctionIdentifier(name), new ExpressionInfo(className, name), builder)

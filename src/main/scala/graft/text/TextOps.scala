@@ -177,25 +177,8 @@ object TextOps {
     * each output is ONE integer division, so the doubles are bit-identical
     * across engines with no rounding tricks.
     */
-  val repetitionStats = org.apache.spark.sql.functions.udf { (text: String) =>
-    val toks = text.trim.split("\\s+")
-    val n = toks.length
-    val distinct = new java.util.HashSet[String]()
-    toks.foreach(distinct.add)
-    val dupTokFrac = if (n == 0) 0.0 else (n - distinct.size).toDouble / n
-    var topBigramFrac = 0.0
-    if (n >= 2) {
-      val counts = new java.util.HashMap[String, Integer]()
-      var mx = 0
-      var i = 0
-      while (i + 1 < n) {
-        val bg = toks(i) + " " + toks(i + 1)
-        val c = counts.merge(bg, Integer.valueOf(1), (a, b) => Integer.valueOf(a + b))
-        if (c > mx) mx = c
-        i += 1
-      }
-      topBigramFrac = mx.toDouble / (n - 1)
-    }
-    (n, dupTokFrac, topBigramFrac)
+  def repetitionStats(text: Column): Column = {
+    import org.apache.spark.sql.graft.GraftColumnBridge.{column => colOf, expression}
+    colOf(graft.functions.RepetitionStats(expression(text)))
   }
 }

@@ -393,18 +393,11 @@ object TextQueries {
         .where(col("dc") >= 2).select("h")
       val hotIdx = wins.join(hot, Seq("h"), "left_semi")
         .groupBy("doc_id").agg(collect_list("i").as("hot_is"))
-      val surgery = udf { (text: String, hotIs: Seq[Int]) =>
-        val toks = text.trim.split("\\s+")
-        val covered = new Array[Boolean](toks.length)
-        if (hotIs != null) hotIs.foreach { i0 =>
-          var t = i0
-          while (t < i0 + 20 && t < toks.length) { covered(t) = true; t += 1 }
-        }
-        val kept = toks.indices.collect { case i if !covered(i) => toks(i) }
-        var h = 0L
-        kept.mkString(" ").foreach(c => h = (h * 31 + c) % TextOps.HashPrime)
-        (toks.length, toks.length - kept.length, h)
-      }
+      // native codegen surgery kernel (r11): null hot_is = the left-outer
+      // miss side = nothing removed — see SpanSurgery's null semantics
+      import org.apache.spark.sql.graft.GraftColumnBridge.{column => colOf, expression}
+      def surgery(text: org.apache.spark.sql.Column, hotIs: org.apache.spark.sql.Column) =
+        colOf(graft.functions.SpanSurgery(expression(text), expression(hotIs), 20))
       docs.join(hotIdx, Seq("doc_id"), "left_outer")
         .select(col("doc_id"), surgery(col("text"), col("hot_is")).as("r"))
         .select(col("doc_id"), col("r._1").as("n_tokens"),

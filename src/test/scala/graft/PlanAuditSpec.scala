@@ -228,7 +228,8 @@ class PlanAuditSpec extends SparkSpec {
     for (name <- Seq("dd_minhash_lsh", "ann_lsh_topk", "dd_ppjoin",
         "dd_ngram_jaccard", "dd_jac_components",
         "dd_simhash", "dd_hamming", "dd_sim_components",
-        "tx_top_ngrams", "dd_dup_windows", "dd_maximal_spans")) {
+        "tx_top_ngrams", "dd_dup_windows", "dd_maximal_spans",
+        "tx_repetition", "cur_dedup_spans")) {
       val plan = physical(q(name))
       assert(!plan.contains("ScalaUDF"),
         s"$name: expected a fully native map path, found a ScalaUDF:\n$plan")

@@ -272,6 +272,66 @@ class SignatureExpressionsSpec extends SparkSpec {
     assert(got === again)
   }
 
+  test("repetition_stats_native equals the UDF tuple on 200 texts") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    def refStats(text: String): (Int, Double, Double) = {
+      val toks = text.trim.split("\\s+")
+      val n = toks.length
+      val dup = if (n == 0) 0.0 else (n - toks.distinct.length).toDouble / n
+      val top =
+        if (n < 2) 0.0
+        else toks.sliding(2).map(_.mkString(" ")).toSeq
+          .groupBy(identity).values.map(_.size).max.toDouble / (n - 1)
+      (n, dup, top)
+    }
+    val df = sampleTexts.zipWithIndex.map(_.swap).toDF("id", "text")
+    df.createOrReplaceTempView("rs_test")
+    val got = spark.sql(
+      """SELECT id, repetition_stats_native(text) AS r FROM rs_test ORDER BY id""")
+      .select(col("id"), col("r._1"), col("r._2"), col("r._3"))
+      .as[(Int, Int, Double, Double)].collect().toSeq
+    val want = sampleTexts.zipWithIndex.map { case (t, i) =>
+      val (n, d, b) = refStats(t); (i, n, d, b)
+    }
+    assert(got === want)
+    val viaColumn = df.select(graft.text.TextOps.repetitionStats(col("text")).as("r"))
+    assert(!viaColumn.queryExecution.executedPlan.toString.contains("ScalaUDF"))
+  }
+
+  test("span_surgery_native: covered tokens removed, null hot list removes nothing") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val rows = Seq(
+      (1, "a b c d e f g h", Some(Seq(1, 4))),    // windows of 2 at 1 and 4
+      (2, "a b c d", Some(Seq(0, 1, 2))),          // overlapping full cover
+      (3, "x y z", None),                          // left-outer miss side
+      (4, "solo", Some(Seq.empty[Int])))
+    val df = rows.toDF("id", "text", "hot")
+    df.createOrReplaceTempView("surg_test")
+    def refSurgery(text: String, hot: Option[Seq[Int]], k: Int): (Int, Int, Long) = {
+      val toks = text.trim.split("\\s+")
+      val covered = Array.fill(toks.length)(false)
+      hot.getOrElse(Seq.empty).foreach { i0 =>
+        (i0 until math.min(i0 + k, toks.length)).foreach(covered(_) = true)
+      }
+      val kept = toks.indices.collect { case i if !covered(i) => toks(i) }
+      var h = 0L
+      kept.mkString(" ").foreach(c => h = (h * 31 + c) % P)
+      (toks.length, toks.length - kept.length, h)
+    }
+    val got = spark.sql(
+      "SELECT id, span_surgery_native(text, hot, 2) AS r FROM surg_test ORDER BY id")
+      .select(col("id"), col("r._1"), col("r._2"), col("r._3"))
+      .as[(Int, Int, Int, Long)].collect().toSeq
+    val want = rows.map { case (i, t, h) =>
+      val (n, rm, fp) = refSurgery(t, h, 2); (i, n, rm, fp)
+    }
+    assert(got === want)
+    // doc 3 (null hot list) must keep everything
+    assert(got.find(_._1 == 3).get._3 === 0)
+  }
+
   test("sortPairs fuzz: dual-array quicksort equals sortBy on 500 random arrays") {
     val rnd = new scala.util.Random(8191)
     for (trial <- 0 until 500) {
