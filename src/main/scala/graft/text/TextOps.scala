@@ -181,4 +181,36 @@ object TextOps {
     import org.apache.spark.sql.graft.GraftColumnBridge.{column => colOf, expression}
     colOf(graft.functions.RepetitionStats(expression(text)))
   }
+
+  // ------------------------------------------------------------------ PII
+
+  /** PII patterns (the C4/Dolma/FineWeb-style curation stage). Written to
+    * the COMMON subset of Java regex (Spark) and RE2 (DuckDB oracle): no
+    * backreferences, no lookaround, ASCII word boundaries only — so the
+    * exact same pattern string runs on both engines and the gate queries
+    * carry full hash oracles.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+  val Ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** Per-kind PII match counts — `regexp_count` is a codegen'd native
+    * function, so this is scan-stage compute (no UDF, no shuffle).
+    */
+  def piiCounts(text: Column): Column = struct(
+    regexp_count(text, lit(EmailPattern)).as("n_email"),
+    regexp_count(text, lit(PhonePattern)).as("n_phone"),
+    regexp_count(text, lit(Ipv4Pattern)).as("n_ip"))
+
+  /** PII redaction: replace every match with a typed placeholder. Order
+    * matters and is fixed — emails first (their local/domain parts can
+    * embed digit runs), then phones (their placeholder is digit-free, so
+    * the later IP pass can't re-match inside it), then IPs.
+    */
+  def piiRedact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "<EMAIL>"),
+        PhonePattern, "<PHONE>"),
+      Ipv4Pattern, "<IP>")
 }

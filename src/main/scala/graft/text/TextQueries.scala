@@ -56,6 +56,35 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Deterministic PII injection for the cur_pii_* gates (the mm_ payload
+    * pattern: the synthetic corpus has no PII, so the query builds it
+    * in-query and the oracle replicates the construction exactly).
+    * doc_id % 4 selects the kind — 0 email, 1 phone, 2 IPv4, 3 control
+    * (no injection) — except doc_id % 8 == 7, which gets ALL THREE kinds
+    * concatenated so the multi-kind redaction ordering is exercised.
+    * All digits derive from doc_id; lpad (not format_string) because both
+    * engines share it byte-for-byte.
+    */
+  private[text] def piiInjectedDocs(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    def s(c: org.apache.spark.sql.Column) = c.cast("string")
+    val email = concat(lit(" reach user"), s(id), lit("@mail"),
+      s(id % 7), lit(".example.com"))
+    val phone = concat(lit(" call "),
+      lpad(s(id % 1000), 3, "0"), lit("-"),
+      lpad(s((id * 7) % 1000), 3, "0"), lit("-"),
+      lpad(s((id * 13) % 10000), 4, "0"), lit(" now"))
+    val ip = concat(lit(" host "),
+      s(id % 256), lit("."), s((id * 3) % 256), lit("."),
+      s((id * 5) % 256), lit("."), s((id * 7) % 256), lit(" up"))
+    val suffix = when(id % 8 === 7, concat(email, phone, ip))
+      .when(id % 4 === 0, email)
+      .when(id % 4 === 1, phone)
+      .when(id % 4 === 2, ip)
+      .otherwise(lit(""))
+    docs.select(id, col("lang"), concat(col("text"), suffix).as("text"))
+  }
+
   val queries: Map[String, Q] = Map(
 
     // ---- text analysis -------------------------------------------------
@@ -346,6 +375,70 @@ object TextQueries {
       docs.where(col("doc_id") >= 20)
         .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
         .select(col("doc_id"), length(col("text")).as("text_len"))
+        .orderBy("doc_id")
+    },
+
+    // the SCALE path of cur_decontaminate: same semantics, but the
+    // benchmark-shingle membership test is a broadcast BLOOM FILTER probe
+    // (native codegen expression, scan-stage) instead of a broadcast hash
+    // relation — the shape that survives when the eval suite's shingle set
+    // outgrows a broadcast-hash join (~10⁸-10⁹ shingles broadcast as
+    // ~1.2 GB of bits, not ~10s of GB of hash table). Bloom false
+    // positives are killed by an exact semi-join over ONLY the candidate
+    // survivors (deliberately NOT broadcast: at the scale where bloom
+    // matters the bench set no longer broadcasts as a relation), so the
+    // output — and the oracle — are identical to cur_decontaminate.
+    "cur_decontaminate_bloom" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val hashed = Dedup.hashedShingleDocs(docs, "doc_id", "text")
+      val benchShingles = hashed.where(col("doc_id") < 20)
+        .select(explode(col("hs")).as("sh")).distinct()
+      // distributed build (treeAggregate under stat.bloomFilter); sized
+      // generously above the sf0.1 bench-set cardinality — at production
+      // scale expectedNumItems comes from the eval suite's known size
+      val bloom = benchShingles.stat.bloomFilter("sh", 1 << 17, 0.01)
+      val bc = s.sparkContext.broadcast(bloom)
+      import org.apache.spark.sql.graft.GraftColumnBridge.{column => colOf, expression}
+      val candidates = hashed.where(col("doc_id") >= 20)
+        .select(col("doc_id"), explode(col("hs")).as("sh"))
+        .where(colOf(graft.functions.BloomMightContainLong(expression(col("sh")), bc)))
+      val contaminated = candidates
+        .join(benchShingles, Seq("sh"), "left_semi")
+        .select("doc_id").distinct()
+      docs.where(col("doc_id") >= 20)
+        .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), length(col("text")).as("text_len"))
+        .orderBy("doc_id")
+    },
+
+    // PII detection (the C4/Dolma/FineWeb curation stage): per-kind match
+    // counts over deterministically PII-injected text (the mm_ payload
+    // pattern — the synthetic corpus carries no PII, so the query plants
+    // emails/phones/IPv4s keyed on doc_id and the oracle replicates the
+    // injection exactly). Scan-stage compute: regexp_count is codegen'd,
+    // no UDF, no shuffle until the final sort.
+    "cur_pii_stats" -> { (s, d) =>
+      piiInjectedDocs(Tables.documents(s, d))
+        .select(col("doc_id"), TextOps.piiCounts(col("text")).as("p"))
+        .select(col("doc_id"),
+          col("p.n_email").as("n_email"), col("p.n_phone").as("n_phone"),
+          col("p.n_ip").as("n_ip"),
+          (col("p.n_email") + col("p.n_phone") + col("p.n_ip") > 0).as("has_pii"))
+        .orderBy("doc_id")
+    },
+
+    // the ACTION form: redact every PII match with a typed placeholder
+    // (email → phone → IP, the order TextOps.piiRedact fixes) and pin the
+    // cleaned text by its polynomial fingerprint — same evidence shape as
+    // cur_dedup_spans' span surgery.
+    "cur_pii_redact" -> { (s, d) =>
+      val redacted = TextOps.piiRedact(col("text"))
+      piiInjectedDocs(Tables.documents(s, d))
+        .select(col("doc_id"), col("text"), TextOps.piiCounts(col("text")).as("p"))
+        .select(col("doc_id"),
+          (col("p.n_email") + col("p.n_phone") + col("p.n_ip")).as("n_redacted"),
+          length(redacted).as("clean_len"),
+          TextOps.polyHash(redacted).as("clean_fp"))
         .orderBy("doc_id")
     },
 
@@ -865,6 +958,52 @@ object TextQueries {
          (a, x) -> (a*%d + x) %% 1000000007)"""
   private def ph(e: String, base: Int) = polyHashSql.format(e, base)
 
+  // exact-decontamination SQL, shared verbatim by cur_decontaminate and
+  // cur_decontaminate_bloom (the bloom prefilter is output-invariant)
+  private lazy val decontaminateOracle =
+    s"""WITH toks AS (
+          SELECT doc_id, $tokensSql AS w FROM documents
+        ), sh AS (
+          SELECT doc_id, list_distinct(list_transform(
+            generate_series(1, len(w)-2),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+          FROM toks
+        ), ex AS (
+          SELECT doc_id, unnest(shingles) AS s FROM sh
+        ), bench AS (
+          SELECT DISTINCT s FROM ex WHERE doc_id < 20
+        ), contaminated AS (
+          SELECT DISTINCT e.doc_id FROM ex e JOIN bench b ON e.s = b.s
+          WHERE e.doc_id >= 20
+        )
+        SELECT doc_id, CAST(LENGTH(text) AS INTEGER) AS text_len
+        FROM documents
+        WHERE doc_id >= 20
+          AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+        ORDER BY doc_id"""
+
+  // the cur_pii_* injection, mirroring piiInjectedDocs EXACTLY (same kind
+  // selection, same lpad digits) — non-interpolated fragments so no Scala
+  // escape processing touches the SQL
+  private val piiEmailSql =
+    """' reach user' || doc_id || '@mail' || (doc_id % 7) || '.example.com'"""
+  private val piiPhoneSql =
+    """' call ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+       lpad(CAST((doc_id*7) % 1000 AS VARCHAR), 3, '0') || '-' ||
+       lpad(CAST((doc_id*13) % 10000 AS VARCHAR), 4, '0') || ' now'"""
+  private val piiIpSql =
+    """' host ' || (doc_id % 256) || '.' || ((doc_id*3) % 256) || '.' ||
+       ((doc_id*5) % 256) || '.' || ((doc_id*7) % 256) || ' up'"""
+  private lazy val piiInjectSql =
+    s"""SELECT doc_id,
+          text || CASE
+            WHEN doc_id % 8 = 7 THEN $piiEmailSql || $piiPhoneSql || $piiIpSql
+            WHEN doc_id % 4 = 0 THEN $piiEmailSql
+            WHEN doc_id % 4 = 1 THEN $piiPhoneSql
+            WHEN doc_id % 4 = 2 THEN $piiIpSql
+            ELSE '' END AS text
+        FROM documents"""
+
   private val qualitySql =
     s"""FLOOR((
             0.4 * LEAST(len($tokensSql) / 200.0, 1.0) +
@@ -1157,27 +1296,41 @@ object TextQueries {
     // string-shingle form of the Spark side's 60-bit-hashed shingle join —
     // equivalent absent hash collisions, the same equivalence
     // dd_ngram_jaccard's green hash row already rests on
-    "cur_decontaminate" ->
-      s"""WITH toks AS (
-            SELECT doc_id, $tokensSql AS w FROM documents
-          ), sh AS (
-            SELECT doc_id, list_distinct(list_transform(
-              generate_series(1, len(w)-2),
-              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
-            FROM toks
-          ), ex AS (
-            SELECT doc_id, unnest(shingles) AS s FROM sh
-          ), bench AS (
-            SELECT DISTINCT s FROM ex WHERE doc_id < 20
-          ), contaminated AS (
-            SELECT DISTINCT e.doc_id FROM ex e JOIN bench b ON e.s = b.s
-            WHERE e.doc_id >= 20
+    "cur_decontaminate" -> decontaminateOracle,
+
+    // the bloom variant is output-identical BY CONSTRUCTION (false
+    // positives die in the exact verify join; false negatives are
+    // impossible for inserted keys) — so it shares the exact oracle
+    "cur_decontaminate_bloom" -> decontaminateOracle,
+
+    "cur_pii_stats" ->
+      s"""WITH pii AS ($piiInjectSql)
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(text, '${TextOps.EmailPattern}')) AS INTEGER) AS n_email,
+                 CAST(len(regexp_extract_all(text, '${TextOps.PhonePattern}')) AS INTEGER) AS n_phone,
+                 CAST(len(regexp_extract_all(text, '${TextOps.Ipv4Pattern}')) AS INTEGER) AS n_ip,
+                 (len(regexp_extract_all(text, '${TextOps.EmailPattern}')) +
+                  len(regexp_extract_all(text, '${TextOps.PhonePattern}')) +
+                  len(regexp_extract_all(text, '${TextOps.Ipv4Pattern}')) > 0) AS has_pii
+          FROM pii ORDER BY doc_id""",
+
+    "cur_pii_redact" ->
+      s"""WITH pii AS ($piiInjectSql), red AS (
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '${TextOps.EmailPattern}')) +
+                        len(regexp_extract_all(text, '${TextOps.PhonePattern}')) +
+                        len(regexp_extract_all(text, '${TextOps.Ipv4Pattern}')) AS INTEGER)
+                     AS n_redacted,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                     '${TextOps.EmailPattern}', '<EMAIL>', 'g'),
+                     '${TextOps.PhonePattern}', '<PHONE>', 'g'),
+                     '${TextOps.Ipv4Pattern}', '<IP>', 'g') AS clean
+            FROM pii
           )
-          SELECT doc_id, CAST(LENGTH(text) AS INTEGER) AS text_len
-          FROM documents
-          WHERE doc_id >= 20
-            AND doc_id NOT IN (SELECT doc_id FROM contaminated)
-          ORDER BY doc_id""",
+          SELECT doc_id, n_redacted,
+                 CAST(LENGTH(clean) AS INTEGER) AS clean_len,
+                 CAST(${ph("clean", 31)} AS BIGINT) AS clean_fp
+          FROM red ORDER BY doc_id""",
 
     "sm_shuffle" ->
       """SELECT doc_id,

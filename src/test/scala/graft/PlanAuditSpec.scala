@@ -229,11 +229,21 @@ class PlanAuditSpec extends SparkSpec {
         "dd_ngram_jaccard", "dd_jac_components",
         "dd_simhash", "dd_hamming", "dd_sim_components",
         "tx_top_ngrams", "dd_dup_windows", "dd_maximal_spans",
-        "tx_repetition", "cur_dedup_spans")) {
+        "tx_repetition", "cur_dedup_spans",
+        "cur_pii_stats", "cur_pii_redact", "cur_decontaminate_bloom")) {
       val plan = physical(q(name))
       assert(!plan.contains("ScalaUDF"),
         s"$name: expected a fully native map path, found a ScalaUDF:\n$plan")
     }
+  }
+
+  test("bloom decontamination: the native probe filters at scan stage, corpus side never broadcasts") {
+    // the scale path's whole point: membership is a scan-stage bit-array
+    // probe (codegen'd), and the exploded corpus is NEVER the build side
+    // of a broadcast — only the tiny post-probe candidate set moves
+    val plan = physical(q("cur_decontaminate_bloom"))
+    assert(plan.contains("bloom_might_contain_long_native"),
+      s"expected the native bloom probe in the plan:\n$plan")
   }
 
   test("ann brute/ivf/lsh scoring runs the native dot kernel; brute plan is UDF-free") {
