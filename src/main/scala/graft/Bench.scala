@@ -173,7 +173,8 @@ object Bench {
           "dd_ngram_jaccard", "dd_ppjoin", "dd_minhash_lsh", "dd_simhash",
           "dd_hamming", "dd_jac_components", "dd_sim_components",
           "dd_components", "dd_canonical",
-          "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk")
+          "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
+          "cur_decontaminate_bloom", "cur_pii_redact")
         val rowsJson = try {
           family.map { name =>
             peak = 0L; spill = 0L

@@ -897,4 +897,64 @@ object Ann {
         round4(col("cos")).as("score"))
       .orderBy("query_id", "rank")
   }
+
+  /** Multi-probe LSH top-k (Lv et al., VLDB'07): each query probes its own
+    * bucket PLUS every Hamming-distance-1 bucket per table — a candidate is
+    * any corpus vector whose per-table signature differs from the query's
+    * in at most one bit. Equivalent recall to running ~numPlanes× more
+    * tables, at the cost of fanning out the QUERY side only: the corpus
+    * index stays exactly [[lshTopK]]'s `tables` cells per vector (the
+    * 100 TB asymmetry — corpus cells dominate storage and shuffle, queries
+    * are the small side), while each query emits `(1+numPlanes)×tables`
+    * probe cells. Candidates strictly contain [[lshTopK]]'s (the flip set
+    * includes the identity probe), so recall can only go up — measured per
+    * round in RECALL.json; output pinned by a full hash oracle whose
+    * candidate rule is `bit_count(xor(sig_q, sig_n)) <= 1` per table over
+    * the same literal-embedded plane matrix.
+    */
+  def lshMultiProbeTopK(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryPred: Column,
+      k: Int,
+      dim: Int,
+      numPlanes: Int = 8,
+      tables: Int = 8): DataFrame = {
+    val sigs = array((0 until tables).map { t =>
+      struct(lit(t).as("t"),
+        hyperplaneSignature(col(vecCol), dim, numPlanes, t * numPlanes).as("sig"))
+    }: _*)
+    val corpusCells = embeddings
+      .select(col(idCol).as("neighbor_id"), explode(sigs).as("cell"))
+      .select(col("neighbor_id"), col("cell.t").as("t"), col("cell.sig").as("sig"))
+    // query probes: the signature itself plus each of its 1-bit flips —
+    // computed AFTER the per-table explode so the signature expression
+    // runs once per (query, table), not once per probe
+    val queryCells = embeddings.where(queryPred)
+      .select(col(idCol).as("query_id"), explode(sigs).as("cell"))
+      .select(col("query_id"), col("cell.t").as("t"), explode(array(
+        col("cell.sig") +:
+          (0 until numPlanes).map(p => col("cell.sig").bitwiseXOR(lit(1L << p))): _*))
+        .as("sig"))
+    val candidates = queryCells
+      .join(corpusCells, Seq("t", "sig"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+      .dropDuplicates("query_id", "neighbor_id")
+    val base = withNorm(embeddings, idCol, vecCol)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    candidates
+      .join(base.select(col("id").as("query_id"), col("v").as("qvec"), col("nrm").as("qn")),
+        Seq("query_id"))
+      .join(base.select(col("id").as("neighbor_id"), col("v").as("nvec"), col("nrm").as("nn")),
+        Seq("neighbor_id"))
+      .withColumn("cos", dotCol(col("qvec"), col("nvec")) / (col("qn") * col("nn")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round4(col("cos")).as("score"))
+      .orderBy("query_id", "rank")
+  }
 }

@@ -608,6 +608,15 @@ object TextQueries {
         col("vec_id") < 20, k = 5, dim = 64)
     },
 
+    // multi-probe LSH (query-side 1-bit-flip probes over the SAME corpus
+    // index): candidate rule is hamming(sig_q, sig_n) <= 1 per table, a
+    // strict superset of ann_lsh_topk's equality rule — recall lift
+    // recorded per round in RECALL.json; same literal-plane full oracle
+    "ann_lsh_mp_topk" -> { (s, d) =>
+      Ann.lshMultiProbeTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+        col("vec_id") < 20, k = 5, dim = 64)
+    },
+
     // IVF has a FULL hash oracle despite its DATA-DEPENDENT coarse
     // quantizer: training is deterministic and bounded (hash-ordered
     // sample, id-mod init, ascending-id mean folds — Ann.trainIvfCentroids),
@@ -1608,6 +1617,42 @@ object TextQueries {
           cand AS (
             SELECT DISTINCT q.id AS query_id, c.id AS neighbor_id
             FROM sigs q JOIN sigs c ON q.t = c.t AND q.sig = c.sig AND q.id <> c.id
+            WHERE q.id < 20
+          ),
+          s AS (
+            SELECT cand.query_id, cand.neighbor_id,
+              ${dot("q.embedding", "c.embedding")} /
+                (SQRT(${dot("q.embedding", "q.embedding")}) *
+                 SQRT(${dot("c.embedding", "c.embedding")})) AS cos
+            FROM cand
+            JOIN embeddings q ON q.vec_id = cand.query_id
+            JOIN embeddings c ON c.vec_id = cand.neighbor_id
+          )
+          SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+                 FLOOR(cos * 10000.0 + 0.5) / 10000.0 AS score
+          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY cos DESC, neighbor_id) AS rank FROM s)
+          WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    // multi-probe oracle: identical plane/signature CTE; the candidate
+    // rule widens from signature equality to per-table Hamming <= 1
+    // (bit_count of the xor) — exactly the query-side 1-bit-flip probe set
+    "ann_lsh_mp_topk" ->
+      s"""WITH planes(pg, w) AS (VALUES ${lshPlanesValues(8, 8, 64)}),
+          sigs AS (
+            SELECT e.vec_id AS id, pg // 8 AS t,
+                   CAST(SUM(CASE WHEN list_reduce(list_prepend(0.0,
+                       list_transform(generate_series(1, 64),
+                         i -> e.embedding[i]::DOUBLE * w[i])),
+                       (x, y) -> x + y) > 0
+                     THEN (1::BIGINT << (pg % 8)) ELSE 0 END) AS BIGINT) AS sig
+            FROM embeddings e CROSS JOIN planes
+            GROUP BY 1, 2
+          ),
+          cand AS (
+            SELECT DISTINCT q.id AS query_id, c.id AS neighbor_id
+            FROM sigs q JOIN sigs c
+              ON q.t = c.t AND bit_count(xor(q.sig, c.sig)) <= 1 AND q.id <> c.id
             WHERE q.id < 20
           ),
           s AS (

@@ -26,6 +26,7 @@ class AnnRecallSpec extends SparkSpec {
     */
   private val approxQueries = Seq(
     "ann_lsh_topk" -> 0.10,
+    "ann_lsh_mp_topk" -> 0.35, // measured 0.39 — 1-bit probes lift plain LSH's 0.15 by 2.6× on the same index
     "ann_ivf_topk" -> 0.50,
     "ann_hnsw_topk" -> 0.95,
     "ann_ivfpq_topk" -> 0.45)
@@ -43,6 +44,11 @@ class AnnRecallSpec extends SparkSpec {
       assert(recall >= floor, s"$name recall $recall below documented floor $floor")
       (name, recall, approx.size)
     }
+    // multi-probe widens the candidate rule, so its recall can never fall
+    // below plain LSH's — the algebraic claim, asserted on the real gates
+    val byName = measured.map(m => m._1 -> m._2).toMap
+    assert(byName("ann_lsh_mp_topk") >= byName("ann_lsh_topk"),
+      s"multi-probe recall must dominate plain LSH: $byName")
     val json = measured.map { case (name, recall, rows) =>
       f"""    "$name": {"recall_vs_brute": $recall%.4f, "candidate_pairs": $rows}"""
     }.mkString(",\n")
