@@ -255,6 +255,69 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // temperature-scaled source mixing (the XLM-R/mT5 multilingual recipe,
+    // alpha = 0.5): per-source keep-rate ∝ n_s^(alpha-1), normalized so the
+    // expected sample is total/4 docs — small sources are upsampled
+    // relative to proportional, large ones damped, rate clamped at 1.
+    // Determinism across engines: counts are exact ints; the normalizer
+    // folds sqrt(n_s) in ASCENDING SORTED order (sort_array + HOF
+    // aggregate ↔ list_sort + list_reduce — same IEEE fold both sides);
+    // the per-source rate becomes an integer ppm threshold, so doc
+    // membership is an exact integer hash compare (sm_stratified's rule).
+    // Scale shape: two tiny source-cardinality dims (broadcast), the
+    // corpus is one scan + map-side filter — no corpus shuffle at all.
+    "sm_temperature" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val counts = docs.groupBy("source").agg(count(lit(1)).as("n"))
+      val denom = counts.agg(
+        aggregate(sort_array(collect_list(sqrt(col("n").cast("double")))),
+          lit(0.0), (a, x) => a + x).as("denom"),
+        sum(col("n")).as("total"))
+      val rates = counts.crossJoin(broadcast(denom))
+        .withColumn("thr", least(lit(1000000L),
+          floor(lit(1000000.0) * (col("total").cast("double") / 4.0) *
+            sqrt(col("n").cast("double")) / col("denom") /
+            col("n").cast("double"))))
+      docs.join(broadcast(rates.select(col("source"), col("thr"))), Seq("source"))
+        .where(Sampling.hashBucket(col("doc_id"), 1000000) < col("thr"))
+        .select(col("doc_id"), col("source"), col("thr"))
+        .orderBy("doc_id")
+    },
+
+    // corpus-trained bigram-LM perplexity scoring (the CCNet quality
+    // signal, self-trained): add-one-smoothed p(w2|w1) from exact corpus
+    // counts, per-doc mean negative log-likelihood. Cross-engine float
+    // discipline (the mm_ integer-arithmetic rule): each -ln(p) rounds
+    // ONCE to a 1e-4 fixed-point BIGINT, so every downstream sum is exact
+    // integer arithmetic — no float fold-order dependence anywhere.
+    // Scale shape: the LM "training" is two partial-agg count passes; the
+    // count tables are vocab-sized dims (broadcast for scoring — at web
+    // scale they'd bucket-join instead), the final agg keys on doc_id.
+    "tx_perplexity" -> { (s, d) =>
+      import org.apache.spark.sql.graft.GraftColumnBridge.{column => colOf, expression}
+      def bigrams(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        colOf(graft.functions.TokenNgrams(expression(text), 2))
+      val docs = Tables.documents(s, d)
+      val uni = docs.select(explode(TextOps.whitespaceTokens(col("text"))).as("w1"))
+        .groupBy("w1").agg(count(lit(1)).as("c1"))
+      val vDf = uni.agg(count(lit(1)).as("v"))
+      val bi = docs.select(col("doc_id"), explode(bigrams(col("text"))).as("b"))
+      val bc = bi.groupBy("b").agg(count(lit(1)).as("c12"))
+      bi
+        .join(broadcast(bc), Seq("b"))
+        .withColumn("w1", substring_index(col("b"), " ", 1))
+        .join(broadcast(uni), Seq("w1"))
+        .crossJoin(broadcast(vDf))
+        .withColumn("t", floor(-log((col("c12") + 1).cast("double") /
+          (col("c1") + col("v")).cast("double")) * 10000.0 + 0.5).cast("long"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum("t").as("nll_sum_e4"))
+        .select(col("doc_id"), col("n_bigrams"),
+          floor(col("nll_sum_e4").cast("double") / col("n_bigrams").cast("double"))
+            .cast("long").as("avg_nll_e4"))
+        .orderBy("doc_id")
+    },
+
     // per-source caps (the web-pipeline "at most N docs per domain" rule):
     // rank within source by doc_id, keep the first N — the window is
     // PARTITIONED by source, so it scales with the source cardinality
@@ -1215,6 +1278,40 @@ object TextQueries {
               i -> w[i] || ' ' || w[i+1])) AS b
             FROM (SELECT $tokensSql AS w FROM documents) t) g
           GROUP BY b ORDER BY cnt DESC, b LIMIT 20""",
+
+    "sm_temperature" ->
+      """WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY 1),
+         d AS (SELECT list_reduce(list_prepend(0.0, list_sort(list(sqrt(n::DOUBLE)))),
+                        (a, b) -> a + b) AS denom,
+                      CAST(SUM(n) AS BIGINT) AS total FROM c),
+         r AS (SELECT c.source,
+                 CAST(LEAST(1000000, FLOOR(1000000.0 * (d.total::DOUBLE / 4.0) *
+                   sqrt(c.n::DOUBLE) / d.denom / c.n::DOUBLE)) AS BIGINT) AS thr
+               FROM c CROSS JOIN d)
+         SELECT doc_id, source, r.thr AS thr
+         FROM documents JOIN r USING(source)
+         WHERE ((doc_id % 1000000007) * 2654435761) % 1000000007 % 1000000 < r.thr
+         ORDER BY doc_id""",
+
+    "tx_perplexity" ->
+      s"""WITH toks AS (SELECT doc_id, $tokensSql AS w FROM documents),
+          uni AS (SELECT u AS w1, CAST(COUNT(*) AS BIGINT) AS c1
+                  FROM (SELECT unnest(w) AS u FROM toks) GROUP BY 1),
+          v AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM uni),
+          bi AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-1),
+                   i -> w[i] || ' ' || w[i+1])) AS b FROM toks),
+          bc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c12 FROM bi GROUP BY 1),
+          scored AS (
+            SELECT bi.doc_id,
+              CAST(FLOOR(-ln((bc.c12 + 1)::DOUBLE / (uni.c1 + v.v)::DOUBLE)
+                * 10000.0 + 0.5) AS BIGINT) AS t
+            FROM bi JOIN bc USING(b)
+            JOIN uni ON uni.w1 = string_split(bi.b, ' ')[1]
+            CROSS JOIN v
+          )
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                 CAST(FLOOR(SUM(t)::DOUBLE / COUNT(*)::DOUBLE) AS BIGINT) AS avg_nll_e4
+          FROM scored GROUP BY doc_id ORDER BY doc_id""",
 
     "sm_hash_split" ->
       """SELECT doc_id,

@@ -176,7 +176,10 @@ class PlanAuditSpec extends SparkSpec {
     // the one allowed shape: a global SCALAR aggregate's final stage, whose
     // single-partition exchange carries one pre-aggregated row per upstream
     // partition (a1's corpus total) — never row data
-    val scalarAggFinal = Set("a1_distribution_count")
+    // sm_temperature's mixing normalizer (20 partial rows of source-count
+    // sqrts) and tx_perplexity's vocab size (partial counts) are the same
+    // shape — source/vocab-cardinality scalar finals, never corpus rows
+    val scalarAggFinal = Set("a1_distribution_count", "sm_temperature", "tx_perplexity")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(scalarAggFinal)
       .flatMap { name =>
@@ -230,10 +233,22 @@ class PlanAuditSpec extends SparkSpec {
         "dd_simhash", "dd_hamming", "dd_sim_components",
         "tx_top_ngrams", "dd_dup_windows", "dd_maximal_spans",
         "tx_repetition", "cur_dedup_spans",
-        "cur_pii_stats", "cur_pii_redact", "cur_decontaminate_bloom")) {
+        "cur_pii_stats", "cur_pii_redact", "cur_decontaminate_bloom",
+        "ann_lsh_mp_topk", "sm_temperature", "tx_perplexity")) {
       val plan = physical(q(name))
       assert(!plan.contains("ScalaUDF"),
         s"$name: expected a fully native map path, found a ScalaUDF:\n$plan")
+    }
+  }
+
+  test("sm_temperature / tx_perplexity: corpus joins only against broadcast dims") {
+    // both ops join the full corpus against tiny derived dims (source
+    // rates; vocab-sized LM count tables) — those joins must broadcast,
+    // never sort-merge the corpus
+    for (name <- Seq("sm_temperature", "tx_perplexity")) {
+      val plan = physical(q(name))
+      assert(plan.contains("BroadcastHashJoin"), s"$name: expected broadcast dims:\n$plan")
+      assert(!plan.contains("SortMergeJoin"), s"$name: corpus must not sort-merge:\n$plan")
     }
   }
 
