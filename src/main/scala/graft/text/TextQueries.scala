@@ -157,6 +157,25 @@ object TextQueries {
         .limit(20)
     },
 
+    // LEAKAGE-SAFE split (the eval-contamination guard sm_hash_split
+    // lacks): near-duplicate docs must never straddle train/test, so the
+    // split unit is the doc's near-dup COMPONENT (digest-collapsed
+    // jaccardComponents), falling back to the doc itself for singletons —
+    // hashing the component id sends whole duplicate clusters to one
+    // split. The components path is the linear-input r10 machinery, so
+    // this stays 100-TB-shaped end to end.
+    "sm_split_leakage_safe" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val comp = Dedup.jaccardComponents(
+        Dedup.hashedShingleDocs(docs, "doc_id", "text"), 0.5)
+      docs.select(col("doc_id"))
+        .join(comp, Seq("doc_id"), "left_outer")
+        .withColumn("unit", coalesce(col("component"), col("doc_id")))
+        .select(col("doc_id"), col("unit"),
+          Sampling.hashSplit(col("unit")).as("split"))
+        .orderBy("doc_id")
+    },
+
     // deterministic hash-based train/validation/test assignment — split
     // membership is a pure function of doc_id (reproducible, stable
     // under corpus growth, zero shuffle)
@@ -1570,6 +1589,34 @@ object TextQueries {
           )
           SELECT id AS doc_id, MIN(comp) AS component
           FROM cc GROUP BY id ORDER BY doc_id""",
+
+    // the recursive-CTE component labels + the hashBucket split rule over
+    // the component id (doc_id for singletons) — sm_hash_split's CASE,
+    // keyed on the cluster instead of the doc
+    "sm_split_leakage_safe" ->
+      s"""WITH RECURSIVE pairs AS ($shingleCte),
+          edges AS (
+            SELECT d1 AS src, d2 AS dst FROM pairs
+            UNION ALL SELECT d2, d1 FROM pairs
+          ),
+          cc AS (
+            SELECT DISTINCT src AS id, src AS comp FROM edges
+            UNION
+            SELECT e.dst AS id, cc.comp
+            FROM cc JOIN edges e ON e.src = cc.id
+          ),
+          comp AS (
+            SELECT id AS doc_id, MIN(comp) AS component FROM cc GROUP BY id
+          ),
+          u AS (
+            SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS unit
+            FROM documents d LEFT JOIN comp c USING (doc_id)
+          )
+          SELECT doc_id, unit,
+            CASE WHEN ((unit % 1000000007) * 2654435761) % 1000000007 % 100 < 90 THEN 'train'
+                 WHEN ((unit % 1000000007) * 2654435761) % 1000000007 % 100 < 95 THEN 'validation'
+                 ELSE 'test' END AS split
+          FROM u ORDER BY doc_id""",
 
     "dd_components" ->
       s"""WITH RECURSIVE pairs AS ($shingleCte),

@@ -71,4 +71,33 @@ class CurationSamplingSpec extends SparkSpec {
     val scores = got.values.map(_._2)
     assert(scores.min < scores.max, "perplexity must separate docs")
   }
+
+  test("sm_split_leakage_safe: no near-dup pair straddles splits; every doc assigned") {
+    val docs = graft.Tables.documents(spark, sf001)
+    val split = SparkEntry.queries("sm_split_leakage_safe")(spark, sf001)
+    assert(split.count() === docs.count(), "the split must cover every doc")
+    assert(split.select("split").distinct().count() >= 2)
+    // THE property this operator exists for: every qualifying near-dup
+    // pair lands with both endpoints in the same split (plain
+    // sm_hash_split violates this whenever a near-dup pair's ids hash to
+    // different buckets — eval leakage)
+    val pairs = Dedup.jaccardPairsHashed(
+      Dedup.hashedShingleDocs(docs, "doc_id", "text"), 0.5)
+      .select(col("d1"), col("d2"))
+    assert(pairs.count() > 0, "the corpus must contain near-dup pairs for this to test anything")
+    val s1 = split.select(col("doc_id").as("d1"), col("split").as("sp1"))
+    val s2 = split.select(col("doc_id").as("d2"), col("split").as("sp2"))
+    val straddling = pairs.join(s1, "d1").join(s2, "d2")
+      .where(col("sp1") =!= col("sp2"))
+    assert(straddling.count() === 0, "near-dup pairs must never cross a split boundary")
+    // and the plain doc-hash split DOES straddle on this corpus — the
+    // operator is not vacuously equal to sm_hash_split
+    val plain = SparkEntry.queries("sm_hash_split")(spark, sf001)
+    val p1 = plain.select(col("doc_id").as("d1"), col("split").as("sp1"))
+    val p2 = plain.select(col("doc_id").as("d2"), col("split").as("sp2"))
+    val plainStraddling = pairs.join(p1, "d1").join(p2, "d2")
+      .where(col("sp1") =!= col("sp2")).count()
+    assert(plainStraddling > 0,
+      "expected the naive split to leak on this corpus (else the guard is untestable here)")
+  }
 }
