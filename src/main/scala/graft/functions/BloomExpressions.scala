@@ -21,9 +21,14 @@ import org.apache.spark.util.sketch.BloomFilter
   *
   * Carries the filter as a `Broadcast` handle (not a SQL-expressible
   * argument), so it is constructed through `GraftColumnBridge` exactly
-  * like [[CmsOrderedSort]]'s count-min sketch. `bc.value` resolves to the
-  * executor-local deserialized filter; `mightContainLong` is two XXH64
-  * probes against a bit array — no boxing, stays inside whole-stage
+  * like [[CmsOrderedSort]]'s count-min sketch. The deserialized filter is
+  * resolved from the broadcast ONCE per generated-class instance (codegen
+  * mutable state) / once per task (transient lazy val on the interpreted
+  * path) — NOT per row: `Broadcast.value` pays an assertValid + a
+  * SoftReference read per call, and under memory pressure a cleared soft
+  * reference would re-read the whole (≈GB at scale) filter block
+  * mid-scan. Per-row work is then just `mightContainLong`'s two hash
+  * probes against the bit array — no boxing, stays inside whole-stage
   * codegen (plan-audited in PlanAuditSpec's ScalaUDF-free list).
   *
   * False positives are BY DESIGN admitted here and removed by the exact
@@ -44,15 +49,19 @@ case class BloomMightContainLong(child: Expression, filter: Broadcast[BloomFilte
   override def dataType: DataType = BooleanType
   override def prettyName: String = "bloom_might_contain_long_native"
 
+  @transient private lazy val localFilter: BloomFilter = filter.value
+
   override protected def nullSafeEval(input: Any): Any =
-    filter.value.mightContainLong(input.asInstanceOf[Long])
+    localFilter.mightContainLong(input.asInstanceOf[Long])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val bc = ctx.addReferenceObj("bloomFilterBc", filter,
       "org.apache.spark.broadcast.Broadcast")
+    val localRef = ctx.addMutableState("org.apache.spark.util.sketch.BloomFilter",
+      "graftBloomFilter",
+      v => s"$v = (org.apache.spark.util.sketch.BloomFilter) $bc.value();")
     nullSafeCodeGen(ctx, ev, v =>
-      s"${ev.value} = ((org.apache.spark.util.sketch.BloomFilter) $bc.value())" +
-        s".mightContainLong($v);")
+      s"${ev.value} = $localRef.mightContainLong($v);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): BloomMightContainLong =

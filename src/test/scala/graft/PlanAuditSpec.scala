@@ -252,13 +252,13 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("bloom decontamination: the native probe filters at scan stage, corpus side never broadcasts") {
-    // the scale path's whole point: membership is a scan-stage bit-array
-    // probe (codegen'd), and the exploded corpus is NEVER the build side
-    // of a broadcast — only the tiny post-probe candidate set moves
+  test("bloom decontamination: the native probe filters at scan stage") {
     val plan = physical(q("cur_decontaminate_bloom"))
     assert(plan.contains("bloom_might_contain_long_native"),
       s"expected the native bloom probe in the plan:\n$plan")
+    // join-side SIZE isn't a plan-string property — the no-broadcast-
+    // dependence claim is checked behaviorally in BloomExpressionsSpec
+    // ("runs broadcast-free"), not here
   }
 
   test("ann brute/ivf/lsh scoring runs the native dot kernel; brute plan is UDF-free") {

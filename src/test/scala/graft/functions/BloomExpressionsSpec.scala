@@ -64,6 +64,25 @@ class BloomExpressionsSpec extends SparkSpec {
     assert(exact.exceptAll(bloom).count() === 0)
   }
 
+  test("cur_decontaminate_bloom runs broadcast-free: the scale claim, behaviorally") {
+    // at the scale where the bloom path matters, NOTHING on the verify
+    // side fits a broadcast-hash relation — so the query must produce the
+    // same rows with auto-broadcast disabled entirely (falls to shuffled
+    // joins), not merely when the optimizer happens to broadcast the
+    // small sides of the toy corpus
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val noBroadcast = graft.SparkEntry.queries("cur_decontaminate_bloom")(spark, sf001)
+        .collect().map(_.toString).sorted
+      spark.conf.set(key, prev)
+      val normal = graft.SparkEntry.queries("cur_decontaminate_bloom")(spark, sf001)
+        .collect().map(_.toString).sorted
+      assert(noBroadcast.toSeq === normal.toSeq)
+    } finally spark.conf.set(key, prev)
+  }
+
   test("the bloom prefilter actually prunes: candidate rows << exploded corpus rows") {
     val docs = graft.Tables.documents(spark, sf001)
     val hashed = graft.text.Dedup.hashedShingleDocs(docs, "doc_id", "text")

@@ -18,8 +18,15 @@ class CurationSamplingSpec extends SparkSpec {
     val counts = docs.groupBy("source").agg(count(lit(1)).as("n"))
       .as[(String, Long)].collect().toMap
     val out = SparkEntry.queries("sm_temperature")(spark, sf001)
-    val thr = out.select("source", "thr").distinct()
+    val thrSeen = out.select("source", "thr").distinct()
       .as[(String, Long)].collect().toMap
+    // a source whose threshold keeps zero docs is absent from the OUTPUT;
+    // fail with a pointed message instead of a NoSuchElementException in
+    // the property loops below (and treat it as rate 0 for the budget)
+    val missing = counts.keySet -- thrSeen.keySet
+    assert(missing.isEmpty,
+      s"sources kept zero docs (thr likely 0) — inspect rates for: $missing")
+    val thr = thrSeen
     assert(thr.values.forall(t => t >= 0 && t <= 1000000L))
     // temperature property: keep-RATE is monotonically non-increasing in
     // source size (rate ∝ n^(alpha-1), alpha < 1)
