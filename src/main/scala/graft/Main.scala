@@ -247,12 +247,31 @@ object Main {
         // queries — a post-filter would drop clusters whose min-id
         // representative fails a stricter gate even when members pass
         val kept0 = graft.text.TextQueries.curateCorpus(spark, dir, minQuality)
-        val kept =
+        val kept1 =
           if (!semantic) kept0
           else kept0.join(
             graft.text.TextQueries.curateSemantic(spark, dir, minQuality)
               .select(col("doc_id")), Seq("doc_id"), "left_semi")
+        // --decontaminate-below b: drop docs leaking benchmark shingles
+        // (docs < b ARE the benchmark and leave the training set too);
+        // always the bloom-prefiltered scale path — identical output to
+        // the exact form, spec-pinned
+        val kept = opts.get("decontaminate-below").map(_.toLong) match {
+          case Some(b) => kept1.join(
+            graft.text.TextQueries.decontaminateSurvivors(spark, dir, b, useBloom = true)
+              .select(col("doc_id")), Seq("doc_id"), "left_semi")
+          case None => kept1
+        }
         kept.write.mode("overwrite").parquet(s"$out/survivors.parquet")
+        // --redact-pii: the survivors' raw text with emails/phones/IPv4s
+        // replaced by typed placeholders — the training-text artifact
+        if (opts.contains("redact-pii")) {
+          Tables.documents(spark, dir)
+            .join(kept.select("doc_id"), Seq("doc_id"), "left_semi")
+            .select(col("doc_id"),
+              graft.text.TextOps.piiRedact(col("text")).as("text"))
+            .write.mode("overwrite").parquet(s"$out/redacted.parquet")
+        }
         SparkEntry.queries("tx_length_quantiles")(spark, dir)
           .write.mode("overwrite").parquet(s"$out/lang_stats.parquet")
         println(s"[curate] survivors=${spark.read.parquet(s"$out/survivors.parquet").count()}")
@@ -345,7 +364,8 @@ object Main {
       |          gene-extract, gene-range, gene-stream, location-reorder,
       |          neighbor, ecocyc-enrich, kegg, found-gene-near-range,
       |          file-format, gentamycin,
-      |          curate [--data sfDir --out dir --min-quality 0.4 --semantic],
+      |          curate [--data sfDir --out dir --min-quality 0.4 --semantic
+      |                  --decontaminate-below id --redact-pii],
       |          dedup [--data sfDir --out dir --threshold 0.5 --new-from id]
       |(see Scaladoc for per-command arguments)""".stripMargin
 }

@@ -85,6 +85,42 @@ object TextQueries {
     docs.select(id, col("lang"), concat(col("text"), suffix).as("text"))
   }
 
+  /** Decontamination survivors: docs at or above `benchBelow` that share
+    * NO 3-token shingle with the benchmark set (docs below `benchBelow`),
+    * as (doc_id, text_len). Two verified-identical paths: the exact
+    * broadcast-semi-join (small bench sets) and the bloom-prefiltered
+    * scale path (`useBloom` — see `cur_decontaminate_bloom`'s scaladoc).
+    * Parameterized for the curate CLI's `--decontaminate-below`; the two
+    * gate queries call this with the pinned boundary 20.
+    */
+  def decontaminateSurvivors(
+      s: SparkSession, d: String, benchBelow: Long, useBloom: Boolean): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val hashed = Dedup.hashedShingleDocs(docs, "doc_id", "text")
+    val benchShingles = hashed.where(col("doc_id") < benchBelow)
+      .select(explode(col("hs")).as("sh")).distinct()
+    val corpusShingles = hashed.where(col("doc_id") >= benchBelow)
+      .select(col("doc_id"), explode(col("hs")).as("sh"))
+    val contaminated =
+      if (!useBloom) {
+        corpusShingles
+          .join(broadcast(benchShingles), Seq("sh"), "left_semi")
+          .select("doc_id").distinct()
+      } else {
+        val bloom = benchShingles.stat.bloomFilter("sh", 1 << 17, 0.01)
+        val bc = s.sparkContext.broadcast(bloom)
+        import org.apache.spark.sql.graft.GraftColumnBridge.{column => colOf, expression}
+        corpusShingles
+          .where(colOf(graft.functions.BloomMightContainLong(expression(col("sh")), bc)))
+          .join(benchShingles, Seq("sh"), "left_semi")
+          .select("doc_id").distinct()
+      }
+    docs.where(col("doc_id") >= benchBelow)
+      .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), length(col("text")).as("text_len"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
 
     // ---- text analysis -------------------------------------------------
@@ -446,18 +482,7 @@ object TextQueries {
     // scan); the contaminated id list is the small side of the final
     // anti-join for the same reason. No corpus-vs-corpus join anywhere.
     "cur_decontaminate" -> { (s, d) =>
-      val docs = Tables.documents(s, d)
-      val hashed = Dedup.hashedShingleDocs(docs, "doc_id", "text")
-      val benchShingles = hashed.where(col("doc_id") < 20)
-        .select(explode(col("hs")).as("sh")).distinct()
-      val contaminated = hashed.where(col("doc_id") >= 20)
-        .select(col("doc_id"), explode(col("hs")).as("sh"))
-        .join(broadcast(benchShingles), Seq("sh"), "left_semi")
-        .select("doc_id").distinct()
-      docs.where(col("doc_id") >= 20)
-        .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
-        .select(col("doc_id"), length(col("text")).as("text_len"))
-        .orderBy("doc_id")
+      decontaminateSurvivors(s, d, benchBelow = 20, useBloom = false)
     },
 
     // the SCALE path of cur_decontaminate: same semantics, but the
@@ -471,26 +496,7 @@ object TextQueries {
     // matters the bench set no longer broadcasts as a relation), so the
     // output — and the oracle — are identical to cur_decontaminate.
     "cur_decontaminate_bloom" -> { (s, d) =>
-      val docs = Tables.documents(s, d)
-      val hashed = Dedup.hashedShingleDocs(docs, "doc_id", "text")
-      val benchShingles = hashed.where(col("doc_id") < 20)
-        .select(explode(col("hs")).as("sh")).distinct()
-      // distributed build (treeAggregate under stat.bloomFilter); sized
-      // generously above the sf0.1 bench-set cardinality — at production
-      // scale expectedNumItems comes from the eval suite's known size
-      val bloom = benchShingles.stat.bloomFilter("sh", 1 << 17, 0.01)
-      val bc = s.sparkContext.broadcast(bloom)
-      import org.apache.spark.sql.graft.GraftColumnBridge.{column => colOf, expression}
-      val candidates = hashed.where(col("doc_id") >= 20)
-        .select(col("doc_id"), explode(col("hs")).as("sh"))
-        .where(colOf(graft.functions.BloomMightContainLong(expression(col("sh")), bc)))
-      val contaminated = candidates
-        .join(benchShingles, Seq("sh"), "left_semi")
-        .select("doc_id").distinct()
-      docs.where(col("doc_id") >= 20)
-        .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
-        .select(col("doc_id"), length(col("text")).as("text_len"))
-        .orderBy("doc_id")
+      decontaminateSurvivors(s, d, benchBelow = 20, useBloom = true)
     },
 
     // PII detection (the C4/Dolma/FineWeb curation stage): per-kind match

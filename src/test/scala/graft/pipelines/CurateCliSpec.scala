@@ -56,6 +56,30 @@ class CurateCliSpec extends SparkSpec {
       .orderBy("d1", "d2").collect().toSeq == wantPairs.collect().toSeq)
   }
 
+  test("curate --decontaminate-below + --redact-pii: leak-free survivors, clean text artifact") {
+    import org.apache.spark.sql.functions.col
+    val out = java.nio.file.Files.createTempDirectory("curate_pii").toString
+    graft.Main.main(Array(
+      "curate", "--data", sf001, "--out", out,
+      "--decontaminate-below", "20", "--redact-pii"))
+    val survivors = spark.read.parquet(s"$out/survivors.parquet")
+    // survivors = cur_corpus ∩ decontamination survivors (bench docs out)
+    val want = graft.SparkEntry.queries("cur_corpus")(spark, sf001)
+      .join(graft.text.TextQueries.decontaminateSurvivors(spark, sf001, 20, useBloom = false)
+        .select("doc_id"), Seq("doc_id"), "left_semi")
+    assert(survivors.select("doc_id").orderBy("doc_id").collect().toSeq ===
+      want.select("doc_id").orderBy("doc_id").collect().toSeq)
+    assert(survivors.where(col("doc_id") < 20).count() === 0)
+    // the redacted artifact covers exactly the survivors, and (this corpus
+    // carries no PII) round-trips the text unchanged
+    val red = spark.read.parquet(s"$out/redacted.parquet")
+    assert(red.count() === survivors.count())
+    val joined = red.join(
+      graft.Tables.documents(spark, sf001).select(col("doc_id"), col("text").as("orig")),
+      Seq("doc_id"))
+    assert(joined.where(col("text") =!= col("orig")).count() === 0)
+  }
+
   test("curate --min-quality threads INTO the pipeline (gate before representatives)") {
     val out = java.nio.file.Files.createTempDirectory("curate_mq").toString
     graft.Main.main(Array(
