@@ -174,7 +174,7 @@ object Bench {
           "dd_hamming", "dd_jac_components", "dd_sim_components",
           "dd_components", "dd_canonical",
           "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
-          "cur_decontaminate_bloom", "cur_pii_redact")
+          "cur_decontaminate_bloom", "cur_pii_redact", "tx_perplexity")
         val rowsJson = try {
           family.map { name =>
             peak = 0L; spill = 0L
