@@ -58,6 +58,24 @@ object StreamingOps {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
 
+  /** Streaming PII redaction + per-kind counts — the streaming face of
+    * `cur_pii_stats`/`cur_pii_redact` for an ingest-time curation
+    * pipeline: STATELESS (pure projection over codegen'd regexp
+    * functions), so it composes with any watermark/trigger and can never
+    * accumulate state; a micro-batch's cost is exactly the batch
+    * operator's scan cost. Parity with batch is pinned in
+    * StreamingOpsSpec (same rows as the batch projection on the same
+    * feed).
+    */
+  def streamingPiiRedact(docs: DataFrame, textCol: String): DataFrame = {
+    import graft.text.TextOps
+    docs.withColumn("pii", TextOps.piiCounts(col(textCol)))
+      .withColumn(textCol, TextOps.piiRedact(col(textCol)))
+      .withColumn("n_redacted",
+        col("pii.n_email") + col("pii.n_phone") + col("pii.n_ip"))
+      .drop("pii")
+  }
+
   final case class Event(userId: Long, ts: Timestamp, eventType: String)
   final case class SessionState(start: Long, lastTs: Long, n: Int)
   final case class Session(userId: Long, startTs: Long, endTs: Long, nEvents: Int)

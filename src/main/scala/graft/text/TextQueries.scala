@@ -121,6 +121,58 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Shared mixing-rate dim for the sm_temperature* family: per source,
+    * `rate1e6` = ppm keep/repeat rate ∝ n^(alpha−1) with alpha = 0.5,
+    * normalized so the expected output is `budgetFrac` × corpus. The
+    * normalizer folds sqrt counts in ASCENDING SORTED order (identical
+    * IEEE fold to the oracle's list_sort + list_reduce); everything after
+    * the single rate double is ppm integer arithmetic.
+    */
+  private def temperatureRates(docs: DataFrame, budgetFrac: Double): DataFrame = {
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n"))
+    val denom = counts.agg(
+      aggregate(sort_array(collect_list(sqrt(col("n").cast("double")))),
+        lit(0.0), (a, x) => a + x).as("denom"),
+      sum(col("n")).as("total"))
+    counts.crossJoin(broadcast(denom))
+      .withColumn("rate1e6", floor(lit(1000000.0) *
+        (col("total").cast("double") * budgetFrac) *
+        sqrt(col("n").cast("double")) / col("denom") /
+        col("n").cast("double")).cast("long"))
+  }
+
+  /** sm_temperature core (downsampling form, rate clamped at 1): exposed
+    * so specs can exercise the damping/budget properties on PLANTED
+    * skewed corpora — the driver tables carry exactly-uniform sources,
+    * where every rate is identical and the properties are vacuous.
+    */
+  private[text] def temperatureSample(docs: DataFrame): DataFrame = {
+    val rates = temperatureRates(docs, 0.25)
+      .withColumn("thr", least(lit(1000000L), col("rate1e6")))
+    docs.join(broadcast(rates.select(col("source"), col("thr"))), Seq("source"))
+      .where(Sampling.hashBucket(col("doc_id"), 1000000) < col("thr"))
+      .select(col("doc_id"), col("source"), col("thr"))
+      .orderBy("doc_id")
+  }
+
+  /** sm_temperature_epochs core (full resampling form, budget = corpus
+    * size): floor(rate) whole copies per doc plus one more under the
+    * fractional-remainder hash — small sources upsample past 1×, large
+    * ones thin out.
+    */
+  private[text] def temperatureEpochs(docs: DataFrame): DataFrame = {
+    val rates = temperatureRates(docs, 1.0)
+    docs.join(broadcast(rates.select(col("source"), col("rate1e6"))), Seq("source"))
+      .withColumn("n_copies",
+        floor(col("rate1e6") / 1000000.0).cast("long") +
+          when(Sampling.hashBucket(col("doc_id"), 1000000) <
+            col("rate1e6") % 1000000L, 1L).otherwise(0L))
+      .where(col("n_copies") > 0)
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(1L), col("n_copies"))).as("copy"))
+      .orderBy("doc_id", "copy")
+  }
+
   val queries: Map[String, Q] = Map(
 
     // ---- text analysis -------------------------------------------------
@@ -321,23 +373,16 @@ object TextQueries {
     // membership is an exact integer hash compare (sm_stratified's rule).
     // Scale shape: two tiny source-cardinality dims (broadcast), the
     // corpus is one scan + map-side filter — no corpus shuffle at all.
-    "sm_temperature" -> { (s, d) =>
-      val docs = Tables.documents(s, d)
-      val counts = docs.groupBy("source").agg(count(lit(1)).as("n"))
-      val denom = counts.agg(
-        aggregate(sort_array(collect_list(sqrt(col("n").cast("double")))),
-          lit(0.0), (a, x) => a + x).as("denom"),
-        sum(col("n")).as("total"))
-      val rates = counts.crossJoin(broadcast(denom))
-        .withColumn("thr", least(lit(1000000L),
-          floor(lit(1000000.0) * (col("total").cast("double") / 4.0) *
-            sqrt(col("n").cast("double")) / col("denom") /
-            col("n").cast("double"))))
-      docs.join(broadcast(rates.select(col("source"), col("thr"))), Seq("source"))
-        .where(Sampling.hashBucket(col("doc_id"), 1000000) < col("thr"))
-        .select(col("doc_id"), col("source"), col("thr"))
-        .orderBy("doc_id")
-    },
+    "sm_temperature" -> { (s, d) => temperatureSample(Tables.documents(s, d)) },
+
+    // the UPSAMPLING form of sm_temperature (epochs, the full XLM-R
+    // recipe): budget = the corpus size, so small sources resample at
+    // rate > 1 — each doc emits floor(rate) whole copies plus one more
+    // when its hash lands under the fractional remainder. All arithmetic
+    // after the single rate double collapses to ppm integers (rate1e6),
+    // so copy counts are exact on both engines; the output is the
+    // actually-materialized repetition stream (doc_id, copy).
+    "sm_temperature_epochs" -> { (s, d) => temperatureEpochs(Tables.documents(s, d)) },
 
     // corpus-trained bigram-LM perplexity scoring (the CCNet quality
     // signal, self-trained): add-one-smoothed p(w2|w1) from exact corpus
@@ -1317,6 +1362,25 @@ object TextQueries {
          FROM documents JOIN r USING(source)
          WHERE ((doc_id % 1000000007) * 2654435761) % 1000000007 % 1000000 < r.thr
          ORDER BY doc_id""",
+
+    "sm_temperature_epochs" ->
+      """WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY 1),
+         d AS (SELECT list_reduce(list_prepend(0.0, list_sort(list(sqrt(n::DOUBLE)))),
+                        (a, b) -> a + b) AS denom,
+                      CAST(SUM(n) AS BIGINT) AS total FROM c),
+         r AS (SELECT c.source,
+                 CAST(FLOOR(1000000.0 * d.total::DOUBLE * sqrt(c.n::DOUBLE)
+                   / d.denom / c.n::DOUBLE) AS BIGINT) AS rate1e6
+               FROM c CROSS JOIN d),
+         a AS (SELECT doc_id, source,
+                 (r.rate1e6 // 1000000) +
+                 (CASE WHEN ((doc_id % 1000000007) * 2654435761) % 1000000007 % 1000000
+                         < r.rate1e6 % 1000000 THEN 1 ELSE 0 END) AS n_copies
+               FROM documents JOIN r USING (source))
+         SELECT * FROM (
+           SELECT doc_id, source, unnest(generate_series(1, n_copies)) AS copy
+           FROM a WHERE n_copies > 0)
+         ORDER BY doc_id, copy""",
 
     "tx_perplexity" ->
       s"""WITH toks AS (SELECT doc_id, $tokensSql AS w FROM documents),

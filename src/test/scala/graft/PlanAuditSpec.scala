@@ -179,7 +179,8 @@ class PlanAuditSpec extends SparkSpec {
     // sm_temperature's mixing normalizer (20 partial rows of source-count
     // sqrts) and tx_perplexity's vocab size (partial counts) are the same
     // shape — source/vocab-cardinality scalar finals, never corpus rows
-    val scalarAggFinal = Set("a1_distribution_count", "sm_temperature", "tx_perplexity")
+    val scalarAggFinal =
+      Set("a1_distribution_count", "sm_temperature", "sm_temperature_epochs", "tx_perplexity")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(scalarAggFinal)
       .flatMap { name =>

@@ -81,6 +81,40 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingPiiRedact: stateless ingest-time redaction equals the batch projection") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, "write to alice@example.com today"),
+      (2L, "call 555-123-4567 and ping 10.0.0.1"),
+      (3L, "plain words only"))
+    val input = MemoryStream[(Long, String)]
+    val redacted = StreamingOps.streamingPiiRedact(
+      input.toDF().toDF("doc_id", "text"), "text")
+    val q = redacted.writeStream
+      .format("memory").queryName("pii_out").outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(rows.take(2): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(2): _*)
+      q.processAllAvailable()
+      val got = spark.table("pii_out")
+        .select("doc_id", "text", "n_redacted")
+        .as[(Long, String, Int)].collect().sortBy(_._1)
+      val want = StreamingOps.streamingPiiRedact(
+        rows.toDF("doc_id", "text"), "text")
+        .select("doc_id", "text", "n_redacted")
+        .as[(Long, String, Int)].collect().sortBy(_._1)
+      assert(got.toSeq === want.toSeq)
+      assert(got.map(_._2).toSeq === Seq(
+        "write to <EMAIL> today",
+        "call <PHONE> and ping <IP>",
+        "plain words only"))
+      assert(got.map(_._3).toSeq === Seq(1, 2, 0))
+    } finally q.stop()
+  }
+
   test("streamingSimhashPairs equals the batch band join on real documents") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

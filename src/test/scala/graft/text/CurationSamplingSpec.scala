@@ -79,6 +79,37 @@ class CurationSamplingSpec extends SparkSpec {
     assert(scores.min < scores.max, "perplexity must separate docs")
   }
 
+  test("temperature family on a PLANTED skewed corpus: damping, upsampling, budget") {
+    // the driver corpora have exactly-uniform sources (every rate 1.0 —
+    // the gate checks arithmetic, not behavior); plant real skew here
+    val docs = (
+      (0 until 400).map(i => (i.toLong, "big")) ++
+      (400 until 500).map(i => (i.toLong, "mid")) ++
+      (500 until 525).map(i => (i.toLong, "small")) ++
+      (525 until 529).map(i => (i.toLong, "tiny"))
+    ).toDF("doc_id", "source")
+    // downsampling form: keep-rate strictly increases as sources shrink
+    val thr = TextQueries.temperatureSample(docs)
+      .select("source", "thr").distinct().as[(String, Long)].collect().toMap
+    assert(thr("tiny") > thr("small") && thr("small") > thr("mid") &&
+      thr("mid") > thr("big"), s"alpha<1 must favor small sources: $thr")
+    // epochs form: the tiny source resamples past 1x (some doc emits 2+
+    // copies), the big source thins out (some doc emits 0), and the total
+    // approximates the corpus size (budget = 1.0)
+    val ep = TextQueries.temperatureEpochs(docs)
+    val bySrc = ep.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(bySrc("tiny") > 4, s"tiny source must upsample past 1 epoch: $bySrc")
+    assert(bySrc("big") < 400, s"big source must thin out: $bySrc")
+    val total = ep.count()
+    assert(math.abs(total - 529L) < 529 * 0.08,
+      s"budget=1.0 resample should land near the corpus size, got $total")
+    // per-doc copies are contiguous 1..n (the explode is well-formed)
+    val badCopies = ep.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), max("copy").as("mx"), min("copy").as("mn"))
+      .where(col("mx") =!= col("n") || col("mn") =!= 1)
+    assert(badCopies.count() === 0)
+  }
+
   test("sm_split_leakage_safe: no near-dup pair straddles splits; every doc assigned") {
     val docs = graft.Tables.documents(spark, sf001)
     val split = SparkEntry.queries("sm_split_leakage_safe")(spark, sf001)
