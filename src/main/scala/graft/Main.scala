@@ -256,7 +256,13 @@ object Main {
         // (docs < b ARE the benchmark and leave the training set too);
         // always the bloom-prefiltered scale path — identical output to
         // the exact form, spec-pinned
-        val kept = opts.get("decontaminate-below").map(_.toLong) match {
+        val kept = opts.get("decontaminate-below").map { v =>
+          try v.toLong catch {
+            case _: NumberFormatException =>
+              System.err.println(s"--decontaminate-below needs a numeric doc id, got '$v'\n$usage")
+              sys.exit(2); 0L
+          }
+        } match {
           case Some(b) => kept1.join(
             graft.text.TextQueries.decontaminateSurvivors(spark, dir, b, useBloom = true)
               .select(col("doc_id")), Seq("doc_id"), "left_semi")
@@ -264,10 +270,14 @@ object Main {
         }
         kept.write.mode("overwrite").parquet(s"$out/survivors.parquet")
         // --redact-pii: the survivors' raw text with emails/phones/IPv4s
-        // replaced by typed placeholders — the training-text artifact
+        // replaced by typed placeholders — the training-text artifact.
+        // Survivor ids come from the parquet just written, NOT from
+        // `kept`'s lineage: the unpersisted plan would re-run the whole
+        // quality/dedup/semantic/decontamination pipeline a second time
         if (opts.contains("redact-pii")) {
           Tables.documents(spark, dir)
-            .join(kept.select("doc_id"), Seq("doc_id"), "left_semi")
+            .join(spark.read.parquet(s"$out/survivors.parquet").select("doc_id"),
+              Seq("doc_id"), "left_semi")
             .select(col("doc_id"),
               graft.text.TextOps.piiRedact(col("text")).as("text"))
             .write.mode("overwrite").parquet(s"$out/redacted.parquet")

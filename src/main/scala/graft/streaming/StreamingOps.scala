@@ -66,14 +66,21 @@ object StreamingOps {
     * operator's scan cost. Parity with batch is pinned in
     * StreamingOpsSpec (same rows as the batch projection on the same
     * feed).
+    *
+    * `n_redacted` is the DETECTION count over the raw text (the batch
+    * gates' semantics): on adversarial overlaps — a phone number embedded
+    * in an email local part — it can exceed the number of substitutions
+    * actually applied, because redaction consumes the outer match first.
+    * No staging columns: only `n_redacted` and `textCol` itself are
+    * (re)written, so caller columns survive untouched.
     */
   def streamingPiiRedact(docs: DataFrame, textCol: String): DataFrame = {
     import graft.text.TextOps
-    docs.withColumn("pii", TextOps.piiCounts(col(textCol)))
-      .withColumn(textCol, TextOps.piiRedact(col(textCol)))
+    val p = TextOps.piiCounts(col(textCol))
+    docs
       .withColumn("n_redacted",
-        col("pii.n_email") + col("pii.n_phone") + col("pii.n_ip"))
-      .drop("pii")
+        p.getField("n_email") + p.getField("n_phone") + p.getField("n_ip"))
+      .withColumn(textCol, TextOps.piiRedact(col(textCol)))
   }
 
   final case class Event(userId: Long, ts: Timestamp, eventType: String)

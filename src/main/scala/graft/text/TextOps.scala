@@ -196,6 +196,10 @@ object TextOps {
 
   /** Per-kind PII match counts — `regexp_count` is a codegen'd native
     * function, so this is scan-stage compute (no UDF, no shuffle).
+    * These are DETECTION counts over the raw text: on adversarial
+    * overlaps (a phone number embedded in an email local part) the sum
+    * can exceed the substitutions [[piiRedact]] applies, because
+    * redaction consumes the outer match first.
     */
   def piiCounts(text: Column): Column = struct(
     regexp_count(text, lit(EmailPattern)).as("n_email"),

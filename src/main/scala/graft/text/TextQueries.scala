@@ -107,7 +107,13 @@ object TextQueries {
           .join(broadcast(benchShingles), Seq("sh"), "left_semi")
           .select("doc_id").distinct()
       } else {
-        val bloom = benchShingles.stat.bloomFilter("sh", 1 << 17, 0.01)
+        // capacity derives from the ACTUAL bench-set cardinality (floored
+        // at 128k) — `benchBelow` is caller-controlled now, and a
+        // hardcoded capacity would silently saturate the filter (FPP → 1,
+        // scale premise gone) on a large benchmark slice; the count is
+        // one cheap agg over the small-by-premise bench side
+        val expected = math.max(1L << 17, benchShingles.count())
+        val bloom = benchShingles.stat.bloomFilter("sh", expected, 0.01)
         val bc = s.sparkContext.broadcast(bloom)
         import org.apache.spark.sql.graft.GraftColumnBridge.{column => colOf, expression}
         corpusShingles
