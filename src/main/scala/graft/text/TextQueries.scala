@@ -235,6 +235,25 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // learned-subword tokenization (the real-tokenizer step behind
+    // tx_token_count's "BPE-ish regex" placeholder): merges train on the
+    // word-frequency DIM (one map-side-combined count; the driver merge
+    // loop is O(vocab × merges), corpus-size-independent), then encoding
+    // is a pure full-corpus map through the native BpeEncodeTokens kernel
+    // — no shuffle until the final sort. The oracle's word→tokens dim is
+    // built by the INDEPENDENT textbook encoder (Bpe.referenceEncodeWord),
+    // so the hash gate is a fast-vs-reference differential at corpus scale
+    "tx_bpe_encode" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val trained = Bpe.train(docs, "text", numMerges = 24)
+      bpeTrained.set(trained)
+      docs.select(col("doc_id"),
+          Bpe.encodeTokens(col("text"), trained.merges).as("toks"))
+        .select(col("doc_id"), size(col("toks")).as("n_bpe"),
+          array_join(col("toks"), "|").as("bpe_text"))
+        .orderBy("doc_id")
+    },
+
     // corpus-level heavy hitters: the 20 most frequent token bigrams —
     // native codegen per-doc bigram pass (r11 `TokenNgrams`; Catalyst HOFs
     // evaluate interpreted per element, measured 10× slower here), then
@@ -1213,6 +1232,39 @@ object TextQueries {
   private[graft] val ivfTrainedCentroids =
     new java.util.concurrent.atomic.AtomicReference[Array[Array[Double]]]()
 
+  /** The BPE state trained by the last `tx_bpe_encode` build in this JVM —
+    * same life-cycle as [[ivfTrainedCentroids]] (Verify runs queries before
+    * the oracle dump). The oracle embeds a word→tokens literal dim derived
+    * via the independent reference encoder; it is only emittable when the
+    * collected word-frequency table is COMPLETE (`Trained.complete` — the
+    * vocabCap never truncated), otherwise the entry is omitted and the
+    * driver records the rows-only check.
+    */
+  private[graft] val bpeTrained =
+    new java.util.concurrent.atomic.AtomicReference[Bpe.Trained]()
+
+  /** BPE oracle: the word→tokens dim as literals (reference-encoded), then
+    * per-document re-assembly in SQL — word ordinals via generate_series,
+    * token counts summed, tokens string_agg'd in word order. Verifies the
+    * distributed native-kernel encode against the driver-side textbook
+    * encoder over every corpus document.
+    */
+  private def bpeOracle(tr: Bpe.Trained): String = {
+    val dim = tr.wordFreq.map(_._1).sorted.map { w =>
+      val toks = Bpe.referenceEncodeWord(w, tr.merges)
+      val esc = w.replace("'", "''")
+      s"('$esc', '${toks.mkString("|").replace("'", "''")}', ${toks.length})"
+    }.mkString(",")
+    s"""WITH wt(word, toks, n) AS (VALUES $dim),
+        tk AS (SELECT doc_id, $tokensSql AS w FROM documents),
+        ti AS (SELECT doc_id, unnest(generate_series(1, len(w))) AS i, w FROM tk),
+        tw AS (SELECT doc_id, i, w[i] AS word FROM ti)
+        SELECT tw.doc_id, CAST(SUM(wt.n) AS INTEGER) AS n_bpe,
+               string_agg(wt.toks, '|' ORDER BY tw.i) AS bpe_text
+        FROM tw JOIN wt ON tw.word = wt.word
+        GROUP BY tw.doc_id ORDER BY tw.doc_id"""
+  }
+
   /** IVF oracle: embeds the trained centroids as literal DOUBLE[] rows
     * (Double.toString round-trips bit-exactly through DuckDB's parser —
     * same as lshPlanesValues), then replicates assignment (argmax of the
@@ -1286,13 +1338,18 @@ object TextQueries {
     * has trained the centroids in this JVM — Verify runs every query
     * before the dump).
     */
-  def oracles: Map[String, String] =
-    Option(ivfTrainedCentroids.get()) match {
+  def oracles: Map[String, String] = {
+    val withIvf = Option(ivfTrainedCentroids.get()) match {
       case Some(cents) => staticOracles +
         ("ann_ivf_topk" -> ivfOracle(cents, nProbe = 4, k = 5)) +
         ("cur_diverse" -> diverseOracle(cents, n = 20))
       case None        => staticOracles
     }
+    Option(bpeTrained.get()) match {
+      case Some(tr) if tr.complete => withIvf + ("tx_bpe_encode" -> bpeOracle(tr))
+      case _                       => withIvf
+    }
+  }
 
   private val staticOracles: Map[String, String] = Map(
     "tx_token_count" ->

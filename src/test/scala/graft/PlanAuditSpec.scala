@@ -235,10 +235,28 @@ class PlanAuditSpec extends SparkSpec {
         "tx_top_ngrams", "dd_dup_windows", "dd_maximal_spans",
         "tx_repetition", "cur_dedup_spans",
         "cur_pii_stats", "cur_pii_redact", "cur_decontaminate_bloom",
-        "ann_lsh_mp_topk", "sm_temperature", "tx_perplexity")) {
+        "ann_lsh_mp_topk", "sm_temperature", "tx_perplexity",
+        "tx_bpe_encode")) {
       val plan = physical(q(name))
       assert(!plan.contains("ScalaUDF"),
         s"$name: expected a fully native map path, found a ScalaUDF:\n$plan")
+    }
+  }
+
+  test("tx_bpe_encode: pure map until the output sort — one exchange, pruned scan") {
+    // the encode stage is a full-corpus map (native kernel + memo); the
+    // ONLY shuffle in the gate plan is the presentation orderBy. A second
+    // exchange here would mean the encode path started shuffling documents
+    withAqeOff {
+      val df = q("tx_bpe_encode")
+      assert(shufflesOf(df).size == 1,
+        s"expected exactly the orderBy exchange:\n${physical(df)}")
+      val readSchemas = "ReadSchema: [^\n]+".r.findAllIn(physical(df)).toList
+      assert(readSchemas.nonEmpty)
+      readSchemas.foreach { rs =>
+        assert(!rs.contains("lang") && !rs.contains("source"),
+          s"documents scan reads unreferenced columns: $rs")
+      }
     }
   }
 
