@@ -254,6 +254,26 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // TRAINED quality filter (the fastText-style classifier step; the
+    // heuristic tx_quality_score is its weak-label teacher): logistic
+    // regression fits driver-side on a deterministic bounded sample
+    // (limit-in-plan, the IVF-training discipline), then the full corpus
+    // is scored by one codegen projection — literal weights, exact IEEE
+    // feature arithmetic, no exp/ln in the output, so DuckDB re-derives
+    // the logit bit-identically from the embedded coefficients
+    "tx_quality_classifier" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val w = QualityClassifier.train(docs, "text")
+      classifierWeights.set(w)
+      docs.select(col("doc_id"),
+          QualityClassifier.logitColumn(col("text"), w).as("logit"))
+        .select(col("doc_id"),
+          floor(col("logit") * lit(1000000.0) + lit(0.5)).cast("long")
+            .as("logit_e6"),
+          when(col("logit") >= 0.0, 1).otherwise(0).as("pred"))
+        .orderBy("doc_id")
+    },
+
     // corpus-level heavy hitters: the 20 most frequent token bigrams —
     // native codegen per-doc bigram pass (r11 `TokenNgrams`; Catalyst HOFs
     // evaluate interpreted per element, measured 10× slower here), then
@@ -1243,6 +1263,27 @@ object TextQueries {
   private[graft] val bpeTrained =
     new java.util.concurrent.atomic.AtomicReference[Bpe.Trained]()
 
+  /** Weights trained by the last `tx_quality_classifier` build in this
+    * JVM (the [[ivfTrainedCentroids]] life-cycle).
+    */
+  private[graft] val classifierWeights =
+    new java.util.concurrent.atomic.AtomicReference[Array[Double]]()
+
+  /** Classifier oracle: the trained coefficients as double literals over
+    * the shared feature SQL — verifies the corpus-wide scoring projection
+    * (features, dot product, fixed-point rounding, prediction threshold)
+    * independently of training.
+    */
+  private def classifierOracle(w: Array[Double]): String =
+    s"""WITH scored AS (
+          SELECT doc_id, ${QualityClassifier.logitSql(w)} AS logit
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(FLOOR(logit * 1000000.0 + 0.5) AS BIGINT) AS logit_e6,
+               CASE WHEN logit >= 0.0 THEN 1 ELSE 0 END AS pred
+        FROM scored ORDER BY doc_id"""
+
   /** BPE oracle: the word→tokens dim as literals (reference-encoded), then
     * per-document re-assembly in SQL — word ordinals via generate_series,
     * token counts summed, tokens string_agg'd in word order. Verifies the
@@ -1345,9 +1386,13 @@ object TextQueries {
         ("cur_diverse" -> diverseOracle(cents, n = 20))
       case None        => staticOracles
     }
-    Option(bpeTrained.get()) match {
+    val withBpe = Option(bpeTrained.get()) match {
       case Some(tr) if tr.complete => withIvf + ("tx_bpe_encode" -> bpeOracle(tr))
       case _                       => withIvf
+    }
+    Option(classifierWeights.get()) match {
+      case Some(w) => withBpe + ("tx_quality_classifier" -> classifierOracle(w))
+      case None    => withBpe
     }
   }
 

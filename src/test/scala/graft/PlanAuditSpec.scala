@@ -236,7 +236,7 @@ class PlanAuditSpec extends SparkSpec {
         "tx_repetition", "cur_dedup_spans",
         "cur_pii_stats", "cur_pii_redact", "cur_decontaminate_bloom",
         "ann_lsh_mp_topk", "sm_temperature", "tx_perplexity",
-        "tx_bpe_encode")) {
+        "tx_bpe_encode", "tx_quality_classifier")) {
       val plan = physical(q(name))
       assert(!plan.contains("ScalaUDF"),
         s"$name: expected a fully native map path, found a ScalaUDF:\n$plan")

@@ -1,0 +1,60 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Trained quality classifier: training determinism (the precondition for
+  * the literal-weights oracle), distillation quality against the
+  * weak-label teacher, and the bounded-sample discipline.
+  */
+class QualityClassifierSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = graft.Tables.documents(spark, sf0001)
+
+  test("training is bit-identical at any partitioning (1 vs 32 partitions)") {
+    val w1 = QualityClassifier.train(docs.repartition(1), "text")
+    val w32 = QualityClassifier.train(docs.repartition(32), "text")
+    assert(w1.toSeq == w32.toSeq,
+      s"weights drifted with partitioning:\n  ${w1.toSeq}\n  ${w32.toSeq}")
+  }
+
+  test("training twice on the same frame is bit-identical (no hidden RNG)") {
+    val a = QualityClassifier.train(docs, "text")
+    val b = QualityClassifier.train(docs, "text")
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("distillation: >=90% agreement with the teacher, both classes live") {
+    val w = QualityClassifier.train(docs, "text")
+    val scored = docs.select(
+        QualityClassifier.weakLabel(col("text")).as("y"),
+        (QualityClassifier.logitColumn(col("text"), w) >= 0.0)
+          .cast("int").as("pred"))
+      .as[(Double, Int)].collect()
+    assert(scored.nonEmpty)
+    val agree = scored.count { case (y, p) => y.toInt == p }
+    val frac = agree.toDouble / scored.length
+    assert(frac >= 0.9, f"agreement $frac%.3f below 0.9 (${scored.length} docs)")
+    val pos = scored.count(_._2 == 1)
+    assert(pos > 0 && pos < scored.length,
+      s"degenerate classifier: $pos positive of ${scored.length}")
+  }
+
+  test("sample cap binds in the plan: tiny cap still trains, deterministically") {
+    val a = QualityClassifier.train(docs, "text", sampleCap = 50)
+    val b = QualityClassifier.train(docs.repartition(16), "text", sampleCap = 50)
+    assert(a.toSeq == b.toSeq)
+    assert(a.length == QualityClassifier.NumFeatures + 1)
+  }
+
+  test("feature contract: Spark columns and SQL terms stay in lockstep") {
+    // the two lists are maintained side by side; a drift in LENGTH is the
+    // silent-mismatch case the oracle cannot catch (it would embed too few
+    // terms) — pin it here
+    assert(QualityClassifier.featureSqlTerms.length ==
+      QualityClassifier.NumFeatures)
+    assert(QualityClassifier.featureColumns(col("text")).length ==
+      QualityClassifier.NumFeatures)
+  }
+}
