@@ -83,6 +83,20 @@ object StreamingOps {
       .withColumn(textCol, TextOps.piiRedact(col(textCol)))
   }
 
+  /** Streaming BPE encode — the ingest-time face of `tx_bpe_encode`:
+    * merges are trained OFFLINE on the batch corpus ([[graft.text.Bpe.train]])
+    * and ride the expression as a frozen artifact (exactly how production
+    * tokenizers deploy — train once, encode forever); the stream stage is
+    * a STATELESS projection through the same native kernel as batch, so
+    * it composes with any watermark/trigger and batch==stream parity is
+    * structural, not statistical. Appends `tokensCol` (array<string>);
+    * caller columns survive untouched.
+    */
+  def streamingBpeEncode(docs: DataFrame, textCol: String, tokensCol: String,
+      merges: Seq[graft.text.Bpe.Merge]): DataFrame =
+    docs.withColumn(tokensCol,
+      graft.text.Bpe.encodeTokens(col(textCol), merges))
+
   final case class Event(userId: Long, ts: Timestamp, eventType: String)
   final case class SessionState(start: Long, lastTs: Long, n: Int)
   final case class Session(userId: Long, startTs: Long, endTs: Long, nEvents: Int)

@@ -38,7 +38,9 @@ class PartitionInvarianceSpec extends SparkSpec {
     "mm_image_resize",    // decode -> integer box resize -> aHash
     "mm_video_sample",    // stride walk, skipped-frame offset arithmetic
     "mm_video_errors",    // lenient prefix walk, error rows amid frames
-    "mm_audio_errors")    // lenient RIFF rejection amid clean decodes
+    "mm_audio_errors",    // lenient RIFF rejection amid clean decodes
+    "tx_bpe_encode",      // word-freq training collect + native encode map
+    "tx_quality_classifier") // bounded-sample training + literal-weight scoring
 
   test("representative queries are invariant to shuffle.partitions in {1, 7}") {
     val key = "spark.sql.shuffle.partitions"

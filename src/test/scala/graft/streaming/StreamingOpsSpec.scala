@@ -115,6 +115,38 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingBpeEncode: frozen merges, stateless encode equals batch on real docs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // merges train OFFLINE on the batch corpus; the stream encodes with
+    // the frozen artifact — 2 micro-batches of real documents
+    val docs = graft.Tables.documents(spark, sf0001)
+    val trained = graft.text.Bpe.train(docs, "text", 24)
+    val rows = docs.select("doc_id", "text").as[(Long, String)]
+      .orderBy("doc_id").limit(40).collect().toSeq
+    val input = MemoryStream[(Long, String)]
+    val encoded = StreamingOps.streamingBpeEncode(
+      input.toDF().toDF("doc_id", "text"), "text", "toks", trained.merges)
+    val q = encoded.writeStream
+      .format("memory").queryName("bpe_out").outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(rows.take(25): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(25): _*)
+      q.processAllAvailable()
+      val got = spark.table("bpe_out")
+        .select("doc_id", "toks").as[(Long, Seq[String])]
+        .collect().sortBy(_._1)
+      val want = StreamingOps.streamingBpeEncode(
+        rows.toDF("doc_id", "text"), "text", "toks", trained.merges)
+        .select("doc_id", "toks").as[(Long, Seq[String])]
+        .collect().sortBy(_._1)
+      assert(got.toSeq === want.toSeq)
+      assert(got.length == 40 && got.forall(_._2.nonEmpty))
+    } finally q.stop()
+  }
+
   test("streamingSimhashPairs equals the batch band join on real documents") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
