@@ -254,6 +254,44 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // lexical retrieval, part 1: per-term df/cf for the fixed benchmark
+    // query — ONE aggregate pass over the corpus (per-term tf is an array
+    // filter in the scan stage, the shuffle carries a single partial-agg
+    // row), stacked to a (term, df, cf) row per term. This is the
+    // independently-oracled INPUT to ir_bm25_topk's idf literals
+    "ir_term_stats" -> { (s, d) =>
+      val toks = TextOps.whitespaceTokens(col("text"))
+      def tf(t: String) = size(filter(toks, x => x === lit(t)))
+      val aggs = Retrieval.QueryTerms.flatMap { t =>
+        Seq(sum(when(tf(t) > 0, 1L).otherwise(0L)).as(s"df_$t"),
+          sum(tf(t).cast("long")).as(s"cf_$t"))
+      }
+      val stackArgs = Retrieval.QueryTerms
+        .map(t => s"'$t', df_$t, cf_$t").mkString(", ")
+      Tables.documents(s, d)
+        .agg(aggs.head, aggs.tail: _*)
+        .select(expr(s"stack(${Retrieval.QueryTerms.length}, $stackArgs) " +
+          "as (term, df, cf)"))
+        .orderBy("term")
+    },
+
+    // lexical retrieval, part 2: BM25 top-20 for the fixed query — no
+    // inverted index, the score is a pure per-document map (tf array
+    // filters + broadcast scalars) feeding TakeOrdered(20). The three idf
+    // values are driver-computed (StrictMath.log — ln is the one libm-
+    // variant op in BM25) and embedded as literals in BOTH engines; df/N/
+    // avgdl derivations and the whole saturation arithmetic are
+    // DuckDB-verified (see Retrieval scaladoc)
+    "ir_bm25_topk" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val stats = Retrieval.termStats(docs, "text")
+      val idfs = stats.perTerm.map { case (t, df, _) =>
+        (t, Retrieval.idf(stats.n, df)) }
+      val avgdl = Retrieval.avgdlOf(stats)
+      bm25State.set((idfs, avgdl))
+      Retrieval.bm25TopK(docs, "doc_id", "text", idfs, avgdl, k = 20)
+    },
+
     // TRAINED quality filter (the fastText-style classifier step; the
     // heuristic tx_quality_score is its weak-label teacher): logistic
     // regression fits driver-side on a deterministic bounded sample
@@ -1263,6 +1301,24 @@ object TextQueries {
   private[graft] val bpeTrained =
     new java.util.concurrent.atomic.AtomicReference[Bpe.Trained]()
 
+  /** (idf per term, avgdl) computed by the last `ir_bm25_topk` build in
+    * this JVM (the [[ivfTrainedCentroids]] life-cycle).
+    */
+  private[graft] val bm25State =
+    new java.util.concurrent.atomic.AtomicReference[(Seq[(String, Double)], Double)]()
+
+  /** BM25 oracle: idf literals from the driver, every downstream op —
+    * tf, dl, the saturation fraction, the weighted sum, the e6 rounding,
+    * the (score desc, doc_id) top-20 — re-derived by DuckDB.
+    */
+  private def bm25Oracle(idfs: Seq[(String, Double)], avgdl: Double): String =
+    s"""WITH toks AS (SELECT doc_id, $tokensSql AS w FROM documents),
+        scored AS (SELECT doc_id,
+          ${Retrieval.scoreSql("w", idfs, avgdl)} AS score FROM toks)
+        SELECT doc_id,
+               CAST(FLOOR(score * 1000000.0 + 0.5) AS BIGINT) AS score_e6
+        FROM scored ORDER BY score DESC, doc_id LIMIT 20"""
+
   /** Weights trained by the last `tx_quality_classifier` build in this
     * JVM (the [[ivfTrainedCentroids]] life-cycle).
     */
@@ -1390,13 +1446,30 @@ object TextQueries {
       case Some(tr) if tr.complete => withIvf + ("tx_bpe_encode" -> bpeOracle(tr))
       case _                       => withIvf
     }
-    Option(classifierWeights.get()) match {
+    val withQc = Option(classifierWeights.get()) match {
       case Some(w) => withBpe + ("tx_quality_classifier" -> classifierOracle(w))
       case None    => withBpe
+    }
+    Option(bm25State.get()) match {
+      case Some((idfs, avgdl)) => withQc + ("ir_bm25_topk" -> bm25Oracle(idfs, avgdl))
+      case None                => withQc
     }
   }
 
   private val staticOracles: Map[String, String] = Map(
+    "ir_term_stats" -> {
+      val branches = Retrieval.QueryTerms.map { t =>
+        s"""SELECT '$t' AS term,
+            len(list_filter(w, x -> x = '$t')) AS tf FROM toks"""
+      }.mkString(" UNION ALL ")
+      s"""WITH toks AS (SELECT $tokensSql AS w FROM documents),
+          tf AS ($branches)
+          SELECT term,
+                 CAST(SUM(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df,
+                 CAST(SUM(tf) AS BIGINT) AS cf
+          FROM tf GROUP BY term ORDER BY term"""
+    },
+
     "tx_token_count" ->
       s"""SELECT doc_id, CAST(len($tokensSql) AS INTEGER) AS n_ws,
           CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]')) AS INTEGER) AS n_re

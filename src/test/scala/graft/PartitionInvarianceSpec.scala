@@ -40,7 +40,8 @@ class PartitionInvarianceSpec extends SparkSpec {
     "mm_video_errors",    // lenient prefix walk, error rows amid frames
     "mm_audio_errors",    // lenient RIFF rejection amid clean decodes
     "tx_bpe_encode",      // word-freq training collect + native encode map
-    "tx_quality_classifier") // bounded-sample training + literal-weight scoring
+    "tx_quality_classifier", // bounded-sample training + literal-weight scoring
+    "ir_bm25_topk")       // stats collect + literal-idf scoring + TakeOrdered
 
   test("representative queries are invariant to shuffle.partitions in {1, 7}") {
     val key = "spark.sql.shuffle.partitions"

@@ -179,8 +179,11 @@ class PlanAuditSpec extends SparkSpec {
     // sm_temperature's mixing normalizer (20 partial rows of source-count
     // sqrts) and tx_perplexity's vocab size (partial counts) are the same
     // shape — source/vocab-cardinality scalar finals, never corpus rows
+    // ir_term_stats is the same shape: a query-length-bounded df/cf scalar
+    // final (one 6-column partial row per upstream partition)
     val scalarAggFinal =
-      Set("a1_distribution_count", "sm_temperature", "sm_temperature_epochs", "tx_perplexity")
+      Set("a1_distribution_count", "sm_temperature", "sm_temperature_epochs",
+        "tx_perplexity", "ir_term_stats")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(scalarAggFinal)
       .flatMap { name =>
@@ -257,6 +260,19 @@ class PlanAuditSpec extends SparkSpec {
         assert(!rs.contains("lang") && !rs.contains("source"),
           s"documents scan reads unreferenced columns: $rs")
       }
+    }
+  }
+
+  test("ir_bm25_topk: index-free retrieval — zero exchanges, TakeOrdered top-k") {
+    // the scaladoc claim, executable: scoring is a scan-stage map and the
+    // top-k is TakeOrderedAndProject — the corpus is never shuffled and
+    // never globally sorted
+    withAqeOff {
+      val df = q("ir_bm25_topk")
+      assert(shufflesOf(df).isEmpty,
+        s"expected a shuffle-free retrieval plan:\n${physical(df)}")
+      assert(physical(df).contains("TakeOrderedAndProject"),
+        s"expected TakeOrdered top-k:\n${physical(df)}")
     }
   }
 

@@ -1,0 +1,60 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** BM25 retrieval: idf arithmetic, ranking behavior on a planted frame,
+  * and stats parity with a driver-side recount.
+  */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("idf: Lucene form, monotone decreasing in df, hand value") {
+    assert(Retrieval.idf(1000, 10) > Retrieval.idf(1000, 100))
+    assert(Retrieval.idf(1000, 100) > Retrieval.idf(1000, 999))
+    // ln((1000 - 10 + 0.5)/(10 + 0.5) + 1)
+    assert(Retrieval.idf(1000, 10) ==
+      StrictMath.log((990.5 / 10.5) + 1.0))
+    assert(Retrieval.idf(10, 10) > 0.0, "idf stays positive at df = N")
+  }
+
+  test("term stats match a driver-side recount at sf0.001") {
+    val docs = graft.Tables.documents(spark, sf0001)
+    val stats = Retrieval.termStats(docs, "text")
+    val raw = docs.select("text").as[String].collect()
+    assert(stats.n == raw.length)
+    val tokLists = raw.map(_.trim.split("\\s+").toSeq)
+    assert(stats.totalTokens == tokLists.map(_.length.toLong).sum)
+    Retrieval.QueryTerms.foreach { t =>
+      val df = tokLists.count(_.contains(t)).toLong
+      val cf = tokLists.map(_.count(_ == t).toLong).sum
+      val got = stats.perTerm.find(_._1 == t).get
+      assert((got._2, got._3) == (df, cf), s"term '$t' df/cf mismatch")
+    }
+  }
+
+  test("ranking: term-dense docs beat term-free docs; ties break to lower id") {
+    val docs = Seq(
+      (1L, "dup dup spark window filter"),   // all three terms, dense
+      (2L, "spark join filter table row"),   // one term
+      (3L, "join filter table row merge"),   // no query terms
+      (4L, "dup dup spark window filter"))   // identical to doc 1 → tie
+      .toDF("doc_id", "text")
+    val stats = Retrieval.termStats(docs, "text")
+    val idfs = stats.perTerm.map { case (t, df, _) => (t, Retrieval.idf(stats.n, df)) }
+    val got = Retrieval.bm25TopK(docs, "doc_id", "text", idfs,
+        Retrieval.avgdlOf(stats), k = 4)
+      .as[(Long, Long)].collect().toSeq
+    assert(got.map(_._1) == Seq(1L, 4L, 2L, 3L),
+      s"unexpected ranking: $got")
+    assert(got(0)._2 == got(1)._2, "identical docs must tie exactly")
+    assert(got(2)._2 > got(3)._2)
+  }
+
+  test("score column matches scoreSql structure: a zero-tf doc scores 0") {
+    val docs = Seq((1L, "join filter merge")).toDF("doc_id", "text")
+    val s = Retrieval.scoreColumn(col("text"),
+      Retrieval.QueryTerms.map(t => (t, 1.0)), avgdl = 3.0)
+    assert(docs.select(s).as[Double].collect().head == 0.0)
+  }
+}
