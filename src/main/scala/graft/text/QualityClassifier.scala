@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
   *
   * Determinism (the oracle embeds the weights as literals, so training
   * must be bit-stable): the collected sample is re-sorted by doc_id, the
-  * full-batch gradient loop runs sequentially over that fixed order with
+  * IRLS loop runs sequentially over that fixed order with
   * [[StrictMath.exp]] (Math.exp may use CPU-variant intrinsics), and
   * every op downstream of training is +,*,/ on IEEE doubles — so the
   * same corpus yields the same weights on any partitioning and any host.
@@ -78,12 +78,16 @@ object QualityClassifier {
   def weakLabel(text: Column): Column =
     when(TextOps.qualityScore(text, stopwords) >= 0.4, 1.0).otherwise(0.0)
 
-  /** Full-batch logistic-regression training over the bounded sample.
+  /** Logistic-regression training over the bounded sample by IRLS
+    * (Newton-Raphson with a small ridge for near-separable stability —
+    * full-batch gradient descent needs thousands of passes on this
+    * conditioning; Newton converges in ~25). Every step is sequential
+    * driver arithmetic in a fixed order, so the result is bit-stable.
     * Returns `[w0 (bias), w1..w5]`.
     */
-  def train(docs: DataFrame, textCol: String, iters: Int = 3000,
-      lr: Double = 2.0, sampleCap: Int = 8192): Array[Double] = {
-    require(iters > 0 && lr > 0 && sampleCap > 0)
+  def train(docs: DataFrame, textCol: String, iters: Int = 25,
+      ridge: Double = 1e-3, sampleCap: Int = 8192): Array[Double] = {
+    require(iters > 0 && ridge > 0 && sampleCap > 0)
     val feats = featureColumns(col(textCol))
     val rows = docs.select(
         (col("doc_id") +: weakLabel(col(textCol)) +: feats): _*)
@@ -103,26 +107,76 @@ object QualityClassifier {
       while (j < NumFeatures) { x(i)(j + 1) = rows(i).getDouble(j + 2); j += 1 }
       i += 1
     }
-    val w = new Array[Double](NumFeatures + 1)
+    val dim = NumFeatures + 1
+    val w = new Array[Double](dim)
     var it = 0
     while (it < iters) {
-      val g = new Array[Double](NumFeatures + 1)
+      // Newton step: solve (X'WX + ridge·I) Δ = X'(y - p)
+      val h = Array.ofDim[Double](dim, dim)
+      val g = new Array[Double](dim)
       var r = 0
       while (r < n) {
         var z = 0.0
         var j = 0
-        while (j <= NumFeatures) { z += w(j) * x(r)(j); j += 1 }
+        while (j < dim) { z += w(j) * x(r)(j); j += 1 }
         val p = 1.0 / (1.0 + StrictMath.exp(-z))
-        val d = p - y(r)
+        val wt = p * (1.0 - p)
+        val d = y(r) - p
         j = 0
-        while (j <= NumFeatures) { g(j) += d * x(r)(j); j += 1 }
+        while (j < dim) {
+          g(j) += d * x(r)(j)
+          var k2 = 0
+          while (k2 < dim) { h(j)(k2) += wt * x(r)(j) * x(r)(k2); k2 += 1 }
+          j += 1
+        }
         r += 1
       }
       var j = 0
-      while (j <= NumFeatures) { w(j) -= lr * g(j) / n; j += 1 }
+      while (j < dim) { h(j)(j) += ridge; j += 1 }
+      val delta = solve(h, g)
+      j = 0
+      while (j < dim) { w(j) += delta(j); j += 1 }
       it += 1
     }
     w
+  }
+
+  /** Gaussian elimination with partial pivoting — deterministic, 6×6. */
+  private def solve(a: Array[Array[Double]], b: Array[Double]): Array[Double] = {
+    val n = b.length
+    val m = Array.tabulate(n)(i => a(i).clone())
+    val v = b.clone()
+    var col = 0
+    while (col < n) {
+      var piv = col
+      var row = col + 1
+      while (row < n) {
+        if (math.abs(m(row)(col)) > math.abs(m(piv)(col))) piv = row
+        row += 1
+      }
+      val tmp = m(col); m(col) = m(piv); m(piv) = tmp
+      val tv = v(col); v(col) = v(piv); v(piv) = tv
+      require(m(col)(col) != 0.0, "singular IRLS system (ridge too small?)")
+      row = col + 1
+      while (row < n) {
+        val f = m(row)(col) / m(col)(col)
+        var k2 = col
+        while (k2 < n) { m(row)(k2) -= f * m(col)(k2); k2 += 1 }
+        v(row) -= f * v(col)
+        row += 1
+      }
+      col += 1
+    }
+    val out = new Array[Double](n)
+    var i = n - 1
+    while (i >= 0) {
+      var s = v(i)
+      var k2 = i + 1
+      while (k2 < n) { s -= m(i)(k2) * out(k2); k2 += 1 }
+      out(i) = s / m(i)(i)
+      i -= 1
+    }
+    out
   }
 
   /** The scored logit as a Column: `w0 + w1*f1 + … + w5*f5`,

@@ -528,6 +528,26 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // tokenizer-AWARE packing: sm_pack with the learned-BPE token counts a
+    // real pretraining pipeline packs by (whitespace counts misprice docs
+    // whose words split into many subwords). Same distributed two-phase
+    // prefix sum; the per-doc count is one native-kernel map. Oracle: the
+    // reference-encoded word→count dim as literals + a SQL running sum —
+    // so the composition (tokenize → count → pack) is verified end to end
+    "sm_pack_bpe" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val trained = Bpe.train(docs, "text", numMerges = 24)
+      bpeTrained.set(trained)
+      val perDoc = docs.select(col("doc_id"),
+        size(Bpe.encodeTokens(col("text"), trained.merges)).cast("long")
+          .as("n_bpe"))
+      graft.ops.PrefixSum.withRunningTotal(perDoc, "n_bpe", "running", col("doc_id"))
+        .select(col("doc_id"), col("n_bpe").cast("int").as("n_bpe"),
+          col("running"),
+          floor((col("running") - col("n_bpe")) / 2048.0).cast("long").as("pack_id"))
+        .orderBy("doc_id")
+    },
+
     // the curation pipeline end-to-end: quality gate -> normalized dedup
     // (keep each cluster's min-id doc) -> survivors with their stats. One
     // corpus scan, one groupBy on the canonical text, one hash join back
@@ -1340,6 +1360,27 @@ object TextQueries {
                CASE WHEN logit >= 0.0 THEN 1 ELSE 0 END AS pred
         FROM scored ORDER BY doc_id"""
 
+  /** BPE-packing oracle: per-word reference token counts as literals, per-
+    * doc counts by a word join, then the same running-sum/pack arithmetic
+    * as sm_pack's oracle.
+    */
+  private def bpePackOracle(tr: Bpe.Trained): String = {
+    val dim = tr.wordFreq.map(_._1).sorted.map { w =>
+      val n = Bpe.referenceEncodeWord(w, tr.merges).length
+      s"('${w.replace("'", "''")}', $n)"
+    }.mkString(",")
+    s"""WITH wt(word, n) AS (VALUES $dim),
+        tw AS (SELECT doc_id, unnest($tokensSql) AS word FROM documents),
+        cnt AS (SELECT doc_id, CAST(SUM(wt.n) AS BIGINT) AS n
+                FROM tw JOIN wt ON tw.word = wt.word GROUP BY doc_id)
+        SELECT doc_id, CAST(n AS INTEGER) AS n_bpe,
+               CAST(SUM(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS running,
+               CAST(FLOOR((SUM(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n)
+                    / 2048.0) AS BIGINT) AS pack_id
+        FROM cnt ORDER BY doc_id"""
+  }
+
   /** BPE oracle: the word→tokens dim as literals (reference-encoded), then
     * per-document re-assembly in SQL — word ordinals via generate_series,
     * token counts summed, tokens string_agg'd in word order. Verifies the
@@ -1443,7 +1484,9 @@ object TextQueries {
       case None        => staticOracles
     }
     val withBpe = Option(bpeTrained.get()) match {
-      case Some(tr) if tr.complete => withIvf + ("tx_bpe_encode" -> bpeOracle(tr))
+      case Some(tr) if tr.complete => withIvf +
+        ("tx_bpe_encode" -> bpeOracle(tr)) +
+        ("sm_pack_bpe" -> bpePackOracle(tr))
       case _                       => withIvf
     }
     val withQc = Option(classifierWeights.get()) match {

@@ -25,7 +25,7 @@ class QualityClassifierSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
   }
 
-  test("distillation: >=90% agreement with the teacher, both classes live") {
+  test("distillation: >=95% agreement with the teacher, both classes live") {
     val w = QualityClassifier.train(docs, "text")
     val scored = docs.select(
         QualityClassifier.weakLabel(col("text")).as("y"),
@@ -35,7 +35,7 @@ class QualityClassifierSpec extends SparkSpec {
     assert(scored.nonEmpty)
     val agree = scored.count { case (y, p) => y.toInt == p }
     val frac = agree.toDouble / scored.length
-    assert(frac >= 0.9, f"agreement $frac%.3f below 0.9 (${scored.length} docs)")
+    assert(frac >= 0.95, f"agreement $frac%.3f below 0.95 (${scored.length} docs)")
     val pos = scored.count(_._2 == 1)
     assert(pos > 0 && pos < scored.length,
       s"degenerate classifier: $pos positive of ${scored.length}")
