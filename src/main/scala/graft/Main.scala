@@ -354,6 +354,69 @@ object Main {
         println(s"[dedup] pairs=${pairsBack.count()} " +
           s"canonical=${spark.read.parquet(s"$out/canonical.parquet").count()}")
 
+      // train a BPE tokenizer on the corpus and encode every document:
+      // merges.tsv is the deployable artifact (rank\tleft\tright — what a
+      // streaming/serving encoder loads), encoded.parquet the token stream
+      case "tokenize" =>
+        val spark = session()
+        import org.apache.spark.sql.functions.{col, size}
+        val dir = req("data")
+        val out = req("out")
+        val numMerges = opts.getOrElse("merges", "24").toInt
+        val trained = graft.text.Bpe.train(
+          Tables.documents(spark, dir), "text", numMerges)
+        val lines = trained.merges.zipWithIndex
+          .map { case ((l, r), i) => s"$i\t$l\t$r" }
+        Files.createDirectories(Paths.get(out))
+        Files.writeString(Paths.get(s"$out/merges.tsv"),
+          lines.mkString("", "\n", "\n"))
+        Tables.documents(spark, dir)
+          .select(col("doc_id"),
+            graft.text.Bpe.encodeTokens(col("text"), trained.merges).as("tokens"))
+          .withColumn("n_tokens", size(col("tokens")))
+          .write.mode("overwrite").parquet(s"$out/encoded.parquet")
+        println(s"[tokenize] merges=${trained.merges.length} " +
+          s"docs=${spark.read.parquet(s"$out/encoded.parquet").count()}")
+
+      // train the quality classifier and score the corpus: weights.tsv is
+      // the deployable artifact, scored.parquet carries (logit, pred);
+      // --min-logit writes the kept subset like curate's quality gate
+      case "classify" =>
+        val spark = session()
+        import org.apache.spark.sql.functions.col
+        val dir = req("data")
+        val out = req("out")
+        val docs = Tables.documents(spark, dir)
+        val w = graft.text.QualityClassifier.train(docs, "text")
+        Files.createDirectories(Paths.get(out))
+        Files.writeString(Paths.get(s"$out/weights.tsv"),
+          w.zipWithIndex.map { case (v, i) => s"w$i\t$v" }
+            .mkString("", "\n", "\n"))
+        val scored = docs.select(col("doc_id"),
+          graft.text.QualityClassifier.logitColumn(col("text"), w).as("logit"))
+        scored.write.mode("overwrite").parquet(s"$out/scored.parquet")
+        opts.get("min-logit").foreach { v =>
+          docs.join(
+            spark.read.parquet(s"$out/scored.parquet")
+              .where(col("logit") >= v.toDouble).select("doc_id"),
+            Seq("doc_id"), "left_semi")
+            .write.mode("overwrite").parquet(s"$out/kept.parquet")
+        }
+        println(s"[classify] scored=${spark.read.parquet(s"$out/scored.parquet").count()}")
+
+      // BM25 top-k over the corpus for an ad-hoc --terms query (corpus
+      // audit / decontamination triage): index-free, one scan
+      case "search" =>
+        val spark = session()
+        val dir = req("data")
+        val terms = req("terms").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val k = opts.getOrElse("k", "20").toInt
+        val docs = Tables.documents(spark, dir)
+        val hits = graft.text.Retrieval.searchTopK(docs, "doc_id", "text", terms, k)
+          .collect()
+        hits.foreach { r => println(s"[search] ${r.getLong(0)}\t${r.getLong(1)}") }
+        println(s"[search] terms=${terms.mkString(",")} hits=${hits.length}")
+
       case other =>
         System.err.println(s"unknown command: $other\n$usage")
         sys.exit(2)
@@ -376,6 +439,9 @@ object Main {
       |          file-format, gentamycin,
       |          curate [--data sfDir --out dir --min-quality 0.4 --semantic
       |                  --decontaminate-below id --redact-pii],
-      |          dedup [--data sfDir --out dir --threshold 0.5 --new-from id]
+      |          dedup [--data sfDir --out dir --threshold 0.5 --new-from id],
+      |          tokenize [--data sfDir --out dir --merges 24],
+      |          classify [--data sfDir --out dir --min-logit x],
+      |          search [--data sfDir --terms a,b,c --k 20]
       |(see Scaladoc for per-command arguments)""".stripMargin
 }

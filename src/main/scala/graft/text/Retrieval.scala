@@ -47,20 +47,93 @@ object Retrieval {
   final case class TermStats(
       n: Long, totalTokens: Long, perTerm: Seq[(String, Long, Long)])
 
-  def termStats(docs: DataFrame, textCol: String): TermStats = {
+  def termStats(docs: DataFrame, textCol: String,
+      terms: Seq[String] = QueryTerms): TermStats = {
+    require(terms.nonEmpty, "empty query")
     val toks = TextOps.whitespaceTokens(col(textCol))
     val aggs =
       count(lit(1)).as("n") +:
       sum(size(toks).cast("long")).as("tot") +:
-      QueryTerms.flatMap { t =>
+      terms.flatMap { t =>
         Seq(sum(when(tfCol(toks, t) > 0, 1L).otherwise(0L)).as(s"df_$t"),
           sum(tfCol(toks, t).cast("long")).as(s"cf_$t"))
       }
     val row = docs.agg(aggs.head, aggs.tail: _*).collect()(0)
     TermStats(row.getLong(0), row.getLong(1),
-      QueryTerms.zipWithIndex.map { case (t, i) =>
+      terms.zipWithIndex.map { case (t, i) =>
         (t, row.getLong(2 + 2 * i), row.getLong(3 + 2 * i))
       })
+  }
+
+  /** The fixed benchmark query BATCH (`ir_batch_bm25`). */
+  val QueryBatch: Seq[(Int, Seq[String])] = Seq(
+    1 -> Seq("dup", "stream"),
+    2 -> Seq("spark", "join"),
+    3 -> Seq("window", "filter", "slow"))
+
+  /** Batch BM25 — the INDEXED shape for many queries, contrasting
+    * [[bm25TopK]]'s index-free single-query map: posting rows (doc, term,
+    * dl, tf) materialize ONCE for the union of query terms (the explode
+    * filters to query terms before its exchange, so the shuffle carries a
+    * slim fixed-width row per matching posting, never the corpus), join
+    * the broadcast (query, term, idf) dim, and aggregate per (query, doc).
+    *
+    * Distributed-sum float discipline: each term's score part rounds ONCE
+    * to an e9 fixed-point BIGINT, so the per-(query, doc) sum is exact
+    * integer arithmetic — no fold-order dependence in any exchange (the
+    * tx_perplexity rule). Per-query top-k rides [[graft.ops.BoundedTopK]]
+    * (3 queries — a Window would funnel the posting table through 3
+    * partitions; the aggregate combines map-side).
+    */
+  def batchBm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      queries: Seq[(Int, Seq[String])], idfs: Seq[(String, Double)],
+      avgdl: Double, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val idfMap = idfs.toMap
+    val allTerms = queries.flatMap(_._2).distinct.sorted
+    // terms fold to int ids via a broadcast dim BEFORE the posting
+    // exchange — term strings (corpus content) never shuffle
+    val termId = allTerms.zipWithIndex.toMap
+    val termDim = allTerms.map(t => (t, termId(t))).toDF("term", "term_id")
+    val qd = queries.flatMap { case (qid, ts) =>
+      ts.map(t => (termId(t), qid, idfMap(t))) }
+      .toDF("term_id", "query_id", "idf")
+    val toks = TextOps.whitespaceTokens(col(textCol))
+    val post = docs.select(col(idCol).as("doc_id"),
+        size(toks).cast("double").as("dl"),
+        explode(toks).as("term"))
+      .where(col("term").isin(allTerms: _*))
+      .join(broadcast(termDim), Seq("term"))
+      .groupBy("doc_id", "term_id", "dl").agg(count(lit(1)).as("tf"))
+    val tfD = col("tf").cast("double")
+    val part = floor(col("idf") * ((tfD * lit(K1 + 1)) /
+        (tfD + lit(K1) * (lit(1 - B) + lit(B) * (col("dl") / lit(avgdl))))) *
+      lit(1000000000.0) + lit(0.5)).cast("long")
+    val scores = post.join(broadcast(qd), Seq("term_id"))
+      .select(col("query_id"), col("doc_id"), part.as("p"))
+      .groupBy("query_id", "doc_id").agg(sum("p").as("score_e9"))
+    val topK = new graft.ops.BoundedTopK[(Long, Long)](
+      k, Ordering.by(t => (-t._1, t._2)), implicitly)
+    scores.as[(Int, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._3, r._2)) // (score_e9, doc_id)
+      .agg(topK.toColumn.name("top"))
+      .toDF("query_id", "top")
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col._2").as("doc_id"), col("col._1").as("score_e9"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Ad-hoc retrieval in one call (the CLI `search` surface): stats →
+    * driver idf → index-free scored top-k.
+    */
+  def searchTopK(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int): DataFrame = {
+    val stats = termStats(docs, textCol, terms)
+    val idfs = stats.perTerm.map { case (t, df, _) => (t, idf(stats.n, df)) }
+    bm25TopK(docs, idCol, textCol, idfs, avgdlOf(stats), k)
   }
 
   /** Lucene-form idf from the driver: `ln((N - df + 0.5)/(df + 0.5) + 1)`.

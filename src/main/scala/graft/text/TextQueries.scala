@@ -292,6 +292,24 @@ object TextQueries {
       Retrieval.bm25TopK(docs, "doc_id", "text", idfs, avgdl, k = 20)
     },
 
+    // lexical retrieval, part 3: the INDEXED shape for a query BATCH —
+    // posting rows materialize once for the union of query terms (slim
+    // fixed-width exchange), broadcast (query, term, idf) dim join,
+    // e9-fixed-point score parts so the distributed per-(query, doc) sum
+    // is exact integer arithmetic, BoundedTopK per query (no Window
+    // funnel). Contrast ir_bm25_topk's index-free single-query map
+    "ir_batch_bm25" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val allTerms = Retrieval.QueryBatch.flatMap(_._2).distinct.sorted
+      val stats = Retrieval.termStats(docs, "text", allTerms)
+      val idfs = stats.perTerm.map { case (t, df, _) =>
+        (t, Retrieval.idf(stats.n, df)) }
+      val avgdl = Retrieval.avgdlOf(stats)
+      batchBm25State.set((idfs, avgdl))
+      Retrieval.batchBm25TopK(docs, "doc_id", "text",
+        Retrieval.QueryBatch, idfs, avgdl, k = 10)
+    },
+
     // TRAINED quality filter (the fastText-style classifier step; the
     // heuristic tx_quality_score is its weak-label teacher): logistic
     // regression fits driver-side on a deterministic bounded sample
@@ -1339,6 +1357,43 @@ object TextQueries {
                CAST(FLOOR(score * 1000000.0 + 0.5) AS BIGINT) AS score_e6
         FROM scored ORDER BY score DESC, doc_id LIMIT 20"""
 
+  /** (idf per term, avgdl) computed by the last `ir_batch_bm25` build in
+    * this JVM.
+    */
+  private[graft] val batchBm25State =
+    new java.util.concurrent.atomic.AtomicReference[(Seq[(String, Double)], Double)]()
+
+  /** Batch-BM25 oracle: the (query, term, idf) dim as literals, postings /
+    * fixed-point parts / integer sums / per-query top-10 re-derived by
+    * DuckDB.
+    */
+  private def batchBm25Oracle(idfs: Seq[(String, Double)], avgdl: Double): String = {
+    val idfMap = idfs.toMap
+    val qdVals = Retrieval.QueryBatch.flatMap { case (qid, ts) =>
+      ts.map(t => s"($qid, '$t', ${idfMap(t)})")
+    }.mkString(",")
+    val termList = Retrieval.QueryBatch.flatMap(_._2).distinct.sorted
+      .map(t => s"'$t'").mkString(", ")
+    val satur = s"""((CAST(t.tf AS DOUBLE) * ${Retrieval.K1 + 1}) /
+        (CAST(t.tf AS DOUBLE) + ${Retrieval.K1} *
+         (${1 - Retrieval.B} + ${Retrieval.B} * (t.dl / $avgdl))))"""
+    s"""WITH qd(query_id, term, idf) AS (VALUES $qdVals),
+        toks AS (SELECT doc_id, $tokensSql AS w FROM documents),
+        post AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl,
+                        unnest(w) AS term FROM toks),
+        tf AS (SELECT doc_id, term, dl, COUNT(*) AS tf FROM post
+               WHERE term IN ($termList) GROUP BY doc_id, term, dl),
+        parts AS (SELECT q.query_id, t.doc_id,
+            CAST(FLOOR(q.idf * $satur * 1000000000.0 + 0.5) AS BIGINT) AS p
+          FROM tf t JOIN qd q ON t.term = q.term),
+        score AS (SELECT query_id, doc_id, CAST(SUM(p) AS BIGINT) AS score_e9
+                  FROM parts GROUP BY query_id, doc_id)
+        SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, score_e9
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY score_e9 DESC, doc_id) AS rank FROM score)
+        WHERE rank <= 10 ORDER BY query_id, rank"""
+  }
+
   /** Weights trained by the last `tx_quality_classifier` build in this
     * JVM (the [[ivfTrainedCentroids]] life-cycle).
     */
@@ -1493,9 +1548,14 @@ object TextQueries {
       case Some(w) => withBpe + ("tx_quality_classifier" -> classifierOracle(w))
       case None    => withBpe
     }
-    Option(bm25State.get()) match {
+    val withIr = Option(bm25State.get()) match {
       case Some((idfs, avgdl)) => withQc + ("ir_bm25_topk" -> bm25Oracle(idfs, avgdl))
       case None                => withQc
+    }
+    Option(batchBm25State.get()) match {
+      case Some((idfs, avgdl)) =>
+        withIr + ("ir_batch_bm25" -> batchBm25Oracle(idfs, avgdl))
+      case None => withIr
     }
   }
 

@@ -50,7 +50,11 @@ object EnvelopeProbe {
       "dd_incremental", "dd_minhash_lsh", "dd_components", "dd_canonical",
       "dd_cosine_neardup", "dd_dup_windows", "dd_maximal_spans",
       "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
-      "ann_hnsw_topk", "ann_ivfpq_topk")
+      "ann_hnsw_topk", "ann_ivfpq_topk",
+      // r11 additions: all pure map / scalar-agg shapes — the envelope
+      // claim is that their peaks track the scan, not the corpus
+      "tx_bpe_encode", "sm_pack_bpe", "tx_quality_classifier",
+      "ir_term_stats", "ir_bm25_topk", "ir_batch_bm25")
     println(f"${"query"}%-20s ${"sec"}%8s ${"rows"}%10s ${"peakTaskMB"}%11s ${"spillMB"}%8s")
     family.foreach { name =>
       peak = 0L; spillMem = 0L; spillDisk = 0L; tasks = 0L

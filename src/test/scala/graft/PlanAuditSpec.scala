@@ -276,6 +276,25 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("ir_batch_bm25: dims broadcast, no Window, term strings never shuffle") {
+    withAqeOff {
+      val df = q("ir_batch_bm25")
+      val plan = physical(df)
+      assert(plan.contains("BroadcastHashJoin"),
+        s"term/query dims must broadcast:\n$plan")
+      assert(!plan.contains("Window"),
+        s"per-query top-k must be the bounded aggregate, not a Window:\n$plan")
+      // corpus content (the term string) folds to an int id before any
+      // exchange; the only array attribute allowed across a shuffle is the
+      // bounded top-k aggregation buffer (≤k slim pairs per query)
+      val offending = shufflesOf(df).flatMap(_.output).filter { a =>
+        a.dataType.isInstanceOf[org.apache.spark.sql.types.StringType.type]
+      }
+      assert(offending.isEmpty,
+        s"string attributes cross a shuffle: ${offending.map(_.name)}\n$plan")
+    }
+  }
+
   test("sm_temperature / tx_perplexity: corpus joins only against broadcast dims") {
     // both ops join the full corpus against tiny derived dims (source
     // rates; vocab-sized LM count tables) — those joins must broadcast,

@@ -51,6 +51,42 @@ class RetrievalSpec extends SparkSpec {
     assert(got(2)._2 > got(3)._2)
   }
 
+  test("batch BM25 == a from-first-principles driver reference at sf0.001") {
+    val docs = graft.Tables.documents(spark, sf0001)
+    val allTerms = Retrieval.QueryBatch.flatMap(_._2).distinct.sorted
+    val stats = Retrieval.termStats(docs, "text", allTerms)
+    val idfs = stats.perTerm.map { case (t, df, _) => (t, Retrieval.idf(stats.n, df)) }
+    val idfMap = idfs.toMap
+    val avgdl = Retrieval.avgdlOf(stats)
+    val got = Retrieval.batchBm25TopK(docs, "doc_id", "text",
+        Retrieval.QueryBatch, idfs, avgdl, k = 10)
+      .as[(Int, Int, Long, Long)].collect().toSeq
+    // plain-JVM reference: same fixed-point part arithmetic, naive loops
+    val raw = docs.select("doc_id", "text").as[(Long, String)].collect()
+    val want = Retrieval.QueryBatch.flatMap { case (qid, terms) =>
+      val scored = raw.flatMap { case (id, text) =>
+        val toks = {
+          var lo = 0; var hi = text.length
+          while (lo < hi && text.charAt(lo) == ' ') lo += 1
+          while (hi > lo && text.charAt(hi - 1) == ' ') hi -= 1
+          text.substring(lo, hi).split("\\s+").toSeq
+        }
+        val dl = toks.length.toDouble
+        val parts = terms.flatMap { t =>
+          val tf = toks.count(_ == t).toDouble
+          if (tf == 0) None
+          else Some(math.floor(idfMap(t) * ((tf * (Retrieval.K1 + 1)) /
+            (tf + Retrieval.K1 * ((1 - Retrieval.B) +
+              Retrieval.B * (dl / avgdl)))) * 1000000000.0 + 0.5).toLong)
+        }
+        if (parts.isEmpty) None else Some((id, parts.sum))
+      }
+      scored.sortBy { case (id, s) => (-s, id) }.take(10).zipWithIndex
+        .map { case ((id, s), i) => (qid, i + 1, id, s) }
+    }
+    assert(got == want, s"batch BM25 diverged from the reference\n got=$got\nwant=$want")
+  }
+
   test("score column matches scoreSql structure: a zero-tf doc scores 0") {
     val docs = Seq((1L, "join filter merge")).toDF("doc_id", "text")
     val s = Retrieval.scoreColumn(col("text"),
