@@ -417,6 +417,66 @@ object Main {
         hits.foreach { r => println(s"[search] ${r.getLong(0)}\t${r.getLong(1)}") }
         println(s"[search] terms=${terms.mkString(",")} hits=${hits.length}")
 
+      // the END-TO-END pretraining-data pipeline, composed from the
+      // library stages a real corpus run chains: trained-classifier
+      // quality gate → near-dup canonical dedup → (optional) benchmark
+      // decontamination → PII redaction → BPE tokenizer training + encode
+      // → context-window packing. Every stage is the same operator its
+      // gate query verifies; artifacts (weights.tsv, merges.tsv,
+      // packed.parquet) are the deployables
+      case "pretrain" =>
+        val spark = session()
+        import org.apache.spark.sql.functions.{broadcast, col, floor, size}
+        val dir = req("data")
+        val out = req("out")
+        val ctxLen = opts.getOrElse("context", "2048").toDouble
+        val docs = Tables.documents(spark, dir)
+        Files.createDirectories(Paths.get(out))
+        // 1. trained quality gate (logit >= 0 = the classifier's keep side)
+        val w = graft.text.QualityClassifier.train(docs, "text")
+        Files.writeString(Paths.get(s"$out/weights.tsv"),
+          w.zipWithIndex.map { case (v, i) => s"w$i\t$v" }
+            .mkString("", "\n", "\n"))
+        val kept = docs.where(
+          graft.text.QualityClassifier.logitColumn(col("text"), w) >= 0.0)
+        // 2. near-dup canonical dedup among the kept docs
+        val pairs = graft.text.Dedup.jaccardPairsHashed(
+          graft.text.Dedup.hashedShingleDocs(kept, "doc_id", "text"), 0.5)
+        val dropDup = graft.text.Dedup.connectedComponents(pairs)
+          .where(col("doc_id") =!= col("component")).select("doc_id")
+        val canon = kept.join(broadcast(dropDup), Seq("doc_id"), "left_anti")
+        // 3. optional decontamination (bloom scale path, curate's flag)
+        val clean = opts.get("decontaminate-below").map(_.toLong) match {
+          case Some(b) => canon.join(
+            graft.text.TextQueries.decontaminateSurvivors(spark, dir, b, useBloom = true)
+              .select(col("doc_id")), Seq("doc_id"), "left_semi")
+          case None => canon
+        }
+        // 4. PII redaction — the text every later stage (and training) sees
+        val redacted = clean.select(col("doc_id"),
+          graft.text.TextOps.piiRedact(col("text")).as("text"))
+        redacted.write.mode("overwrite").parquet(s"$out/clean.parquet")
+        // 5. tokenizer trains on the CLEANED corpus (what it will encode)
+        val cleanBack = spark.read.parquet(s"$out/clean.parquet")
+        val trained = graft.text.Bpe.train(cleanBack, "text",
+          opts.getOrElse("merges", "24").toInt)
+        Files.writeString(Paths.get(s"$out/merges.tsv"),
+          trained.merges.zipWithIndex
+            .map { case ((l, r), i) => s"$i\t$l\t$r" }.mkString("", "\n", "\n"))
+        val encoded = cleanBack.select(col("doc_id"),
+            graft.text.Bpe.encodeTokens(col("text"), trained.merges).as("tokens"))
+          .withColumn("n_tokens", size(col("tokens")).cast("long"))
+        // 6. context-window packing over the BPE counts
+        graft.ops.PrefixSum.withRunningTotal(encoded, "n_tokens", "running", col("doc_id"))
+          .withColumn("pack_id",
+            floor((col("running") - col("n_tokens")) / ctxLen).cast("long"))
+          .write.mode("overwrite").parquet(s"$out/packed.parquet")
+        val packedBack = spark.read.parquet(s"$out/packed.parquet")
+        println(s"[pretrain] input=${docs.count()} " +
+          s"kept=${packedBack.count()} " +
+          s"packs=${packedBack.select("pack_id").distinct().count()} " +
+          s"merges=${trained.merges.length}")
+
       case other =>
         System.err.println(s"unknown command: $other\n$usage")
         sys.exit(2)
@@ -442,6 +502,8 @@ object Main {
       |          dedup [--data sfDir --out dir --threshold 0.5 --new-from id],
       |          tokenize [--data sfDir --out dir --merges 24],
       |          classify [--data sfDir --out dir --min-logit x],
-      |          search [--data sfDir --terms a,b,c --k 20]
+      |          search [--data sfDir --terms a,b,c --k 20],
+      |          pretrain [--data sfDir --out dir --context 2048 --merges 24
+      |                    --decontaminate-below id]
       |(see Scaladoc for per-command arguments)""".stripMargin
 }

@@ -97,6 +97,19 @@ object StreamingOps {
     docs.withColumn(tokensCol,
       graft.text.Bpe.encodeTokens(col(textCol), merges))
 
+  /** Streaming quality-classifier scoring — the ingest-time face of
+    * `tx_quality_classifier`: weights are trained OFFLINE
+    * ([[graft.text.QualityClassifier.train]]) and ride the projection as
+    * literals (train once, score every arriving document — the fastText-
+    * deployment shape); the stream stage is STATELESS (the same exact-IEEE
+    * feature arithmetic as batch), so batch==stream parity is structural.
+    * Appends `logitCol` (double); caller columns survive untouched.
+    */
+  def streamingQualityScore(docs: DataFrame, textCol: String,
+      logitCol: String, weights: Array[Double]): DataFrame =
+    docs.withColumn(logitCol,
+      graft.text.QualityClassifier.logitColumn(col(textCol), weights))
+
   final case class Event(userId: Long, ts: Timestamp, eventType: String)
   final case class SessionState(start: Long, lastTs: Long, n: Int)
   final case class Session(userId: Long, startTs: Long, endTs: Long, nEvents: Int)

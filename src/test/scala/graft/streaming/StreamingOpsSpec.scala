@@ -147,6 +147,37 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingQualityScore: frozen weights, stateless scoring equals batch on real docs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.Tables.documents(spark, sf0001)
+    val w = graft.text.QualityClassifier.train(docs, "text")
+    val rows = docs.select("doc_id", "text").as[(Long, String)]
+      .orderBy("doc_id").limit(40).collect().toSeq
+    val input = MemoryStream[(Long, String)]
+    val scored = StreamingOps.streamingQualityScore(
+      input.toDF().toDF("doc_id", "text"), "text", "logit", w)
+    val q = scored.writeStream
+      .format("memory").queryName("qc_out").outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(rows.take(25): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(25): _*)
+      q.processAllAvailable()
+      val got = spark.table("qc_out").select("doc_id", "logit")
+        .as[(Long, Double)].collect().sortBy(_._1)
+      val want = StreamingOps.streamingQualityScore(
+        rows.toDF("doc_id", "text"), "text", "logit", w)
+        .select("doc_id", "logit").as[(Long, Double)].collect().sortBy(_._1)
+      // bit-exact: the projection is the same exact-IEEE tree both ways
+      assert(got.toSeq === want.toSeq)
+      assert(got.length == 40)
+      assert(got.exists(_._2 >= 0) && got.exists(_._2 < 0),
+        "degenerate feed: expected both classes among the scored docs")
+    } finally q.stop()
+  }
+
   test("streamingSimhashPairs equals the batch band join on real documents") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
