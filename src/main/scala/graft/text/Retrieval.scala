@@ -85,32 +85,87 @@ object Retrieval {
     * (3 queries — a Window would funnel the posting table through 3
     * partitions; the aggregate combines map-side).
     */
+  /** The posting-tf table for `terms`: one corpus scan, term strings
+    * folded to int ids via a broadcast dim BEFORE the posting exchange —
+    * corpus content never shuffles. Columns: doc_id, term_id, dl, tf.
+    * Persist it when both the stats pass and the scoring pass will read it
+    * (the batch gate does).
+    */
+  def postingTf(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String]): DataFrame = {
+    val allTerms = terms.distinct.sorted
+    val toks = TextOps.whitespaceTokens(col(textCol))
+    // term → id as a codegen CASE (a broadcast dim here would cost a
+    // separate broadcast-build job per run — measurable against the
+    // whole pipeline's job-launch floor at bench scale, and the term
+    // list is query-sized, never data-sized)
+    val termIdCase = allTerms.zipWithIndex
+      .foldLeft(null: Column) { case (acc, (t, i)) =>
+        if (acc == null) when(col("term") === t, i)
+        else acc.when(col("term") === t, i)
+      }
+    docs.select(col(idCol).as("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), // tokenize ONCE: size and explode share the attr
+        size(col("toks")).cast("double").as("dl"),
+        explode(col("toks")).as("term"))
+      .where(col("term").isin(allTerms: _*))
+      .select(col("doc_id"), col("dl"), termIdCase.as("term_id"))
+      .groupBy("doc_id", "term_id", "dl").agg(count(lit(1)).as("tf"))
+  }
+
+  /** Term stats off an existing [[postingTf]] frame — the batch-gate path:
+    * df/cf fall out of the posting table (no per-term array-filter
+    * aggregates, which evaluate an interpreted lambda per token per term),
+    * and only N/totalTokens need a corpus pass (plain codegen size()).
+    */
+  def statsFromPostings(docs: DataFrame, textCol: String,
+      postings: DataFrame, terms: Seq[String]): TermStats = {
+    val allTerms = terms.distinct.sorted
+    val toks = TextOps.whitespaceTokens(col(textCol))
+    val corpusRow = docs.agg(count(lit(1)).as("n"),
+      sum(size(toks).cast("long")).as("tot")).collect()(0)
+    val byTerm = postings.groupBy("term_id")
+      .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    TermStats(corpusRow.getLong(0), corpusRow.getLong(1),
+      allTerms.zipWithIndex.map { case (t, i) =>
+        val (df, cf) = byTerm.getOrElse(i, (0L, 0L))
+        (t, df, cf)
+      })
+  }
+
   def batchBm25TopK(docs: DataFrame, idCol: String, textCol: String,
       queries: Seq[(Int, Seq[String])], idfs: Seq[(String, Double)],
-      avgdl: Double, k: Int): DataFrame = {
+      avgdl: Double, k: Int,
+      postings: Option[DataFrame] = None): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val idfMap = idfs.toMap
     val allTerms = queries.flatMap(_._2).distinct.sorted
-    // terms fold to int ids via a broadcast dim BEFORE the posting
-    // exchange — term strings (corpus content) never shuffle
     val termId = allTerms.zipWithIndex.toMap
-    val termDim = allTerms.map(t => (t, termId(t))).toDF("term", "term_id")
-    val qd = queries.flatMap { case (qid, ts) =>
-      ts.map(t => (termId(t), qid, idfMap(t))) }
-      .toDF("term_id", "query_id", "idf")
-    val toks = TextOps.whitespaceTokens(col(textCol))
-    val post = docs.select(col(idCol).as("doc_id"),
-        size(toks).cast("double").as("dl"),
-        explode(toks).as("term"))
-      .where(col("term").isin(allTerms: _*))
-      .join(broadcast(termDim), Seq("term"))
-      .groupBy("doc_id", "term_id", "dl").agg(count(lit(1)).as("tf"))
+    val post = postings.getOrElse(
+      postingTf(docs, idCol, textCol, allTerms))
+    // term_id → its (query_id, idf) list as a codegen CASE over literal
+    // struct arrays — like the term dim, a broadcast join here would be a
+    // whole extra broadcast-build job for a query-sized relation
+    val byTermId: Map[Int, Seq[(Int, Double)]] = queries
+      .flatMap { case (qid, ts) => ts.map(t => (termId(t), (qid, idfMap(t)))) }
+      .groupBy(_._1).map { case (tid, xs) => tid -> xs.map(_._2) }
+    val qCase = byTermId.toSeq.sortBy(_._1)
+      .foldLeft(null: Column) { case (acc, (tid, qs)) =>
+        val arr = array(qs.map { case (qid, w) =>
+          struct(lit(qid).as("query_id"), lit(w).as("idf")) }: _*)
+        if (acc == null) when(col("term_id") === tid, arr)
+        else acc.when(col("term_id") === tid, arr)
+      }
     val tfD = col("tf").cast("double")
     val part = floor(col("idf") * ((tfD * lit(K1 + 1)) /
         (tfD + lit(K1) * (lit(1 - B) + lit(B) * (col("dl") / lit(avgdl))))) *
       lit(1000000000.0) + lit(0.5)).cast("long")
-    val scores = post.join(broadcast(qd), Seq("term_id"))
+    val scores = post
+      .select(col("doc_id"), col("dl"), col("tf"), explode(qCase).as("q"))
+      .select(col("q.query_id").as("query_id"), col("doc_id"),
+        col("q.idf").as("idf"), col("dl"), col("tf"))
       .select(col("query_id"), col("doc_id"), part.as("p"))
       .groupBy("query_id", "doc_id").agg(sum("p").as("score_e9"))
     val topK = new graft.ops.BoundedTopK[(Long, Long)](

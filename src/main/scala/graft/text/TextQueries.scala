@@ -301,13 +301,18 @@ object TextQueries {
     "ir_batch_bm25" -> { (s, d) =>
       val docs = Tables.documents(s, d)
       val allTerms = Retrieval.QueryBatch.flatMap(_._2).distinct.sorted
-      val stats = Retrieval.termStats(docs, "text", allTerms)
+      // ONE posting build serves both the stats pass (df/cf fall out of
+      // the posting table — no interpreted per-term array filters) and the
+      // scoring pass; persisted across the two
+      val postings = Retrieval.postingTf(docs, "doc_id", "text", allTerms)
+        .persist()
+      val stats = Retrieval.statsFromPostings(docs, "text", postings, allTerms)
       val idfs = stats.perTerm.map { case (t, df, _) =>
         (t, Retrieval.idf(stats.n, df)) }
       val avgdl = Retrieval.avgdlOf(stats)
       batchBm25State.set((idfs, avgdl))
       Retrieval.batchBm25TopK(docs, "doc_id", "text",
-        Retrieval.QueryBatch, idfs, avgdl, k = 10)
+        Retrieval.QueryBatch, idfs, avgdl, k = 10, postings = Some(postings))
     },
 
     // TRAINED quality filter (the fastText-style classifier step; the
