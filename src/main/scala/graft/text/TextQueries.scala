@@ -254,6 +254,48 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // token-window document chunking (the embedding/RAG prep step: split
+    // long docs into overlapping fixed-token windows) — chunk 64, stride
+    // 48: starts explode from a sequence, each chunk is an array slice of
+    // the ONE materialized token array. Pure map + explode, no shuffle
+    // until the output sort
+    "tx_chunk_docs" -> { (s, d) =>
+      val stride = 48
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.whitespaceTokens(col("text")).as("w"))
+        .where(size(col("w")) > 0)
+        .select(col("doc_id"), col("w"),
+          explode(sequence(lit(0), size(col("w")) - 1, lit(stride))).as("start"))
+        .select(col("doc_id"),
+          (col("start") / stride).cast("int").as("chunk_idx"),
+          slice(col("w"), col("start") + 1, lit(64)).as("c"))
+        .select(col("doc_id"), col("chunk_idx"),
+          size(col("c")).as("n_chunk_tokens"),
+          array_join(col("c"), " ").as("chunk_text"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+
+    // int8 embedding quantization (the vector-store prep step: 4x storage
+    // cut before ANN indexing at 100 TB): per-vector max-abs scale,
+    // symmetric round-half-up to [-127, 127]. One map pass; exact IEEE
+    // arithmetic both engines (float->double casts exact, max is
+    // order-free, (x*127)/m left-assoc) so the full q vector hash-matches
+    "ann_quantize_int8" -> { (s, d) =>
+      val m = array_max(transform(col("embedding"), v => abs(v.cast("double"))))
+      val q = transform(col("embedding"),
+        v => floor(v.cast("double") * lit(127.0) / col("m") + lit(0.5)).cast("int"))
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), m.as("m"))
+        .select(col("vec_id"),
+          floor(col("m") / lit(127.0) * lit(1000000000.0) + lit(0.5))
+            .cast("long").as("scale_e9"),
+          when(col("m") === 0.0,
+            array_join(transform(col("embedding"), _ => lit("0")), ","))
+            .otherwise(array_join(transform(q, _.cast("string")), ","))
+            .as("q_csv"))
+        .orderBy("vec_id")
+    },
+
     // lexical retrieval, part 1: per-term df/cf for the fixed benchmark
     // query — ONE aggregate pass over the corpus (per-term tf is an array
     // filter in the scan stage, the shuffle carries a single partial-agg
@@ -1565,6 +1607,30 @@ object TextQueries {
   }
 
   private val staticOracles: Map[String, String] = Map(
+    "tx_chunk_docs" ->
+      s"""WITH toks AS (SELECT doc_id, $tokensSql AS w FROM documents),
+          st AS (SELECT doc_id, w,
+                   unnest(generate_series(0, len(w) - 1, 48)) AS start
+                 FROM toks WHERE len(w) > 0)
+          SELECT doc_id, CAST(start / 48 AS INTEGER) AS chunk_idx,
+                 CAST(len(w[start + 1 : start + 64]) AS INTEGER) AS n_chunk_tokens,
+                 array_to_string(w[start + 1 : start + 64], ' ') AS chunk_text
+          FROM st ORDER BY doc_id, chunk_idx""",
+
+    "ann_quantize_int8" ->
+      """WITH e AS (SELECT vec_id, embedding,
+            list_max(list_transform(embedding,
+              x -> abs(CAST(x AS DOUBLE)))) AS m
+          FROM embeddings)
+          SELECT vec_id,
+            CAST(FLOOR(m / 127.0 * 1000000000.0 + 0.5) AS BIGINT) AS scale_e9,
+            CASE WHEN m = 0
+              THEN array_to_string(list_transform(embedding, x -> '0'), ',')
+              ELSE array_to_string(list_transform(embedding,
+                x -> CAST(CAST(FLOOR(CAST(x AS DOUBLE) * 127.0 / m + 0.5)
+                     AS INTEGER) AS VARCHAR)), ',') END AS q_csv
+          FROM e ORDER BY vec_id""",
+
     "ir_term_stats" -> {
       val branches = Retrieval.QueryTerms.map { t =>
         s"""SELECT '$t' AS term,
