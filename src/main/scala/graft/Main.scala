@@ -362,20 +362,24 @@ object Main {
         import org.apache.spark.sql.functions.{col, size}
         val dir = req("data")
         val out = req("out")
-        val numMerges = opts.getOrElse("merges", "24").toInt
-        val trained = graft.text.Bpe.train(
-          Tables.documents(spark, dir), "text", numMerges)
-        val lines = trained.merges.zipWithIndex
-          .map { case ((l, r), i) => s"$i\t$l\t$r" }
+        // --merges-in <file>: ENCODE with a frozen artifact instead of
+        // training (the deployment path — the artifact a previous run or
+        // another corpus trained); otherwise train here and write the
+        // artifact beside the encoding
+        val merges = opts.get("merges-in") match {
+          case Some(path) => graft.text.Bpe.loadMerges(path)
+          case None => graft.text.Bpe.train(Tables.documents(spark, dir),
+            "text", opts.getOrElse("merges", "24").toInt).merges
+        }
         Files.createDirectories(Paths.get(out))
         Files.writeString(Paths.get(s"$out/merges.tsv"),
-          lines.mkString("", "\n", "\n"))
+          graft.text.Bpe.renderMerges(merges))
         Tables.documents(spark, dir)
           .select(col("doc_id"),
-            graft.text.Bpe.encodeTokens(col("text"), trained.merges).as("tokens"))
+            graft.text.Bpe.encodeTokens(col("text"), merges).as("tokens"))
           .withColumn("n_tokens", size(col("tokens")))
           .write.mode("overwrite").parquet(s"$out/encoded.parquet")
-        println(s"[tokenize] merges=${trained.merges.length} " +
+        println(s"[tokenize] merges=${merges.length} " +
           s"docs=${spark.read.parquet(s"$out/encoded.parquet").count()}")
 
       // train the quality classifier and score the corpus: weights.tsv is
@@ -461,8 +465,7 @@ object Main {
         val trained = graft.text.Bpe.train(cleanBack, "text",
           opts.getOrElse("merges", "24").toInt)
         Files.writeString(Paths.get(s"$out/merges.tsv"),
-          trained.merges.zipWithIndex
-            .map { case ((l, r), i) => s"$i\t$l\t$r" }.mkString("", "\n", "\n"))
+          graft.text.Bpe.renderMerges(trained.merges))
         val encoded = cleanBack.select(col("doc_id"),
             graft.text.Bpe.encodeTokens(col("text"), trained.merges).as("tokens"))
           .withColumn("n_tokens", size(col("tokens")).cast("long"))
@@ -500,7 +503,8 @@ object Main {
       |          curate [--data sfDir --out dir --min-quality 0.4 --semantic
       |                  --decontaminate-below id --redact-pii],
       |          dedup [--data sfDir --out dir --threshold 0.5 --new-from id],
-      |          tokenize [--data sfDir --out dir --merges 24],
+      |          tokenize [--data sfDir --out dir --merges 24
+      |                    --merges-in merges.tsv],
       |          classify [--data sfDir --out dir --min-logit x],
       |          search [--data sfDir --terms a,b,c --k 20],
       |          pretrain [--data sfDir --out dir --context 2048 --merges 24

@@ -181,6 +181,36 @@ object Bpe {
       .flatMap(w => referenceEncodeWord(w, merges))
   }
 
+  /** Serialize the trained merge list to the deployable `merges.tsv` form
+    * (`rank\tleft\tright`, ranks dense from 0) — what [[loadMerges]] and a
+    * serving/streaming encoder read back.
+    */
+  def renderMerges(merges: Seq[Merge]): String =
+    merges.zipWithIndex.map { case ((l, r), i) => s"$i\t$l\t$r" }
+      .mkString("", "\n", "\n")
+
+  /** Parse a merges.tsv artifact back into the merge list. Fails loud on a
+    * malformed or rank-gapped file — a silently reordered merge list would
+    * produce a DIFFERENT tokenization with no error anywhere downstream.
+    */
+  def parseMerges(tsv: String): Seq[Merge] = {
+    val lines = tsv.split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+    val parsed = lines.map { l =>
+      val parts = l.split("\t", -1)
+      require(parts.length == 3, s"malformed merges.tsv line: '$l'")
+      (parts(0).toInt, (parts(1), parts(2)))
+    }
+    parsed.zipWithIndex.foreach { case ((rank, _), i) =>
+      require(rank == i, s"merges.tsv ranks must be dense from 0; " +
+        s"line $i carries rank $rank")
+    }
+    parsed.map(_._2)
+  }
+
+  /** Load a merges.tsv artifact from disk. */
+  def loadMerges(path: String): Seq[Merge] =
+    parseMerges(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
+
   /** The production encode column: native codegen expression over the raw
     * text (split + per-word greedy merge + concat in one kernel).
     */

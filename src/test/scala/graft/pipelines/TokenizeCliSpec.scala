@@ -33,6 +33,27 @@ class TokenizeCliSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("tokenize --merges-in: the frozen artifact round-trips through deployment") {
+    // train on one run, deploy the artifact to a second run: identical
+    // encoding without retraining — and a corrupted artifact fails loud
+    val out1 = java.nio.file.Files.createTempDirectory("tok_train").toString
+    graft.Main.main(Array("tokenize", "--data", sf0001, "--out", out1))
+    val out2 = java.nio.file.Files.createTempDirectory("tok_deploy").toString
+    graft.Main.main(Array("tokenize", "--data", sf0001, "--out", out2,
+      "--merges-in", s"$out1/merges.tsv"))
+    val a = spark.read.parquet(s"$out1/encoded.parquet")
+      .select("doc_id", "tokens").as[(Long, Seq[String])].collect().sortBy(_._1)
+    val b = spark.read.parquet(s"$out2/encoded.parquet")
+      .select("doc_id", "tokens").as[(Long, Seq[String])].collect().sortBy(_._1)
+    assert(a.toSeq == b.toSeq)
+    // rank-gapped artifact → loud failure, not a silent re-tokenization
+    val bad = java.nio.file.Files.createTempFile("merges_bad", ".tsv")
+    java.nio.file.Files.writeString(bad, "0\ta\tb\n2\tc\td\n")
+    intercept[IllegalArgumentException] {
+      graft.text.Bpe.loadMerges(bad.toString)
+    }
+  }
+
   test("classify: weights.tsv matches training; kept.parquet is the logit gate") {
     val out = java.nio.file.Files.createTempDirectory("cls_out").toString
     graft.Main.main(Array("classify", "--data", sf0001, "--out", out,
