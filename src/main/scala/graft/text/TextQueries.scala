@@ -254,6 +254,31 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // the per-(source, lang) corpus card a curation run reports: doc and
+    // token counts, mean quality, low-quality share — one scan, one
+    // keyed agg (map-side combined). Quality means use the e4 fixed-point
+    // rule (sum exact integers, divide once) so no float fold-order or
+    // DuckDB CAST-rounds-vs-Spark-truncates trap can bite
+    "cur_corpus_report" -> { (s, d) =>
+      val q = TextOps.qualityScore(col("text"), qualityStopwords)
+      Tables.documents(s, d)
+        .select(col("source"), col("lang"),
+          size(TextOps.whitespaceTokens(col("text"))).cast("long").as("n_toks"),
+          q.as("q"))
+        .select(col("source"), col("lang"), col("n_toks"), col("q"),
+          floor(col("q") * lit(10000.0) + lit(0.5)).cast("long").as("q_e4"))
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_toks").as("n_tokens"),
+          sum("q_e4").as("q_sum_e4"),
+          sum(when(col("q") < 0.4, 1L).otherwise(0L)).as("n_low_quality"))
+        .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+          floor(col("q_sum_e4").cast("double") / col("n_docs")).cast("long")
+            .as("mean_quality_e4"),
+          col("n_low_quality"))
+        .orderBy("source", "lang")
+    },
+
     // token-window document chunking (the embedding/RAG prep step: split
     // long docs into overlapping fixed-token windows) — chunk 64, stride
     // 48: starts explode from a sequence, each chunk is an array slice of
@@ -1607,6 +1632,19 @@ object TextQueries {
   }
 
   private val staticOracles: Map[String, String] = Map(
+    "cur_corpus_report" ->
+      s"""WITH q AS (SELECT source, lang,
+            len($tokensSql) AS n_toks, $qualitySql AS q
+          FROM documents)
+          SELECT source, lang,
+            CAST(COUNT(*) AS BIGINT) AS n_docs,
+            CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+            CAST(FLOOR(CAST(SUM(CAST(FLOOR(q * 10000.0 + 0.5) AS BIGINT))
+                 AS DOUBLE) / COUNT(*)) AS BIGINT) AS mean_quality_e4,
+            CAST(SUM(CASE WHEN q < 0.4 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_low_quality
+          FROM q GROUP BY source, lang ORDER BY source, lang""",
+
     "tx_chunk_docs" ->
       s"""WITH toks AS (SELECT doc_id, $tokensSql AS w FROM documents),
           st AS (SELECT doc_id, w,

@@ -49,6 +49,23 @@ class ChunkQuantizeSpec extends SparkSpec {
     assert(out.count() == n, "one chunk per stride start per doc")
   }
 
+  test("corpus report: totals reconcile with the corpus and the quality gate") {
+    val docs = graft.Tables.documents(spark, sf0001)
+    val rep = graft.SparkEntry.queries("cur_corpus_report")(spark, sf0001)
+    assert(rep.agg(sum("n_docs")).as[Long].collect().head == docs.count())
+    val lowTotal = rep.agg(sum("n_low_quality")).as[Long].collect().head
+    val wantLow = docs.where(
+      TextOps.qualityScore(col("text"), Seq("the", "a", "of", "and", "to", "is"))
+        < 0.4).count()
+    assert(lowTotal == wantLow,
+      "per-group low-quality counts must sum to the corpus-wide gate complement")
+    val tokTotal = rep.agg(sum("n_tokens")).as[Long].collect().head
+    val wantTok = docs.select(
+        size(TextOps.whitespaceTokens(col("text"))).cast("long").as("n"))
+      .agg(sum("n")).as[Long].collect().head
+    assert(tokTotal == wantTok)
+  }
+
   test("int8 quantization: reconstruction error bounded, q in [-127,127], zero edge") {
     val out = graft.SparkEntry.queries("ann_quantize_int8")(spark, sf0001)
       .as[(Long, Long, String)].collect()
