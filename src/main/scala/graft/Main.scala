@@ -397,7 +397,10 @@ object Main {
           w.zipWithIndex.map { case (v, i) => s"w$i\t$v" }
             .mkString("", "\n", "\n"))
         val scored = docs.select(col("doc_id"),
-          graft.text.QualityClassifier.logitColumn(col("text"), w).as("logit"))
+            graft.text.QualityClassifier.logitColumn(col("text"), w).as("logit"))
+          .withColumn("pred",
+            org.apache.spark.sql.functions.when(col("logit") >= 0.0, 1)
+              .otherwise(0))
         scored.write.mode("overwrite").parquet(s"$out/scored.parquet")
         opts.get("min-logit").foreach { v =>
           docs.join(

@@ -37,16 +37,16 @@ object SparkEntry {
     *     codebooks) with ADC probing; replicating both trainings in SQL
     *     adds no verification beyond the ann_ivf embedded-centroid oracle.
     *     Determinism and recall-vs-brute are asserted in TextOpsSpec.
-    *   - `tx_quantiles_sketch` — sketch internals (Greenwald-Khanna
-    *     summaries) are engine-specific by design; the rank-error bound
-    *     against exact quantiles is asserted in TextOpsSpec.
     *
     * Everything else in [[queries]] carries a full hash oracle — including
     * `ann_lsh_topk` (deterministic hyperplanes embedded in the SQL as
-    * literals) and `ann_ivf_topk` (the trained coarse-quantizer centroids
+    * literals), `ann_ivf_topk` (the trained coarse-quantizer centroids
     * embedded the same way — training is deterministic and runs before the
     * oracle dump, so assignment/probe/re-rank are DuckDB-verified; see
-    * TextQueries.ivfOracle).
+    * TextQueries.ivfOracle), and `tx_quantiles_sketch` (the sketch outputs
+    * embedded as literals; DuckDB independently verifies membership plus
+    * the ε-rank Greenwald-Khanna bound from the raw corpus — see
+    * TextQueries.quantilesSketchOracle).
     */
   def oracleSql: Map[String, String] =
     graft.relational.RelationalQueries.oracles ++

@@ -93,6 +93,7 @@ object Retrieval {
     */
   def postingTf(docs: DataFrame, idCol: String, textCol: String,
       terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "empty query term list")
     val allTerms = terms.distinct.sorted
     val toks = TextOps.whitespaceTokens(col(textCol))
     // term → id as a codegen CASE (a broadcast dim here would cost a
@@ -113,21 +114,30 @@ object Retrieval {
       .groupBy("doc_id", "term_id", "dl").agg(count(lit(1)).as("tf"))
   }
 
-  /** Term stats off an existing [[postingTf]] frame — the batch-gate path:
-    * df/cf fall out of the posting table (no per-term array-filter
-    * aggregates, which evaluate an interpreted lambda per token per term),
-    * and only N/totalTokens need a corpus pass (plain codegen size()).
+  /** Term stats for the batch gate in ONE Spark job: df/cf fall out of a
+    * [[postingTf]] aggregate (no per-term interpreted array-filter
+    * lambdas), and the corpus scalars (N, total tokens) ride the SAME
+    * scan as a [[org.apache.spark.sql.Observation]] — CollectMetrics
+    * computes them as the rows stream past, so no separate corpus-agg job
+    * and no persisted posting cache that would outlive the gate (the
+    * cache-leak ADVICE finding). The posting build in the later scoring
+    * pass re-scans the corpus once; at bench scale that is cheaper than
+    * the extra job launch, and at cluster scale a caller who wants reuse
+    * persists the [[postingTf]] frame explicitly and owns its lifetime.
     */
-  def statsFromPostings(docs: DataFrame, textCol: String,
-      postings: DataFrame, terms: Seq[String]): TermStats = {
+  def observedStats(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String]): TermStats = {
     val allTerms = terms.distinct.sorted
     val toks = TextOps.whitespaceTokens(col(textCol))
-    val corpusRow = docs.agg(count(lit(1)).as("n"),
-      sum(size(toks).cast("long")).as("tot")).collect()(0)
-    val byTerm = postings.groupBy("term_id")
-      .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
+    val obs = org.apache.spark.sql.Observation()
+    val observed = docs.observe(obs,
+      count(lit(1)).as("n"), sum(size(toks).cast("long")).as("tot"))
+    val byTerm = postingTf(observed, idCol, textCol, allTerms)
+      .groupBy("term_id").agg(count(lit(1)).as("df"), sum("tf").as("cf"))
       .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
-    TermStats(corpusRow.getLong(0), corpusRow.getLong(1),
+    val m = obs.get
+    TermStats(m("n").asInstanceOf[Long],
+      Option(m("tot")).map(_.asInstanceOf[Long]).getOrElse(0L),
       allTerms.zipWithIndex.map { case (t, i) =>
         val (df, cf) = byTerm.getOrElse(i, (0L, 0L))
         (t, df, cf)
@@ -231,7 +241,8 @@ object Retrieval {
     stats.totalTokens.toDouble / stats.n.toDouble
 
   /** Top-k retrieval: scan → map score → TakeOrdered(k). Ties break to
-    * the lower doc_id. Returns (rank, doc_id, score_e6).
+    * the lower doc_id. Returns (doc_id, score_e6), already in rank order
+    * (descending score) — rank is the row position, not a column.
     */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
       idfs: Seq[(String, Double)], avgdl: Double, k: Int): DataFrame = {

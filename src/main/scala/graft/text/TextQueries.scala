@@ -368,18 +368,18 @@ object TextQueries {
     "ir_batch_bm25" -> { (s, d) =>
       val docs = Tables.documents(s, d)
       val allTerms = Retrieval.QueryBatch.flatMap(_._2).distinct.sorted
-      // ONE posting build serves both the stats pass (df/cf fall out of
-      // the posting table — no interpreted per-term array filters) and the
-      // scoring pass; persisted across the two
-      val postings = Retrieval.postingTf(docs, "doc_id", "text", allTerms)
-        .persist()
-      val stats = Retrieval.statsFromPostings(docs, "text", postings, allTerms)
+      // TWO jobs total: the stats pass computes df/cf off the posting
+      // aggregate with the corpus scalars riding the same scan as an
+      // Observation (no separate corpus-agg job), and the scoring pass
+      // rebuilds the slim posting frame inline — nothing persisted, so
+      // the 99-gate Verify run holds no cache across queries
+      val stats = Retrieval.observedStats(docs, "doc_id", "text", allTerms)
       val idfs = stats.perTerm.map { case (t, df, _) =>
         (t, Retrieval.idf(stats.n, df)) }
       val avgdl = Retrieval.avgdlOf(stats)
       batchBm25State.set((idfs, avgdl))
       Retrieval.batchBm25TopK(docs, "doc_id", "text",
-        Retrieval.QueryBatch, idfs, avgdl, k = 10, postings = Some(postings))
+        Retrieval.QueryBatch, idfs, avgdl, k = 10)
     },
 
     // TRAINED quality filter (the fastText-style classifier step; the
@@ -504,12 +504,16 @@ object TextQueries {
     // per-group state is a BOUNDED mergeable sketch, not the group's full
     // value buffer, so this is the form that survives high-cardinality
     // groupings (per-source/per-shard stats at 100 TB) where the exact
-    // sort-based percentile's state grows with the group. Rows-only gate
-    // (sketch internals are engine-specific, not oracle-replicable);
-    // TextOpsSpec pins the rank-error bound against the exact quantiles.
+    // sort-based percentile's state grows with the group. Oracle: the
+    // sketch outputs ride the oracle SQL as literals (the embedded-
+    // centroid pattern) and DuckDB INDEPENDENTLY verifies, from the raw
+    // corpus, that each value is an observed group member whose rank
+    // interval intersects the documented ε = 1/accuracy rank window —
+    // echoing the literal on pass, NULL (hash mismatch) on violation.
+    // TextOpsSpec additionally pins the same bound Spark-side.
     "tx_quantiles_sketch" -> { (s, d) =>
       val n = size(TextOps.whitespaceTokens(col("text"))).cast("double")
-      Tables.documents(s, d)
+      val out = Tables.documents(s, d)
         .select(col("lang"), n.as("n"))
         .groupBy("lang")
         .agg(
@@ -521,6 +525,10 @@ object TextQueries {
           element_at(col("qs"), 2).as("p50"),
           element_at(col("qs"), 3).as("p75"))
         .orderBy("lang")
+      // per-lang rows: bounded by language cardinality, never the corpus
+      quantileSketchState.set(out.collect().map(r =>
+        (r.getString(0), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      out
     },
 
     // per-language deterministic downsampling — the "rebalance the corpus"
@@ -1435,6 +1443,53 @@ object TextQueries {
   private[graft] val batchBm25State =
     new java.util.concurrent.atomic.AtomicReference[(Seq[(String, Double)], Double)]()
 
+  /** Per-lang (p25, p50, p75) sketch outputs from the last
+    * `tx_quantiles_sketch` run in this JVM (the [[ivfTrainedCentroids]]
+    * life-cycle).
+    */
+  private[graft] val quantileSketchState =
+    new java.util.concurrent.atomic.AtomicReference[Array[(String, Double, Double, Double)]]()
+
+  /** Bounds oracle for the quantile sketch: the sketch values as DOUBLE
+    * literals, then DuckDB re-derives from the raw corpus (a) membership —
+    * percentile_approx returns an OBSERVED value, so each literal must
+    * equal some group member — and (b) the Greenwald-Khanna rank
+    * guarantee: the value's rank interval [count(n < v) + 1, count(n ≤ v)]
+    * must intersect [(φ − ε)·N, (φ + ε)·N] with ε = 1/accuracy = 1e-4
+    * (±1 slop for integer rank boundaries). A value inside the window
+    * echoes back and the row hashes identical to the Spark output; a
+    * violation yields NULL and the gate goes red. Independent because
+    * DuckDB checks the property from the data — the literals only tell it
+    * WHICH values to check, not whether they pass.
+    */
+  private def quantilesSketchOracle(
+      rows: Array[(String, Double, Double, Double)]): String = {
+    val eps = 1.0 / 10000.0
+    val dim = rows.map { case (l, a, b, c) =>
+      s"('${l.replace("'", "''")}', $a, $b, $c)"
+    }.mkString(",")
+    def chk(p: String, phi: Double): String =
+      s"""CASE WHEN eq$p > 0
+            AND lt$p + 1 <= ($phi + $eps) * n_docs + 1.0
+            AND le$p     >= ($phi - $eps) * n_docs - 1.0
+          THEN p$p END AS p$p"""
+    def cnts(p: String): String =
+      s"""SUM(CASE WHEN v.n <  s.p$p THEN 1 ELSE 0 END) AS lt$p,
+          SUM(CASE WHEN v.n <= s.p$p THEN 1 ELSE 0 END) AS le$p,
+          SUM(CASE WHEN v.n =  s.p$p THEN 1 ELSE 0 END) AS eq$p"""
+    s"""WITH sk(lang, p25, p50, p75) AS (VALUES $dim),
+        vals AS (SELECT lang, CAST(len($tokensSql) AS DOUBLE) AS n
+                 FROM documents),
+        chk AS (SELECT v.lang, s.p25, s.p50, s.p75,
+            CAST(COUNT(*) AS BIGINT) AS n_docs,
+            ${cnts("25")}, ${cnts("50")}, ${cnts("75")}
+          FROM vals v JOIN sk s ON v.lang = s.lang
+          GROUP BY v.lang, s.p25, s.p50, s.p75)
+        SELECT lang, n_docs, ${chk("25", 0.25)}, ${chk("50", 0.50)},
+               ${chk("75", 0.75)}
+        FROM chk ORDER BY lang"""
+  }
+
   /** Batch-BM25 oracle: the (query, term, idf) dim as literals, postings /
     * fixed-point parts / integer sums / per-query top-10 re-derived by
     * DuckDB.
@@ -1498,8 +1553,10 @@ object TextQueries {
     }.mkString(",")
     s"""WITH wt(word, n) AS (VALUES $dim),
         tw AS (SELECT doc_id, unnest($tokensSql) AS word FROM documents),
-        cnt AS (SELECT doc_id, CAST(SUM(wt.n) AS BIGINT) AS n
-                FROM tw JOIN wt ON tw.word = wt.word GROUP BY doc_id)
+        agg AS (SELECT doc_id, CAST(SUM(wt.n) AS BIGINT) AS n
+                FROM tw JOIN wt ON tw.word = wt.word GROUP BY doc_id),
+        cnt AS (SELECT d.doc_id, COALESCE(agg.n, 0) AS n
+                FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id)
         SELECT doc_id, CAST(n AS INTEGER) AS n_bpe,
                CAST(SUM(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
                     AS BIGINT) AS running,
@@ -1523,11 +1580,14 @@ object TextQueries {
     s"""WITH wt(word, toks, n) AS (VALUES $dim),
         tk AS (SELECT doc_id, $tokensSql AS w FROM documents),
         ti AS (SELECT doc_id, unnest(generate_series(1, len(w))) AS i, w FROM tk),
-        tw AS (SELECT doc_id, i, w[i] AS word FROM ti)
-        SELECT tw.doc_id, CAST(SUM(wt.n) AS INTEGER) AS n_bpe,
-               string_agg(wt.toks, '|' ORDER BY tw.i) AS bpe_text
-        FROM tw JOIN wt ON tw.word = wt.word
-        GROUP BY tw.doc_id ORDER BY tw.doc_id"""
+        tw AS (SELECT doc_id, i, w[i] AS word FROM ti),
+        agg AS (SELECT tw.doc_id, CAST(SUM(wt.n) AS INTEGER) AS n_bpe,
+                       string_agg(wt.toks, '|' ORDER BY tw.i) AS bpe_text
+                FROM tw JOIN wt ON tw.word = wt.word GROUP BY tw.doc_id)
+        SELECT d.doc_id, COALESCE(agg.n_bpe, 0) AS n_bpe,
+               COALESCE(agg.bpe_text, '') AS bpe_text
+        FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+        ORDER BY d.doc_id"""
   }
 
   /** IVF oracle: embeds the trained centroids as literal DOUBLE[] rows
@@ -1624,10 +1684,15 @@ object TextQueries {
       case Some((idfs, avgdl)) => withQc + ("ir_bm25_topk" -> bm25Oracle(idfs, avgdl))
       case None                => withQc
     }
-    Option(batchBm25State.get()) match {
+    val withBatch = Option(batchBm25State.get()) match {
       case Some((idfs, avgdl)) =>
         withIr + ("ir_batch_bm25" -> batchBm25Oracle(idfs, avgdl))
       case None => withIr
+    }
+    Option(quantileSketchState.get()) match {
+      case Some(rows) if rows.nonEmpty =>
+        withBatch + ("tx_quantiles_sketch" -> quantilesSketchOracle(rows))
+      case _ => withBatch
     }
   }
 

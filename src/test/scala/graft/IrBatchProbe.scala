@@ -20,17 +20,13 @@ object IrBatchProbe {
     val allTerms = Retrieval.QueryBatch.flatMap(_._2).distinct.sorted
     (1 to 3).foreach { i =>
       println(s"--- pass $i")
-      val postings = time("postingTf build+count") {
-        val p = Retrieval.postingTf(docs, "doc_id", "text", allTerms)
-        p.count(); p
-      }
-      val stats = time("statsFromPostings") {
-        Retrieval.statsFromPostings(docs, "text", postings, allTerms)
+      val stats = time("observedStats (1 job)") {
+        Retrieval.observedStats(docs, "doc_id", "text", allTerms)
       }
       val idfs = stats.perTerm.map { case (t, df, _) => (t, Retrieval.idf(stats.n, df)) }
       time("batchBm25TopK count") {
         Retrieval.batchBm25TopK(docs, "doc_id", "text", Retrieval.QueryBatch,
-          idfs, Retrieval.avgdlOf(stats), 10, Some(postings)).count()
+          idfs, Retrieval.avgdlOf(stats), 10).count()
       }
       time("full gate count") {
         SparkEntry.queries("ir_batch_bm25")(spark, sfDir).count()

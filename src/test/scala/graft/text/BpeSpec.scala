@@ -12,7 +12,8 @@ import org.apache.spark.sql.functions._
 class BpeSpec extends SparkSpec {
   import spark.implicits._
 
-  private def ranksOf(merges: Seq[Bpe.Merge]): java.util.HashMap[String, Integer] =
+  private def ranksOf(merges: Seq[Bpe.Merge])
+      : java.util.HashMap[String, java.util.HashMap[String, Integer]] =
     BpeEncodeTokens.buildTable(merges.toArray.map(p => Array(p._1, p._2))).ranks
 
   private def fastWord(w: String, merges: Seq[Bpe.Merge]): Seq[String] =

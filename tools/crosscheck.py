@@ -84,8 +84,7 @@ def canonical_hash(df: pd.DataFrame) -> str:
 
 def load_pins() -> dict:
     """tools/pins.json: {sf_name: {query: sha256}} frozen-output pins for
-    the no-oracle queries (ann_hnsw_topk, ann_ivfpq_topk, x5_blat_text,
-    tx_quantiles_sketch). The pin asserts DETERMINISM + NON-REGRESSION
+    the no-oracle queries (ann_hnsw_topk, ann_ivfpq_topk, x5_blat_text). The pin asserts DETERMINISM + NON-REGRESSION
     against an output reviewed once at pin time — not independent
     correctness (DuckDB cannot express these); independent evidence lives
     in the ScalaTest recall/truth-table/determinism specs. Regenerate

@@ -5,7 +5,7 @@ Usage: python3 tools/pin_update.py <sfDir> <verifyOutDir>
 
 For every query directory in <verifyOutDir> that has NO entry in
 oracle_sql.json (the not-SQL-expressible set: ann_hnsw_topk,
-ann_ivfpq_topk, x5_blat_text, tx_quantiles_sketch), computes the
+ann_ivfpq_topk, x5_blat_text), computes the
 canonical content hash (crosscheck.canonical_hash) of the Spark output
 and writes/updates tools/pins.json under the SF-directory name.
 
