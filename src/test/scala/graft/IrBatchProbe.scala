@@ -29,8 +29,16 @@ object IrBatchProbe {
           idfs, Retrieval.avgdlOf(stats), 10).count()
       }
       time("full gate count") {
-        SparkEntry.queries("ir_batch_bm25")(spark, sfDir).count()
+        spark.sparkContext.setJobGroup("irbatch", "gate job count probe")
+        try SparkEntry.queries("ir_batch_bm25")(spark, sfDir).count()
+        finally spark.sparkContext.clearJobGroup()
       }
+      // NOTE: with AQE on, every shuffle-stage materialization is its own
+      // job id, so this counts AQE stages, not logical passes — the gate
+      // is 2 logical passes over the corpus (stats, scoring)
+      val jobs = spark.sparkContext.statusTracker
+        .getJobIdsForGroup("irbatch").length
+      println(s"[probe] gate spark job ids so far (AQE-inflated): $jobs")
       spark.catalog.clearCache()
     }
     spark.stop()
