@@ -331,6 +331,47 @@ object Dedup {
       .select("d1", "d2", "inter", "j")
       .orderBy("d1", "d2")
 
+  /** One-pass candidate-volume stats for the exact inverted-index path:
+    * (candidate pairs emitted by the posting join, survivors of the
+    * Jaccard threshold). This is the scale instrument behind the sf1
+    * envelope's exact-family superlinearity finding: wall time in this
+    * family tracks CANDIDATE VOLUME (the posting join's Σc² term over
+    * per-shingle posting counts c), not memory — a denser corpus grows
+    * candidates quadratically while the sketch tier's banding keeps its
+    * candidate set near-linear. Both counts ride one aggregate over one
+    * pair-generation pass (no double execution of the heavy lineage).
+    */
+  def jaccardCandidateStats(
+      hashed: DataFrame, threshold: Double,
+      cap: Int = DefaultGroupCap, sampleMod: Int = DefaultSampleMod): (Long, Long) = {
+    val pairs = jaccardPairRows(hashed, None, cap, sampleMod)
+      .withColumn("jraw", col("inter") / (col("n1") + col("n2") - col("inter")))
+    val r = pairs.agg(count(lit(1)),
+      sum(when(col("jraw") >= threshold, 1L).otherwise(0L))).collect()(0)
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  /** The same one-pass stats for the PPJoin path: (prefix-filter
+    * candidates, verified survivors). survivors/candidates is the
+    * prefix-filter SURVIVAL RATE — the efficiency number that decides
+    * exact-vs-sketch routing at scale: a low rate means the prefix filter
+    * is paying for many exact verifications that fail, and the corpus
+    * belongs on the sketch tier (MinHash/SimHash candidates, exact verify
+    * only on survivors).
+    */
+  def ppjoinCandidateStats(hashed: DataFrame, threshold: Double): (Long, Long) = {
+    graft.functions.GraftExtensions.register(hashed.sparkSession)
+    val base = hashed.repartition(col("doc_id"))
+    val scored = prefixCandidates(cmsOrdered(base, sketchFrom = hashed), threshold)
+      .join(base.select(col("doc_id").as("d1"), col("hs").as("h1"), col("n").as("n1")), "d1")
+      .join(base.select(col("doc_id").as("d2"), col("hs").as("h2"), col("n").as("n2")), "d2")
+      .withColumn("inter", expr("sorted_long_intersect_count(h1, h2)"))
+      .withColumn("jraw", col("inter") / (col("n1") + col("n2") - col("inter")))
+    val r = scored.agg(count(lit(1)),
+      sum(when(col("jraw") >= threshold, 1L).otherwise(0L))).collect()(0)
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
   /** EXACT Jaccard near-dup pairs over hashed shingle sets via the
     * inverted index: explode (doc_id, hash), group postings per shingle,
     * count pair matches (= |A∩B|), then the Jaccard threshold on
@@ -728,6 +769,35 @@ object Dedup {
       bands: Int = 16,
       cap: Int = DefaultGroupCap,
       sampleMod: Int = DefaultSampleMod): DataFrame = {
+    val sh = shingled
+    val candidates = minhashLshCandidates(sh, numHashes, bands, cap, sampleMod)
+
+    // exact verification joins the (persisted) shingle sets back in for
+    // the few surviving candidates only
+    candidates
+      .join(sh.select(col("doc_id").as("d1"), col("shingles").as("sh1")), "d1")
+      .join(sh.select(col("doc_id").as("d2"), col("shingles").as("sh2")), "d2")
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast("long"))
+      .withColumn("jraw",
+        col("inter") / (size(col("sh1")) + size(col("sh2")) - col("inter")))
+      .where(col("jraw") >= threshold)
+      .withColumn("j", floor(col("jraw") * 1000000.0 + 0.5) / 1000000.0)
+      .select("d1", "d2", "inter", "j")
+      .orderBy("d1", "d2")
+  }
+
+  /** The banded-bucket candidate pairs behind [[minhashLshPairs]]
+    * (distinct d1 < d2, pre-verification) — factored out so the scale
+    * instrumentation ([[minhashCandidateStats]]) can count the sketch
+    * tier's candidate volume on the same code path the production query
+    * runs.
+    */
+  private[text] def minhashLshCandidates(
+      shingled: DataFrame,
+      numHashes: Int,
+      bands: Int,
+      cap: Int,
+      sampleMod: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     // NOT persisted (library calls must not leak cached blocks past their
@@ -763,7 +833,7 @@ object Dedup {
         col("doc_id"))
       .select(xxhash64(col("bucket_s")).as("bucket"), col("doc_id"))
     val capL = cap
-    val candidates = gridTagged(bucketRows, "bucket", "doc_id",
+    gridTagged(bucketRows, "bucket", "doc_id",
         hotKeys(bucketRows, "bucket", "doc_id", cap, sampleMod))
       .select(col("bucket"), col("gci"), col("gcj"), col("gblk"), col("doc_id"))
       .as[(Long, Int, Int, Int, Long)]
@@ -797,19 +867,32 @@ object Dedup {
       // (j = 1.0). Guard it explicitly.
       .where(col("d1") =!= col("d2"))
       .dropDuplicates("d1", "d2")
+  }
 
-    // exact verification joins the (persisted) shingle sets back in for
-    // the few surviving candidates only
-    candidates
+  /** One-pass (candidates, verified survivors) for the MinHash-LSH sketch
+    * tier — the comparison row next to [[jaccardCandidateStats]] /
+    * [[ppjoinCandidateStats]] in the scale envelope: banding keeps this
+    * candidate count near-linear in corpus size while the exact tier's
+    * grows with Σc², which is the measured crossover that routes 100 TB
+    * dedup through the sketch tier.
+    */
+  def minhashCandidateStats(
+      shingled: DataFrame,
+      threshold: Double,
+      numHashes: Int = 32,
+      bands: Int = 16,
+      cap: Int = DefaultGroupCap,
+      sampleMod: Int = DefaultSampleMod): (Long, Long) = {
+    val sh = shingled
+    val scored = minhashLshCandidates(sh, numHashes, bands, cap, sampleMod)
       .join(sh.select(col("doc_id").as("d1"), col("shingles").as("sh1")), "d1")
       .join(sh.select(col("doc_id").as("d2"), col("shingles").as("sh2")), "d2")
       .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast("long"))
       .withColumn("jraw",
         col("inter") / (size(col("sh1")) + size(col("sh2")) - col("inter")))
-      .where(col("jraw") >= threshold)
-      .withColumn("j", floor(col("jraw") * 1000000.0 + 0.5) / 1000000.0)
-      .select("d1", "d2", "inter", "j")
-      .orderBy("d1", "d2")
+    val row = scored.agg(count(lit(1)),
+      sum(when(col("jraw") >= threshold, 1L).otherwise(0L))).collect()(0)
+    (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
   }
 
   /** 60-bit SimHash over distinct whitespace tokens: two 30-bit polynomial

@@ -152,6 +152,29 @@ class TextOpsSpec extends SparkSpec {
       s"cms ordering should closely track exact df: $candCms vs exact $candDf")
   }
 
+  test("candidate-volume stats: survivor agreement across tiers, sf0.01 pins") {
+    // r12 scale instrumentation (the sf1 envelope's crossover measure):
+    // all three candidate tiers must agree on the exact survivor relation,
+    // and the sf0.01 candidate counts are pinned so a prefix-filter or
+    // banding regression that silently inflates candidate volume (the
+    // exact family's measured superlinear term at sf1) fails here rather
+    // than only showing up as a slow envelope run
+    val docs = graft.Tables.documents(spark, sf001)
+    val hashed = Dedup.hashedShingleDocs(docs, "doc_id", "text")
+    val shingled = Dedup.shingleDocs(docs, "doc_id", "text")
+    val (invC, invS) = Dedup.jaccardCandidateStats(hashed, 0.5)
+    val (ppC, ppS) = Dedup.ppjoinCandidateStats(hashed, 0.5)
+    val (mhC, mhS) = Dedup.minhashCandidateStats(shingled, 0.5)
+    assert(invS == ppS && ppS == mhS,
+      s"tiers disagree on the exact relation: $invS / $ppS / $mhS")
+    assert((invC, invS) === ((11533L, 25L)),
+      "inverted-index candidate volume moved — Σc² regression or shingle change")
+    assert((ppC, ppS) === ((26L, 25L)),
+      "ppjoin prefix-filter candidate volume moved — ordering/filter regression")
+    assert((mhC, mhS) === ((37L, 25L)),
+      "minhash banding candidate volume moved — signature/banding regression")
+  }
+
   test("pairTable: memoized seam equals direct computation, reused across consumers") {
     val rnd = new scala.util.Random(13)
     val vocab = Vector("data", "spark", "query", "join", "scan", "agg", "row")
