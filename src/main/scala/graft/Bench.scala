@@ -39,10 +39,21 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // r12 methodology fix: time FULL materialization (noop sink), not
+    // count(). count() lets Catalyst prune deterministic projections, so
+    // projection-only gates (the native-kernel map family: fingerprint,
+    // lang-id, simhash, token counts, …) were timing a plan that never
+    // ran their kernels — measured 2-5× under the real cost — while the
+    // DuckDB twin always fetchall()s full rows. The noop sink consumes
+    // every row and column through the committed writer path with zero
+    // I/O, which is the symmetric measurement. (Totals are therefore not
+    // directly comparable to pre-r12 rounds for map-shaped queries.)
     val results = selected.map { case (name, fn) =>
       val sec = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        } catch { case _: Throwable => () }
         val t = (System.nanoTime() - t0) / 1e9
         // release per-query persisted lineage (dedup shingle/signature
         // caches) outside the timed window so the second run and later
@@ -174,21 +185,72 @@ object Bench {
           "dd_hamming", "dd_jac_components", "dd_sim_components",
           "dd_components", "dd_canonical",
           "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
-          "cur_decontaminate_bloom", "cur_pii_redact", "tx_perplexity")
+          "cur_decontaminate_bloom", "cur_pii_redact", "tx_perplexity",
+          "tx_bpe_encode")
         val rowsJson = try {
           family.map { name =>
             peak = 0L; spill = 0L
+            // r12 memo-efficacy row: the encode kernel's per-executor word
+            // memo claims Zipf hit-rate ≈ 1; measure it at sf1 so a
+            // corpus-shape change that defeats the memo (high-entropy
+            // tokens) is a visible diff, not a silent 2-3× regression
+            if (name == "tx_bpe_encode")
+              graft.functions.BpeEncodeTokens.resetMemoStats()
             val t0 = System.nanoTime()
-            SparkEntry.queries(name)(spark, sf1Dir).count()
+            // full materialization (see the r12 noop note on the main loop)
+            SparkEntry.queries(name)(spark, sf1Dir)
+              .write.format("noop").mode("overwrite").save()
             val sec = (System.nanoTime() - t0) / 1e9
+            val memo = if (name != "tx_bpe_encode") "" else {
+              val (h, m, entries) = graft.functions.BpeEncodeTokens.memoStats()
+              val rate = if (h + m == 0) 0.0 else h.toDouble / (h + m)
+              f""","memo_hits":$h,"memo_misses":$m,"memo_hit_rate":$rate%.4f,"memo_entries":$entries"""
+            }
             // listener events are queued on a private bus with no flush
             // API; the count() is synchronous and the bus drains in ms
             Thread.sleep(500)
             spark.catalog.clearCache(); System.gc()
-            f""""$name":{"sec":$sec%.3f,"peak_task_mb":${peak / 1048576},"spill_mb":${spill / 1048576}}"""
+            f""""$name":{"sec":$sec%.3f,"peak_task_mb":${peak / 1048576},"spill_mb":${spill / 1048576}$memo}"""
           }.mkString(",")
         } finally spark.sparkContext.removeSparkListener(listener)
         s"""{"dir":"$sf1Dir","timing":"single_run","queries":{$rowsJson}}"""
+      }.getOrElse("{}")
+
+    // End-to-end pretrain composition (r12, verdict ask #6): the real
+    // user surface (Main pretrain — quality gate → dedup → PII → BPE →
+    // packing) as a graded bench row at the bench SF: wall + per-stage
+    // breakdown + max per-task peakExecutionMemory + spill, single run
+    // (a composition envelope, not a timing race). Strictly optional —
+    // any failure yields an empty section, never a failed bench.
+    val pretrainJson: String =
+      if (only.isDefined) "{}"
+      else scala.util.Try {
+        @volatile var peak = 0L
+        @volatile var spill = 0L
+        val listener = new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+            val m = t.taskMetrics
+            if (m != null) {
+              peak = math.max(peak, m.peakExecutionMemory)
+              spill += m.memoryBytesSpilled + m.diskBytesSpilled
+            }
+          }
+        }
+        spark.sparkContext.addSparkListener(listener)
+        try {
+          val outDir = java.nio.file.Files
+            .createTempDirectory("graft_bench_pretrain").toString
+          val t0 = System.nanoTime()
+          val res = graft.pipelines.Pretrain.run(spark, sfDir, outDir)
+          val wall = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(500) // listener bus drains (see sf1 note)
+          val stages = res.stages
+            .map { case (n, s) => f""""$n":$s%.3f""" }.mkString(",")
+          f"""{"wall_sec":$wall%.3f,"peak_task_mb":${peak / 1048576},""" +
+            f""""spill_mb":${spill / 1048576},"input":${res.input},""" +
+            f""""kept":${res.kept},"packs":${res.packs},"stages":{$stages}}"""
+        } finally spark.sparkContext.removeSparkListener(listener)
       }.getOrElse("{}")
 
     // DuckDB twin timings (the Spark-vs-DuckDB ratio the judge re-derives
@@ -301,7 +363,7 @@ object Bench {
         s""""queries_duckdb":$duckQs,"duckdb_total_sec":$duckTotal,""" +
         s""""scan_bp_per_sec":$bpPerSec,"scan_sec":$scanSec,""" +
         s""""skew_join_skewed_sec":$skewSec,"skew_join_uniform_sec":$unifSec,""" +
-        s""""sf1_envelope":$sf1Json,"sf":"$sfDir"}"""
+        s""""sf1_envelope":$sf1Json,"pretrain":$pretrainJson,"sf":"$sfDir"}"""
     println(line)
     // the driver's BENCH_r*.json tail-capture truncates the per-query map;
     // the full line also lands in a file so nothing is lost per round

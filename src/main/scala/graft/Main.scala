@@ -432,56 +432,16 @@ object Main {
       // gate query verifies; artifacts (weights.tsv, merges.tsv,
       // packed.parquet) are the deployables
       case "pretrain" =>
+        // the composition lives in graft.pipelines.Pretrain (shared with
+        // the graded bench row — same stages, same artifacts)
         val spark = session()
-        import org.apache.spark.sql.functions.{broadcast, col, floor, size}
-        val dir = req("data")
-        val out = req("out")
-        val ctxLen = opts.getOrElse("context", "2048").toDouble
-        val docs = Tables.documents(spark, dir)
-        Files.createDirectories(Paths.get(out))
-        // 1. trained quality gate (logit >= 0 = the classifier's keep side)
-        val w = graft.text.QualityClassifier.train(docs, "text")
-        Files.writeString(Paths.get(s"$out/weights.tsv"),
-          w.zipWithIndex.map { case (v, i) => s"w$i\t$v" }
-            .mkString("", "\n", "\n"))
-        val kept = docs.where(
-          graft.text.QualityClassifier.logitColumn(col("text"), w) >= 0.0)
-        // 2. near-dup canonical dedup among the kept docs
-        val pairs = graft.text.Dedup.jaccardPairsHashed(
-          graft.text.Dedup.hashedShingleDocs(kept, "doc_id", "text"), 0.5)
-        val dropDup = graft.text.Dedup.connectedComponents(pairs)
-          .where(col("doc_id") =!= col("component")).select("doc_id")
-        val canon = kept.join(broadcast(dropDup), Seq("doc_id"), "left_anti")
-        // 3. optional decontamination (bloom scale path, curate's flag)
-        val clean = opts.get("decontaminate-below").map(_.toLong) match {
-          case Some(b) => canon.join(
-            graft.text.TextQueries.decontaminateSurvivors(spark, dir, b, useBloom = true)
-              .select(col("doc_id")), Seq("doc_id"), "left_semi")
-          case None => canon
-        }
-        // 4. PII redaction — the text every later stage (and training) sees
-        val redacted = clean.select(col("doc_id"),
-          graft.text.TextOps.piiRedact(col("text")).as("text"))
-        redacted.write.mode("overwrite").parquet(s"$out/clean.parquet")
-        // 5. tokenizer trains on the CLEANED corpus (what it will encode)
-        val cleanBack = spark.read.parquet(s"$out/clean.parquet")
-        val trained = graft.text.Bpe.train(cleanBack, "text",
-          opts.getOrElse("merges", "24").toInt)
-        Files.writeString(Paths.get(s"$out/merges.tsv"),
-          graft.text.Bpe.renderMerges(trained.merges))
-        val encoded = cleanBack.select(col("doc_id"),
-            graft.text.Bpe.encodeTokens(col("text"), trained.merges).as("tokens"))
-          .withColumn("n_tokens", size(col("tokens")).cast("long"))
-        // 6. context-window packing over the BPE counts
-        graft.ops.PrefixSum.withRunningTotal(encoded, "n_tokens", "running", col("doc_id"))
-          .withColumn("pack_id",
-            floor((col("running") - col("n_tokens")) / ctxLen).cast("long"))
-          .write.mode("overwrite").parquet(s"$out/packed.parquet")
-        val packedBack = spark.read.parquet(s"$out/packed.parquet")
-        println(s"[pretrain] input=${docs.count()} " +
-          s"kept=${packedBack.count()} " +
-          s"packs=${packedBack.select("pack_id").distinct().count()} " +
-          s"merges=${trained.merges.length}")
+        val res = graft.pipelines.Pretrain.run(spark, req("data"), req("out"),
+          ctxLen = opts.getOrElse("context", "2048").toDouble,
+          numMerges = opts.getOrElse("merges", "24").toInt,
+          decontaminateBelow = opts.get("decontaminate-below").map(_.toLong))
+        println(s"[pretrain] input=${res.input} kept=${res.kept} " +
+          s"packs=${res.packs} merges=${res.numMerges} " +
+          res.stages.map { case (n, sec) => f"$n=$sec%.2fs" }.mkString(" "))
 
       case other =>
         System.err.println(s"unknown command: $other\n$usage")
