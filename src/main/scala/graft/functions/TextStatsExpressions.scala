@@ -166,3 +166,319 @@ object SpanSurgery {
     new GenericInternalRow(Array[Any](toks.length, removed, h))
   }
 }
+
+/** Native polynomial string fingerprint: `h = (h·base + char) mod p` over
+  * the string's UTF-16 units, p = [[graft.text.TextOps.HashPrime]] — the
+  * compiled form of `TextOps.polyHashSpec`'s Catalyst-HOF fold
+  * (split-per-char → ascii → aggregate with a pmod per character, which
+  * evaluates INTERPRETED per char and dominated the `tx_fingerprint` /
+  * `cur_pii_redact` map stages once the bench measured full
+  * materialization). Equal to the HOF on the ASCII corpus contract every
+  * text gate shares (the [[Simhash]] per-token hash precedent) —
+  * asserted by differential in TextOpsSpec. SQL mirror: the gate
+  * oracles' shared `polyHashSql` CTE.
+  */
+case class PolyHash(child: Expression, base: Int) extends UnaryExpression {
+
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires string, got $t")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "poly_hash_native"
+
+  override protected def nullSafeEval(input: Any): Any =
+    PolyHash.compute(input.asInstanceOf[UTF8String], base)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = ctx.addReferenceObj("polyHashHelper", PolyHash,
+      PolyHash.getClass.getName)
+    nullSafeCodeGen(ctx, ev, t => s"${ev.value} = $helper.compute($t, $base);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PolyHash =
+    copy(child = newChild)
+}
+
+object PolyHash {
+  def compute(text: UTF8String, base: Int): Long = {
+    val s = text.toString
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      h = (h * base + s.charAt(i)) % HashPrime
+      i += 1
+    }
+    h
+  }
+}
+
+/** Native language-ID kernel: one pass per document — lowercase, ASCII-
+  * space trim, whitespace split, count stopword hits against the four
+  * static [[graft.text.TextOps.langProfiles]], argmax with ties to the
+  * alphabetically-first profile, zero hits → "unknown". The compiled form
+  * of `TextOps.langIdSpec`, whose per-language Catalyst HOF filters
+  * evaluate an interpreted array_contains per token per language (the
+  * hottest remaining map gate once the bench measured full
+  * materialization). Differential-pinned in TextOpsSpec; the gate oracle
+  * replicates the HOF form in SQL, so the DuckDB hash gate transitively
+  * pins this kernel too.
+  */
+case class LangId(child: Expression) extends UnaryExpression {
+
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires string, got $t")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "lang_id_native"
+
+  override protected def nullSafeEval(input: Any): Any =
+    LangId.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = ctx.addReferenceObj("langIdHelper", LangId, LangId.getClass.getName)
+    nullSafeCodeGen(ctx, ev, t => s"${ev.value} = $helper.compute($t);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LangId =
+    copy(child = newChild)
+}
+
+object LangId {
+  private val names: Array[UTF8String] =
+    graft.text.TextOps.langProfiles.map(p => UTF8String.fromString(p._1)).toArray
+  private val sets: Array[java.util.HashSet[String]] =
+    graft.text.TextOps.langProfiles.map { case (_, words) =>
+      val s = new java.util.HashSet[String](words.size * 2)
+      words.foreach(s.add)
+      s
+    }.toArray
+  private val Unknown = UTF8String.fromString("unknown")
+
+  def compute(text: UTF8String): UTF8String = {
+    // lower() first (the spec's order), then the ASCII-space-only trim +
+    // \s+ split every text gate shares. Java's split drops trailing empty
+    // strings where Spark's keeps them — indistinguishable here, since an
+    // empty token can never hit a stopword profile.
+    val s = text.toString.toLowerCase(java.util.Locale.ROOT)
+    var lo = 0
+    var hi = s.length
+    while (lo < hi && s.charAt(lo) == ' ') lo += 1
+    while (hi > lo && s.charAt(hi - 1) == ' ') hi -= 1
+    val words = s.substring(lo, hi).split("\\s+")
+    val counts = new Array[Int](sets.length)
+    var w = 0
+    while (w < words.length) {
+      var l = 0
+      while (l < sets.length) {
+        if (sets(l).contains(words(w))) counts(l) += 1
+        l += 1
+      }
+      w += 1
+    }
+    var best = 0
+    var l = 1
+    while (l < counts.length) { if (counts(l) > counts(best)) best = l; l += 1 }
+    if (counts(best) <= 0) Unknown else names(best)
+  }
+}
+
+/** Native quality-score kernel: the length-saturation + stopword-ratio +
+  * alphabetic-ratio heuristic in one compiled pass — the compiled form of
+  * `TextOps.qualityScoreSpec`, whose HOF stopword filter evaluates an
+  * interpreted array_contains per token (this score feeds five gates, so
+  * the interpreted cost repeated). The arithmetic replicates the spec's
+  * IEEE tree exactly: (0.4·min(n/200,1) + 0.3·stop) + 0.3·alpha, then the
+  * tie-proof floor(x·1e4+0.5)/1e4 — and the token count replicates
+  * Spark's split semantics (limit −1: trailing empty strings COUNT, so an
+  * empty document has one token, exactly like `size(split(trim(text),
+  * '\s+'))`). Differential-pinned in TextOpsSpec; every gate oracle
+  * replicates the spec form in SQL, so the DuckDB hash gates transitively
+  * pin this kernel.
+  */
+case class QualityScore(child: Expression, stopwords: Array[String])
+    extends UnaryExpression {
+
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires string, got $t")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "quality_score_native"
+
+  @transient private lazy val stopSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](stopwords.length * 2)
+    stopwords.foreach(s.add)
+    s
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    QualityScore.compute(input.asInstanceOf[UTF8String], stopSet)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = ctx.addReferenceObj("qualityHelper", QualityScore,
+      QualityScore.getClass.getName)
+    val set = ctx.addReferenceObj("qualityStops", stopSet,
+      classOf[java.util.HashSet[String]].getName)
+    nullSafeCodeGen(ctx, ev, t => s"${ev.value} = $helper.compute($t, $set);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): QualityScore =
+    copy(child = newChild)
+}
+
+object QualityScore {
+  private val Ws = java.util.regex.Pattern.compile("\\s+")
+
+  def compute(text: UTF8String, stops: java.util.HashSet[String]): Double = {
+    val s = text.toString
+    // ASCII-space-only trim (Spark trim), then \s+ split with limit -1
+    // (Spark keeps trailing empty strings; Java's default drops them)
+    var lo = 0
+    var hi = s.length
+    while (lo < hi && s.charAt(lo) == ' ') lo += 1
+    while (hi > lo && s.charAt(hi - 1) == ' ') hi -= 1
+    val words = Ws.split(s.subSequence(lo, hi), -1)
+    val nTokens = words.length
+    var hits = 0
+    var w = 0
+    while (w < words.length) {
+      if (stops.contains(words(w))) hits += 1
+      w += 1
+    }
+    var alpha = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')) alpha += 1
+      i += 1
+    }
+    val stopRatio = hits.toDouble / math.max(nTokens, 1).toDouble
+    val alphaRatio = alpha.toDouble / math.max(s.length, 1).toDouble
+    val raw = 0.4 * math.min(nTokens / 200.0, 1.0) +
+      0.3 * stopRatio + 0.3 * alphaRatio
+    math.floor(raw * 10000.0 + 0.5) / 10000.0
+  }
+}
+
+/** Native PII kernels. Spark's regexp_count / regexp_replace run the same
+  * java.util.regex engine these kernels use, so match semantics are
+  * IDENTICAL by construction — the win is structural: ONE UTF8String →
+  * String decode instead of six, matchers reused via compiled static
+  * patterns, and no intermediate UTF8String round-trips between the three
+  * chained replaces. Counts are DETECTION counts over the RAW text and
+  * redaction applies email → phone → IP in the documented order, exactly
+  * like `TextOps.piiCounts` / `piiRedact` (the specs these replace on the
+  * gate map path); the DuckDB oracles, which replicate the spec SQL,
+  * transitively pin both kernels.
+  */
+object PiiKernels {
+  import graft.text.TextOps.{EmailPattern, PhonePattern, Ipv4Pattern}
+  private[functions] val Email = java.util.regex.Pattern.compile(EmailPattern)
+  private[functions] val Phone = java.util.regex.Pattern.compile(PhonePattern)
+  private[functions] val Ip = java.util.regex.Pattern.compile(Ipv4Pattern)
+
+  private[functions] def count(p: java.util.regex.Pattern, s: String): Int = {
+    val m = p.matcher(s)
+    var n = 0
+    while (m.find()) n += 1
+    n
+  }
+}
+
+/** struct(n_email, n_phone, n_ip) in one pass — the `cur_pii_stats` map. */
+case class PiiCounts(child: Expression) extends UnaryExpression {
+
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires string, got $t")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_email", IntegerType, nullable = false),
+    StructField("n_phone", IntegerType, nullable = false),
+    StructField("n_ip", IntegerType, nullable = false)))
+  override def prettyName: String = "pii_counts_native"
+
+  override protected def nullSafeEval(input: Any): Any =
+    PiiCounts.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = ctx.addReferenceObj("piiCountsHelper", PiiCounts,
+      PiiCounts.getClass.getName)
+    nullSafeCodeGen(ctx, ev, t => s"${ev.value} = $helper.compute($t);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PiiCounts =
+    copy(child = newChild)
+}
+
+object PiiCounts {
+  def compute(text: UTF8String): InternalRow = {
+    val s = text.toString
+    new GenericInternalRow(Array[Any](
+      PiiKernels.count(PiiKernels.Email, s),
+      PiiKernels.count(PiiKernels.Phone, s),
+      PiiKernels.count(PiiKernels.Ip, s)))
+  }
+}
+
+/** struct(n_redacted, clean_len, clean_fp) in one pass — the
+  * `cur_pii_redact` map: detection counts over raw text, then the ordered
+  * three-stage redaction with length and base-31 fingerprint computed inline
+  * on the final string (no re-decode, no second redaction evaluation).
+  */
+case class PiiRedactStats(child: Expression) extends UnaryExpression {
+
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires string, got $t")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_redacted", IntegerType, nullable = false),
+    StructField("clean_len", IntegerType, nullable = false),
+    StructField("clean_fp", LongType, nullable = false)))
+  override def prettyName: String = "pii_redact_stats_native"
+
+  override protected def nullSafeEval(input: Any): Any =
+    PiiRedactStats.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = ctx.addReferenceObj("piiRedactHelper", PiiRedactStats,
+      PiiRedactStats.getClass.getName)
+    nullSafeCodeGen(ctx, ev, t => s"${ev.value} = $helper.compute($t);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PiiRedactStats =
+    copy(child = newChild)
+}
+
+object PiiRedactStats {
+  import graft.text.TextOps.HashPrime
+
+  def compute(text: UTF8String): InternalRow = {
+    val s = text.toString
+    val n = PiiKernels.count(PiiKernels.Email, s) +
+      PiiKernels.count(PiiKernels.Phone, s) +
+      PiiKernels.count(PiiKernels.Ip, s)
+    val clean = PiiKernels.Ip.matcher(
+      PiiKernels.Phone.matcher(
+        PiiKernels.Email.matcher(s).replaceAll("<EMAIL>"))
+        .replaceAll("<PHONE>"))
+      .replaceAll("<IP>")
+    var h = 0L
+    var i = 0
+    while (i < clean.length) { h = (h * 31 + clean.charAt(i)) % HashPrime; i += 1 }
+    new GenericInternalRow(Array[Any](n, clean.length, h))
+  }
+}

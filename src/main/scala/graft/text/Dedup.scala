@@ -918,8 +918,8 @@ object Dedup {
     */
   def simhashSpec(text: Column): Column = {
     val toks = array_distinct(TextOps.whitespaceTokens(text))
-    val h1 = transform(toks, t => TextOps.polyHash(t, 31))
-    val h2 = transform(toks, t => TextOps.polyHash(t, 131))
+    val h1 = transform(toks, t => TextOps.polyHashSpec(t, 31))
+    val h2 = transform(toks, t => TextOps.polyHashSpec(t, 131))
     aggregate(sequence(lit(0), lit(59)), lit(0L), (acc, b) => {
       // bit source: h1 for bits 0..29, h2 for bits 30..59
       val vote = aggregate(

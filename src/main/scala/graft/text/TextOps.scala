@@ -28,7 +28,17 @@ object TextOps {
   /** Polynomial rolling hash of a string: fold (acc*31 + code(char)) mod p.
     * Deterministic, engine-portable (DuckDB: list_reduce with prepended 0).
     */
-  def polyHash(text: Column, base: Int = 31): Column =
+  def polyHash(text: Column, base: Int = 31): Column = {
+    import org.apache.spark.sql.graft.GraftColumnBridge.{column => colOf, expression}
+    colOf(graft.functions.PolyHash(expression(text), base))
+  }
+
+  /** The Catalyst-HOF form of [[polyHash]] — kept as the executable spec
+    * the oracle SQL mirrors (per-char fold with pmod); tests assert it
+    * equals the native kernel on the documents fixture. Interpreted
+    * per character — do not use on a corpus map path.
+    */
+  def polyHashSpec(text: Column, base: Int = 31): Column =
     aggregate(
       transform(split(text, ""), c => ascii(c).cast("long")),
       lit(0L),
@@ -113,6 +123,16 @@ object TextOps {
     * generalized; weights fixed so the oracle can replicate exactly).
     */
   def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    import org.apache.spark.sql.graft.GraftColumnBridge.{column => colOf, expression}
+    colOf(graft.functions.QualityScore(expression(text), stopwords.toArray))
+  }
+
+  /** The Column-expression form of [[qualityScore]] — kept as the
+    * executable spec the oracle SQL mirrors; tests assert it equals the
+    * native kernel bit-for-bit. The HOF stopword filter evaluates
+    * interpreted per token — do not use on a corpus map path.
+    */
+  def qualityScoreSpec(text: Column, stopwords: Seq[String]): Column = {
     val toks = whitespaceTokens(text)
     val nTokens = size(toks)
     val alphaRatio = length(regexp_replace(text, "[^a-zA-Z]", "")) /
@@ -141,6 +161,17 @@ object TextOps {
     * alphabetically-first language (profiles are pre-sorted).
     */
   def langId(text: Column): Column = {
+    import org.apache.spark.sql.graft.GraftColumnBridge.{column => colOf, expression}
+    colOf(graft.functions.LangId(expression(text)))
+  }
+
+  /** The Catalyst-HOF form of [[langId]] — kept as the executable spec the
+    * oracle SQL mirrors (per-language array_contains filters, greatest,
+    * first-match-wins fold); tests assert it equals the native kernel.
+    * Evaluates an interpreted lambda per token per language — do not use
+    * on a corpus map path.
+    */
+  def langIdSpec(text: Column): Column = {
     val toks = whitespaceTokens(lower(text))
     val scores = langProfiles.map { case (lang, words) => (lang, stopwordHits(toks, words)) }
     val best = greatest(scores.map(_._2): _*)
@@ -201,10 +232,31 @@ object TextOps {
     * can exceed the substitutions [[piiRedact]] applies, because
     * redaction consumes the outer match first.
     */
-  def piiCounts(text: Column): Column = struct(
+  def piiCounts(text: Column): Column = {
+    import org.apache.spark.sql.graft.GraftColumnBridge.{column => colOf, expression}
+    colOf(graft.functions.PiiCounts(expression(text)))
+  }
+
+  /** The regexp_count Column form of [[piiCounts]] — kept as the
+    * executable spec the oracle SQL mirrors; tests assert it equals the
+    * native kernel. Three separate regexp ops each decode the string —
+    * use the fused kernel on corpus map paths.
+    */
+  def piiCountsSpec(text: Column): Column = struct(
     regexp_count(text, lit(EmailPattern)).as("n_email"),
     regexp_count(text, lit(PhonePattern)).as("n_phone"),
     regexp_count(text, lit(Ipv4Pattern)).as("n_ip"))
+
+  /** Fused redaction gate kernel: struct(n_redacted, clean_len, clean_fp)
+    * in one native pass (detection counts on the raw text + the ordered
+    * email → phone → IP redaction with length/fingerprint inline) —
+    * equals composing [[piiCountsSpec]] + [[piiRedact]] + length +
+    * [[polyHash]], spec-asserted.
+    */
+  def piiRedactStats(text: Column): Column = {
+    import org.apache.spark.sql.graft.GraftColumnBridge.{column => colOf, expression}
+    colOf(graft.functions.PiiRedactStats(expression(text)))
+  }
 
   /** PII redaction: replace every match with a typed placeholder. Order
     * matters and is fixed — emails first (their local/domain parts can

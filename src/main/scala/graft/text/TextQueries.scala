@@ -766,13 +766,15 @@ object TextQueries {
     // cleaned text by its polynomial fingerprint — same evidence shape as
     // cur_dedup_spans' span surgery.
     "cur_pii_redact" -> { (s, d) =>
-      val redacted = TextOps.piiRedact(col("text"))
+      // ONE fused kernel pass (r12): counts on raw + ordered redaction +
+      // inline length/fingerprint — replaces six separate regexp ops that
+      // each re-decoded the string (TextOpsSpec pins kernel == spec)
       piiInjectedDocs(Tables.documents(s, d))
-        .select(col("doc_id"), col("text"), TextOps.piiCounts(col("text")).as("p"))
+        .select(col("doc_id"), TextOps.piiRedactStats(col("text")).as("r"))
         .select(col("doc_id"),
-          (col("p.n_email") + col("p.n_phone") + col("p.n_ip")).as("n_redacted"),
-          length(redacted).as("clean_len"),
-          TextOps.polyHash(redacted).as("clean_fp"))
+          col("r.n_redacted").as("n_redacted"),
+          col("r.clean_len").as("clean_len"),
+          col("r.clean_fp").as("clean_fp"))
         .orderBy("doc_id")
     },
 

@@ -28,6 +28,35 @@ class PiiSpec extends SparkSpec {
     ("ping 8.8.8.8.", 0, 0, 1),
     ("mail x@y.zw.", 1, 0, 0))
 
+  test("fused native kernels equal the Column specs (truth table + corpus)") {
+    val texts = cases.map(_._1) ++ Seq("", " ", "a@b.co" * 50,
+      "555-123-4567 inside alice@555-123-4567.example.com")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val corpus = graft.text.TextQueries.piiInjectedDocs(
+      graft.Tables.documents(spark, sf001))
+    Seq(df, corpus).foreach { d =>
+      val badCounts = d.select(
+          TextOps.piiCounts(col("text")).as("k"),
+          TextOps.piiCountsSpec(col("text")).as("s"))
+        .where(col("k.n_email") =!= col("s.n_email") ||
+          col("k.n_phone") =!= col("s.n_phone") ||
+          col("k.n_ip") =!= col("s.n_ip")).count()
+      assert(badCounts == 0L, "PiiCounts kernel diverges from regexp_count spec")
+      val redacted = TextOps.piiRedact(col("text"))
+      val badRedact = d.select(
+          TextOps.piiRedactStats(col("text")).as("k"),
+          TextOps.piiCountsSpec(col("text")).as("p"),
+          length(redacted).as("len"),
+          TextOps.polyHash(redacted).as("fp"))
+        .where(col("k.n_redacted") =!=
+            col("p.n_email") + col("p.n_phone") + col("p.n_ip") ||
+          col("k.clean_len") =!= col("len") ||
+          col("k.clean_fp") =!= col("fp")).count()
+      assert(badRedact == 0L, "PiiRedactStats kernel diverges from the composed spec")
+    }
+  }
+
   test("pattern truth table: counts match the JVM-regex reference") {
     val df = cases.map(_._1).zipWithIndex.map { case (t, i) => (i, t) }
       .toDF("id", "text")

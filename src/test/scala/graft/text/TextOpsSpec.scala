@@ -152,6 +152,56 @@ class TextOpsSpec extends SparkSpec {
       s"cms ordering should closely track exact df: $candCms vs exact $candDf")
   }
 
+  test("polyHash native kernel equals the HOF spec (corpus + edge cases)") {
+    import org.apache.spark.sql.functions.col
+    // corpus-wide differential at both bases, plus the boundary shapes:
+    // empty, single char, spaces, digits, regex metachars, a long run
+    // (mod-overflow exercise: 10k chars keeps h*131+c inside a Long)
+    val edge = docDf("", "a", " ", "  x  ", "0123456789", ".*+?()[]{}",
+      "a" * 10000, "<EMAIL> mid <IP>")
+    val corpus = graft.Tables.documents(spark, sf001).select(col("text"))
+    Seq(31, 131).foreach { base =>
+      Seq(edge.select(col("text")), corpus).foreach { df =>
+        val bad = df.select(
+            TextOps.polyHash(col("text"), base).as("native"),
+            TextOps.polyHashSpec(col("text"), base).as("spec"))
+          .where(col("native") =!= col("spec")).count()
+        assert(bad == 0L, s"native polyHash(base=$base) diverges from the HOF spec")
+      }
+    }
+  }
+
+  test("langId native kernel equals the HOF spec (corpus + edge cases)") {
+    import org.apache.spark.sql.functions.col
+    val edge = docDf("", " ", "the the der der", "el la de", "DER Die UND",
+      "no stopwords here at all xyz", "the", "le la de et un",
+      "der die und das ist ein the a of and to is")
+    val corpus = graft.Tables.documents(spark, sf001).select(col("text"))
+    Seq(edge.select(col("text")), corpus).foreach { df =>
+      val bad = df.select(TextOps.langId(col("text")).as("native"),
+          TextOps.langIdSpec(col("text")).as("spec"))
+        .where(col("native") =!= col("spec")).count()
+      assert(bad == 0L, "native langId diverges from the HOF spec")
+    }
+  }
+
+  test("qualityScore native kernel equals the Column spec bit-for-bit") {
+    import org.apache.spark.sql.functions.col
+    val stops = TextOps.langProfiles.flatMap(_._2)
+    // the empty doc pins the split(-1) contract (one empty token, not
+    // zero); the tab-tailed doc pins trailing-empty counting
+    val edge = docDf("", " ", "a\tb\t", "the of and", "x" * 500,
+      "!!!???", "the " * 300)
+    val corpus = graft.Tables.documents(spark, sf001).select(col("text"))
+    Seq(edge.select(col("text")), corpus).foreach { df =>
+      val bad = df.select(
+          TextOps.qualityScore(col("text"), stops).as("native"),
+          TextOps.qualityScoreSpec(col("text"), stops).as("spec"))
+        .where(col("native") =!= col("spec")).count()
+      assert(bad == 0L, "native qualityScore diverges from the Column spec")
+    }
+  }
+
   test("candidate-volume stats: survivor agreement across tiers, sf0.01 pins") {
     // r12 scale instrumentation (the sf1 envelope's crossover measure):
     // all three candidate tiers must agree on the exact survivor relation,
