@@ -482,3 +482,89 @@ object PiiRedactStats {
     new GenericInternalRow(Array[Any](n, clean.length, h))
   }
 }
+
+
+/** Native classifier-feature kernel: the five quality features
+  * (length saturation, stopword ratio, alphabetic ratio, distinct-token
+  * ratio, scaled mean word length) as one compiled pass returning
+  * array<double> — the compiled form of
+  * `QualityClassifier.featureColumnsSpec`. Bit-exactness contract: each
+  * element reproduces the spec's IEEE value exactly (same divisions in
+  * the same order, Spark split(-1) token semantics, int->double casts at
+  * the same points), so the logit fold over these features is
+  * bit-identical to the Column fold the DuckDB oracle mirrors —
+  * differential-pinned in QualityClassifierSpec.
+  */
+case class QualityFeatures(child: Expression, stopwords: Array[String])
+    extends UnaryExpression {
+
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires string, got $t")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "quality_features_native"
+
+  @transient private lazy val stopSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](stopwords.length * 2)
+    stopwords.foreach(s.add)
+    s
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    QualityFeatures.compute(input.asInstanceOf[UTF8String], stopSet)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = ctx.addReferenceObj("qfHelper", QualityFeatures,
+      QualityFeatures.getClass.getName)
+    val set = ctx.addReferenceObj("qfStops", stopSet,
+      classOf[java.util.HashSet[String]].getName)
+    nullSafeCodeGen(ctx, ev, t => s"${ev.value} = $helper.compute($t, $set);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): QualityFeatures =
+    copy(child = newChild)
+}
+
+object QualityFeatures {
+  private val Ws = java.util.regex.Pattern.compile("\\s+")
+
+  def compute(text: UTF8String,
+      stops: java.util.HashSet[String]): ArrayData = {
+    val s = text.toString
+    var lo = 0
+    var hi = s.length
+    while (lo < hi && s.charAt(lo) == ' ') lo += 1
+    while (hi > lo && s.charAt(hi - 1) == ' ') hi -= 1
+    val words = Ws.split(s.subSequence(lo, hi), -1)
+    val n = words.length
+    val nD = math.max(n, 1).toDouble
+    var hits = 0
+    val distinct = new java.util.HashSet[String](n * 2)
+    var w = 0
+    while (w < words.length) {
+      if (stops.contains(words(w))) hits += 1
+      distinct.add(words(w))
+      w += 1
+    }
+    var alpha = 0
+    var nonWs = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')) alpha += 1
+      // java regex \s = [ \t\n\u000B\f\r] — what regexp_replace strips
+      if (!(c == ' ' || c == '\t' || c == '\n' || c == '\u000B' ||
+            c == '\f' || c == '\r')) nonWs += 1
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(Array[Any](
+      math.min(n / 200.0, 1.0),
+      hits / nD,
+      alpha / math.max(s.length, 1).toDouble,
+      distinct.size / nD,
+      nonWs / nD / 10.0))
+  }
+}

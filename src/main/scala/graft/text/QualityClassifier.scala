@@ -37,10 +37,24 @@ object QualityClassifier {
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "is")
 
-  /** The five feature columns, in weight order w1..w5. Exact IEEE
-    * arithmetic only — every term is an int-derived double ratio.
+  /** The five feature columns, in weight order w1..w5 — one compiled
+    * kernel pass ([[graft.functions.QualityFeatures]]) projected by
+    * index; the five GetArrayItems share the kernel subtree, so codegen's
+    * common-subexpression elimination computes it once per row. Bit-equal
+    * to [[featureColumnsSpec]] (QualityClassifierSpec differential).
     */
   def featureColumns(text: Column): Seq[Column] = {
+    import org.apache.spark.sql.graft.GraftColumnBridge.{column => colOf, expression}
+    val f = colOf(graft.functions.QualityFeatures(expression(text), stopwords.toArray))
+    (1 to NumFeatures).map(j => element_at(f, j))
+  }
+
+  /** The Column-expression form of [[featureColumns]] — kept as the
+    * executable spec [[featureSqlTerms]] mirrors; tests assert the native
+    * kernel equals it bit-for-bit. Exact IEEE arithmetic only — every
+    * term is an int-derived double ratio.
+    */
+  def featureColumnsSpec(text: Column): Seq[Column] = {
     val toks = TextOps.whitespaceTokens(text)
     val n = size(toks)
     val nD = greatest(n, lit(1)).cast("double")

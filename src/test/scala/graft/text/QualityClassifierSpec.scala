@@ -48,6 +48,32 @@ class QualityClassifierSpec extends SparkSpec {
     assert(a.length == QualityClassifier.NumFeatures + 1)
   }
 
+  test("native feature kernel equals the Column spec bit-for-bit") {
+    import spark.implicits._
+    // the logit oracle embeds weights as literals over the SPEC features,
+    // so the kernel must reproduce each feature's IEEE double exactly —
+    // compare with strict equality, no tolerance. Edge shapes: empty doc
+    // (one empty token under split(-1)), tab-tailed doc (trailing empty
+    // token), vertical-tab/form-feed (\s class parity), all-stopword,
+    // long doc (length saturation clamps), punctuation-only
+    val edge = Seq("", " ", "a\tb\t", "the of and to is", "x" * 3000,
+      "mixedws\fforms\rhere", "!!! ??? ...", "the " * 250)
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val corpus = graft.Tables.documents(spark, sf001)
+    Seq(edge, corpus).foreach { df =>
+      val native = QualityClassifier.featureColumns(col("text"))
+      val specF = QualityClassifier.featureColumnsSpec(col("text"))
+      val bad = df.select(
+          native.zipWithIndex.map { case (c, i) => c.as(s"n$i") } ++
+          specF.zipWithIndex.map { case (c, i) => c.as(s"s$i") }: _*)
+        .where((0 until QualityClassifier.NumFeatures)
+          .map(i => col(s"n$i") =!= col(s"s$i")).reduce(_ || _))
+        .count()
+      assert(bad == 0L, "native features diverge from the Column spec")
+    }
+  }
+
   test("feature contract: Spark columns and SQL terms stay in lockstep") {
     // the two lists are maintained side by side; a drift in LENGTH is the
     // silent-mismatch case the oracle cannot catch (it would embed too few
