@@ -202,9 +202,9 @@ object Bench {
               .write.format("noop").mode("overwrite").save()
             val sec = (System.nanoTime() - t0) / 1e9
             val memo = if (name != "tx_bpe_encode") "" else {
-              val (h, m, entries) = graft.functions.BpeEncodeTokens.memoStats()
+              val (h, m, puts) = graft.functions.BpeEncodeTokens.memoStats()
               val rate = if (h + m == 0) 0.0 else h.toDouble / (h + m)
-              f""","memo_hits":$h,"memo_misses":$m,"memo_hit_rate":$rate%.4f,"memo_entries":$entries"""
+              f""","memo_hits":$h,"memo_misses":$m,"memo_hit_rate":$rate%.4f,"memo_puts":$puts"""
             }
             // listener events are queued on a private bus with no flush
             // API; the count() is synchronous and the bus drains in ms

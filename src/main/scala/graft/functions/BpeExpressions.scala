@@ -78,10 +78,6 @@ object BpeEncodeTokens {
       val ranks: java.util.HashMap[String, java.util.HashMap[String, Integer]])
       extends Serializable {
     @transient lazy val memo = new ConcurrentHashMap[String, Array[UTF8String]]()
-    // telemetry-registration latch (tables reach tasks as DESERIALIZED
-    // copies via the codegen references array, so build-time registration
-    // misses the instances that actually encode — register on first use)
-    @transient @volatile var registered = false
   }
 
   private val MemoCap = 65536
@@ -89,28 +85,23 @@ object BpeEncodeTokens {
   // JVM-wide memo telemetry (r12 envelope row): LongAdder keeps the hot
   // path at a striped non-contended increment; local-mode runs (the bench
   // envelope) read totals directly, cluster deployments would surface the
-  // same counters per executor via the metrics system. Tables register as
-  // WEAK references (Catalyst copies expressions during optimization, so
-  // several tables exist per query and only task-built ones fill their
-  // memo — the stats report the largest live memo, without pinning any).
+  // same counters per executor via the metrics system. Memo size is
+  // reported as successful PUTS (one per distinct word per encoding
+  // table, minus cap rejections) — counters survive the tables
+  // themselves, where a weak-reference registry read -1 whenever GC beat
+  // the reader to the task-side instances.
   private val memoHits = new java.util.concurrent.atomic.LongAdder
   private val memoMisses = new java.util.concurrent.atomic.LongAdder
-  private val tables =
-    new java.util.concurrent.CopyOnWriteArrayList[java.lang.ref.WeakReference[RankTable]]
+  private val memoPuts = new java.util.concurrent.atomic.LongAdder
 
   def resetMemoStats(): Unit = {
-    memoHits.reset(); memoMisses.reset(); tables.clear()
+    memoHits.reset(); memoMisses.reset(); memoPuts.reset()
   }
 
-  /** (hits, misses, largest live memo's entry count) since the last reset. */
-  def memoStats(): (Long, Long, Int) = {
-    var mx = -1
-    tables.forEach { r =>
-      val t = r.get()
-      if (t != null) mx = math.max(mx, t.memo.size)
-    }
-    (memoHits.sum(), memoMisses.sum(), mx)
-  }
+  /** (hits, misses, successful memo puts) since the last reset. A put
+    * deficit vs misses means the MemoCap bound engaged.
+    */
+  def memoStats(): (Long, Long, Long) = (memoHits.sum(), memoMisses.sum(), memoPuts.sum())
 
   def buildTable(merges: Array[Array[String]]): RankTable = {
     val m = new java.util.HashMap[String, java.util.HashMap[String, Integer]](
@@ -131,16 +122,8 @@ object BpeEncodeTokens {
     new RankTable(m)
   }
 
-  private def registerTable(t: RankTable): Unit = {
-    t.registered = true
-    // bound the registry: dead refs accumulate across a long session
-    if (tables.size > 64) tables.removeIf(r => r.get() == null)
-    tables.add(new java.lang.ref.WeakReference(t))
-  }
-
   /** Kernel: one document → its BPE token array. */
   def encodeDoc(text: UTF8String, table: RankTable): GenericArrayData = {
-    if (!table.registered) registerTable(table)
     // ASCII-space-only trim, matching Spark `trim(text)` / DuckDB
     // `trim(text)` — NOT java.lang.String#trim (which also strips
     // controls); the tokensSql parity every text gate shares depends on it
@@ -161,7 +144,10 @@ object BpeEncodeTokens {
         if (toks == null) {
           memoMisses.increment()
           toks = encodeWord(word, table.ranks)
-          if (table.memo.size < MemoCap) table.memo.put(word, toks)
+          if (table.memo.size < MemoCap) {
+            table.memo.put(word, toks)
+            memoPuts.increment()
+          }
         } else memoHits.increment()
         var i = 0
         while (i < toks.length) { out.add(toks(i)); i += 1 }
