@@ -71,6 +71,37 @@ object DupHeavyProbe {
         Dedup.jaccardPairsHashed(hashed, 0.5).select("d1", "d2")))
     timed("jaccardComponents")(Dedup.jaccardComponents(hashed, 0.5))
 
+    // r12: the candidate-volume crossover table on the DUP-HEAVY bracket
+    // (EnvelopeProbe measures the uniform bracket). On 100×400 identical
+    // classes the exact tiers must pay the C(400,2)-per-class pair
+    // blowup, while MinHash banding pays it too (identical docs share
+    // every band) — the number that proves the routing rule's real win
+    // here is the DIGEST-COLLAPSED path (jaccardComponents) below, which
+    // never generates the within-class quadratic at all.
+    {
+      val shingled = Dedup.shingleDocs(docs, "doc_id", "text")
+      // tripwires for the seeded generator corpus (every path is
+      // deterministic — a moved count is a filter/banding regression)
+      val isSeededCorpus = hashed.count() == 50000
+      def stats(name: String, expect: Long)(f: => (Long, Long)): Unit = {
+        val t0 = System.nanoTime()
+        val (c, s) = f
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"cands $name%-22s cands=$c%10d survive=$s%10d " +
+          f"rate=${if (c == 0) 0.0 else s.toDouble / c}%6.4f $sec%7.2f s")
+        require(!isSeededCorpus || c == expect,
+          s"TRIPWIRE: $name candidates $c != pinned $expect on sf1dup")
+        require(!isSeededCorpus || s == 7980000L,
+          s"TRIPWIRE: $name survivors $s != 7980000 on sf1dup")
+      }
+      stats("exact_inverted_index", 87346740L)(
+        Dedup.jaccardCandidateStats(hashed, 0.5))
+      stats("exact_ppjoin_prefix", 8448833L)(
+        Dedup.ppjoinCandidateStats(hashed, 0.5))
+      stats("sketch_minhash_lsh", 8015226L)(
+        Dedup.minhashCandidateStats(shingled, 0.5))
+    }
+
     // equivalence on THIS corpus (both directions of except)
     val a = Dedup.connectedComponents(
       Dedup.jaccardPairsHashed(hashed, 0.5).select("d1", "d2"))
