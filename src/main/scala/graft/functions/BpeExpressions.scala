@@ -144,8 +144,11 @@ object BpeEncodeTokens {
         if (toks == null) {
           memoMisses.increment()
           toks = encodeWord(word, table.ranks)
-          if (table.memo.size < MemoCap) {
-            table.memo.put(word, toks)
+          // putIfAbsent: concurrent misses of the same hot word count ONE
+          // put (the entry), so puts == live entries exactly; the cap
+          // check stays a soft bound (overshoot ≤ thread count)
+          if (table.memo.size < MemoCap &&
+              table.memo.putIfAbsent(word, toks) == null) {
             memoPuts.increment()
           }
         } else memoHits.increment()

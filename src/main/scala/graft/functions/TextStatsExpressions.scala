@@ -178,6 +178,35 @@ object SpanSurgery {
   * asserted by differential in TextOpsSpec. SQL mirror: the gate
   * oracles' shared `polyHashSql` CTE.
   */
+/** Shared tokenization for the native text kernels — ONE home for the
+  * Spark-parity subtleties every kernel must agree on: ASCII-space-only
+  * trim (Spark `trim`, never String#trim which also strips controls) and
+  * `\\s+` split with limit −1 (Spark keeps trailing empty strings, so an
+  * empty document has ONE empty token). A kernel that hand-rolled these
+  * separately could silently desynchronize from its Column spec.
+  */
+private[functions] object TextKernelUtil {
+  private val Ws = java.util.regex.Pattern.compile("\\s+")
+
+  def asciiTrimSplit(s: String): Array[String] = {
+    var lo = 0
+    var hi = s.length
+    while (lo < hi && s.charAt(lo) == ' ') lo += 1
+    while (hi > lo && s.charAt(hi - 1) == ' ') hi -= 1
+    Ws.split(s.subSequence(lo, hi), -1)
+  }
+
+  def countIn(words: Array[String], set: java.util.HashSet[String]): Int = {
+    var hits = 0
+    var w = 0
+    while (w < words.length) {
+      if (set.contains(words(w))) hits += 1
+      w += 1
+    }
+    hits
+  }
+}
+
 case class PolyHash(child: Expression, base: Int) extends UnaryExpression {
 
   override def nullIntolerant: Boolean = true
@@ -203,8 +232,9 @@ case class PolyHash(child: Expression, base: Int) extends UnaryExpression {
 }
 
 object PolyHash {
-  def compute(text: UTF8String, base: Int): Long = {
-    val s = text.toString
+  def compute(text: UTF8String, base: Int): Long = compute(text.toString, base)
+
+  def compute(s: String, base: Int): Long = {
     var h = 0L
     var i = 0
     while (i < s.length) {
@@ -266,24 +296,16 @@ object LangId {
     // strings where Spark's keeps them — indistinguishable here, since an
     // empty token can never hit a stopword profile.
     val s = text.toString.toLowerCase(java.util.Locale.ROOT)
-    var lo = 0
-    var hi = s.length
-    while (lo < hi && s.charAt(lo) == ' ') lo += 1
-    while (hi > lo && s.charAt(hi - 1) == ' ') hi -= 1
-    val words = s.substring(lo, hi).split("\\s+")
+    val words = TextKernelUtil.asciiTrimSplit(s)
     val counts = new Array[Int](sets.length)
-    var w = 0
-    while (w < words.length) {
-      var l = 0
-      while (l < sets.length) {
-        if (sets(l).contains(words(w))) counts(l) += 1
-        l += 1
-      }
-      w += 1
+    var l = 0
+    while (l < sets.length) {
+      counts(l) = TextKernelUtil.countIn(words, sets(l))
+      l += 1
     }
     var best = 0
-    var l = 1
-    while (l < counts.length) { if (counts(l) > counts(best)) best = l; l += 1 }
+    var i = 1
+    while (i < counts.length) { if (counts(i) > counts(best)) best = i; i += 1 }
     if (counts(best) <= 0) Unknown else names(best)
   }
 }
@@ -335,24 +357,11 @@ case class QualityScore(child: Expression, stopwords: Array[String])
 }
 
 object QualityScore {
-  private val Ws = java.util.regex.Pattern.compile("\\s+")
-
   def compute(text: UTF8String, stops: java.util.HashSet[String]): Double = {
     val s = text.toString
-    // ASCII-space-only trim (Spark trim), then \s+ split with limit -1
-    // (Spark keeps trailing empty strings; Java's default drops them)
-    var lo = 0
-    var hi = s.length
-    while (lo < hi && s.charAt(lo) == ' ') lo += 1
-    while (hi > lo && s.charAt(hi - 1) == ' ') hi -= 1
-    val words = Ws.split(s.subSequence(lo, hi), -1)
+    val words = TextKernelUtil.asciiTrimSplit(s)
     val nTokens = words.length
-    var hits = 0
-    var w = 0
-    while (w < words.length) {
-      if (stops.contains(words(w))) hits += 1
-      w += 1
-    }
+    val hits = TextKernelUtil.countIn(words, stops)
     var alpha = 0
     var i = 0
     while (i < s.length) {
@@ -476,10 +485,8 @@ object PiiRedactStats {
         PiiKernels.Email.matcher(s).replaceAll("<EMAIL>"))
         .replaceAll("<PHONE>"))
       .replaceAll("<IP>")
-    var h = 0L
-    var i = 0
-    while (i < clean.length) { h = (h * 31 + clean.charAt(i)) % HashPrime; i += 1 }
-    new GenericInternalRow(Array[Any](n, clean.length, h))
+    new GenericInternalRow(Array[Any](n, clean.length,
+      PolyHash.compute(clean, 31)))
   }
 }
 
@@ -529,26 +536,16 @@ case class QualityFeatures(child: Expression, stopwords: Array[String])
 }
 
 object QualityFeatures {
-  private val Ws = java.util.regex.Pattern.compile("\\s+")
-
   def compute(text: UTF8String,
       stops: java.util.HashSet[String]): ArrayData = {
     val s = text.toString
-    var lo = 0
-    var hi = s.length
-    while (lo < hi && s.charAt(lo) == ' ') lo += 1
-    while (hi > lo && s.charAt(hi - 1) == ' ') hi -= 1
-    val words = Ws.split(s.subSequence(lo, hi), -1)
+    val words = TextKernelUtil.asciiTrimSplit(s)
     val n = words.length
     val nD = math.max(n, 1).toDouble
-    var hits = 0
+    val hits = TextKernelUtil.countIn(words, stops)
     val distinct = new java.util.HashSet[String](n * 2)
     var w = 0
-    while (w < words.length) {
-      if (stops.contains(words(w))) hits += 1
-      distinct.add(words(w))
-      w += 1
-    }
+    while (w < words.length) { distinct.add(words(w)); w += 1 }
     var alpha = 0
     var nonWs = 0
     var i = 0

@@ -513,7 +513,7 @@ object TextQueries {
     // TextOpsSpec additionally pins the same bound Spark-side.
     "tx_quantiles_sketch" -> { (s, d) =>
       val n = size(TextOps.whitespaceTokens(col("text"))).cast("double")
-      val out = Tables.documents(s, d)
+      val agg = Tables.documents(s, d)
         .select(col("lang"), n.as("n"))
         .groupBy("lang")
         .agg(
@@ -525,10 +525,16 @@ object TextQueries {
           element_at(col("qs"), 2).as("p50"),
           element_at(col("qs"), 3).as("p75"))
         .orderBy("lang")
-      // per-lang rows: bounded by language cardinality, never the corpus
-      quantileSketchState.set(out.collect().map(r =>
+      // per-lang rows: bounded by language cardinality, never the corpus.
+      // Collected ONCE — the oracle builder needs the values as literals,
+      // and returning the distributed frame would re-run the whole
+      // aggregation when the caller materializes it (a 2× bench bias); the
+      // caller gets a local relation with the aggregate's exact schema
+      val rows = agg.collect()
+      quantileSketchState.set(rows.map(r =>
         (r.getString(0), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
-      out
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.toSeq.asJava, agg.schema)
     },
 
     // per-language deterministic downsampling — the "rebalance the corpus"
