@@ -48,12 +48,17 @@ object Bench {
     // every row and column through the committed writer path with zero
     // I/O, which is the symmetric measurement. (Totals are therefore not
     // directly comparable to pre-r12 rounds for map-shaped queries.)
+    // a query that THROWS must surface as an explicit failure, not as a
+    // suspiciously fast timing (the exception path returns in ms): failed
+    // queries report sec = -1, are excluded from the total, and are listed
+    // under "failed" in the output line
     val results = selected.map { case (name, fn) =>
+      var failed = false
       val sec = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        } catch { case _: Throwable => () }
+        } catch { case _: Throwable => failed = true }
         val t = (System.nanoTime() - t0) / 1e9
         // release per-query persisted lineage (dedup shingle/signature
         // caches) outside the timed window so the second run and later
@@ -67,7 +72,7 @@ object Bench {
         System.gc()
         t
       }.min
-      name -> sec
+      (name, if (failed) -1.0 else sec, failed)
     }
 
     // flagship scan throughput: deterministic genome at the REFERENCE's
@@ -363,14 +368,16 @@ object Bench {
         hit.map { case (n, sql) => n -> cached(cacheKey(n, sql)) }.toMap ++ timedMiss
       }.getOrElse(Map.empty)
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.collect { case (_, v, false) => v }.sum
+    val failedList = results.collect { case (k, _, true) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
     val duckQs = duck.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val duckTotal = duck.valuesIterator.filter(_ >= 0).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","timing":"best_of_3","queries":$qs,""" +
+      s"""{"metric":"total","value":$total,"unit":"sec","timing":"best_of_3","queries":$qs,"failed":$failedList,""" +
         s""""queries_duckdb":$duckQs,"duckdb_total_sec":$duckTotal,""" +
         s""""scan_bp_per_sec":$bpPerSec,"scan_sec":$scanSec,""" +
         s""""skew_join_skewed_sec":$skewSec,"skew_join_uniform_sec":$unifSec,""" +

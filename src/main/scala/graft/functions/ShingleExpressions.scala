@@ -269,20 +269,26 @@ object WindowHashes {
     if (toks.length < k) UnsafeArrayData.fromPrimitiveArray(Array.empty[Long])
     else {
       val joined = toks.mkString(" ")
-      val n = joined.length
+      // roll per CODEPOINT, in lockstep with PolyHash's r13 codepoint
+      // fold — the bit-identical-to-polyHash(window-string) contract must
+      // hold on any text, and offsets/powers must therefore be in
+      // codepoint units, not UTF-16 units
+      val cps = joined.codePoints().toArray
+      val n = cps.length
       val prefix = new Array[Long](n + 1)
       val pow = new Array[Long](n + 1)
       pow(0) = 1L
       var i = 0
       while (i < n) {
-        prefix(i + 1) = (prefix(i) * 31 + joined.charAt(i)) % HashPrime
+        prefix(i + 1) = (prefix(i) * 31 + cps(i)) % HashPrime
         pow(i + 1) = (pow(i) * 31) % HashPrime
         i += 1
       }
       val starts = new Array[Int](toks.length)
       var t = 1
       while (t < toks.length) {
-        starts(t) = starts(t - 1) + toks(t - 1).length + 1
+        starts(t) = starts(t - 1) +
+          toks(t - 1).codePointCount(0, toks(t - 1).length) + 1
         t += 1
       }
       val out = new Array[Long](toks.length - k + 1)

@@ -160,21 +160,22 @@ object SpanSurgery {
       }
       i += 1
     }
-    var h = 0L
-    var c = 0
-    while (c < kept.length) { h = (h * 31 + kept.charAt(c)) % HashPrime; c += 1 }
+    // fingerprint via the shared PolyHash kernel (per-codepoint fold) so
+    // the clean_fp stays bit-identical to polyHash(clean_text) everywhere
+    val h = PolyHash.compute(kept.toString, 31)
     new GenericInternalRow(Array[Any](toks.length, removed, h))
   }
 }
 
-/** Native polynomial string fingerprint: `h = (h·base + char) mod p` over
-  * the string's UTF-16 units, p = [[graft.text.TextOps.HashPrime]] — the
-  * compiled form of `TextOps.polyHashSpec`'s Catalyst-HOF fold
-  * (split-per-char → ascii → aggregate with a pmod per character, which
-  * evaluates INTERPRETED per char and dominated the `tx_fingerprint` /
-  * `cur_pii_redact` map stages once the bench measured full
-  * materialization). Equal to the HOF on the ASCII corpus contract every
-  * text gate shares (the [[Simhash]] per-token hash precedent) —
+/** Native polynomial string fingerprint: `h = (h·base + codepoint) mod p`,
+  * p = [[graft.text.TextOps.HashPrime]] — the compiled form of
+  * `TextOps.polyHashSpec`'s Catalyst-HOF fold (split-per-char → ascii →
+  * aggregate with a pmod per character, which evaluates INTERPRETED per
+  * char and dominated the `tx_fingerprint` / `cur_pii_redact` map stages
+  * once the bench measured full materialization). Folds CODEPOINTS —
+  * Spark's and DuckDB's ascii() both return the codepoint — so kernel,
+  * HOF spec, and oracle agree on ANY text, non-BMP included (r13; the
+  * prior UTF-16-unit fold diverged on supplementary characters) —
   * asserted by differential in TextOpsSpec. SQL mirror: the gate
   * oracles' shared `polyHashSql` CTE.
   */
@@ -235,11 +236,17 @@ object PolyHash {
   def compute(text: UTF8String, base: Int): Long = compute(text.toString, base)
 
   def compute(s: String, base: Int): Long = {
+    // fold per CODEPOINT (r13 ADVICE fix): Spark's ascii() and DuckDB's
+    // ascii() both return the codepoint, so folding UTF-16 units here
+    // silently diverged from BOTH the HOF spec and the oracle on
+    // supplementary characters; per-codepoint gives three-way parity on
+    // any text (identical on BMP: charAt == codePointAt there)
     var h = 0L
     var i = 0
     while (i < s.length) {
-      h = (h * base + s.charAt(i)) % HashPrime
-      i += 1
+      val cp = s.codePointAt(i)
+      h = (h * base + cp) % HashPrime
+      i += Character.charCount(cp)
     }
     h
   }
@@ -323,7 +330,7 @@ object LangId {
   * replicates the spec form in SQL, so the DuckDB hash gates transitively
   * pin this kernel.
   */
-case class QualityScore(child: Expression, stopwords: Array[String])
+case class QualityScore(child: Expression, stopwords: Seq[String])
     extends UnaryExpression {
 
   override def nullIntolerant: Boolean = true
@@ -335,8 +342,11 @@ case class QualityScore(child: Expression, stopwords: Array[String])
   override def dataType: DataType = DoubleType
   override def prettyName: String = "quality_score_native"
 
+  // Seq, not Array: case-class equality on the parameter must be
+  // structural so two separately-built but identical expressions
+  // canonicalize together (subexpression elimination across columns)
   @transient private lazy val stopSet: java.util.HashSet[String] = {
-    val s = new java.util.HashSet[String](stopwords.length * 2)
+    val s = new java.util.HashSet[String](stopwords.size * 2)
     stopwords.foreach(s.add)
     s
   }
@@ -362,15 +372,20 @@ object QualityScore {
     val words = TextKernelUtil.asciiTrimSplit(s)
     val nTokens = words.length
     val hits = TextKernelUtil.countIn(words, stops)
+    // iterate CODEPOINTS, not UTF-16 units: the spec's `length(text)`
+    // denominator is Spark length = numChars (codepoints), so a
+    // supplementary character must count once, not twice (r13 ADVICE fix)
     var alpha = 0
+    var cpLen = 0
     var i = 0
     while (i < s.length) {
-      val c = s.charAt(i)
-      if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')) alpha += 1
-      i += 1
+      val cp = s.codePointAt(i)
+      if ((cp >= 'a' && cp <= 'z') || (cp >= 'A' && cp <= 'Z')) alpha += 1
+      cpLen += 1
+      i += Character.charCount(cp)
     }
     val stopRatio = hits.toDouble / math.max(nTokens, 1).toDouble
-    val alphaRatio = alpha.toDouble / math.max(s.length, 1).toDouble
+    val alphaRatio = alpha.toDouble / math.max(cpLen, 1).toDouble
     val raw = 0.4 * math.min(nTokens / 200.0, 1.0) +
       0.3 * stopRatio + 0.3 * alphaRatio
     math.floor(raw * 10000.0 + 0.5) / 10000.0
@@ -502,7 +517,7 @@ object PiiRedactStats {
   * bit-identical to the Column fold the DuckDB oracle mirrors —
   * differential-pinned in QualityClassifierSpec.
   */
-case class QualityFeatures(child: Expression, stopwords: Array[String])
+case class QualityFeatures(child: Expression, stopwords: Seq[String])
     extends UnaryExpression {
 
   override def nullIntolerant: Boolean = true
@@ -514,8 +529,9 @@ case class QualityFeatures(child: Expression, stopwords: Array[String])
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "quality_features_native"
 
+  // Seq for structural case-class equality (see QualityScore note)
   @transient private lazy val stopSet: java.util.HashSet[String] = {
-    val s = new java.util.HashSet[String](stopwords.length * 2)
+    val s = new java.util.HashSet[String](stopwords.size * 2)
     stopwords.foreach(s.add)
     s
   }
@@ -546,21 +562,26 @@ object QualityFeatures {
     val distinct = new java.util.HashSet[String](n * 2)
     var w = 0
     while (w < words.length) { distinct.add(words(w)); w += 1 }
+    // iterate CODEPOINTS (r13 ADVICE fix): the spec's length() counts
+    // codepoints, so a supplementary character is ONE unit of document
+    // length and ONE non-whitespace character, not two
     var alpha = 0
     var nonWs = 0
+    var cpLen = 0
     var i = 0
     while (i < s.length) {
-      val c = s.charAt(i)
+      val c = s.codePointAt(i)
       if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')) alpha += 1
       // java regex \s = [ \t\n\u000B\f\r] — what regexp_replace strips
       if (!(c == ' ' || c == '\t' || c == '\n' || c == '\u000B' ||
             c == '\f' || c == '\r')) nonWs += 1
-      i += 1
+      cpLen += 1
+      i += Character.charCount(c)
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(Array[Any](
       math.min(n / 200.0, 1.0),
       hits / nD,
-      alpha / math.max(s.length, 1).toDouble,
+      alpha / math.max(cpLen, 1).toDouble,
       distinct.size / nD,
       nonWs / nD / 10.0))
   }

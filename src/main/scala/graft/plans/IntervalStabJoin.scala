@@ -190,6 +190,13 @@ case class BroadcastIntervalStabJoinExec(
   // same producer-style codegen as IntervalStabJoinExec: probed JoinedRows
   // feed the parent's generated consume, no flattening projection
   override def needCopyResult: Boolean = true
+  // this exec is a DE-FACTO LEAF for codegen purposes — it produces the
+  // stage's rows from its own RDD (inputRDDs), its children are never
+  // codegen-consumed — so, exactly like Spark's InputAdapter, it is
+  // entitled to emit the limit-not-reached checks in its producing loop.
+  // Without this override, limitNotReachedCond sees children.nonEmpty and
+  // logs a "[BUG] Only leaf nodes and blocking nodes..." contract WARN.
+  override def canCheckLimitNotReached: Boolean = true
   override def inputRDDs(): Seq[RDD[InternalRow]] = Seq(probedRows())
   override protected def doProduce(
       ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext): String = {
@@ -335,6 +342,10 @@ case class IntervalStabJoinExec(
   // array-held interval rows and the advancing point row) — buffering
   // parents must copy, exactly as with SortMergeJoin
   override def needCopyResult: Boolean = true
+
+  // de-facto leaf for codegen (rows come from sweptRows(), children are
+  // not codegen-consumed) — see the note on BroadcastIntervalStabJoinExec
+  override def canCheckLimitNotReached: Boolean = true
 
   override def inputRDDs(): Seq[RDD[InternalRow]] = Seq(sweptRows())
 

@@ -45,7 +45,7 @@ object QualityClassifier {
     */
   def featureColumns(text: Column): Seq[Column] = {
     import org.apache.spark.sql.graft.GraftColumnBridge.{column => colOf, expression}
-    val f = colOf(graft.functions.QualityFeatures(expression(text), stopwords.toArray))
+    val f = colOf(graft.functions.QualityFeatures(expression(text), stopwords))
     (1 to NumFeatures).map(j => element_at(f, j))
   }
 

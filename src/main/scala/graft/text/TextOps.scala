@@ -27,6 +27,17 @@ object TextOps {
 
   /** Polynomial rolling hash of a string: fold (acc*31 + code(char)) mod p.
     * Deterministic, engine-portable (DuckDB: list_reduce with prepended 0).
+    *
+    * ==Codepoint contract (public API)==
+    * "code(char)" is the character's CODEPOINT in all three forms: the
+    * native kernel folds codepoints (r13 — previously UTF-16 units, which
+    * silently diverged on supplementary characters), the [[polyHashSpec]]
+    * Column form folds Spark `ascii()` values (codepoint of the split-out
+    * character), and the DuckDB twin folds DuckDB `ascii()` (also the
+    * codepoint). Full three-way parity therefore holds on ANY text,
+    * non-BMP included — pinned by the non-BMP cases in TextOpsSpec. The
+    * same contract covers [[windowHashes]], which stays bit-identical to
+    * this hash of each window string (offsets in codepoint units).
     */
   def polyHash(text: Column, base: Int = 31): Column = {
     import org.apache.spark.sql.graft.GraftColumnBridge.{column => colOf, expression}
@@ -124,7 +135,7 @@ object TextOps {
     */
   def qualityScore(text: Column, stopwords: Seq[String]): Column = {
     import org.apache.spark.sql.graft.GraftColumnBridge.{column => colOf, expression}
-    colOf(graft.functions.QualityScore(expression(text), stopwords.toArray))
+    colOf(graft.functions.QualityScore(expression(text), stopwords))
   }
 
   /** The Column-expression form of [[qualityScore]] — kept as the

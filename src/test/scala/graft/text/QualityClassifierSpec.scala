@@ -57,7 +57,10 @@ class QualityClassifierSpec extends SparkSpec {
     // token), vertical-tab/form-feed (\s class parity), all-stopword,
     // long doc (length saturation clamps), punctuation-only
     val edge = Seq("", " ", "a\tb\t", "the of and to is", "x" * 3000,
-      "mixedws\fforms\rhere", "!!! ??? ...", "the " * 250)
+      "mixedws\fforms\rhere", "!!! ??? ...", "the " * 250,
+      // non-BMP (r13): supplementary chars count once in length/non-ws
+      // ratios — the spec's length() is codepoint-based
+      "caf\u00e9 \ud83d\ude00 the", "\ud83d\ude00\ud83d\ude00 of and")
       .zipWithIndex.map { case (t, i) => (i.toLong, t) }
       .toDF("doc_id", "text")
     val corpus = graft.Tables.documents(spark, sf001)

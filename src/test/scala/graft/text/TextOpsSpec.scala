@@ -171,6 +171,57 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("non-BMP parity: polyHash/windowHashes/langId/qualityScore fold codepoints") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // r13 ADVICE fix pinned: supplementary characters (UTF-16 surrogate
+    // pairs) must count as ONE unit — Spark's ascii()/length() and
+    // DuckDB's ascii()/length() are codepoint-based, so a kernel
+    // iterating UTF-16 units silently double-counted them
+    val texts = Seq(
+      "café résumé",                 // BMP non-ASCII
+      "a 😀 b",                           // supplementary mid-doc
+      "😀😀",                   // supplementary only
+      "the 🚀 of and to is",              // stopwords + emoji
+      "𝔘𝔫𝔦 text")  // math-fraktur run
+    val nonBmp = docDf(texts: _*)
+    def cpHash(s: String): Long = {
+      var h = 0L; var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        h = (h * 31 + cp) % TextOps.HashPrime
+        i += Character.charCount(cp)
+      }
+      h
+    }
+    // polyHash: native == HOF spec == plain-Scala codepoint fold
+    val gotH = nonBmp.orderBy("doc_id")
+      .select(TextOps.polyHash(col("text")).as("h")).as[Long].collect().toSeq
+    assert(gotH == texts.map(cpHash), "native polyHash is not a codepoint fold")
+    val badH = nonBmp.select(
+        TextOps.polyHash(col("text")).as("native"),
+        TextOps.polyHashSpec(col("text")).as("spec"))
+      .where(col("native") =!= col("spec")).count()
+    assert(badH == 0L, "native polyHash diverges from the HOF spec on non-BMP")
+    // windowHashes: still bit-identical to polyHash of each window string
+    val toks = Seq("😀a", "bé", "ccc", "🚀", "ee", "f")
+    val gotW = Seq(toks.mkString(" ")).toDF("text")
+      .select(TextOps.windowHashes(col("text"), 3)).head.getSeq[Long](0)
+    assert(gotW == toks.sliding(3).map(w => cpHash(w.mkString(" "))).toSeq,
+      "rolling window hashes diverge from the per-window codepoint fold")
+    // langId / qualityScore: native == spec on non-BMP
+    val stops = TextOps.langProfiles.flatMap(_._2)
+    val badL = nonBmp.select(TextOps.langId(col("text")).as("n"),
+        TextOps.langIdSpec(col("text")).as("s"))
+      .where(col("n") =!= col("s")).count()
+    assert(badL == 0L, "native langId diverges from the HOF spec on non-BMP")
+    val badQ = nonBmp.select(
+        TextOps.qualityScore(col("text"), stops).as("n"),
+        TextOps.qualityScoreSpec(col("text"), stops).as("s"))
+      .where(col("n") =!= col("s")).count()
+    assert(badQ == 0L, "native qualityScore diverges from the spec on non-BMP")
+  }
+
   test("langId native kernel equals the HOF spec (corpus + edge cases)") {
     import org.apache.spark.sql.functions.col
     val edge = docDf("", " ", "the the der der", "el la de", "DER Die UND",
