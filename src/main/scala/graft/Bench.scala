@@ -188,37 +188,82 @@ object Bench {
         val family = Seq(
           "dd_ngram_jaccard", "dd_ppjoin", "dd_minhash_lsh", "dd_simhash",
           "dd_hamming", "dd_jac_components", "dd_sim_components",
-          "dd_components", "dd_canonical",
+          "dd_components", "dd_canonical", "dd_canonical_routed",
           "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
           "cur_decontaminate_bloom", "cur_pii_redact", "tx_perplexity",
           "tx_bpe_encode")
         val rowsJson = try {
           family.map { name =>
-            peak = 0L; spill = 0L
-            // r12 memo-efficacy row: the encode kernel's per-executor word
-            // memo claims Zipf hit-rate ≈ 1; measure it at sf1 so a
-            // corpus-shape change that defeats the memo (high-entropy
-            // tokens) is a visible diff, not a silent 2-3× regression
-            if (name == "tx_bpe_encode")
-              graft.functions.BpeEncodeTokens.resetMemoStats()
-            val t0 = System.nanoTime()
-            // full materialization (see the r12 noop note on the main loop)
-            SparkEntry.queries(name)(spark, sf1Dir)
-              .write.format("noop").mode("overwrite").save()
-            val sec = (System.nanoTime() - t0) / 1e9
+            // r13 (verdict ask #3): the r12 single-run walls carried a ~2×
+            // session noise band that swamped round-over-round comparison.
+            // Each query now runs TWICE: sec = min (the comparable number),
+            // sec_max = max (the measured band), so a real sf1 regression
+            // is distinguishable from session noise. peak/spill report the
+            // max across runs (the envelope claim is a bound).
+            var peakMax = 0L
+            var spillMax = 0L
+            val runs = (1 to 2).map { _ =>
+              peak = 0L; spill = 0L
+              // r12 memo-efficacy row: the encode kernel's per-executor
+              // word memo claims Zipf hit-rate ≈ 1; measure it at sf1 so a
+              // corpus-shape change that defeats the memo (high-entropy
+              // tokens) is a visible diff, not a silent 2-3× regression.
+              // Reset per run so the reported stats are one steady pass.
+              if (name == "tx_bpe_encode")
+                graft.functions.BpeEncodeTokens.resetMemoStats()
+              val t0 = System.nanoTime()
+              // full materialization (see the r12 noop note on the main loop)
+              SparkEntry.queries(name)(spark, sf1Dir)
+                .write.format("noop").mode("overwrite").save()
+              val sec = (System.nanoTime() - t0) / 1e9
+              // listener events are queued on a private bus with no flush
+              // API; the noop save is synchronous and the bus drains in ms
+              Thread.sleep(500)
+              peakMax = math.max(peakMax, peak)
+              spillMax = math.max(spillMax, spill)
+              spark.catalog.clearCache(); System.gc()
+              sec
+            }
             val memo = if (name != "tx_bpe_encode") "" else {
               val (h, m, puts) = graft.functions.BpeEncodeTokens.memoStats()
               val rate = if (h + m == 0) 0.0 else h.toDouble / (h + m)
               f""","memo_hits":$h,"memo_misses":$m,"memo_hit_rate":$rate%.4f,"memo_puts":$puts"""
             }
-            // listener events are queued on a private bus with no flush
-            // API; the noop save is synchronous and the bus drains in ms
-            Thread.sleep(500)
-            spark.catalog.clearCache(); System.gc()
-            f""""$name":{"sec":$sec%.3f,"peak_task_mb":${peak / 1048576},"spill_mb":${spill / 1048576}$memo}"""
+            f""""$name":{"sec":${runs.min}%.3f,"sec_max":${runs.max}%.3f,"peak_task_mb":${peakMax / 1048576},"spill_mb":${spillMax / 1048576}$memo}"""
           }.mkString(",")
         } finally spark.sparkContext.removeSparkListener(listener)
-        s"""{"dir":"$sf1Dir","timing":"single_run","queries":{$rowsJson}}"""
+        // r13 (verdict ask #4): the end-to-end pretrain composition at sf1
+        // — the per-query rows above don't exercise cross-stage interaction
+        // (classifier sample, BPE vocab collect, pack prefix sum in one
+        // JVM) at 10×. Single run (a composition envelope, not a race).
+        val pretrainSf1 = scala.util.Try {
+          spark.sparkContext.addSparkListener(listener)
+          val outDir = java.nio.file.Files
+            .createTempDirectory("graft_bench_pretrain_sf1")
+          try {
+            peak = 0L; spill = 0L
+            val t0 = System.nanoTime()
+            val res = graft.pipelines.Pretrain.run(spark, sf1Dir, outDir.toString)
+            val wall = (System.nanoTime() - t0) / 1e9
+            Thread.sleep(500)
+            val stages = res.stages
+              .map { case (n, s) => f""""$n":$s%.3f""" }.mkString(",")
+            f""","pretrain":{"wall_sec":$wall%.3f,"peak_task_mb":${peak / 1048576},""" +
+              f""""spill_mb":${spill / 1048576},"input":${res.input},""" +
+              f""""kept":${res.kept},"packs":${res.packs},"stages":{$stages}}"""
+          } finally {
+            spark.sparkContext.removeSparkListener(listener)
+            spark.catalog.clearCache(); System.gc()
+            scala.util.Try {
+              import scala.jdk.CollectionConverters._
+              val walk = java.nio.file.Files.walk(outDir)
+              try walk.iterator().asScala.toSeq.reverse
+                .foreach(java.nio.file.Files.deleteIfExists(_))
+              finally walk.close()
+            }
+          }
+        }.getOrElse("")
+        s"""{"dir":"$sf1Dir","timing":"best_of_2","queries":{$rowsJson}$pretrainSf1}"""
       }.getOrElse("{}")
 
     // End-to-end pretrain composition (r12, verdict ask #6): the real
@@ -379,7 +424,7 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","timing":"best_of_3","queries":$qs,"failed":$failedList,""" +
         s""""queries_duckdb":$duckQs,"duckdb_total_sec":$duckTotal,""" +
-        s""""scan_bp_per_sec":$bpPerSec,"scan_sec":$scanSec,""" +
+        s""""scan_bp_per_sec":$bpPerSec,"scan_sec":$scanSec,"scan_timing":"best_of_3",""" +
         s""""skew_join_skewed_sec":$skewSec,"skew_join_uniform_sec":$unifSec,""" +
         s""""sf1_envelope":$sf1Json,"pretrain":$pretrainJson,"sf":"$sfDir"}"""
     println(line)

@@ -80,7 +80,7 @@ object BpeEncodeTokens {
     @transient lazy val memo = new ConcurrentHashMap[String, Array[UTF8String]]()
   }
 
-  private val MemoCap = 65536
+  private[graft] val MemoCap = 65536
 
   // JVM-wide memo telemetry (r12 envelope row): LongAdder keeps the hot
   // path at a striped non-contended increment; local-mode runs (the bench

@@ -3,7 +3,7 @@ package graft.pipelines
 import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{broadcast, col, floor, size}
+import org.apache.spark.sql.functions.{col, floor, size}
 
 import graft.Tables
 
@@ -56,12 +56,14 @@ object Pretrain {
     val kept = docs.where(
       graft.text.QualityClassifier.logitColumn(col("text"), w) >= 0.0)
 
-    // 2. near-dup canonical dedup among the kept docs
-    val pairs = graft.text.Dedup.jaccardPairsHashed(
-      graft.text.Dedup.hashedShingleDocs(kept, "doc_id", "text"), 0.5)
-    val dropDup = graft.text.Dedup.connectedComponents(pairs)
-      .where(col("doc_id") =!= col("component")).select("doc_id")
-    val canon = kept.join(broadcast(dropDup), Seq("doc_id"), "left_anti")
+    // 2. near-dup canonical dedup among the kept docs — the ROUTED path
+    // (r13: digest-collapse → MinHash banding on reps → exact verify on
+    // survivors; `Dedup.canonicalDocsRouted`). Output-identical to the
+    // exact pair-table composition (gate `dd_canonical_routed` hash-
+    // matches dd_canonical's oracle) but measured 3× faster at sf1 and
+    // 14× on the duplicate-heavy bracket — the pipeline default is the
+    // configuration that survives 100 TB.
+    val canon = graft.text.Dedup.canonicalDocsRouted(kept, "doc_id", "text", 0.5)
 
     // 3. optional decontamination (bloom scale path, curate's flag)
     val clean = decontaminateBelow match {
@@ -77,6 +79,10 @@ object Pretrain {
           graft.text.TextOps.piiRedact(col("text")).as("text"))
         .write.mode("overwrite").parquet(s"$out/clean.parquet")
     }
+    // the clean write was the last consumer of the dedup lineage: release
+    // the routed path's memoized collapsed-class seam so a library run
+    // leaves no cached blocks behind (stages 5-6 read clean.parquet back)
+    graft.text.Dedup.releaseClassTable(kept, "doc_id", "text")
 
     // 5. tokenizer trains on the CLEANED corpus (what it will encode)
     val cleanBack = spark.read.parquet(s"$out/clean.parquet")

@@ -773,10 +773,17 @@ object Dedup {
     val candidates = minhashLshCandidates(sh, numHashes, bands, cap, sampleMod)
 
     // exact verification joins the (persisted) shingle sets back in for
-    // the few surviving candidates only
+    // the few surviving candidates only. The empty-pair guard is a
+    // CRASH fix, not cosmetics (r13): two sub-k-token docs have the
+    // identical all-sentinel signature, band into the same buckets, and
+    // reach verification as a candidate whose Jaccard denominator is
+    // 0 + 0 − 0 — ANSI mode (Spark 4 default) throws DIVIDE_BY_ZERO on
+    // it. The exact tier can never form such a pair (its pairs share a
+    // shingle by construction), so dropping them here preserves equality.
     candidates
       .join(sh.select(col("doc_id").as("d1"), col("shingles").as("sh1")), "d1")
       .join(sh.select(col("doc_id").as("d2"), col("shingles").as("sh2")), "d2")
+      .where(size(col("sh1")) + size(col("sh2")) > 0)
       .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast("long"))
       .withColumn("jraw",
         col("inter") / (size(col("sh1")) + size(col("sh2")) - col("inter")))
@@ -887,6 +894,8 @@ object Dedup {
     val scored = minhashLshCandidates(sh, numHashes, bands, cap, sampleMod)
       .join(sh.select(col("doc_id").as("d1"), col("shingles").as("sh1")), "d1")
       .join(sh.select(col("doc_id").as("d2"), col("shingles").as("sh2")), "d2")
+      // empty-pair guard — see the minhashLshPairs note (ANSI 0/0 crash)
+      .where(size(col("sh1")) + size(col("sh2")) > 0)
       .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast("long"))
       .withColumn("jraw",
         col("inter") / (size(col("sh1")) + size(col("sh2")) - col("inter")))
@@ -1171,6 +1180,183 @@ object Dedup {
       .where(col("doc_id") =!= col("rep"))
       .select(col("rep").as("d1"), col("doc_id").as("d2"))
     connectedComponents(starEdges.unionByName(repPairs))
+  }
+
+  /** Memoized COLLAPSED-CLASS seam behind [[canonicalDocsRouted]]: the
+    * digest-collapsed class table (h64, h32, n, rep, cnt, shingles) is
+    * consumed by the star-edge build, the LSH candidate stage (twice —
+    * hot-key sample + main pass), and both verification lookups; without
+    * the seam each consumer re-runs the corpus shingle scan AND the
+    * digest aggregation. Same lifecycle contract as [[pairTable]]
+    * (LRU-bounded, explicit release, graceful re-persist after external
+    * cache clears); at 100 TB this seam is the materialized
+    * "collapsed corpus" Parquet stage between the exact and sketch tiers.
+    */
+  private val classTableMemo = new graft.ops.PlanMemo()
+
+  private def classTableKey(
+      docs: DataFrame, idCol: String, textCol: String, k: Int): AnyRef =
+    (System.identityHashCode(docs.sparkSession),
+      docs.queryExecution.logical.canonicalized, "classTable", idCol, textCol, k)
+
+  /** Drop the collapsed-class memo entry for exactly these arguments
+    * (blocking unpersist); returns whether one existed.
+    */
+  def releaseClassTable(
+      docs: DataFrame, idCol: String, textCol: String, k: Int = 3): Boolean =
+    classTableMemo.release(classTableKey(docs, idCol, textCol, k))
+
+  /** Drop EVERY memoized collapsed-class table and unpersist their blocks. */
+  def clearClassTables(): Unit = classTableMemo.clear()
+
+  /** Digest-collapsed duplicate classes of a corpus: one row per DISTINCT
+    * shingle set — (h64, h32, n, rep = min member doc id, cnt = member
+    * count, shingles = one member's shingle array). Memoized + persisted
+    * (see [[classTableMemo]]).
+    *
+    * `first(shingles)` is safe even though members of a class may hold the
+    * same shingle SET in different first-occurrence ORDERS: every consumer
+    * is order-insensitive (minhash takes a min over elements; exact verify
+    * re-sorts through [[hashShingleArray]]), so ANY member's array yields
+    * identical results.
+    */
+  private[text] def classTable(
+      docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    classTableMemo.get(classTableKey(docs, idCol, textCol, k)) {
+      shingleDocs(docs, idCol, textCol, k)
+        .select(col("doc_id"), col("shingles"),
+          hashShingleArray(col("shingles")).as("hs"))
+        .select(col("doc_id"), col("shingles"),
+          size(col("hs")).cast("long").as("n"),
+          xxhash64(col("hs")).as("h64"), hash(col("hs")).as("h32"))
+        .groupBy("h64", "h32", "n")
+        .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("cnt"),
+          first(col("shingles")).as("shingles"))
+    }
+
+  /** The measured 100 TB dedup ROUTING, productized (r13): canonical-doc
+    * selection — keep each near-dup cluster's min-id doc plus every
+    * never-duplicated doc — through the three-stage route the sf1
+    * crossover measurement proved out, instead of the exact pair table:
+    *
+    *   1. DIGEST-COLLAPSE (exact, linear): docs collapse into
+    *      identical-shingle-set classes ([[classTable]]); each multi-doc
+    *      class contributes member→rep star edges. This removes the
+    *      C(m,2) blowup of duplicate-heavy corpora entirely — the sf1dup
+    *      bracket measured 4.35 s / zero spill here vs 24-38 s with
+    *      55-68 GB spill for every pair-emitting tier.
+    *   2. MINHASH BANDING (sketch, near-linear): LSH candidate pairs over
+    *      ONE representative per class ([[minhashLshCandidates]]) — at
+    *      sf1 the banding proposed 619k candidates against the inverted
+    *      index's 84.6M for the same survivor relation (137× fewer, 81%
+    *      survival).
+    *   3. EXACT VERIFY on the surviving candidates only: true Jaccard
+    *      over hashed shingle sets (the [[SortedLongIntersectCount]]
+    *      kernel — the same arithmetic as the exact tier), so a banding
+    *      false positive can never reach the output.
+    *
+    * Then components over (star edges ∪ verified rep pairs) and a
+    * broadcast anti-join drop the non-canonical ids. Output equals the
+    * exact-tier `dd_canonical` composition whenever the banding catches
+    * every true rep pair — P[miss] = (1−J^r)^b per pair, and the
+    * candidate-stats tripwire pins survivor agreement across tiers at
+    * every measured SF; gate-checked against the same recursive-CTE
+    * oracle as `dd_canonical`.
+    *
+    * Returns the kept document rows with their original columns.
+    */
+  def canonicalDocsRouted(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      k: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 16,
+      cap: Int = DefaultGroupCap,
+      sampleMod: Int = DefaultSampleMod): DataFrame = {
+    val comps = componentsRouted(
+      docs, idCol, textCol, threshold, k, numHashes, bands, cap, sampleMod)
+    // the non-canonical ids are BY CONSTRUCTION the small side (they are
+    // the duplicates) — broadcast anti-join, corpus never shuffles
+    val dropList = comps.where(col("doc_id") =!= col("component"))
+      .select(col("doc_id").as("__drop_id"))
+    docs.join(broadcast(dropList), docs(idCol) === col("__drop_id"), "left_anti")
+  }
+
+  /** Near-dup connected components through the SAME three-stage route as
+    * [[canonicalDocsRouted]] — output identical to
+    * `connectedComponents(jaccardPairsHashed(hashed, t))` (the
+    * `dd_components` relation) whenever the banding catches every true
+    * rep pair: same node set (members of multi-doc non-empty classes ∪
+    * docs in qualifying cross pairs), same connectivity, same min-id
+    * labels. Gate-checked against the same recursive-CTE oracle.
+    */
+  def componentsRouted(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      k: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 16,
+      cap: Int = DefaultGroupCap,
+      sampleMod: Int = DefaultSampleMod): DataFrame =
+    connectedComponents(routedEdges(
+      docs, idCol, textCol, threshold, k, numHashes, bands, cap, sampleMod))
+
+  /** The routed edge relation (stars ∪ verified rep pairs) both routed
+    * entry points build on — stages 1-3 of the routing rule.
+    */
+  private[text] def routedEdges(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      k: Int,
+      numHashes: Int,
+      bands: Int,
+      cap: Int,
+      sampleMod: Int): DataFrame = {
+    require(threshold <= 1.0, "identical sets (j = 1.0) must qualify")
+    import org.apache.spark.sql.graft.GraftColumnBridge.{column => colOf, expression}
+    val classes = classTable(docs, idCol, textCol, k)
+
+    // stage 2: banding over class representatives only
+    val reps = classes.select(col("rep").as("doc_id"), col("shingles"))
+    val candidates = minhashLshCandidates(reps, numHashes, bands, cap, sampleMod)
+
+    // stage 3: exact verify on survivors only (hashed-set arithmetic —
+    // identical j values to the exact tier's jaccardThreshold)
+    val repHashed = reps
+      .select(col("doc_id"), hashShingleArray(col("shingles")).as("hs"))
+      .select(col("doc_id"), col("hs"), size(col("hs")).cast("long").as("n"))
+    val inter = colOf(graft.functions.SortedLongIntersectCount(
+      expression(col("h1")), expression(col("h2"))))
+    val repPairs = candidates
+      .join(repHashed.select(col("doc_id").as("d1"), col("hs").as("h1"),
+        col("n").as("n1")), "d1")
+      .join(repHashed.select(col("doc_id").as("d2"), col("hs").as("h2"),
+        col("n").as("n2")), "d2")
+      .withColumn("inter", inter)
+      .where(col("inter") / (col("n1") + col("n2") - col("inter")) >= threshold)
+      .select(col("d1"), col("d2"))
+
+    // stage 1's edges: member → class rep for multi-doc non-empty classes
+    // (identical non-empty sets have j = 1.0, qualifying at any t <= 1;
+    // empty shingle sets are not duplicates of each other)
+    val digested = shingleDocs(docs, idCol, textCol, k)
+      .select(col("doc_id"), hashShingleArray(col("shingles")).as("hs"))
+      .select(col("doc_id"), size(col("hs")).cast("long").as("n"),
+        xxhash64(col("hs")).as("h64"), hash(col("hs")).as("h32"))
+    val starEdges = digested
+      .join(classes.where(col("cnt") >= 2 && col("n") > 0)
+        .select(col("h64"), col("h32"), col("n"), col("rep")),
+        Seq("h64", "h32", "n"))
+      .where(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("d1"), col("doc_id").as("d2"))
+
+    starEdges.unionByName(repPairs)
   }
 
   /** Connected components over near-dup pairs — the canonical-document

@@ -907,6 +907,13 @@ object TextQueries {
         Dedup.hashedShingleDocs(Tables.documents(s, d), "doc_id", "text"), 0.5)
     },
 
+    // r13: components through the ROUTED edge relation (digest-collapse
+    // stars + banding-candidate rep pairs, exact-verified) — the same
+    // stages as dd_canonical_routed, gated against dd_components' oracle
+    "dd_components_routed" -> { (s, d) =>
+      Dedup.componentsRouted(Tables.documents(s, d), "doc_id", "text", 0.5)
+    },
+
     // duplicate clusters straight from the simhash banding WITHOUT the
     // quadratic all-pairs relation (r10): star edges to per-signature
     // representatives + sig-level qualifying edges — linear input to
@@ -931,6 +938,18 @@ object TextQueries {
       val dropList = comps.where(col("doc_id") =!= col("component"))
         .select(col("doc_id"))
       docs.join(broadcast(dropList), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), length(col("text")).as("text_len"))
+        .orderBy("doc_id")
+    },
+
+    // r13: the productized 100 TB ROUTE for the same canonical-docs
+    // output — digest-collapse exact dups, MinHash banding over class
+    // reps, exact verify on surviving candidates only
+    // (Dedup.canonicalDocsRouted, the executable form of the sf1
+    // crossover measurement). Same recursive-CTE oracle as dd_canonical:
+    // the bar is literal output equality between the two strategies.
+    "dd_canonical_routed" -> { (s, d) =>
+      Dedup.canonicalDocsRouted(Tables.documents(s, d), "doc_id", "text", 0.5)
         .select(col("doc_id"), length(col("text")).as("text_len"))
         .orderBy("doc_id")
     },
@@ -1672,11 +1691,17 @@ object TextQueries {
     * before the dump).
     */
   def oracles: Map[String, String] = {
+    // dd_canonical_routed hash-matches the SAME oracle as dd_canonical:
+    // the three-stage route is an execution strategy, not a semantics
+    // change, so the correctness bar is literal output equality
+    val base = staticOracles +
+      ("dd_canonical_routed" -> staticOracles("dd_canonical")) +
+      ("dd_components_routed" -> staticOracles("dd_components"))
     val withIvf = Option(ivfTrainedCentroids.get()) match {
-      case Some(cents) => staticOracles +
+      case Some(cents) => base +
         ("ann_ivf_topk" -> ivfOracle(cents, nProbe = 4, k = 5)) +
         ("cur_diverse" -> diverseOracle(cents, n = 20))
-      case None        => staticOracles
+      case None        => base
     }
     val withBpe = Option(bpeTrained.get()) match {
       case Some(tr) if tr.complete => withIvf +

@@ -2,64 +2,93 @@ package graft.ann
 
 import graft.{SparkEntry, SparkSpec}
 
-/** r11: ANN recall measured on the REAL gate surface (the sf0.01 gate
-  * queries vs the brute-force `ann_cosine_topk` truth) and RECORDED to
-  * `RECALL.json` at the repo root — the pins prove the approximate
-  * indexes are deterministic, this proves (and tracks, round over round,
-  * as a committed diff) that they stay GOOD. A silent recall regression
-  * now shows up twice: the per-query assert here, and the value diff in
-  * the artifact.
+/** r11: ANN recall measured on the REAL gate surface (the gate queries vs
+  * the brute-force `ann_cosine_topk` truth) and RECORDED to `RECALL.json`
+  * at the repo root — the pins prove the approximate indexes are
+  * deterministic, this proves (and tracks, round over round, as a
+  * committed diff) that they stay GOOD. A silent recall regression now
+  * shows up twice: the per-query assert here, and the value diff in the
+  * artifact.
+  *
+  * r13 (verdict ask #5): measured at BOTH sf0.01 (500 corpus embeddings)
+  * and sf0.1 (5k corpus embeddings) — index quality where shards, beam
+  * width, and probe counts actually bind is a property of the larger
+  * corpus, and the r12 artifact only recorded the small one.
   */
 class AnnRecallSpec extends SparkSpec {
 
-  /** Floors are REGRESSION TRIPWIRES set just under the r11 measured
-    * values (lsh 0.15, ivf 0.61, hnsw 1.00, ivfpq 0.56) — not quality
-    * targets. The sf0.01 embeddings are synthetic near-random vectors:
-    * top-5 neighbor cosines are low, which is the documented worst case
-    * for 8-bit×8-table hyperplane LSH (P[collide] = (1−θ/π)^bits decays
-    * fast as θ grows — no cluster structure to catch). The same operator
-    * at the same config measures ≥ 0.6 on the TextOpsSpec corpora, and
-    * graph/quantizer methods (HNSW/IVF) hold 0.56–1.00 here precisely
-    * because they adapt to the data. What this spec guards is the DIFF:
-    * any code change that moves these values shows up in RECALL.json and,
-    * past the floor, fails here.
-    */
-  private val approxQueries = Seq(
-    "ann_lsh_topk" -> 0.10,
-    "ann_lsh_mp_topk" -> 0.35, // measured 0.39 — 1-bit probes lift plain LSH's 0.15 by 2.6× on the same index
-    "ann_ivf_topk" -> 0.50,
-    "ann_hnsw_topk" -> 0.95,
-    "ann_ivfpq_topk" -> 0.45)
+  private val sf01 = "/root/testdata/sf0.1"
 
-  test("gate-surface recall vs brute force; values recorded to RECALL.json") {
+  /** Floors are REGRESSION TRIPWIRES set just under the measured values —
+    * not quality targets. The synthetic embeddings are near-random
+    * vectors: top-5 neighbor cosines are low, which is the documented
+    * worst case for 8-bit×8-table hyperplane LSH (P[collide] =
+    * (1−θ/π)^bits decays fast as θ grows — no cluster structure to
+    * catch). The same operator at the same config measures ≥ 0.6 on the
+    * TextOpsSpec corpora; graph/quantizer methods (HNSW/IVF) adapt to
+    * the data. What this spec guards is the DIFF: any code change that
+    * moves these values shows up in RECALL.json and, past the floor,
+    * fails here.
+    *
+    * sf0.1 measured (r13): lsh 0.13, mp-lsh 0.46, ivf 0.58, hnsw 1.00,
+    * ivfpq 0.36. The 10× corpus does NOT uniformly hurt: HNSW stays
+    * perfect (its beam search adapts to local density) and MULTI-PROBE
+    * RISES 0.39 → 0.46 — denser buckets mean each 1-bit-flip probe
+    * surfaces more true neighbors. The real casualty is IVF-PQ
+    * (0.56 → 0.36): with nlist fixed, 10× more vectors per cell makes
+    * the 8-bit product-quantized distance the ranking bottleneck —
+    * exactly the regime where a production config re-ranks PQ survivors
+    * with exact distances. Floors sit just under these measurements.
+    */
+  private val approxFloors: Seq[(String, Map[String, Double])] = Seq(
+    "sf0.01" -> Map(
+      "ann_lsh_topk" -> 0.10,
+      "ann_lsh_mp_topk" -> 0.35, // measured 0.39 — 1-bit probes lift plain LSH's 0.15 by 2.6× on the same index
+      "ann_ivf_topk" -> 0.50,
+      "ann_hnsw_topk" -> 0.95,
+      "ann_ivfpq_topk" -> 0.45),
+    "sf0.1" -> Map(
+      "ann_lsh_topk" -> 0.08,
+      "ann_lsh_mp_topk" -> 0.38,
+      "ann_ivf_topk" -> 0.50,
+      "ann_hnsw_topk" -> 0.95,
+      "ann_ivfpq_topk" -> 0.28))
+
+  test("gate-surface recall vs brute force at sf0.01 AND sf0.1; recorded to RECALL.json") {
     import spark.implicits._
-    def pairs(name: String): Set[(Long, Long)] =
-      SparkEntry.queries(name)(spark, sf001)
-        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
-    val brute = pairs("ann_cosine_topk")
-    assert(brute.nonEmpty)
-    val measured = approxQueries.map { case (name, floor) =>
-      val approx = pairs(name)
-      val recall = (brute intersect approx).size.toDouble / brute.size
-      assert(recall >= floor, s"$name recall $recall below documented floor $floor")
-      (name, recall, approx.size)
+    val sections = Seq(("sf0.01", sf001), ("sf0.1", sf01)).map { case (label, dir) =>
+      def pairs(name: String): Set[(Long, Long)] =
+        SparkEntry.queries(name)(spark, dir)
+          .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      val brute = pairs("ann_cosine_topk")
+      assert(brute.nonEmpty)
+      val floors = approxFloors.find(_._1 == label).get._2
+      val measured = floors.toSeq.sortBy(_._1).map { case (name, floor) =>
+        val approx = pairs(name)
+        val recall = (brute intersect approx).size.toDouble / brute.size
+        assert(recall >= floor,
+          s"$name recall $recall below documented floor $floor at $label")
+        (name, recall, approx.size)
+      }
+      // multi-probe widens the candidate rule, so its recall can never
+      // fall below plain LSH's — the algebraic claim, on the real gates
+      val byName = measured.map(m => m._1 -> m._2).toMap
+      assert(byName("ann_lsh_mp_topk") >= byName("ann_lsh_topk"),
+        s"multi-probe recall must dominate plain LSH at $label: $byName")
+      val json = measured.map { case (name, recall, rows) =>
+        f"""      "$name": {"recall_vs_brute": $recall%.4f, "candidate_pairs": $rows}"""
+      }.mkString(",\n")
+      s"""    "$label": {
+         |      "brute_pairs": ${brute.size},
+         |$json
+         |    }""".stripMargin
     }
-    // multi-probe widens the candidate rule, so its recall can never fall
-    // below plain LSH's — the algebraic claim, asserted on the real gates
-    val byName = measured.map(m => m._1 -> m._2).toMap
-    assert(byName("ann_lsh_mp_topk") >= byName("ann_lsh_topk"),
-      s"multi-probe recall must dominate plain LSH: $byName")
-    val json = measured.map { case (name, recall, rows) =>
-      f"""    "$name": {"recall_vs_brute": $recall%.4f, "candidate_pairs": $rows}"""
-    }.mkString(",\n")
     val content =
       s"""{
-         |  "sf": "sf0.01",
          |  "truth": "ann_cosine_topk (exact brute-force top-k)",
          |  "metric": "recall@k over (query_id, neighbor_id) pairs",
-         |  "brute_pairs": ${brute.size},
-         |  "queries": {
-         |$json
+         |  "by_sf": {
+         |${sections.mkString(",\n")}
          |  }
          |}
          |""".stripMargin

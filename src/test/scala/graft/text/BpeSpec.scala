@@ -96,6 +96,54 @@ class BpeSpec extends SparkSpec {
     assert(got == edgy.map(t => Bpe.referenceEncodeDoc(t, trained.merges)))
   }
 
+  test("memo cap engages on a high-entropy vocabulary: bounded size, correct output") {
+    // r13 (verdict ask): sf1 telemetry shows puts=62 on a 31-word corpus
+    // vocabulary — the MemoCap bound had never engaged in production, so
+    // its admission-stop path was untested. This corpus has MORE distinct
+    // words than the cap (each appearing twice), forcing the bound to
+    // bind: the memo must stop admitting (puts ≈ cap, a put DEFICIT vs
+    // misses — the documented cap signal), stay bounded, degrade the hit
+    // rate below the unbounded 0.5, and still encode every document
+    // identically to the textbook reference (un-admitted words re-encode
+    // per occurrence; output must not change).
+    val cap = BpeEncodeTokens.MemoCap
+    val nWords = cap + 14464 // 80k distinct > cap
+    val trained = Bpe.train(graft.Tables.documents(spark, sf0001), "text", 24)
+    val rnd = new scala.util.Random(23)
+    val words = scala.collection.mutable.LinkedHashSet.empty[String]
+    while (words.size < nWords)
+      words += (1 to (6 + rnd.nextInt(5))).map(_ => ('a' + rnd.nextInt(6)).toChar).mkString
+    // every word exactly twice, shuffled: unbounded memo → hit rate 0.5
+    val stream = rnd.shuffle((words.toSeq ++ words.toSeq))
+    val docs = stream.grouped(100).map(_.mkString(" ")).toSeq
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    BpeEncodeTokens.resetMemoStats()
+    val got = docs.select(col("doc_id"),
+        Bpe.encodeTokens(col("text"), trained.merges).as("toks"))
+      .as[(Long, Seq[String])].collect().toMap
+    val (hits, misses, puts) = BpeEncodeTokens.memoStats()
+    val total = hits + misses
+    assert(total == 2L * nWords, s"every word instance must be counted: $total")
+    // bounded admission: puts reaches the cap and stops (the size check is
+    // a soft bound — concurrent boundary races may overshoot by <= threads)
+    assert(puts >= cap && puts <= cap + 64,
+      s"puts=$puts must sit at the cap ($cap): bound did not engage or overshot")
+    // the cap signal: misses exceed puts (un-admitted words re-miss)
+    assert(misses > puts, s"put deficit expected: misses=$misses puts=$puts")
+    // measured degradation: below the unbounded 0.5, above the no-memo 0
+    val rate = hits.toDouble / total
+    assert(rate < 0.5 && rate > 0.05, f"hit rate $rate%.3f out of expected band")
+    info(f"memo cap engaged: hits=$hits misses=$misses puts=$puts rate=$rate%.3f (unbounded would be 0.500)")
+    // correctness is unconditional: cap admission loss must never change
+    // a single token
+    val raw = docs.select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    raw.foreach { case (id, text) =>
+      assert(got(id) == Bpe.referenceEncodeDoc(text, trained.merges),
+        s"doc $id: capped-memo encode != reference")
+    }
+  }
+
   test("merges are non-trivial at sf0.001: subword splits survive (not all words fused)") {
     val trained = Bpe.train(graft.Tables.documents(spark, sf0001), "text", 24)
     assert(trained.merges.length == 24, "expected the full merge budget to train")

@@ -584,6 +584,82 @@ class TextOpsSpec extends SparkSpec {
     assert(lsh === exact)
   }
 
+  test("minhashLshPairs: sub-k docs (empty shingle sets) must not crash or pair") {
+    // r13 crash fix pinned: two docs shorter than k tokens share the
+    // identical all-sentinel minhash signature, band into the same
+    // buckets, and reach verification as a candidate whose Jaccard
+    // denominator is 0 — ANSI mode (Spark 4 default) threw
+    // DIVIDE_BY_ZERO on the whole query. The exact tier can never form
+    // such a pair (pairs share a shingle by construction), so the guard
+    // must DROP them, keeping lsh == exact.
+    val df = docDf("one two", "a b", "x", "",
+      "many tokens make real shingles here now", "many tokens make real shingles here too")
+    val sh = Dedup.shingleDocs(df, "doc_id", "text")
+    val lsh = Dedup.minhashLshPairs(sh, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.jaccardPairs(sh, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh === exact)
+    assert(lsh.forall { case (a, b) => a >= 4L && b >= 4L },
+      s"sub-k docs must never pair: $lsh")
+    // the stats instrument shares the verify plan — same guard, no crash
+    val (cands, surv) = Dedup.minhashCandidateStats(sh, 0.5)
+    assert(surv == exact.size.toLong && cands >= surv)
+  }
+
+  test("canonicalDocsRouted equals the exact pair-table composition (planted corpus)") {
+    import spark.implicits._
+    // r13: the productized route (digest-collapse -> MinHash banding on
+    // reps -> exact verify on survivors) must keep EXACTLY the docs the
+    // exact-tier composition keeps. Planted shapes: an exact-dup class of
+    // 4 (identical text), a near-dup triple (light mutation), a chain
+    // linking an exact class to a near-dup (stars and rep pairs must
+    // connect through components), empty docs (n=0 classes must NOT
+    // cluster), and untouched uniques.
+    val rnd = new scala.util.Random(17)
+    val vocab = Vector("data", "spark", "query", "join", "scan", "agg", "row",
+      "col", "sort", "hash", "merge", "batch", "stream", "window")
+    def doc(): String = Seq.fill(40)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val base = Seq.tabulate(20)(_ => doc())
+    val exactClass = Seq.fill(4)(base(0))            // ids 20..23 dup id 0
+    val nearDups = base.slice(1, 4).map(_.replaceFirst("data", "datum"))
+    val all = base ++ exactClass ++ nearDups ++ Seq("", "", base(5))
+    val df = docDf(all: _*)
+    def canon(routed: Boolean): Seq[Long] = {
+      val kept =
+        if (routed) Dedup.canonicalDocsRouted(df, "doc_id", "text", 0.5)
+        else {
+          val comps = Dedup.connectedComponents(
+            Dedup.jaccardPairsHashed(
+              Dedup.hashedShingleDocs(df, "doc_id", "text"), 0.5))
+          val drop = comps.where(col("doc_id") =!= col("component"))
+            .select(col("doc_id"))
+          df.join(broadcast(drop), Seq("doc_id"), "left_anti")
+        }
+      kept.select(col("doc_id")).as[Long].collect().toSeq.sorted
+    }
+    val exactKept = canon(routed = false)
+    val routedKept = canon(routed = true)
+    assert(routedKept === exactKept)
+    // the components form of the route: identical labels to the exact
+    // relation (same node set, connectivity, min-id labels)
+    val exactComps = Dedup.connectedComponents(
+        Dedup.jaccardPairsHashed(
+          Dedup.hashedShingleDocs(df, "doc_id", "text"), 0.5))
+      .as[(Long, Long)].collect().toSeq.sorted
+    val routedComps = Dedup.componentsRouted(df, "doc_id", "text", 0.5)
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(routedComps === exactComps)
+    // the planted duplicates actually exercised the route
+    assert(!routedKept.contains(20L) && !routedKept.contains(21L),
+      "exact-dup class members must drop")
+    assert(exactKept.size < all.size, "planted dups must drop something")
+    // empty docs are never duplicates of each other
+    assert(routedKept.contains((all.size - 3).toLong) &&
+      routedKept.contains((all.size - 2).toLong), "empty docs must survive")
+    Dedup.releaseClassTable(df, "doc_id", "text")
+  }
+
   test("connectedComponents: chains collapse transitively to the min id") {
     import spark.implicits._
     // components: {1,2,3,4} via chain, {10,11}, singleton edges only
