@@ -36,9 +36,11 @@ class AnnRecallSpec extends SparkSpec {
     * RISES 0.39 → 0.46 — denser buckets mean each 1-bit-flip probe
     * surfaces more true neighbors. The real casualty is IVF-PQ
     * (0.56 → 0.36): with nlist fixed, 10× more vectors per cell makes
-    * the 8-bit product-quantized distance the ranking bottleneck —
-    * exactly the regime where a production config re-ranks PQ survivors
-    * with exact distances. Floors sit just under these measurements.
+    * the quantized SHORTLIST the bottleneck (the re-rank is already
+    * exact) — AnnPqTuneProbe measures the knobs buying it back
+    * (candidateFactor=32/nProbe=8 → 0.74, cf=64/nProbe=16 → 0.93, wall
+    * unchanged; table in ARCHITECTURE). Floors sit just under the
+    * gate-config measurements.
     */
   private val approxFloors: Seq[(String, Map[String, Double])] = Seq(
     "sf0.01" -> Map(
