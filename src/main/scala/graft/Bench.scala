@@ -237,9 +237,11 @@ object Bench {
         // (classifier sample, BPE vocab collect, pack prefix sum in one
         // JVM) at 10×. Single run (a composition envelope, not a race).
         val pretrainSf1 = scala.util.Try {
-          spark.sparkContext.addSparkListener(listener)
+          // temp dir BEFORE the listener: a createTempDirectory failure
+          // must not leak a registered listener into the rest of the run
           val outDir = java.nio.file.Files
             .createTempDirectory("graft_bench_pretrain_sf1")
+          spark.sparkContext.addSparkListener(listener)
           try {
             peak = 0L; spill = 0L
             val t0 = System.nanoTime()
@@ -287,9 +289,10 @@ object Bench {
             }
           }
         }
-        spark.sparkContext.addSparkListener(listener)
+        // temp dir BEFORE the listener (see the sf1 pretrain note)
         val outDir = java.nio.file.Files
           .createTempDirectory("graft_bench_pretrain")
+        spark.sparkContext.addSparkListener(listener)
         try {
           val t0 = System.nanoTime()
           val res = graft.pipelines.Pretrain.run(spark, sfDir, outDir.toString)

@@ -73,16 +73,18 @@ object Pretrain {
       case None => canon
     }
 
-    // 4. PII redaction — the text every later stage (and training) sees
-    stage("gate_dedup_redact_write") {
-      clean.select(col("doc_id"),
-          graft.text.TextOps.piiRedact(col("text")).as("text"))
-        .write.mode("overwrite").parquet(s"$out/clean.parquet")
-    }
-    // the clean write was the last consumer of the dedup lineage: release
-    // the routed path's memoized collapsed-class seam so a library run
-    // leaves no cached blocks behind (stages 5-6 read clean.parquet back)
-    graft.text.Dedup.releaseClassTable(kept, "doc_id", "text")
+    // 4. PII redaction — the text every later stage (and training) sees.
+    // The clean write is the last consumer of the dedup lineage: release
+    // the routed path's memoized collapsed-class seam in a FINALLY so a
+    // failed write cannot leak persisted blocks into a long-lived session
+    // (stages 5-6 read clean.parquet back, never this lineage)
+    try {
+      stage("gate_dedup_redact_write") {
+        clean.select(col("doc_id"),
+            graft.text.TextOps.piiRedact(col("text")).as("text"))
+          .write.mode("overwrite").parquet(s"$out/clean.parquet")
+      }
+    } finally graft.text.Dedup.releaseClassTable(kept, "doc_id", "text")
 
     // 5. tokenizer trains on the CLEANED corpus (what it will encode)
     val cleanBack = spark.read.parquet(s"$out/clean.parquet")

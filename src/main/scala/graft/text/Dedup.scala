@@ -815,7 +815,17 @@ object Dedup {
 
     // band rows carry only (doc_id, bucket) — never the shingle arrays —
     // so the bucket grouping shuffles a few ints per row, not documents
-    val sig = sh.select(col("doc_id"), minhashSignature(col("shingles"), numHashes).as("sig"))
+    // drop empty shingle sets BEFORE signature generation (r13 review):
+    // every sub-k doc has the identical all-sentinel signature, so m such
+    // docs would land in the SAME bucket of every band and generate
+    // ~C(m,2) candidates per band that verification then discards — on a
+    // short-doc-heavy corpus (titles, tweets) that is a quadratic blowup
+    // for pairs that can never qualify (an empty set has j = 0 with
+    // everything at any threshold > 0, and the exact tier never pairs
+    // them either). This is the mechanism-level form of the ANSI-0/0
+    // guard at verify, which stays as defense in depth.
+    val sig = sh.where(size(col("shingles")) > 0)
+      .select(col("doc_id"), minhashSignature(col("shingles"), numHashes).as("sig"))
     // posting-list candidate generation (see jaccardPairsHashed): one
     // shuffle of (bucket, doc) rows into per-bucket groups, pairs emitted
     // in-task by LAZY iterators — no banded self-join, no raw pair
@@ -1318,7 +1328,14 @@ object Dedup {
       bands: Int,
       cap: Int,
       sampleMod: Int): DataFrame = {
-    require(threshold <= 1.0, "identical sets (j = 1.0) must qualify")
+    // STRICT lower bound (r13 review): at threshold <= 0 the verify stage
+    // would keep banding candidates with ZERO shared shingles (0 >= 0),
+    // pairs the exact tier can never emit — silently breaking the
+    // output-equality contract. Fail loud on the degenerate parameter.
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold — the routed path's " +
+        "equality with the exact tier requires qualifying pairs to share " +
+        "at least one shingle")
     import org.apache.spark.sql.graft.GraftColumnBridge.{column => colOf, expression}
     val classes = classTable(docs, idCol, textCol, k)
 
@@ -1344,10 +1361,14 @@ object Dedup {
 
     // stage 1's edges: member → class rep for multi-doc non-empty classes
     // (identical non-empty sets have j = 1.0, qualifying at any t <= 1;
-    // empty shingle sets are not duplicates of each other)
-    val digested = shingleDocs(docs, idCol, textCol, k)
-      .select(col("doc_id"), hashShingleArray(col("shingles")).as("hs"))
-      .select(col("doc_id"), size(col("hs")).cast("long").as("n"),
+    // empty shingle sets are not duplicates of each other). This per-doc
+    // pass needs ONLY the sorted-distinct hash array, so it runs the
+    // fused hashedShingleDocs kernel (no shingle string ever allocated —
+    // the string+rehash path measured 3× slower); the digest arithmetic
+    // is identical to classTable's because hashShingleArray(shingles)
+    // and HashedShingles produce the same sorted-distinct hs (spec-pinned).
+    val digested = hashedShingleDocs(docs, idCol, textCol, k)
+      .select(col("doc_id"), col("n").cast("long").as("n"),
         xxhash64(col("hs")).as("h64"), hash(col("hs")).as("h32"))
     val starEdges = digested
       .join(classes.where(col("cnt") >= 2 && col("n") > 0)
