@@ -297,6 +297,28 @@ object Main {
         val out = req("out")
         val threshold = opts.getOrElse("threshold", "0.5").toDouble
         val docs = Tables.documents(spark, dir)
+        // --routed: canonical-only FAST PATH through the three-stage
+        // routing rule (digest-collapse → MinHash banding on reps → exact
+        // verify on survivors; Dedup.componentsRouted). Writes
+        // components.parquet + canonical.parquet with the exact path's
+        // output, but never materializes the pair table — so it cannot
+        // combine with --new-from, whose daily compaction loop IS the
+        // pair-table artifact.
+        if (opts.contains("routed")) {
+          require(!opts.contains("new-from"),
+            "--routed has no pair table; the --new-from incremental loop needs one")
+          try {
+            graft.text.Dedup.componentsRouted(docs, "doc_id", "text", threshold)
+              .write.mode("overwrite").parquet(s"$out/components.parquet")
+          } finally graft.text.Dedup.releaseClassTable(docs, "doc_id", "text")
+          val drop = spark.read.parquet(s"$out/components.parquet")
+            .where(col("doc_id") =!= col("component")).select("doc_id")
+          docs.join(broadcast(drop), Seq("doc_id"), "left_anti")
+            .write.mode("overwrite").parquet(s"$out/canonical.parquet")
+          println(s"[dedup] routed canonical=" +
+            s"${spark.read.parquet(s"$out/canonical.parquet").count()}")
+          return
+        }
         val hashed = graft.text.Dedup.hashedShingleDocs(docs, "doc_id", "text")
         val pairs = opts.get("new-from").map(_.toLong) match {
           case Some(b) =>
@@ -465,7 +487,8 @@ object Main {
       |          file-format, gentamycin,
       |          curate [--data sfDir --out dir --min-quality 0.4 --semantic
       |                  --decontaminate-below id --redact-pii],
-      |          dedup [--data sfDir --out dir --threshold 0.5 --new-from id],
+      |          dedup [--data sfDir --out dir --threshold 0.5 --new-from id
+      |                 --routed],
       |          tokenize [--data sfDir --out dir --merges 24
       |                    --merges-in merges.tsv],
       |          classify [--data sfDir --out dir --min-logit x],

@@ -56,6 +56,30 @@ class CurateCliSpec extends SparkSpec {
       .orderBy("d1", "d2").collect().toSeq == wantPairs.collect().toSeq)
   }
 
+  test("dedup --routed: canonical-only fast path equals the pair-table composition") {
+    import org.apache.spark.sql.functions.col
+    val out = java.nio.file.Files.createTempDirectory("dedup_routed").toString
+    graft.Main.main(Array("dedup", "--data", sf001, "--out", out, "--routed"))
+    // no pair table on the fast path — that artifact belongs to the
+    // incremental loop only
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$out/pairs.parquet")))
+    val docs = graft.Tables.documents(spark, sf001)
+    val wantComps = graft.text.Dedup.connectedComponents(
+      graft.text.Dedup.jaccardPairsHashed(
+        graft.text.Dedup.hashedShingleDocs(docs, "doc_id", "text"), 0.5))
+    assert(spark.read.parquet(s"$out/components.parquet")
+      .orderBy("doc_id").collect().toSeq == wantComps.collect().toSeq)
+    val canon = spark.read.parquet(s"$out/canonical.parquet")
+    val dropped = wantComps.where(col("doc_id") =!= col("component")).count()
+    assert(canon.count() == docs.count() - dropped)
+    // --routed + --new-from must fail loud, not silently skip the pair table
+    intercept[IllegalArgumentException] {
+      graft.Main.main(Array("dedup", "--data", sf001, "--out", out,
+        "--routed", "--new-from", "400"))
+    }
+  }
+
   test("curate --decontaminate-below + --redact-pii: leak-free survivors, clean text artifact") {
     import org.apache.spark.sql.functions.col
     val out = java.nio.file.Files.createTempDirectory("curate_pii").toString
