@@ -188,7 +188,8 @@ object Bench {
         val family = Seq(
           "dd_ngram_jaccard", "dd_ppjoin", "dd_minhash_lsh", "dd_simhash",
           "dd_hamming", "dd_jac_components", "dd_sim_components",
-          "dd_components", "dd_canonical", "dd_canonical_routed",
+          "dd_components", "dd_components_routed",
+          "dd_canonical", "dd_canonical_routed",
           "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
           "cur_decontaminate_bloom", "cur_pii_redact", "tx_perplexity",
           "tx_bpe_encode")

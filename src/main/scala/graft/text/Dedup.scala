@@ -360,16 +360,26 @@ object Dedup {
     * only on survivors).
     */
   def ppjoinCandidateStats(hashed: DataFrame, threshold: Double): (Long, Long) = {
+    val r = ppjoinScoredCandidates(hashed, threshold).agg(count(lit(1)),
+      sum(when(col("jraw") >= threshold, 1L).otherwise(0L))).collect()(0)
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  /** The df-ordered PPJoin candidate pipeline scored with exact `jraw` —
+    * ONE pipeline shared by [[jaccardPairsPrefixDf]] (production) and
+    * [[ppjoinCandidateStats]] (instrument), same desynchronization
+    * argument as [[minhashScoredCandidates]]. Plan shape notes live on
+    * [[jaccardPairsPrefixDf]].
+    */
+  private def ppjoinScoredCandidates(
+      hashed: DataFrame, threshold: Double): DataFrame = {
     graft.functions.GraftExtensions.register(hashed.sparkSession)
     val base = hashed.repartition(col("doc_id"))
-    val scored = prefixCandidates(cmsOrdered(base, sketchFrom = hashed), threshold)
+    prefixCandidates(cmsOrdered(base, sketchFrom = hashed), threshold)
       .join(base.select(col("doc_id").as("d1"), col("hs").as("h1"), col("n").as("n1")), "d1")
       .join(base.select(col("doc_id").as("d2"), col("hs").as("h2"), col("n").as("n2")), "d2")
       .withColumn("inter", expr("sorted_long_intersect_count(h1, h2)"))
       .withColumn("jraw", col("inter") / (col("n1") + col("n2") - col("inter")))
-    val r = scored.agg(count(lit(1)),
-      sum(when(col("jraw") >= threshold, 1L).otherwise(0L))).collect()(0)
-    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
   }
 
   /** EXACT Jaccard near-dup pairs over hashed shingle sets via the
@@ -603,16 +613,35 @@ object Dedup {
     * of the prefix + size + positional filters.
     */
   private[text] def prefixCandidates(ordered: DataFrame, threshold: Double): DataFrame = {
-    val prefixLen = greatest(col("n") - ceil(col("n") * threshold).cast("int") + 1, lit(0))
+    // FLOATING-POINT BOUNDARY CONTRACT (r13 review fix): the production
+    // predicate is the ROUNDED comparison fl(inter/union) >= t, so every
+    // derived prune must be conservative under that rounding, not under
+    // real arithmetic. Three boundary-safe forms:
+    //   - prefix length uses ceil(n*t − 1e-9): fl(n*t) can round UP
+    //     across an integer (t=0.14, n=50 → 7.000000000000001, ceil 8 —
+    //     one prefix element short, a MISSED PAIR), and the rounded
+    //     predicate itself admits inter one below the real-arithmetic
+    //     minimum; the nudge (≫ both error scales for any n < 1e8,
+    //     ≪ 1/n so it never crosses a true integer product like n·0.5)
+    //     floors both effects away;
+    //   - size and positional filters compare DIVISIONS against t —
+    //     division is monotone and correctly rounded, so inter ≤ min and
+    //     union ≥ max give fl(min/max) ≥ fl(jraw) ≥ t for every
+    //     qualifying pair (the old multiplication forms min ≥ max·t and
+    //     ub ≥ S·t/(1+t) round differently from the predicate and
+    //     pruned true threshold-boundary pairs).
+    // At exactly-representable products (t = 0.5, every gate) all three
+    // forms accept the same set, so candidate-count pins are unchanged.
+    val prefixLen =
+      greatest(col("n") - ceil(col("n") * threshold - 1e-9).cast("int") + 1, lit(0))
     val ex = ordered.select(col("doc_id"), col("n"),
       posexplode(slice(col("ord"), lit(1), prefixLen)).as(Seq("p", "s")))
-    val overlapNeeded = threshold / (1.0 + threshold)
+    val ub = lit(1) + least(col("na") - 1 - col("pa"), col("nb") - 1 - col("pb"))
     ex.select(col("doc_id").as("d1"), col("n").as("na"), col("p").as("pa"), col("s"))
       .join(ex.select(col("doc_id").as("d2"), col("n").as("nb"), col("p").as("pb"), col("s")), Seq("s"))
       .where(col("d1") < col("d2") &&
-        least(col("na"), col("nb")) >= greatest(col("na"), col("nb")) * threshold &&
-        lit(1) + least(col("na") - 1 - col("pa"), col("nb") - 1 - col("pb")) >=
-          (col("na") + col("nb")) * overlapNeeded)
+        least(col("na"), col("nb")) / greatest(col("na"), col("nb")) >= threshold &&
+        ub / (col("na") + col("nb") - ub) >= threshold)
       .select("d1", "d2")
       .dropDuplicates("d1", "d2")
   }
@@ -682,7 +711,12 @@ object Dedup {
   private[text] def cmsOrdered(
       hashed: DataFrame, sketchFrom: DataFrame = null): DataFrame = {
     // depth 5 × width 2^16 longs ≈ 2.6 MB — a fixed-size broadcast at any
-    // corpus scale; seed fixed for run-to-run determinism
+    // corpus scale; seed fixed for run-to-run determinism. Broadcast
+    // LIFETIME is ContextCleaner-managed (reclaimed when the returned
+    // plan becomes unreachable): an explicit destroy() here would break
+    // re-execution of the lazy frame. Callers issuing MANY ppjoin calls
+    // in one session should reuse results via the [[pairTable]] seam
+    // rather than re-deriving the ordering per call.
     val src = Option(sketchFrom).getOrElse(hashed)
     val cms = src.select(explode(col("hs")).as("s"))
       .stat.countMinSketch("s", 5, 1 << 16, 42)
@@ -729,11 +763,12 @@ object Dedup {
     * stage the pipeline persists explicitly (the [[pairTable]] seam note),
     * so the extra scan is a cheap re-read, not a re-hash.
     */
-  def jaccardPairsPrefixDf(hashed: DataFrame, threshold: Double): DataFrame = {
-    val base = hashed.repartition(col("doc_id"))
-    verifyCandidates(base,
-      prefixCandidates(cmsOrdered(base, sketchFrom = hashed), threshold), threshold)
-  }
+  def jaccardPairsPrefixDf(hashed: DataFrame, threshold: Double): DataFrame =
+    ppjoinScoredCandidates(hashed, threshold)
+      .where(col("jraw") >= threshold)
+      .withColumn("j", floor(col("jraw") * 1000000.0 + 0.5) / 1000000.0)
+      .select("d1", "d2", "inter", "j")
+      .orderBy("d1", "d2")
 
   /** Per-document MinHash signature (the function under the
     * [[minhashSignature]] Column and the streaming twin): H minima over
@@ -769,28 +804,45 @@ object Dedup {
       bands: Int = 16,
       cap: Int = DefaultGroupCap,
       sampleMod: Int = DefaultSampleMod): DataFrame = {
-    val sh = shingled
-    val candidates = minhashLshCandidates(sh, numHashes, bands, cap, sampleMod)
+    minhashScoredCandidates(shingled, numHashes, bands, cap, sampleMod)
+      .where(col("jraw") >= threshold)
+      .withColumn("j", floor(col("jraw") * 1000000.0 + 0.5) / 1000000.0)
+      .select("d1", "d2", "inter", "j")
+      .orderBy("d1", "d2")
+  }
 
-    // exact verification joins the (persisted) shingle sets back in for
-    // the few surviving candidates only. The empty-pair guard is a
-    // CRASH fix, not cosmetics (r13): two sub-k-token docs have the
-    // identical all-sentinel signature, band into the same buckets, and
-    // reach verification as a candidate whose Jaccard denominator is
-    // 0 + 0 − 0 — ANSI mode (Spark 4 default) throws DIVIDE_BY_ZERO on
-    // it. The exact tier can never form such a pair (its pairs share a
-    // shingle by construction), so dropping them here preserves equality.
-    candidates
+  /** Banding candidates joined to their shingle sets with exact Jaccard
+    * scored as `jraw` — ONE verify pipeline shared by [[minhashLshPairs]]
+    * (the production query) and [[minhashCandidateStats]] (the scale
+    * instrument), so the instrument can never silently desynchronize
+    * from the arithmetic the query runs (r13 review: the empty-pair
+    * crash fix had to be applied in two copies of this block).
+    *
+    * Exact verification joins the shingle sets back in for the few
+    * surviving candidates only. The empty-pair guard is a CRASH fix, not
+    * cosmetics (r13): two sub-k-token docs have the identical
+    * all-sentinel signature, band into the same buckets, and reach
+    * verification as a candidate whose Jaccard denominator is 0 + 0 − 0
+    * — ANSI mode (Spark 4 default) throws DIVIDE_BY_ZERO on it. The
+    * exact tier can never form such a pair (its pairs share a shingle by
+    * construction), so dropping them preserves equality. Candidate
+    * generation also filters empty sets before banding; this guard is
+    * defense in depth.
+    */
+  private def minhashScoredCandidates(
+      shingled: DataFrame,
+      numHashes: Int,
+      bands: Int,
+      cap: Int,
+      sampleMod: Int): DataFrame = {
+    val sh = shingled
+    minhashLshCandidates(sh, numHashes, bands, cap, sampleMod)
       .join(sh.select(col("doc_id").as("d1"), col("shingles").as("sh1")), "d1")
       .join(sh.select(col("doc_id").as("d2"), col("shingles").as("sh2")), "d2")
       .where(size(col("sh1")) + size(col("sh2")) > 0)
       .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast("long"))
       .withColumn("jraw",
         col("inter") / (size(col("sh1")) + size(col("sh2")) - col("inter")))
-      .where(col("jraw") >= threshold)
-      .withColumn("j", floor(col("jraw") * 1000000.0 + 0.5) / 1000000.0)
-      .select("d1", "d2", "inter", "j")
-      .orderBy("d1", "d2")
   }
 
   /** The banded-bucket candidate pairs behind [[minhashLshPairs]]
@@ -900,15 +952,7 @@ object Dedup {
       bands: Int = 16,
       cap: Int = DefaultGroupCap,
       sampleMod: Int = DefaultSampleMod): (Long, Long) = {
-    val sh = shingled
-    val scored = minhashLshCandidates(sh, numHashes, bands, cap, sampleMod)
-      .join(sh.select(col("doc_id").as("d1"), col("shingles").as("sh1")), "d1")
-      .join(sh.select(col("doc_id").as("d2"), col("shingles").as("sh2")), "d2")
-      // empty-pair guard — see the minhashLshPairs note (ANSI 0/0 crash)
-      .where(size(col("sh1")) + size(col("sh2")) > 0)
-      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast("long"))
-      .withColumn("jraw",
-        col("inter") / (size(col("sh1")) + size(col("sh2")) - col("inter")))
+    val scored = minhashScoredCandidates(shingled, numHashes, bands, cap, sampleMod)
     val row = scored.agg(count(lit(1)),
       sum(when(col("jraw") >= threshold, 1L).otherwise(0L))).collect()(0)
     (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
@@ -1287,11 +1331,16 @@ object Dedup {
       sampleMod: Int = DefaultSampleMod): DataFrame = {
     val comps = componentsRouted(
       docs, idCol, textCol, threshold, k, numHashes, bands, cap, sampleMod)
-    // the non-canonical ids are BY CONSTRUCTION the small side (they are
-    // the duplicates) — broadcast anti-join, corpus never shuffles
+    // NO forced broadcast hint (r13 review): on a lightly-duplicated
+    // corpus the drop list is tiny and AQE's runtime stats broadcast the
+    // anti-join on their own (the corpus never shuffles); on a
+    // duplicate-HEAVY corpus — the regime this routed path exists for —
+    // the duplicates can dominate and a forced broadcast would collect
+    // an O(corpus) list to the driver. Letting AQE choose degrades that
+    // case to a shuffled anti-join instead of a driver OOM.
     val dropList = comps.where(col("doc_id") =!= col("component"))
       .select(col("doc_id").as("__drop_id"))
-    docs.join(broadcast(dropList), docs(idCol) === col("__drop_id"), "left_anti")
+    docs.join(dropList, docs(idCol) === col("__drop_id"), "left_anti")
   }
 
   /** Near-dup connected components through the SAME three-stage route as
@@ -1397,7 +1446,13 @@ object Dedup {
   def connectedComponents(
       pairs: DataFrame,
       maxIterations: Int = 25,
-      smallEdgeLimit: Long = 10000000L): DataFrame = {
+      smallEdgeLimit: Long = 2000000L): DataFrame = {
+    // smallEdgeLimit default 2M (r13 review, down from 10M): the driver
+    // path collects every edge and builds a boxed-Long union-find map —
+    // roughly 150-200 B/edge of driver heap, so 2M edges ≈ 400 MB, safe
+    // on a default driver, where 10M (~2-3 GB peak) OOMed
+    // spark.driver.memory=1g long before the cutoff. Callers with big
+    // drivers can raise it; the distributed path is correct at any size.
     val spark = pairs.sparkSession
     import spark.implicits._
     val edgeDs = pairs.select(col("d1").cast("long"), col("d2").cast("long")).as[(Long, Long)]
@@ -1420,7 +1475,14 @@ object Dedup {
       val labels = parent.keys.toSeq.map(id => (id, find(id))).sortBy(_._1)
       edgeDs.unpersist()
       labels.toDF("doc_id", "component").orderBy("doc_id")
-    } else iterativeComponents(edgeDs.toDF("d1", "d2"), maxIterations)
+    } else {
+      // the iterative path's result is checkpoint-backed, so the source
+      // edge cache can be dropped as soon as the rounds complete — a
+      // FINALLY, or the largest relation in the job stays pinned for the
+      // session on both the success and the non-convergence path
+      try iterativeComponents(edgeDs.toDF("d1", "d2"), maxIterations)
+      finally edgeDs.unpersist()
+    }
   }
 
   /** Distributed components (the > smallEdgeLimit path): min-label HOP
@@ -1453,6 +1515,9 @@ object Dedup {
     val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // unpersist in a FINALLY (r13 review): the non-convergence require
+    // below must not leak the bidirectional edge cache for the session
+    try {
     var labels = materialize(
       edges.select(col("src").as("id")).distinct()
         .withColumn("comp", col("id")))
@@ -1483,8 +1548,8 @@ object Dedup {
     }
     require(converged,
       s"connectedComponents did not converge in $maxIterations doubling rounds")
-    edges.unpersist()
     labels.select(col("id").as("doc_id"), col("comp").as("component"))
       .orderBy("doc_id")
+    } finally edges.unpersist()
   }
 }

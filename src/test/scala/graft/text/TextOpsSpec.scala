@@ -584,6 +584,37 @@ class TextOpsSpec extends SparkSpec {
     assert(lsh === exact)
   }
 
+  test("prefix filters are boundary-safe: threshold-edge pairs survive (t=0.14, 7⊂50)") {
+    import spark.implicits._
+    // r13 review fix pinned: the production predicate is the ROUNDED
+    // comparison fl(inter/union) >= t. At t = 0.14 (a non-representable
+    // double) a 7-shingle doc contained in a 50-shingle doc has
+    // fl(7/50) == fl(0.14), so the exact tier keeps the pair — but the
+    // old multiplication-form size filter computed 50·t =
+    // 7.000000000000001 and pruned it before verification, and the old
+    // prefix length ceil(50·t) = 8 indexed one element too few. Both
+    // prefix variants must now emit exactly the exact tier's pairs.
+    val sub = (1L to 7L).toArray
+    val sup = (1L to 50L).toArray
+    val other = (100L to 140L).toArray
+    val hashed = Seq((1L, sub), (2L, sup), (3L, other))
+      .toDF("doc_id", "hs")
+      .select(col("doc_id"), col("hs"), size(col("hs")).as("n"))
+    val t = 0.14
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("d1", "d2").as[(Long, Long)].collect().toSet
+    val exact = pairSet(Dedup.jaccardPairsHashed(hashed, t))
+    assert(exact === Set((1L, 2L)), s"exact tier must keep the boundary pair: $exact")
+    assert(pairSet(Dedup.jaccardPairsPrefix(hashed, t)) === exact,
+      "hash-ordered prefix variant lost the boundary pair")
+    assert(pairSet(Dedup.jaccardPairsPrefixDf(hashed, t)) === exact,
+      "cms-ordered prefix variant lost the boundary pair")
+    // and the nudge must NOT loosen exact products: at t=0.5 the planted
+    // non-pair stays out in all variants
+    val exact05 = pairSet(Dedup.jaccardPairsHashed(hashed, 0.5))
+    assert(pairSet(Dedup.jaccardPairsPrefix(hashed, 0.5)) === exact05)
+  }
+
   test("minhashLshPairs: sub-k docs (empty shingle sets) must not crash or pair") {
     // r13 crash fix pinned: two docs shorter than k tokens share the
     // identical all-sentinel minhash signature, band into the same
