@@ -72,10 +72,45 @@ object Ann {
     */
   private def withNorm(embeddings: DataFrame, idCol: String, vecCol: String): DataFrame =
     kernels(embeddings).select(
-      col(idCol).as("id"), asDouble(col(vecCol)).as("v"),
-      sqrt(dotNative(asDouble(col(vecCol)), asDouble(col(vecCol)))).as("nrm"))
+        col(idCol).as("id"), asDouble(col(vecCol)).as("v"),
+        sqrt(dotNative(asDouble(col(vecCol)), asDouble(col(vecCol)))).as("nrm"))
+      // zero-norm vectors are EXCLUDED from cosine ranking (r13 review):
+      // cosine is undefined for them, and without this guard 0/0 = NaN —
+      // which BOTH Spark and DuckDB order above every real value — would
+      // silently rank a zero (padding) embedding as every query's #1
+      // neighbor. The ann oracles carry the matching norm guards.
+      .where(col("nrm") > 0)
 
   private def dotCol(a: Column, b: Column): Column = dotNative(a, b)
+
+  /** Exact re-rank tail shared by every candidate-generating top-k path
+    * (IVF-PQ, HNSW, LSH, multi-probe LSH): join true vectors + norms back
+    * for the surviving (query_id, neighbor_id) candidates only, score
+    * with the identical arithmetic to [[cosineTopK]], keep the best `k`
+    * per query. ONE implementation (r13 review: four verbatim copies)
+    * so the scoring/tie-break/rounding contract cannot drift per path.
+    */
+  private def exactRerank(
+      candidates: DataFrame,
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val base = withNorm(embeddings, idCol, vecCol)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    candidates
+      .join(base.select(col("id").as("query_id"), col("v").as("qvec"), col("nrm").as("qn")),
+        Seq("query_id"))
+      .join(base.select(col("id").as("neighbor_id"), col("v").as("nvec"), col("nrm").as("nn")),
+        Seq("neighbor_id"))
+      .withColumn("cos", dotCol(col("qvec"), col("nvec")) / (col("qn") * col("nn")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round4(col("cos")).as("score"))
+      .orderBy("query_id", "rank")
+  }
 
   def cosineTopK(
       embeddings: DataFrame,
@@ -145,7 +180,9 @@ object Ann {
         var s = 0.0; var i = 0
         while (i < v.length) { s += v(i) * v(i); i += 1 }
         val nrm = math.sqrt(s)
-        val b = (id % numBlocks).toInt
+        // floorMod, not Scala remainder (r13 review): a negative id must
+        // land in a valid block like every other sharding site in the file
+        val b = (((id % numBlocks) + numBlocks) % numBlocks).toInt
         // this block is the LEFT side of cells (b, j>=b) and the RIGHT
         // side of cells (i<b, b) — strict split so (b,b) emits once
         val out = new Array[(Int, Boolean, Long, Double, Array[Double])](numBlocks)
@@ -308,7 +345,14 @@ object Ann {
     ivfPrep(embeddings, idCol, vecCol)
       .map { case (id, _, _, vn) => (id, vn) }
       .toDF("id", "vn")
-      .orderBy(pmod(col("id") * lit(2654435761L), lit(1000000007L)), col("id"))
+      // pmod BEFORE the multiply (r13 review): (id*H) mod p ==
+      // ((id mod p)*H) mod p exactly (modular identity, so every existing
+      // sample order is unchanged), but the raw multiply overflows long
+      // for |id| > ~3.4e9 — an ARITHMETIC_OVERFLOW crash under Spark 4's
+      // default ANSI mode on hash-derived ids. The reduced product is
+      // bounded by p*H < 2.7e18 < Long.Max.
+      .orderBy(pmod(pmod(col("id"), lit(1000000007L)) * lit(2654435761L),
+        lit(1000000007L)), col("id"))
       .limit(trainCap)
       .as[(Long, Array[Double])]
       .collect()
@@ -321,34 +365,55 @@ object Ann {
       vecCol: String,
       numCells: Int = 16,
       lloydIters: Int = 2,
-      trainCap: Int = 4096): Array[Array[Double]] = {
-    val sample = trainingSample(embeddings, idCol, vecCol, trainCap)
+      trainCap: Int = 4096): Array[Array[Double]] =
+    trainIvfCentroidsFromSample(
+      trainingSample(embeddings, idCol, vecCol, trainCap), numCells, lloydIters)
 
-    // driver-local Lloyd over the sample (≤ trainCap×dim doubles); means
-    // fold members in ascending-id order, empty cells keep their centroid
-    def groupMeans(
-        assigned: Seq[(Int, Long, Array[Double])],
-        prev: Array[Array[Double]]): Array[Array[Double]] = {
-      val computed = assigned.groupBy(_._1).map { case (cell, rows0) =>
-        val rows = rows0.sortBy(_._2)
-        val dim = rows.head._3.length
-        val acc = new Array[Double](dim)
-        rows.foreach { r =>
-          var i = 0; while (i < dim) { acc(i) += r._3(i); i += 1 }
-        }
-        var i = 0; while (i < dim) { acc(i) /= rows.length; i += 1 }
-        (cell, acc)
+  /** Deterministic driver-local Lloyd mean fold shared by the coarse IVF
+    * trainer and the per-subspace PQ codebook trainer (r13 review: two
+    * near-identical folds had to stay bit-identical by inspection) —
+    * members fold in ascending-id order, empty groups keep their previous
+    * centroid.
+    */
+  private def meanFold(
+      assigned: Seq[(Int, Long, Array[Double])],
+      prev: Array[Array[Double]]): Array[Array[Double]] = {
+    val computed = assigned.groupBy(_._1).map { case (cell, rows0) =>
+      val rows = rows0.sortBy(_._2)
+      val dim = rows.head._3.length
+      val acc = new Array[Double](dim)
+      rows.foreach { r =>
+        var i = 0; while (i < dim) { acc(i) += r._3(i); i += 1 }
       }
-      Array.tabulate(prev.length)(c => computed.getOrElse(c, prev(c)))
+      var i = 0; while (i < dim) { acc(i) /= rows.length; i += 1 }
+      (cell, acc)
     }
+    Array.tabulate(prev.length)(c => computed.getOrElse(c, prev(c)))
+  }
 
+  /** The Lloyd loop over an already-collected sample — shared by
+    * [[trainIvfCentroids]] and [[ivfPqTopK]] (which needs the sample
+    * itself for codebook training; the previous shape collected the
+    * bounded sample twice, r13 review).
+    */
+  private def trainIvfCentroidsFromSample(
+      sample: Array[(Long, Array[Double])],
+      numCells: Int,
+      lloydIters: Int): Array[Array[Double]] = {
+    if (sample.isEmpty) return Array.fill(numCells)(Array.empty[Double])
+    // empty cells hold a ZERO VECTOR of the right dimension, not
+    // Array.empty (r13 review): nearestCell scores both as dot 0.0 —
+    // identical assignment — but downstream residual/codebook arithmetic
+    // indexes centroid components, which crashed on the empty array
+    // whenever an id-residue class had no sample member
+    val dim0 = sample.head._2.length
     val initAssign = sample.toSeq.map { case (id, vn) =>
       ((((id % numCells) + numCells) % numCells).toInt, id, vn)
     }
-    var cents = groupMeans(initAssign, Array.fill(numCells)(Array.empty[Double]))
+    var cents = meanFold(initAssign, Array.fill(numCells)(new Array[Double](dim0)))
     for (_ <- 1 to lloydIters) {
       val assigned = sample.toSeq.map { case (id, vn) => (nearestCell(vn, cents), id, vn) }
-      cents = groupMeans(assigned, cents)
+      cents = meanFold(assigned, cents)
     }
     cents
   }
@@ -460,11 +525,14 @@ object Ann {
     val spark = embeddings.sparkSession
     import spark.implicits._
 
-    val cents = trainIvfCentroids(embeddings, idCol, vecCol, numCells, lloydIters, trainCap)
+    // ONE bounded sample collection feeds both the coarse trainer and the
+    // codebook trainer (r13 review: trainIvfCentroids + a second
+    // trainingSample call ran the scan-sort-limit-collect job twice)
     val sample = trainingSample(embeddings, idCol, vecCol, trainCap)
     if (sample.isEmpty)
       return Seq.empty[(Long, Int, Long, Double)]
         .toDF("query_id", "rank", "neighbor_id", "score")
+    val cents = trainIvfCentroidsFromSample(sample, numCells, lloydIters)
     val dim = sample.head._2.length
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
     val subDim = dim / m
@@ -488,28 +556,21 @@ object Ann {
       }
       best
     }
+    // residuals computed ONCE per sample row (r13 review: the previous
+    // per-subspace residual(vn) repeated the nearestCell argmax and the
+    // full-dim subtraction m times per row); each subspace copies out its
+    // slice. The mean fold is the shared [[meanFold]] — one deterministic
+    // fold for the coarse and codebook trainers.
+    val residuals = sample.map { case (id, vn) => (id, residual(vn)) }
     val codebooks: Array[Array[Array[Double]]] = Array.tabulate(m) { sub =>
-      val items = sample.map { case (id, vn) =>
-        (id, java.util.Arrays.copyOfRange(residual(vn), sub * subDim, (sub + 1) * subDim))
+      val items = residuals.map { case (id, r) =>
+        (id, java.util.Arrays.copyOfRange(r, sub * subDim, (sub + 1) * subDim))
       }
-      def means(assigned: Seq[(Int, Long, Array[Double])],
-          prev: Array[Array[Double]]): Array[Array[Double]] = {
-        val computed = assigned.groupBy(_._1).map { case (code, rows0) =>
-          val rows = rows0.sortBy(_._2)
-          val acc = new Array[Double](subDim)
-          rows.foreach { r =>
-            var i = 0; while (i < subDim) { acc(i) += r._3(i); i += 1 }
-          }
-          var i = 0; while (i < subDim) { acc(i) /= rows.length; i += 1 }
-          (code, acc)
-        }
-        Array.tabulate(prev.length)(c => computed.getOrElse(c, prev(c)))
-      }
-      var book = means(
+      var book = meanFold(
         items.toSeq.map { case (id, r) => ((((id % ks) + ks) % ks).toInt, id, r) },
         Array.fill(ks)(new Array[Double](subDim)))
       for (_ <- 1 to lloydIters) {
-        book = means(items.toSeq.map { case (id, r) => (l2Nearest(r, book), id, r) }, book)
+        book = meanFold(items.toSeq.map { case (id, r) => (l2Nearest(r, book), id, r) }, book)
       }
       book
     }
@@ -587,20 +648,7 @@ object Ann {
       .where(col("arank") <= k * candidateFactor)
       .select("query_id", "neighbor_id")
 
-    val base = withNorm(embeddings, idCol, vecCol)
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    candidates
-      .join(base.select(col("id").as("query_id"), col("v").as("qvec"), col("nrm").as("qn")),
-        Seq("query_id"))
-      .join(base.select(col("id").as("neighbor_id"), col("v").as("nvec"), col("nrm").as("nn")),
-        Seq("neighbor_id"))
-      .withColumn("cos", dotCol(col("qvec"), col("nvec")) / (col("qn") * col("nn")))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round4(col("cos")).as("score"))
-      .orderBy("query_id", "rank")
+    exactRerank(candidates, embeddings, idCol, vecCol, k)
   }
 
   /** Deterministic uniform in (0,1) from an id — drives HNSW level
@@ -791,15 +839,11 @@ object Ann {
     val spark = embeddings.sparkSession
     import spark.implicits._
 
-    def prep(df: DataFrame) = df
-      .select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
-      .as[(Long, Array[Double])]
-      .map { case (id, v) =>
-        var s = 0.0; var i = 0
-        while (i < v.length) { s += v(i) * v(i); i += 1 }
-        val n = math.sqrt(s)
-        (id, if (n == 0.0) v.clone() else v.map(_ / n))
-      }
+    // (id, normalized vector) via the shared ivfPrep (r13 review: a local
+    // duplicate of the normalize-with-guard loop kept a second source of
+    // truth for the arithmetic the shard graphs depend on)
+    def prep(df: DataFrame) =
+      ivfPrep(df, idCol, vecCol).map { case (id, _, _, vn) => (id, vn) }
 
     // Query vectors ARE collected and broadcast (unlike ivfTopK's
     // distributed probes): every shard graph beam-searches every query, so
@@ -830,20 +874,7 @@ object Ann {
       .toDF("query_id", "neighbor_id")
 
     // exact re-scoring + global merge: identical arithmetic to cosineTopK
-    val base = withNorm(embeddings, idCol, vecCol)
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    candidates
-      .join(base.select(col("id").as("query_id"), col("v").as("qvec"), col("nrm").as("qn")),
-        Seq("query_id"))
-      .join(base.select(col("id").as("neighbor_id"), col("v").as("nvec"), col("nrm").as("nn")),
-        Seq("neighbor_id"))
-      .withColumn("cos", dotCol(col("qvec"), col("nvec")) / (col("qn") * col("nn")))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round4(col("cos")).as("score"))
-      .orderBy("query_id", "rank")
+    exactRerank(candidates, embeddings, idCol, vecCol, k)
   }
 
   /** LSH-bucketed approximate top-k with OR-amplification: `tables`
@@ -882,20 +913,7 @@ object Ann {
       .where(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id")
       .dropDuplicates("query_id", "neighbor_id")
-    val base = withNorm(embeddings, idCol, vecCol)
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    candidates
-      .join(base.select(col("id").as("query_id"), col("v").as("qvec"), col("nrm").as("qn")),
-        Seq("query_id"))
-      .join(base.select(col("id").as("neighbor_id"), col("v").as("nvec"), col("nrm").as("nn")),
-        Seq("neighbor_id"))
-      .withColumn("cos", dotCol(col("qvec"), col("nvec")) / (col("qn") * col("nn")))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round4(col("cos")).as("score"))
-      .orderBy("query_id", "rank")
+    exactRerank(candidates, embeddings, idCol, vecCol, k)
   }
 
   /** Multi-probe LSH top-k (Lv et al., VLDB'07): each query probes its own
@@ -942,19 +960,6 @@ object Ann {
       .where(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id")
       .dropDuplicates("query_id", "neighbor_id")
-    val base = withNorm(embeddings, idCol, vecCol)
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    candidates
-      .join(base.select(col("id").as("query_id"), col("v").as("qvec"), col("nrm").as("qn")),
-        Seq("query_id"))
-      .join(base.select(col("id").as("neighbor_id"), col("v").as("nvec"), col("nrm").as("nn")),
-        Seq("neighbor_id"))
-      .withColumn("cos", dotCol(col("qvec"), col("nvec")) / (col("qn") * col("nn")))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round4(col("cos")).as("score"))
-      .orderBy("query_id", "rank")
+    exactRerank(candidates, embeddings, idCol, vecCol, k)
   }
 }

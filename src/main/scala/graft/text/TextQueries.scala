@@ -1664,6 +1664,7 @@ object TextQueries {
           FROM probes p JOIN assign a ON p.cell = a.cell AND p.id <> a.id
           JOIN emb q ON q.id = p.id
           JOIN emb c ON c.id = a.id
+          WHERE q.n > 0 AND c.n > 0
         )
         SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
                FLOOR(cos * 10000.0 + 0.5) / 10000.0 AS score
@@ -2332,6 +2333,8 @@ object TextQueries {
             FROM cand
             JOIN embeddings q ON q.vec_id = cand.query_id
             JOIN embeddings c ON c.vec_id = cand.neighbor_id
+            WHERE ${dot("q.embedding", "q.embedding")} > 0
+              AND ${dot("c.embedding", "c.embedding")} > 0
           )
           SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
                  FLOOR(cos * 10000.0 + 0.5) / 10000.0 AS score
@@ -2368,6 +2371,8 @@ object TextQueries {
             FROM cand
             JOIN embeddings q ON q.vec_id = cand.query_id
             JOIN embeddings c ON c.vec_id = cand.neighbor_id
+            WHERE ${dot("q.embedding", "q.embedding")} > 0
+              AND ${dot("c.embedding", "c.embedding")} > 0
           )
           SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
                  FLOOR(cos * 10000.0 + 0.5) / 10000.0 AS score
@@ -2383,6 +2388,8 @@ object TextQueries {
                  SQRT(${dot("c.embedding", "c.embedding")})) AS cos
             FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
             WHERE q.vec_id < 20
+              AND ${dot("q.embedding", "q.embedding")} > 0
+              AND ${dot("c.embedding", "c.embedding")} > 0
           )
           SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
                  FLOOR(cos * 10000.0 + 0.5) / 10000.0 AS score

@@ -840,6 +840,35 @@ class TextOpsSpec extends SparkSpec {
     assert(top(1).getLong(2) === 3L)         // 45° vector second
   }
 
+  test("zero-norm embeddings are excluded from cosine ranking, never rank-1 NaN") {
+    import spark.implicits._
+    // r13 review fix pinned: cosine is undefined for an all-zero vector,
+    // and 0/0 = NaN sorts ABOVE every real value in both Spark and DuckDB
+    // — before the withNorm guard a zero (padding) embedding silently
+    // ranked as every query's #1 neighbor with score NaN. Zero-norm rows
+    // are now excluded as neighbors AND as queries; negative ids also ride
+    // along (the cosinePairs floorMod fix).
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f)),   // zero vector: must never appear
+      (-3L, Array(0.8f, 0.2f, 0.0f)))  // negative id: must not crash
+    val df = vecs.toDF("vec_id", "embedding")
+    val top = Ann.cosineTopK(df, "vec_id", "embedding", col("vec_id") === 0, 3)
+      .collect()
+    assert(top.forall(r => r.getLong(2) != 2L), s"zero vector ranked: ${top.toSeq}")
+    assert(top.forall(r => !r.getDouble(3).isNaN), s"NaN score leaked: ${top.toSeq}")
+    // a zero-norm QUERY produces no rows rather than NaN garbage
+    assert(Ann.cosineTopK(df, "vec_id", "embedding", col("vec_id") === 2, 3)
+      .collect().isEmpty)
+    // negative ids through the blocked pair sweep (old code threw AIOOBE)
+    val pairs = Ann.cosinePairs(df, "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((-3L, 0L)) || pairs.contains((0L, -3L)) ||
+      pairs.exists(p => p._1 == -3L || p._2 == -3L),
+      s"negative-id vector must participate in pairs: $pairs")
+  }
+
   test("lshTopK recall >= 0.6 vs brute force on random vectors") {
     import spark.implicits._
     val rnd = new scala.util.Random(17)
