@@ -53,10 +53,12 @@ object StreamingOps {
       events: DataFrame,
       tsCol: String,
       idCols: Seq[String],
-      watermarkDelay: String): DataFrame =
+      watermarkDelay: String): DataFrame = {
+    require(idCols.nonEmpty, "streamingDedup needs at least one id column")
     events
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+  }
 
   /** Streaming PII redaction + per-kind counts — the streaming face of
     * `cur_pii_stats`/`cur_pii_redact` for an ingest-time curation
@@ -115,11 +117,19 @@ object StreamingOps {
   final case class Session(userId: Long, startTs: Long, endTs: Long, nEvents: Int)
 
   /** Gap-based sessionization with `flatMapGroupsWithState`: a session
-    * closes when no event arrives within `gapMs` (enforced by processing-
-    * time timeout in continuous operation; by the final batch flush in
-    * tests). The KeyValueGroupedDataset custom-state shape from the
-    * builder contract — per-key state is O(1), the 100 TB streaming
-    * answer to the reference's driver-side accumulation loops.
+    * closes when no event arrives within `gapMs` — by the gap rule on the
+    * next arrival, or by a REAL processing-time timeout for users who
+    * simply stop (r13 review: the previous NoTimeout form never flushed a
+    * churned user's final session and never freed its state entry, so
+    * state grew with every distinct user ever seen). Per-key state is
+    * O(1) — the 100 TB streaming answer to the reference's driver-side
+    * accumulation loops.
+    *
+    * Out-of-order arrivals (r13 review): a cross-batch late event that
+    * falls within the open session's gap window EXTENDS the session
+    * toward it (start = min, end = max — the closest streaming analogue
+    * of the batch sessionizer's global sort) instead of rewinding
+    * `lastTs`, which previously produced sessions with endTs < startTs.
     */
   def sessionize(
       events: Dataset[Event],
@@ -128,28 +138,39 @@ object StreamingOps {
     events
       .groupByKey(_.userId)
       .flatMapGroupsWithState[SessionState, Session](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
         (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
-          val sorted = it.toVector.sortBy(_.ts.getTime)
-          val out = Vector.newBuilder[Session]
-          var cur = state.getOption
-          sorted.foreach { e =>
-            val t = e.ts.getTime
-            cur match {
-              case Some(s) if t - s.lastTs <= gapMs =>
-                cur = Some(s.copy(lastTs = t, n = s.n + 1))
-              case Some(s) =>
-                out += Session(userId, s.start, s.lastTs, s.n)
-                cur = Some(SessionState(t, t, 1))
-              case None =>
-                cur = Some(SessionState(t, t, 1))
+          if (state.hasTimedOut) {
+            // no event for gapMs of processing time: flush the open
+            // session and free the state entry
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, s.start, s.lastTs, s.n))
+          } else {
+            val sorted = it.toVector.sortBy(_.ts.getTime)
+            val out = Vector.newBuilder[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastTs <= gapMs =>
+                  cur = Some(SessionState(
+                    math.min(s.start, t), math.max(s.lastTs, t), s.n + 1))
+                case Some(s) =>
+                  out += Session(userId, s.start, s.lastTs, s.n)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
             }
+            cur match {
+              case Some(s) =>
+                state.update(s)
+                state.setTimeoutDuration(gapMs)
+              case None => state.remove()
+            }
+            out.result().iterator
           }
-          cur match {
-            case Some(s) => state.update(s)
-            case None    => state.remove()
-          }
-          out.result().iterator
       }
   }
 
@@ -255,6 +276,66 @@ object StreamingOps {
       case None    => exploded
     }
 
+  /** Shared per-cell state sweep for the streaming near-dup twins (r13
+    * review: the timeout / watermark / late-arrival / retention /
+    * eviction skeleton was duplicated verbatim between the simhash and
+    * minhash state functions — exactly the two-copy drift this repo was
+    * already bitten by on the batch side). One implementation of: the
+    * timed-out-cell removal, the behind-watermark arrival drop, the
+    * watermark-relative member eviction, the per-arrival `pairsFor` emit
+    * (BEFORE the arrival joins the member list), the newest-relative
+    * retention eviction, the loud member-count tripwire, and the state
+    * update + event-time timeout arming.
+    *
+    * The member-count `require` is the streaming analogue of the batch
+    * tier's `requireBounded` (r13 review: a hot cell — an all-identical
+    * boilerplate class inside one retention window — previously grew its
+    * state entry and its O(members) sweep without bound, OOMing silently
+    * where batch fails loud).
+    */
+  private def cellSweep[D, M, S, P](
+      it: Iterator[D],
+      state: GroupState[S],
+      eventTime: Boolean,
+      retentionMs: Long,
+      maxCellMembers: Int,
+      docOf: D => M,
+      tsOf: M => Long,
+      ordKey: M => (Long, Long),
+      membersOf: S => List[M],
+      mkState: List[M] => S,
+      pairsFor: (M, List[M]) => IterableOnce[P]): Iterator[P] = {
+    if (state.hasTimedOut) { state.remove(); Iterator.empty }
+    else {
+      val wm = if (eventTime) state.getCurrentWatermarkMs() else Long.MinValue
+      val arrivals = it.map(docOf).filter(m => tsOf(m) >= wm)
+        .toVector.sortBy(ordKey)
+      var members = state.getOption.map(membersOf).getOrElse(Nil)
+      if (eventTime && wm > Long.MinValue)
+        members = members.filter(m => tsOf(m) >= wm - retentionMs)
+      val out = Vector.newBuilder[P]
+      arrivals.foreach { m =>
+        out ++= pairsFor(m, members)
+        members = m :: members
+      }
+      require(members.size <= maxCellMembers,
+        s"streaming near-dup cell holds ${members.size} members " +
+          s"(> maxCellMembers=$maxCellMembers): a hot cell this dense does " +
+          "O(members) work per arrival and its state entry no longer fits " +
+          "the bounded-state contract — shorten retentionMs, raise bands, " +
+          "or raise maxCellMembers deliberately")
+      val newest = members.iterator.map(tsOf).foldLeft(Long.MinValue)(math.max)
+      members = members.filter(m => tsOf(m) >= newest - retentionMs)
+      if (members.isEmpty) state.remove()
+      else {
+        state.update(mkState(members))
+        if (eventTime)
+          state.setTimeoutTimestamp(math.max(wm + 1, saturatingAdd(newest, retentionMs)))
+      }
+      out.result().iterator
+    }
+  }
+
   /** Streaming simhash near-dup: each arriving signature explodes into its
     * pigeonhole band cells (same (bands, bits) scheme as the batch
     * [[graft.text.Dedup.simhashPairs]]); per-cell `flatMapGroupsWithState`
@@ -273,9 +354,11 @@ object StreamingOps {
     * are removed by an event-time timeout when the watermark passes
     * `newest + retentionMs` (without it an idle cell's members sat in state
     * forever). A pair colliding in several bands emits once PER COLLIDING
-    * BAND (at-least-once semantics); pipe through
-    * `dropDuplicatesWithinWatermark("d1", "d2")` for exactly-once, as the
-    * parity test does with a plain distinct at the sink.
+    * BAND (at-least-once semantics); dedup downstream for exactly-once —
+    * the pair output carries no event-time column, so use a plain
+    * `dropDuplicates`/`distinct` at a bounded sink (what the parity test
+    * does), or re-attach an event-time column first if you need
+    * `dropDuplicatesWithinWatermark` on an unbounded stream.
     */
   def streamingSimhashPairs(
       docs: Dataset[SigDoc],
@@ -283,55 +366,45 @@ object StreamingOps {
       bands: Int = 4,
       bits: Int = 60,
       retentionMs: Long = Long.MaxValue / 4,
-      watermarkDelay: Option[String] = None): Dataset[NearDupPair] = {
+      watermarkDelay: Option[String] = None,
+      maxCellMembers: Int = 1 << 16): Dataset[NearDupPair] = {
     require(retentionMs >= 0, "retentionMs must be non-negative")
     require(bands > maxHamming, "pigeonhole guarantee needs bands > maxHamming")
     require(bits % bands == 0, "bands must divide bits")
     import docs.sparkSession.implicits._
     val width = bits / bands
-    val mask = (1L << width) - 1
+    // width = 64 is legal (bands = 1 with maxHamming = 0): guard the JVM
+    // shift-mod-64 wrap, which silently made mask = 0 and funneled every
+    // signature into one cell (r13 review)
+    val mask = if (width >= 64) -1L else (1L << width) - 1
     val eventTime = watermarkDelay.isDefined
     val timeout =
       if (eventTime) GroupStateTimeout.EventTimeTimeout()
       else GroupStateTimeout.NoTimeout()
     watermarked(
       docs.flatMap(d => (0 until bands).map(b =>
-        SigCell((b.toLong << width) | ((d.sig >>> (b * width)) & mask), d,
+        SigCell((b.toLong << (width % 64)) | ((d.sig >>> (b * width)) & mask), d,
           new java.sql.Timestamp(d.tsMs)))),
       watermarkDelay)
       .groupByKey(_.cell)
       .flatMapGroupsWithState[CellState, NearDupPair](
         OutputMode.Append(), timeout) {
         (_: Long, it: Iterator[SigCell], state: GroupState[CellState]) =>
-          if (state.hasTimedOut) { state.remove(); Iterator.empty }
-          else {
-            val wm = if (eventTime) state.getCurrentWatermarkMs() else Long.MinValue
-            val arrivals = it.map(_.doc).filter(_.tsMs >= wm)
-              .toVector.sortBy(d => (d.tsMs, d.docId))
-            var members = state.getOption.map(_.members).getOrElse(Nil)
-            if (eventTime && wm > Long.MinValue)
-              members = members.filter(_._3 >= wm - retentionMs)
-            val out = Vector.newBuilder[NearDupPair]
-            arrivals.foreach { d =>
-              members.foreach { case (id, sig, _) =>
-                if (id != d.docId) {
-                  val hd = java.lang.Long.bitCount(sig ^ d.sig)
-                  if (hd <= maxHamming)
-                    out += NearDupPair(math.min(id, d.docId), math.max(id, d.docId), hd)
-                }
-              }
-              members = (d.docId, d.sig, d.tsMs) :: members
-            }
-            val newest = members.iterator.map(_._3).foldLeft(Long.MinValue)(math.max)
-            members = members.filter(_._3 >= newest - retentionMs)
-            if (members.isEmpty) state.remove()
-            else {
-              state.update(CellState(members))
-              if (eventTime)
-                state.setTimeoutTimestamp(math.max(wm + 1, saturatingAdd(newest, retentionMs)))
-            }
-            out.result().iterator
-          }
+          cellSweep[SigCell, (Long, Long, Long), CellState, NearDupPair](
+            it, state, eventTime, retentionMs, maxCellMembers,
+            c => (c.doc.docId, c.doc.sig, c.doc.tsMs),
+            _._3,
+            m => (m._3, m._1),
+            _.members,
+            CellState(_),
+            (d, members) => members.iterator.flatMap { case (id, sig, _) =>
+              if (id != d._1) {
+                val hd = java.lang.Long.bitCount(sig ^ d._2)
+                if (hd <= maxHamming)
+                  Some(NearDupPair(math.min(id, d._1), math.max(id, d._1), hd))
+                else None
+              } else None
+            })
       }
   }
 
@@ -370,7 +443,8 @@ object StreamingOps {
       numHashes: Int = 32,
       bands: Int = 16,
       retentionMs: Long = Long.MaxValue / 4,
-      watermarkDelay: Option[String] = None): Dataset[JaccardPair] = {
+      watermarkDelay: Option[String] = None,
+      maxCellMembers: Int = 1 << 16): Dataset[JaccardPair] = {
     require(retentionMs >= 0, "retentionMs must be non-negative")
     require(numHashes % bands == 0, "bands must divide numHashes")
     import docs.sparkSession.implicits._
@@ -385,12 +459,20 @@ object StreamingOps {
         // verify below matches the batch operator (whose shingleUdf dedups
         // via LinkedHashSet) even when a caller feeds duplicated shingles
         // — duplicates cannot change the MinHash minima, but they would
-        // silently inflate |A|,|B| and inter in the verification
+        // silently inflate |A|,|B| and inter in the verification.
+        // EMPTY sets are dropped BEFORE banding (r13, mirroring the batch
+        // fix): every sub-k doc carries the identical all-sentinel
+        // signature, so a short-doc-heavy stream would funnel them all
+        // into the same cells for quadratic sweeps that the union > 0
+        // guard then discards anyway.
         val d = d0.copy(shingles = d0.shingles.distinct)
-        val sig = graft.text.Dedup.minhashSigOf(d.shingles, numHashes)
-        (0 until bands).map { b =>
-          val bucket = (b +: (0 until r).map(i => sig(b * r + i))).mkString("_")
-          ShingleCell(bucket, d, new java.sql.Timestamp(d.tsMs))
+        if (d.shingles.isEmpty) Seq.empty
+        else {
+          val sig = graft.text.Dedup.minhashSigOf(d.shingles, numHashes)
+          (0 until bands).map { b =>
+            val bucket = (b +: (0 until r).map(i => sig(b * r + i))).mkString("_")
+            ShingleCell(bucket, d, new java.sql.Timestamp(d.tsMs))
+          }
         }
       },
       watermarkDelay)
@@ -399,44 +481,31 @@ object StreamingOps {
         OutputMode.Append(), timeout) {
         (_: String, it: Iterator[ShingleCell],
          state: GroupState[MinhashCellState]) =>
-          if (state.hasTimedOut) { state.remove(); Iterator.empty }
-          else {
-            val wm = if (eventTime) state.getCurrentWatermarkMs() else Long.MinValue
-            val arrivals = it.map(_.doc).filter(_.tsMs >= wm)
-              .toVector.sortBy(d => (d.tsMs, d.docId))
-            var members = state.getOption.map(_.members).getOrElse(Nil)
-            if (eventTime && wm > Long.MinValue)
-              members = members.filter(_._3 >= wm - retentionMs)
-            val out = Vector.newBuilder[JaccardPair]
-            arrivals.foreach { d =>
-              val newSet = d.shingles.toSet
-              members.foreach { case (id, sh, _) =>
-                if (id != d.docId) {
+          cellSweep[ShingleCell, (Long, Seq[String], Long), MinhashCellState, JaccardPair](
+            it, state, eventTime, retentionMs, maxCellMembers,
+            c => (c.doc.docId, c.doc.shingles, c.doc.tsMs),
+            _._3,
+            m => (m._3, m._1),
+            _.members,
+            MinhashCellState(_),
+            (d, members) => {
+              val newSet = d._2.toSet
+              members.iterator.flatMap { case (id, sh, _) =>
+                if (id != d._1) {
                   val inter = sh.count(newSet.contains).toLong
-                  val union = sh.size + d.shingles.size - inter
+                  val union = sh.size + d._2.size - inter
                   if (union > 0) {
                     val jraw = inter.toDouble / union
                     if (jraw >= threshold) {
                       // same floor-form 6dp rounding as the batch operator
                       val j = math.floor(jraw * 1000000.0 + 0.5) / 1000000.0
-                      out += JaccardPair(
-                        math.min(id, d.docId), math.max(id, d.docId), inter, j)
-                    }
-                  }
-                }
+                      Some(JaccardPair(
+                        math.min(id, d._1), math.max(id, d._1), inter, j))
+                    } else None
+                  } else None
+                } else None
               }
-              members = (d.docId, d.shingles, d.tsMs) :: members
-            }
-            val newest = members.iterator.map(_._3).foldLeft(Long.MinValue)(math.max)
-            members = members.filter(_._3 >= newest - retentionMs)
-            if (members.isEmpty) state.remove()
-            else {
-              state.update(MinhashCellState(members))
-              if (eventTime)
-                state.setTimeoutTimestamp(math.max(wm + 1, saturatingAdd(newest, retentionMs)))
-            }
-            out.result().iterator
-          }
+            })
       }
   }
 
