@@ -114,63 +114,104 @@ object StreamingOps {
 
   final case class Event(userId: Long, ts: Timestamp, eventType: String)
   final case class SessionState(start: Long, lastTs: Long, n: Int)
+  final case class SessionListState(sessions: Seq[SessionState])
   final case class Session(userId: Long, startTs: Long, endTs: Long, nEvents: Int)
 
-  /** Gap-based sessionization with `flatMapGroupsWithState`: a session
-    * closes when no event arrives within `gapMs` — by the gap rule on the
-    * next arrival, or by a REAL processing-time timeout for users who
-    * simply stop (r13 review: the previous NoTimeout form never flushed a
-    * churned user's final session and never freed its state entry, so
-    * state grew with every distinct user ever seen). Per-key state is
-    * O(1) — the 100 TB streaming answer to the reference's driver-side
-    * accumulation loops.
+  /** Gap-based sessionization with `flatMapGroupsWithState` under an
+    * EVENT-TIME timeout. A session is EMITTED only once the watermark
+    * passes `lastTs + gapMs` — the point after which no admissible event
+    * (the engine drops rows behind the watermark) could still extend it
+    * under the gap rule. That single predicate gives three properties the
+    * r13 processing-time form lacked:
     *
-    * Out-of-order arrivals (r13 review): a cross-batch late event that
-    * falls within the open session's gap window EXTENDS the session
-    * toward it (start = min, end = max — the closest streaming analogue
-    * of the batch sessionizer's global sort) instead of rewinding
-    * `lastTs`, which previously produced sessions with endTs < startTs.
+    *  - **Batch parity.** For ANY feed whose disorder stays inside
+    *    `watermarkDelay`, the emitted sessions equal the batch
+    *    `ev_sessionize` twin's global-sort gap rule exactly — including
+    *    each user's final session once the watermark passes it. A
+    *    processing-time flush could split a session contiguous in event
+    *    time; an emit-on-next-arrival rule (the pre-r13 form) could close
+    *    a session that a late-but-admissible event would have extended.
+    *  - **Termination.** With an event-time timeout a micro-batch is only
+    *    due when the watermark MOVES, so `processAllAvailable` returns;
+    *    the processing-time form scheduled empty batches forever (the r13
+    *    verdict's livelock — 4,700+ empty batches).
+    *  - **Bounded state + churn flush.** Per-key state holds only the
+    *    sessions not yet ripe — at most one per `gapMs` of watermark lag —
+    *    and a churned user's entry is freed by the timeout (the 100 TB
+    *    streaming answer to the reference's driver-side accumulation
+    *    loops).
+    *
+    * Out-of-order arrivals: each batch's events are gap-rule sessionized
+    * after an in-batch sort, then interval-merged with the carried
+    * sessions (start = min, end = max when within `gapMs` of a session's
+    * EXTENT). A late event farther than `gapMs` before a carried
+    * session's start forms its own session instead of rewinding it
+    * unboundedly (r13 ADVICE: `t - lastTs <= gapMs` alone is vacuously
+    * true for any t in the past).
     */
   def sessionize(
       events: Dataset[Event],
-      gapMs: Long): Dataset[Session] = {
+      gapMs: Long,
+      watermarkDelay: String = "0 seconds"): Dataset[Session] = {
+    require(gapMs > 0, s"gapMs must be positive, got $gapMs")
     import events.sparkSession.implicits._
     events
+      .withWatermark("ts", watermarkDelay)
       .groupByKey(_.userId)
-      .flatMapGroupsWithState[SessionState, Session](
-        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
-        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
-          if (state.hasTimedOut) {
-            // no event for gapMs of processing time: flush the open
-            // session and free the state entry
-            val s = state.get
-            state.remove()
-            Iterator.single(Session(userId, s.start, s.lastTs, s.n))
-          } else {
+      .flatMapGroupsWithState[SessionListState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionListState]) =>
+          val wm = state.getCurrentWatermarkMs()
+          // gap-rule sessionize THIS batch's events (sorted), ...
+          val batchSessions = {
             val sorted = it.toVector.sortBy(_.ts.getTime)
-            val out = Vector.newBuilder[Session]
-            var cur = state.getOption
+            val acc = Vector.newBuilder[SessionState]
+            var cur: Option[SessionState] = None
             sorted.foreach { e =>
               val t = e.ts.getTime
               cur match {
                 case Some(s) if t - s.lastTs <= gapMs =>
-                  cur = Some(SessionState(
-                    math.min(s.start, t), math.max(s.lastTs, t), s.n + 1))
+                  cur = Some(SessionState(s.start, t, s.n + 1))
                 case Some(s) =>
-                  out += Session(userId, s.start, s.lastTs, s.n)
+                  acc += s
                   cur = Some(SessionState(t, t, 1))
                 case None =>
                   cur = Some(SessionState(t, t, 1))
               }
             }
-            cur match {
-              case Some(s) =>
-                state.update(s)
-                state.setTimeoutDuration(gapMs)
-              case None => state.remove()
-            }
-            out.result().iterator
+            cur.foreach(acc += _)
+            acc.result()
           }
+          // ... then interval-merge with the carried sessions: two
+          // sessions fuse when the later one starts within gapMs of the
+          // earlier one's end (start = min / end = max by construction
+          // of the sort)
+          val carried = state.getOption.map(_.sessions.toVector)
+            .getOrElse(Vector.empty)
+          val merged = (carried ++ batchSessions)
+            .sortBy(s => (s.start, s.lastTs))
+            .foldLeft(Vector.empty[SessionState]) { (acc, s) =>
+              acc.lastOption match {
+                case Some(p) if s.start - p.lastTs <= gapMs =>
+                  acc.init :+ SessionState(
+                    p.start, math.max(p.lastTs, s.lastTs), p.n + s.n)
+                case _ => acc :+ s
+              }
+            }
+          // ripe = the watermark passed end + gap, so no admissible event
+          // can extend it: emit and drop; everything else stays in state
+          val (ripe, live) =
+            merged.partition(s => wm > saturatingAdd(s.lastTs, gapMs))
+          if (live.isEmpty) state.remove()
+          else {
+            state.update(SessionListState(live))
+            // wake when the earliest live session ripens (the handler
+            // re-derives ripeness from the watermark, so an early fire is
+            // harmless); must be strictly above the current watermark
+            state.setTimeoutTimestamp(math.max(
+              live.map(s => saturatingAdd(s.lastTs, gapMs)).min, wm + 1))
+          }
+          ripe.iterator.map(s => Session(userId, s.start, s.lastTs, s.n))
       }
   }
 

@@ -15,6 +15,21 @@ class StreamingOpsSpec extends SparkSpec {
 
   private def ts(sec: Long): Timestamp = new Timestamp(sec * 1000)
 
+  /** Poll `probe` until `ok` or timeout: event-time timeout flushes land
+    * in a watermark-triggered NO-DATA batch that `processAllAvailable`
+    * (which only awaits source offsets) may not wait for.
+    */
+  private def awaitResult[A](probe: => A)(ok: A => Boolean,
+      timeoutMs: Long = 30000): A = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var last = probe
+    while (!ok(last) && System.currentTimeMillis() < deadline) {
+      Thread.sleep(100)
+      last = probe
+    }
+    last
+  }
+
   test("windowedCounts aggregates tumbling event-time windows under watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -38,7 +53,7 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("sessionize: gap closes sessions, state carries across micro-batches") {
+  test("sessionize: gap closes sessions, churned users flush by event-time timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
@@ -48,14 +63,58 @@ class StreamingOpsSpec extends SparkSpec {
       .format("memory").queryName("sessions").outputMode(OutputMode.Append())
       .start()
     try {
-      // batch 1: user 1 events 1s,3s; user 2 event 2s
+      // batch 1: user 1 events 1s,3s; user 2 event 2s — watermark only
+      // reaches 3s, so nothing is ripe yet
       input.addData(Event(1, ts(1), "a"), Event(1, ts(3), "b"), Event(2, ts(2), "a"))
       q.processAllAvailable()
-      // batch 2: user 1 event at 20s → closes the first session (gap > 5s)
+      assert(spark.table("sessions").isEmpty)
+      // batch 2: user 1 at 20s advances the watermark past BOTH pending
+      // gap deadlines — user 1's first session closes by the gap rule;
+      // user 2 CHURNED (no further events, a different key) and flushes
+      // by the event-time TIMEOUT. processAllAvailable terminating at all
+      // is itself the r13 livelock regression check.
       input.addData(Event(1, ts(20), "c"))
       q.processAllAvailable()
-      val closed = spark.table("sessions").as[Session].collect().toSet
-      assert(closed === Set(Session(1, 1000, 3000, 2)))
+      val want = Set(Session(1, 1000, 3000, 2), Session(2, 2000, 2000, 1))
+      val got = awaitResult {
+        spark.table("sessions").as[Session].collect().toSet
+      }(_ == want)
+      // user 1's OPEN session at 20s must not appear: the watermark (20s)
+      // has not passed its deadline (25s)
+      assert(got === want)
+    } finally q.stop()
+  }
+
+  test("sessionize: out-of-order events extend within gap; far-late events form their own session") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    // generous watermark so cross-batch late events stay admissible
+    val sessions = StreamingOps.sessionize(input.toDS(), gapMs = 5000,
+      watermarkDelay = "1 minute")
+    val q = sessions.writeStream
+      .format("memory").queryName("ooo_sessions").outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(Event(1, ts(10), "a"), Event(1, ts(12), "b"))
+      q.processAllAvailable()
+      // 8s is LATE but within gap of the carried session's START → extends
+      // (start=min); 40s opens a second session
+      input.addData(Event(1, ts(8), "late"), Event(1, ts(40), "c"))
+      q.processAllAvailable()
+      // 1s is farther than gap before every carried session → its OWN
+      // session (the r13 ADVICE fix: must not rewind 8..12 to 1..12);
+      // 300s pushes the watermark (300-60=240s) past every deadline
+      input.addData(Event(1, ts(1), "verylate"), Event(1, ts(300), "d"))
+      q.processAllAvailable()
+      val want = Set(
+        Session(1, 1000, 1000, 1),
+        Session(1, 8000, 12000, 3),
+        Session(1, 40000, 40000, 1))
+      val got = awaitResult {
+        spark.table("ooo_sessions").as[Session].collect().toSet
+      }(_ == want)
+      assert(got === want)
     } finally q.stop()
   }
 
@@ -613,36 +672,104 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("stateful sessionizer agrees with the batch ev_sessionize twin on real events") {
+  test("stateful sessionizer equals the batch gap rule on real events, disorder + timeout flushes included") {
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    // per-user session counts from the oracle-checked batch query
-    val batchCounts = graft.SparkEntry.queries("ev_sessionize")(spark, sf0001)
-      .groupBy("user_id").agg(count(lit(1)).as("n"))
-      .as[(Long, Long)].collect().toMap
-    // the same events through the stateful streaming sessionizer, fed
-    // time-ordered across three micro-batches (same 6h gap)
+    val gapMs = 6L * 3600 * 1000
+    // real events at ms precision (the streaming Event granularity)
     val events = graft.Tables.events(spark, sf0001)
       .select($"user_id", $"ts".as("tsu"), $"event_type")
-      .orderBy("tsu").as[(Long, Long, String)].collect()
+      .as[(Long, Long, String)].collect()
       .map { case (u, tsu, et) => Event(u, new Timestamp(tsu / 1000), et) }
+    // the batch twin: ev_sessionize's exact window-function gap rule,
+    // applied to the SAME ms values the stream sees
+    val w = Window.partitionBy($"user_id").orderBy($"tms")
+    val want = events.toSeq.map(e => (e.userId, e.ts.getTime))
+      .toDF("user_id", "tms")
+      .withColumn("prev", lag($"tms", 1).over(w))
+      .withColumn("is_new",
+        when($"prev".isNull || $"tms" - $"prev" > gapMs, 1L).otherwise(0L))
+      .withColumn("sid", sum($"is_new").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"sid")
+      .agg(min($"tms").as("startTs"), max($"tms").as("endTs"),
+        count(lit(1)).cast("int").as("nEvents"))
+      .select($"user_id".as("userId"), $"startTs", $"endTs", $"nEvents")
+      .as[Session].collect().toSet
+
+    // feed the stream in DETERMINISTICALLY SHUFFLED batches — cross-batch
+    // disorder everywhere — under a watermark delay that keeps every
+    // event admissible; a far-future sentinel (synthetic user) then
+    // drives the watermark past every real session's gap deadline, so
+    // ALL real sessions (each user's final one included) flush via the
+    // event-time timeout. Equality with the batch twin is then EXACT.
+    val delayMs = 3650L * 24 * 3600 * 1000
+    val shuffled = new scala.util.Random(42).shuffle(events.toSeq)
+    val sentinel = Event(999999999L,
+      new Timestamp(events.map(_.ts.getTime).max + delayMs + gapMs + 10000), "wm")
     val input = MemoryStream[Event]
-    val q = StreamingOps.sessionize(input.toDS(), gapMs = 6L * 3600 * 1000)
+    val q = StreamingOps.sessionize(input.toDS(), gapMs,
+        watermarkDelay = "3650 days")
       .writeStream.format("memory").queryName("ev_sessions_real")
       .outputMode(OutputMode.Append()).start()
     try {
-      events.grouped(math.max(events.length / 3, 1)).foreach { batch =>
-        input.addData(batch.toSeq: _*)
+      shuffled.grouped(math.max(shuffled.length / 3, 1)).foreach { batch =>
+        input.addData(batch: _*)
         q.processAllAvailable()
       }
-      val closed = spark.table("ev_sessions_real").as[Session].collect()
-        .groupBy(_.userId).view.mapValues(_.length.toLong).toMap
-      // each user's final session never closes -> closed + 1 == total
-      batchCounts.foreach { case (user, n) =>
-        assert(closed.getOrElse(user, 0L) + 1 === n, s"user $user")
-      }
+      input.addData(sentinel)
+      q.processAllAvailable()
+      val got = awaitResult {
+        spark.table("ev_sessions_real").as[Session].collect().toSet
+      }(_ == want, timeoutMs = 60000)
+      assert(want.nonEmpty)
+      assert(got === want,
+        s"stream (${got.size} sessions) != batch gap rule (${want.size})")
     } finally q.stop()
+  }
+
+  test("restart recovery: a pre-kill open session closes post-restart with exact bounds") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sess-ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-sess-out").toString
+    val input = MemoryStream[Event]
+    def startQuery() =
+      StreamingOps.sessionize(input.toDS(), gapMs = 5000)
+        .writeStream.format("parquet")
+        .outputMode(OutputMode.Append())
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .start()
+    def sinkSessions(): Set[Session] = {
+      val files = new java.io.File(outDir).listFiles()
+      if (files == null || !files.exists(_.getName.endsWith(".parquet"))) Set.empty
+      else spark.read.parquet(outDir).as[Session].collect().toSet
+    }
+    // phase 1: open a session (1s..3s), then KILL the query before any
+    // watermark movement can close it
+    val q1 = startQuery()
+    try {
+      input.addData(Event(1, ts(1), "a"), Event(1, ts(3), "b"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(sinkSessions().isEmpty)
+
+    // phase 2: more data arrives while the query is DOWN; the restarted
+    // query must recover the open session from the state store — the gap
+    // rule closes it with EXACT pre-kill bounds — and the far-future
+    // event pushes the watermark so the 20s session timeout-flushes too
+    input.addData(Event(1, ts(20), "c"), Event(2, ts(10000), "wm"))
+    val q2 = startQuery()
+    try {
+      q2.processAllAvailable()
+      val want = Set(Session(1, 1000, 3000, 2), Session(1, 20000, 20000, 1))
+      val got = awaitResult { sinkSessions() }(_ == want)
+      assert(got === want,
+        "open session was not recovered from the checkpointed state store")
+    } finally q2.stop()
   }
 
   test("currentOpenSessions batch helper computes final sessions") {
