@@ -292,7 +292,7 @@ object Main {
       // canonical survivors, every stage materialized for downstream jobs
       case "dedup" =>
         val spark = session()
-        import org.apache.spark.sql.functions.{broadcast, col}
+        import org.apache.spark.sql.functions.col
         val dir = req("data")
         val out = req("out")
         val threshold = opts.getOrElse("threshold", "0.5").toDouble
@@ -304,16 +304,28 @@ object Main {
         // output, but never materializes the pair table — so it cannot
         // combine with --new-from, whose daily compaction loop IS the
         // pair-table artifact.
-        if (opts.contains("routed")) {
+        // --auto: one cheap stats pass (count + HLL dup ratio) picks the
+        // tier — the measured crossover rule (Dedup.routeStats)
+        val autoRouted = opts.contains("auto") && {
+          val st = graft.text.Dedup.routeStats(docs, "text")
+          println(f"[dedup] auto route: nDocs=${st.nDocs} " +
+            f"dupRatio=${st.dupRatio}%.3f routed=${st.useRouted()}")
+          st.useRouted()
+        }
+        if (opts.contains("routed") || autoRouted) {
           require(!opts.contains("new-from"),
             "--routed has no pair table; the --new-from incremental loop needs one")
           try {
             graft.text.Dedup.componentsRouted(docs, "doc_id", "text", threshold)
               .write.mode("overwrite").parquet(s"$out/components.parquet")
           } finally graft.text.Dedup.releaseClassTable(docs, "doc_id", "text")
+          // NO forced broadcast (r13 ADVICE): on a duplicate-heavy corpus
+          // — the regime --routed exists for — the drop list is O(corpus)
+          // and a forced broadcast collects it to the driver; AQE decides,
+          // same as Dedup.canonicalDocsRouted's anti-join.
           val drop = spark.read.parquet(s"$out/components.parquet")
             .where(col("doc_id") =!= col("component")).select("doc_id")
-          docs.join(broadcast(drop), Seq("doc_id"), "left_anti")
+          docs.join(drop, Seq("doc_id"), "left_anti")
             .write.mode("overwrite").parquet(s"$out/canonical.parquet")
           println(s"[dedup] routed canonical=" +
             s"${spark.read.parquet(s"$out/canonical.parquet").count()}")
@@ -371,7 +383,9 @@ object Main {
           .write.mode("overwrite").parquet(s"$out/components.parquet")
         val drop = spark.read.parquet(s"$out/components.parquet")
           .where(col("doc_id") =!= col("component")).select("doc_id")
-        docs.join(broadcast(drop), Seq("doc_id"), "left_anti")
+        // AQE decides the anti-join strategy here too: the drop list is
+        // only provably small on lightly-duplicated corpora
+        docs.join(drop, Seq("doc_id"), "left_anti")
           .write.mode("overwrite").parquet(s"$out/canonical.parquet")
         println(s"[dedup] pairs=${pairsBack.count()} " +
           s"canonical=${spark.read.parquet(s"$out/canonical.parquet").count()}")
@@ -460,9 +474,11 @@ object Main {
         val res = graft.pipelines.Pretrain.run(spark, req("data"), req("out"),
           ctxLen = opts.getOrElse("context", "2048").toDouble,
           numMerges = opts.getOrElse("merges", "24").toInt,
-          decontaminateBelow = opts.get("decontaminate-below").map(_.toLong))
+          decontaminateBelow = opts.get("decontaminate-below").map(_.toLong),
+          dedupStrategy = opts.getOrElse("dedup", "auto"))
         println(s"[pretrain] input=${res.input} kept=${res.kept} " +
           s"packs=${res.packs} merges=${res.numMerges} " +
+          s"dedup=${res.dedupTier} " +
           res.stages.map { case (n, sec) => f"$n=$sec%.2fs" }.mkString(" "))
 
       case other =>
@@ -488,12 +504,12 @@ object Main {
       |          curate [--data sfDir --out dir --min-quality 0.4 --semantic
       |                  --decontaminate-below id --redact-pii],
       |          dedup [--data sfDir --out dir --threshold 0.5 --new-from id
-      |                 --routed],
+      |                 --routed | --auto],
       |          tokenize [--data sfDir --out dir --merges 24
       |                    --merges-in merges.tsv],
       |          classify [--data sfDir --out dir --min-logit x],
       |          search [--data sfDir --terms a,b,c --k 20],
       |          pretrain [--data sfDir --out dir --context 2048 --merges 24
-      |                    --decontaminate-below id]
+      |                    --decontaminate-below id --dedup auto|exact|routed]
       |(see Scaladoc for per-command arguments)""".stripMargin
 }

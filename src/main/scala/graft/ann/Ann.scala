@@ -458,13 +458,19 @@ object Ann {
     // one cheap recompute at the price of a MEMORY_AND_DISK block leaking
     // past the query in library use — callers who probe the same index
     // repeatedly should persist the returned DataFrame themselves.
-    val corpus = ivfPrep(embeddings, idCol, vecCol)
+    // zero-norm vectors are EXCLUDED from both sides (r13 ADVICE): cosine
+    // is undefined for them, and 0/0 = NaN sorts ABOVE every real value in
+    // the descending rank window — a zero (padding) embedding would rank
+    // #1 for every query probing its cell. Mirrors withNorm's nrm > 0
+    // guard; the ivf oracle carries the matching n > 0 predicates.
+    val corpus = ivfPrep(embeddings, idCol, vecCol).filter(_._3 > 0)
 
     val centsB = spark.sparkContext.broadcast(cents)
     val index = corpus
       .map { case (id, v, n, vn) => (nearestCell(vn, centsB.value), id, v, n) }
       .toDF("cell", "neighbor_id", "nvec", "nn")
     val probes = ivfPrep(embeddings.where(queryPred), idCol, vecCol)
+      .filter(_._3 > 0)
       .flatMap { case (id, v, n, vn) =>
         val cs = centsB.value
         // top nProbe cells by centroid dot, ties toward lower cell id

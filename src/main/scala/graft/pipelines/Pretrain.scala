@@ -27,15 +27,27 @@ object Pretrain {
 
   final case class Result(
       input: Long, kept: Long, packs: Long, numMerges: Int,
-      stages: Seq[(String, Double)])
+      stages: Seq[(String, Double)], dedupTier: String = "routed")
 
+  /** @param dedupStrategy `"auto"` (default — [[graft.text.Dedup.routeStats]]
+    *   picks the tier from one cheap stats pass: exact below the measured
+    *   crossover, routed above it or on duplicate-heavy corpora),
+    *   `"exact"` (guaranteed exact-tier output at any threshold), or
+    *   `"routed"` (force the three-stage 100 TB route). NOTE the routed
+    *   tier's recall is PROBABILISTIC: it equals the exact tier only when
+    *   the MinHash banding catches every true rep pair — P[miss] =
+    *   (1−J^r)^b per pair, ≈1% for a borderline J=0.5 pair at 32 hashes /
+    *   16 bands — so near-threshold duplicates can survive into training
+    *   data; callers who need guaranteed exact-tier output pass "exact".
+    */
   def run(
       spark: SparkSession,
       dataDir: String,
       out: String,
       ctxLen: Double = 2048,
       numMerges: Int = 24,
-      decontaminateBelow: Option[Long] = None): Result = {
+      decontaminateBelow: Option[Long] = None,
+      dedupStrategy: String = "auto"): Result = {
     val stages = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     def stage[T](name: String)(f: => T): T = {
       val t0 = System.nanoTime()
@@ -56,14 +68,25 @@ object Pretrain {
     val kept = docs.where(
       graft.text.QualityClassifier.logitColumn(col("text"), w) >= 0.0)
 
-    // 2. near-dup canonical dedup among the kept docs — the ROUTED path
-    // (r13: digest-collapse → MinHash banding on reps → exact verify on
-    // survivors; `Dedup.canonicalDocsRouted`). Output-identical to the
-    // exact pair-table composition (gate `dd_canonical_routed` hash-
-    // matches dd_canonical's oracle) but measured 3× faster at sf1 and
-    // 14× on the duplicate-heavy bracket — the pipeline default is the
-    // configuration that survives 100 TB.
-    val canon = graft.text.Dedup.canonicalDocsRouted(kept, "doc_id", "text", 0.5)
+    // 2. near-dup canonical dedup among the kept docs. Tier per
+    // `dedupStrategy` (see the run() scaladoc for the recall contract):
+    // the routed path (digest-collapse → MinHash banding on reps → exact
+    // verify on survivors) measured 3× faster at sf1 and 14× on the
+    // duplicate-heavy bracket; the exact pair table wins below the
+    // crossover and has no banding recall term; auto decides from one
+    // stats pass over the kept docs.
+    val tier = dedupStrategy match {
+      case "auto" =>
+        if (graft.text.Dedup.routeStats(kept, "text").useRouted()) "routed"
+        else "exact"
+      case t @ ("routed" | "exact") => t
+      case other => throw new IllegalArgumentException(
+        s"dedupStrategy must be auto|routed|exact, got $other")
+    }
+    val canon =
+      if (tier == "routed")
+        graft.text.Dedup.canonicalDocsRouted(kept, "doc_id", "text", 0.5)
+      else graft.text.Dedup.canonicalDocsExact(kept, "doc_id", "text", 0.5)
 
     // 3. optional decontamination (bloom scale path, curate's flag)
     val clean = decontaminateBelow match {
@@ -84,7 +107,12 @@ object Pretrain {
             graft.text.TextOps.piiRedact(col("text")).as("text"))
           .write.mode("overwrite").parquet(s"$out/clean.parquet")
       }
-    } finally graft.text.Dedup.releaseClassTable(kept, "doc_id", "text")
+    } finally {
+      // release whichever memoized dedup seam the chosen tier built
+      // (both calls are no-ops for the tier that did not run)
+      graft.text.Dedup.releaseClassTable(kept, "doc_id", "text")
+      graft.text.Dedup.releasePairTable(kept, "doc_id", "text", 0.5)
+    }
 
     // 5. tokenizer trains on the CLEANED corpus (what it will encode)
     val cleanBack = spark.read.parquet(s"$out/clean.parquet")
@@ -110,6 +138,6 @@ object Pretrain {
       (docs.count(), packedBack.count(),
         packedBack.select("pack_id").distinct().count())
     }
-    Result(input, keptN, packs, trained.merges.length, stages.toSeq)
+    Result(input, keptN, packs, trained.merges.length, stages.toSeq, tier)
   }
 }

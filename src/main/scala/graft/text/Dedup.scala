@@ -1343,6 +1343,90 @@ object Dedup {
     docs.join(dropList, docs(idCol) === col("__drop_id"), "left_anti")
   }
 
+  /** Exact-tier canonical-doc selection — the `dd_canonical` composition
+    * as a library call: full pair table → connected components → anti-join
+    * drop of every non-min cluster member. Guaranteed exact output at any
+    * threshold (no banding recall term); the right tier below the routed
+    * crossover ([[canonicalDocsAuto]] picks). Uses the memoized
+    * [[pairTable]] seam — long-lived sessions release it via
+    * [[releasePairTable]] when done with the corpus.
+    */
+  def canonicalDocsExact(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      k: Int = 3): DataFrame = {
+    val comps = connectedComponents(pairTable(docs, idCol, textCol, threshold, k))
+    val dropList = comps.where(col("doc_id") =!= col("component"))
+      .select(col("doc_id").as("__drop_id"))
+    docs.join(dropList, docs(idCol) === col("__drop_id"), "left_anti")
+  }
+
+  /** Corpus statistics behind the exact/routed dedup routing decision:
+    * one map-side-combined aggregation (COUNT + an HLL sketch over the
+    * text hash — no shuffle of content, O(1) result), so the decision
+    * costs a single linear scan, negligible next to either tier.
+    * `dupRatio` is the EXACT-duplicate fraction `1 − distinct/total`
+    * (±~2% HLL error — a routing signal, not a gate value).
+    */
+  final case class RouteStats(nDocs: Long, dupRatio: Double) {
+    /** The measured crossover rule: route when the corpus is big enough
+      * that the pair table dominates, or duplicate-heavy enough that
+      * digest-collapse wins outright at any size.
+      */
+    def useRouted(
+        docCutover: Long = RoutedDocCutover,
+        dupCutover: Double = RoutedDupCutover): Boolean =
+      nDocs >= docCutover || dupRatio >= dupCutover
+  }
+
+  /** Crossover constants from the r13 envelope measurements: exact wins
+    * ~30% at sf0.1 (50.5k docs, routed 2.26/2.63 s vs exact 1.79/1.69 s);
+    * routed wins 3.7-12× at sf1 (505k docs: dd_canonical 18.5→4.5 s) and
+    * on the duplicate-heavy sf1dup bracket (51.7→4.2 s, zero spill vs
+    * 34-68 GB) — so the doc cutover sits between the measured brackets
+    * and the dup cutover fires the digest-collapse win early.
+    */
+  val RoutedDocCutover: Long = 150000L
+  val RoutedDupCutover: Double = 0.25
+
+  def routeStats(docs: DataFrame, textCol: String): RouteStats = {
+    val row = docs.agg(
+      count(lit(1)).as("n"),
+      approx_count_distinct(xxhash64(col(textCol))).as("nd")).head()
+    val n = row.getLong(0)
+    val ratio =
+      if (n == 0) 0.0 else math.max(0.0, 1.0 - row.getLong(1).toDouble / n)
+    RouteStats(n, ratio)
+  }
+
+  /** Auto-routed canonical-doc selection (r13 verdict ask): ONE cheap
+    * stats pass ([[routeStats]]) picks the tier — the exact pair-table
+    * composition below the measured crossover, the three-stage routed
+    * path ([[canonicalDocsRouted]]) above it or on duplicate-heavy
+    * corpora. Output equals the `dd_canonical` relation on either branch
+    * (the routed branch up to the banding recall term — P[miss] =
+    * (1−J^r)^b per borderline pair; both branches are gate-checked
+    * against the same recursive-CTE oracle).
+    */
+  def canonicalDocsAuto(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      k: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 16,
+      cap: Int = DefaultGroupCap,
+      sampleMod: Int = DefaultSampleMod,
+      docCutover: Long = RoutedDocCutover,
+      dupCutover: Double = RoutedDupCutover): DataFrame =
+    if (routeStats(docs, textCol).useRouted(docCutover, dupCutover))
+      canonicalDocsRouted(
+        docs, idCol, textCol, threshold, k, numHashes, bands, cap, sampleMod)
+    else canonicalDocsExact(docs, idCol, textCol, threshold, k)
+
   /** Near-dup connected components through the SAME three-stage route as
     * [[canonicalDocsRouted]] — output identical to
     * `connectedComponents(jaccardPairsHashed(hashed, t))` (the

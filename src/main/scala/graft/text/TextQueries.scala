@@ -954,6 +954,16 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // r14: the DECISION productized — one cheap stats pass (count + HLL
+    // dup ratio, Dedup.routeStats) picks exact vs routed by the measured
+    // sf1 crossover rule. Same oracle as dd_canonical: whichever tier the
+    // stats select must produce the identical relation.
+    "dd_canonical_auto" -> { (s, d) =>
+      Dedup.canonicalDocsAuto(Tables.documents(s, d), "doc_id", "text", 0.5)
+        .select(col("doc_id"), length(col("text")).as("text_len"))
+        .orderBy("doc_id")
+    },
+
     // ---- similarity search ----------------------------------------------
 
     "ann_cosine_topk" -> { (s, d) =>
@@ -1697,6 +1707,7 @@ object TextQueries {
     // change, so the correctness bar is literal output equality
     val base = staticOracles +
       ("dd_canonical_routed" -> staticOracles("dd_canonical")) +
+      ("dd_canonical_auto" -> staticOracles("dd_canonical")) +
       ("dd_components_routed" -> staticOracles("dd_components"))
     val withIvf = Option(ivfTrainedCentroids.get()) match {
       case Some(cents) => base +

@@ -56,8 +56,9 @@ class PretrainCliSpec extends SparkSpec {
 
   test("pretrain --decontaminate-below: survivors share no shingle with the benchmark") {
     val out = java.nio.file.Files.createTempDirectory("pre_dec").toString
+    // also exercises the --dedup strategy flag (guaranteed exact tier)
     graft.Main.main(Array("pretrain", "--data", sf0001, "--out", out,
-      "--decontaminate-below", "20"))
+      "--decontaminate-below", "20", "--dedup", "exact"))
     val docs = graft.Tables.documents(spark, sf0001)
     val clean = spark.read.parquet(s"$out/clean.parquet")
     assert(clean.count() > 0)

@@ -691,6 +691,50 @@ class TextOpsSpec extends SparkSpec {
     Dedup.releaseClassTable(df, "doc_id", "text")
   }
 
+  test("canonicalDocsAuto: routeStats picks the measured bracket; both tiers emit the identical relation") {
+    import spark.implicits._
+    // planted corpus reusing the routed-equality shapes: an exact-dup
+    // class, near-dup mutations, empties, uniques
+    val rnd = new scala.util.Random(23)
+    val vocab = Vector("data", "spark", "query", "join", "scan", "agg",
+      "row", "col", "sort", "hash", "merge", "batch")
+    def doc(): String = Seq.fill(40)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val base = Seq.tabulate(20)(_ => doc())
+    val lightDup = base ++ Seq(base(0), base(1).replaceFirst("data", "datum"), "", "")
+    val heavyDup = base ++ Seq.fill(30)(base(0)) ++ Seq.fill(20)(base(1))
+
+    // decision brackets: small + lightly duplicated -> exact; duplicate-
+    // heavy -> routed (digest-collapse wins at any size); large corpus ->
+    // routed (the sf1 crossover)
+    val stLight = Dedup.routeStats(docDf(lightDup: _*), "text")
+    assert(stLight.nDocs == lightDup.size && !stLight.useRouted(),
+      s"small light corpus must stay exact: $stLight")
+    val stHeavy = Dedup.routeStats(docDf(heavyDup: _*), "text")
+    assert(stHeavy.dupRatio > 0.4 && stHeavy.useRouted(),
+      s"duplicate-heavy corpus must route: $stHeavy")
+    val big = spark.range(200000)
+      .selectExpr("id AS doc_id", "concat('u', id) AS text")
+    val stBig = Dedup.routeStats(big, "text")
+    assert(stBig.useRouted() && stBig.dupRatio < 0.1,
+      s"corpus above the doc cutover must route on size alone: $stBig")
+
+    // output equality on BOTH branches, forced through each tier via the
+    // cutover knobs on the same corpus
+    val df = docDf(heavyDup: _*)
+    def keptIds(kept: org.apache.spark.sql.DataFrame): Seq[Long] =
+      kept.select(col("doc_id")).as[Long].collect().toSeq.sorted
+    val exact = keptIds(Dedup.canonicalDocsExact(df, "doc_id", "text", 0.5))
+    val viaExactBranch = keptIds(Dedup.canonicalDocsAuto(
+      df, "doc_id", "text", 0.5, docCutover = Long.MaxValue, dupCutover = 2.0))
+    val viaRoutedBranch = keptIds(Dedup.canonicalDocsAuto(
+      df, "doc_id", "text", 0.5, docCutover = 1L))
+    assert(viaExactBranch === exact)
+    assert(viaRoutedBranch === exact)
+    assert(exact.size < heavyDup.size, "planted dups must drop something")
+    Dedup.releaseClassTable(df, "doc_id", "text")
+    Dedup.releasePairTable(df, "doc_id", "text", 0.5)
+  }
+
   test("connectedComponents: chains collapse transitively to the min id") {
     import spark.implicits._
     // components: {1,2,3,4} via chain, {10,11}, singleton edges only
