@@ -514,30 +514,58 @@ object Ann {
     * rows-only gate is stable and the spec asserts reproducibility plus
     * recall-vs-brute.
     */
-  def ivfPqTopK(
+  /** A trained IVF-PQ model: coarse centroids plus per-subspace residual
+    * codebooks (`codebooks(sub)(code)` is a `subDim`-vector). Exposed so
+    * callers train once and probe many times, and so the gate's oracle
+    * builder can embed the EXACT trained values as SQL literals — the
+    * ann_ivf embedded-centroid trick extended to both quantizer layers,
+    * which is what flips ann_ivfpq_topk from a frozen pin to a full
+    * DuckDB hash oracle (r13 verdict ask #3).
+    */
+  final case class PqModel(
+      cents: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      subDim: Int) {
+    def m: Int = codebooks.length
+    def ks: Int = if (codebooks.isEmpty) 0 else codebooks(0).length
+  }
+
+  /** L2 argmin over a codebook, strict-less ascending scan — ties break
+    * toward the LOWER code (determinism contract; the oracle replicates
+    * it with `ORDER BY d ASC, code ASC`).
+    */
+  private def l2Nearest(x: Array[Double], book: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.PositiveInfinity; var c = 0
+    while (c < book.length) {
+      val w = book(c)
+      var d = 0.0; var i = 0
+      while (i < w.length) { val t = x(i) - w(i); d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Deterministic IVF-PQ training (None on an empty corpus): ONE bounded
+    * sample collection feeds both the coarse trainer and the codebook
+    * trainer; per-subspace deterministic Lloyd over the sample residuals
+    * (same recipe as the coarse trainer: id-mod init, ascending-id mean
+    * folds, empty codes keep their centroid, strict lower-code argmin).
+    * Residuals are computed ONCE per sample row; each subspace copies out
+    * its slice.
+    */
+  def trainIvfPq(
       embeddings: DataFrame,
       idCol: String,
       vecCol: String,
-      queryPred: Column,
-      k: Int,
       numCells: Int = 16,
-      nProbe: Int = 4,
       m: Int = 8,
       ks: Int = 16,
-      candidateFactor: Int = 8,
       lloydIters: Int = 2,
-      trainCap: Int = 4096): DataFrame = {
+      trainCap: Int = 4096): Option[PqModel] = {
     require(ks <= 256, "one-byte codes: ks must fit a byte")
-    val spark = embeddings.sparkSession
-    import spark.implicits._
-
-    // ONE bounded sample collection feeds both the coarse trainer and the
-    // codebook trainer (r13 review: trainIvfCentroids + a second
-    // trainingSample call ran the scan-sort-limit-collect job twice)
     val sample = trainingSample(embeddings, idCol, vecCol, trainCap)
-    if (sample.isEmpty)
-      return Seq.empty[(Long, Int, Long, Double)]
-        .toDF("query_id", "rank", "neighbor_id", "score")
+    if (sample.isEmpty) return None
     val cents = trainIvfCentroidsFromSample(sample, numCells, lloydIters)
     val dim = sample.head._2.length
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
@@ -547,26 +575,6 @@ object Ann {
       val c = cents(nearestCell(vn, cents))
       Array.tabulate(vn.length)(i => vn(i) - c(i))
     }
-
-    // per-subspace deterministic Lloyd over the sample residuals (same
-    // recipe as the coarse trainer: id-mod init, ascending-id mean folds,
-    // empty codes keep their centroid, strict lower-code argmin)
-    def l2Nearest(x: Array[Double], book: Array[Array[Double]]): Int = {
-      var best = 0; var bestD = Double.PositiveInfinity; var c = 0
-      while (c < book.length) {
-        val w = book(c)
-        var d = 0.0; var i = 0
-        while (i < w.length) { val t = x(i) - w(i); d += t * t; i += 1 }
-        if (d < bestD) { bestD = d; best = c }
-        c += 1
-      }
-      best
-    }
-    // residuals computed ONCE per sample row (r13 review: the previous
-    // per-subspace residual(vn) repeated the nearestCell argmax and the
-    // full-dim subtraction m times per row); each subspace copies out its
-    // slice. The mean fold is the shared [[meanFold]] — one deterministic
-    // fold for the coarse and codebook trainers.
     val residuals = sample.map { case (id, vn) => (id, residual(vn)) }
     val codebooks: Array[Array[Array[Double]]] = Array.tabulate(m) { sub =>
       val items = residuals.map { case (id, r) =>
@@ -580,10 +588,24 @@ object Ann {
       }
       book
     }
+    Some(PqModel(cents, codebooks, subDim))
+  }
 
-    val centsB = spark.sparkContext.broadcast(cents)
-    val booksB = spark.sparkContext.broadcast(codebooks)
-    val sd = subDim; val mm = m; val kks = ks
+  /** ADC probe + exact re-rank under an already-trained [[PqModel]]. */
+  def ivfPqTopKWithModel(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryPred: Column,
+      k: Int,
+      nProbe: Int,
+      candidateFactor: Int,
+      model: PqModel): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val centsB = spark.sparkContext.broadcast(model.cents)
+    val booksB = spark.sparkContext.broadcast(model.codebooks)
+    val sd = model.subDim; val mm = model.m; val kks = model.ks
 
     // index: ONLY (cell, id, m one-byte codes) — the compressed layout;
     // true vectors join back for the exact re-rank of survivors alone
@@ -655,6 +677,39 @@ object Ann {
       .select("query_id", "neighbor_id")
 
     exactRerank(candidates, embeddings, idCol, vecCol, k)
+  }
+
+  /** Defaults are the SHIPPED production configuration (r13 verdict ask
+    * #4, measured by AnnPqTuneProbe at sf0.1): candidateFactor=32 /
+    * nProbe=8 buys recall 0.36 → 0.74 at the same wall as the old
+    * cf=8/nProbe=4 — the shortlist, not the exact re-rank, was the
+    * bottleneck once cells densified. Scale `nProbe` with `numCells`
+    * (≈ numCells/2 measured best at these densities; cf=64/nProbe=16
+    * reaches 0.93 when recall matters more than probe fan-out). The gate
+    * query pins the pedagogical cf=8/nProbe=4 config explicitly via
+    * [[ivfPqTopKWithModel]]; RECALL.json records both configs' recall.
+    */
+  def ivfPqTopK(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryPred: Column,
+      k: Int,
+      numCells: Int = 16,
+      nProbe: Int = 8,
+      m: Int = 8,
+      ks: Int = 16,
+      candidateFactor: Int = 32,
+      lloydIters: Int = 2,
+      trainCap: Int = 4096): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    trainIvfPq(embeddings, idCol, vecCol, numCells, m, ks, lloydIters, trainCap) match {
+      case None => Seq.empty[(Long, Int, Long, Double)]
+        .toDF("query_id", "rank", "neighbor_id", "score")
+      case Some(model) => ivfPqTopKWithModel(
+        embeddings, idCol, vecCol, queryPred, k, nProbe, candidateFactor, model)
+    }
   }
 
   /** Deterministic uniform in (0,1) from an id — drives HNSW level

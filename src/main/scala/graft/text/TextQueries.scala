@@ -1037,15 +1037,26 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
-    // IVF-PQ stays rows-only like HNSW: the ADC probe over trained product
-    // codebooks is deterministic (spec-asserted with recall-vs-brute) but
-    // replicating two nested Lloyd layers in SQL buys no verification the
-    // embedded-centroid ann_ivf oracle doesn't already give. The index
-    // stores m one-byte codes per vector — the 32x-compressed layout that
-    // keeps a 100 TB embedding corpus's index in executor memory.
+    // IVF-PQ has a FULL hash oracle since r14 (verdict ask #3): both
+    // quantizer layers train deterministically driver-side, the model is
+    // memoized, and the oracle builder embeds centroids AND codebooks as
+    // literals — code assignment (per-subspace L2 argmin over the
+    // residual), the ADC shortlist (celldot-seeded ordered fold, per-query
+    // top cf·k window), and the exact re-rank are then all verified
+    // independently by DuckDB. The index stores m one-byte codes per
+    // vector — the 32x-compressed layout that keeps a 100 TB embedding
+    // corpus's index in executor memory.
     "ann_ivfpq_topk" -> { (s, d) =>
-      Ann.ivfPqTopK(Tables.embeddings(s, d), "vec_id", "embedding",
-        col("vec_id") < 20, k = 5)
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      Ann.trainIvfPq(emb, "vec_id", "embedding") match {
+        case Some(model) =>
+          pqTrainedModel.set(model)
+          Ann.ivfPqTopKWithModel(emb, "vec_id", "embedding",
+            col("vec_id") < 20, k = 5, nProbe = 4, candidateFactor = 8, model)
+        case None => Seq.empty[(Long, Int, Long, Double)]
+          .toDF("query_id", "rank", "neighbor_id", "score")
+      }
     },
 
     // HNSW stays rows-only: greedy graph traversal is not SQL-expressible
@@ -1445,6 +1456,13 @@ object TextQueries {
   private[graft] val ivfTrainedCentroids =
     new java.util.concurrent.atomic.AtomicReference[Array[Array[Double]]]()
 
+  /** The IVF-PQ model (coarse centroids + per-subspace residual codebooks)
+    * trained by the last `ann_ivfpq_topk` build in this JVM — the
+    * [[ivfTrainedCentroids]] life-cycle extended to both quantizer layers.
+    */
+  private[graft] val pqTrainedModel =
+    new java.util.concurrent.atomic.AtomicReference[Ann.PqModel]()
+
   /** The BPE state trained by the last `tx_bpe_encode` build in this JVM —
     * same life-cycle as [[ivfTrainedCentroids]] (Verify runs queries before
     * the oracle dump). The oracle embeds a word→tokens literal dim derived
@@ -1683,6 +1701,84 @@ object TextQueries {
         WHERE rank <= $k ORDER BY query_id, rank"""
   }
 
+  /** IVF-PQ oracle: the embedded-literal trick applied to BOTH quantizer
+    * layers. Centroids ride [[ivfAssignCte]]; codebooks become a
+    * (sub, code, bw) literal relation. DuckDB then independently:
+    *   1. assigns every corpus vector its cell (shared CTE) and its m
+    *      one-byte codes — per-subspace L2 argmin over the residual,
+    *      `(u[pos]−cw[pos])−bw[i]` squared in the SAME operation order as
+    *      the Scala kernel, ties to the lower code;
+    *   2. probes nProbe cells per query (dt DESC, cell — the coarse rule);
+    *   3. scores the ADC approximation with the EXACT fold order of the
+    *      Scala probe (celldot seeded first, then the per-subspace LUT
+    *      dots in ascending sub — `list_prepend(dt, list(... ORDER BY
+    *      sub))` reduced left-to-right, bit-reproducible), shortlists the
+    *      per-query top candidateFactor·k by (approx DESC, neighbor_id);
+    *   4. re-ranks survivors with the exact cosine (zero-norm rows
+    *      excluded, the ann_cosine contract).
+    */
+  private def ivfPqOracle(
+      model: Ann.PqModel, nProbe: Int, k: Int, candidateFactor: Int): String = {
+    val sd = model.subDim
+    val booksValues = (for {
+      sub <- model.codebooks.indices
+      code <- model.codebooks(sub).indices
+    } yield s"($sub,$code,[${model.codebooks(sub)(code).map(_.toString).mkString(",")}])")
+      .mkString(",")
+    s"""WITH ${ivfAssignCte(model.cents)},
+        books(sub, code, bw) AS (VALUES $booksValues),
+        res AS (
+          SELECT nv.id, nv.u, c.w AS cw, a.cell
+          FROM nv JOIN assign a ON a.id = nv.id JOIN cents c ON c.cell = a.cell
+        ),
+        coded AS (
+          SELECT id, cell, sub, code FROM (
+            SELECT r.id, r.cell, b.sub, b.code,
+              ROW_NUMBER() OVER (PARTITION BY r.id, b.sub ORDER BY
+                list_reduce(list_prepend(0.0, list_transform(generate_series(1, $sd),
+                  i -> ((r.u[b.sub*$sd + i] - r.cw[b.sub*$sd + i]) - b.bw[i])
+                     * ((r.u[b.sub*$sd + i] - r.cw[b.sub*$sd + i]) - b.bw[i]))),
+                  (x, y) -> x + y) ASC, b.code ASC) AS rk
+            FROM res r CROSS JOIN books b) WHERE rk = 1
+        ),
+        probes AS (
+          SELECT id, cell, dt FROM (SELECT id, cell, dt,
+              ROW_NUMBER() OVER (PARTITION BY id ORDER BY dt DESC, cell) AS r
+            FROM cellscore WHERE id < 20) WHERE r <= $nProbe
+        ),
+        adc AS (
+          SELECT p.id AS query_id, cd.id AS neighbor_id,
+            list_reduce(list_prepend(p.dt, list(
+              list_reduce(list_prepend(0.0, list_transform(generate_series(1, $sd),
+                i -> q.u[cd.sub*$sd + i] * b.bw[i])), (x, y) -> x + y)
+              ORDER BY cd.sub)), (x, y) -> x + y) AS approx
+          FROM probes p
+          JOIN nv q ON q.id = p.id
+          JOIN coded cd ON cd.cell = p.cell AND cd.id <> p.id
+          JOIN books b ON b.sub = cd.sub AND b.code = cd.code
+          GROUP BY p.id, cd.id, p.dt
+        ),
+        cand AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY approx DESC, neighbor_id) AS arank
+            FROM adc) WHERE arank <= ${k * candidateFactor}
+        ),
+        s AS (
+          SELECT cand.query_id, cand.neighbor_id,
+            ${dot("q.embedding", "c.embedding")} / (q.n * c.n) AS cos
+          FROM cand JOIN emb q ON q.id = cand.query_id
+          JOIN emb c ON c.id = cand.neighbor_id
+          WHERE q.n > 0 AND c.n > 0
+        )
+        SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+               FLOOR(cos * 10000.0 + 0.5) / 10000.0 AS score
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, neighbor_id) AS rank FROM s)
+        WHERE rank <= $k ORDER BY query_id, rank"""
+  }
+
   /** Cluster-balanced curation oracle: same assignment CTE, then top-`n`
     * docs per cell by (quality desc, id).
     */
@@ -1715,11 +1811,17 @@ object TextQueries {
         ("cur_diverse" -> diverseOracle(cents, n = 20))
       case None        => base
     }
+    val withPq = Option(pqTrainedModel.get()) match {
+      case Some(model) => withIvf +
+        ("ann_ivfpq_topk" -> ivfPqOracle(model, nProbe = 4, k = 5,
+          candidateFactor = 8))
+      case None        => withIvf
+    }
     val withBpe = Option(bpeTrained.get()) match {
-      case Some(tr) if tr.complete => withIvf +
+      case Some(tr) if tr.complete => withPq +
         ("tx_bpe_encode" -> bpeOracle(tr)) +
         ("sm_pack_bpe" -> bpePackOracle(tr))
-      case _                       => withIvf
+      case _                       => withPq
     }
     val withQc = Option(classifierWeights.get()) match {
       case Some(w) => withBpe + ("tx_quality_classifier" -> classifierOracle(w))

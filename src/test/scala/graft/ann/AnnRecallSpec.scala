@@ -77,7 +77,25 @@ class AnnRecallSpec extends SparkSpec {
       val byName = measured.map(m => m._1 -> m._2).toMap
       assert(byName("ann_lsh_mp_topk") >= byName("ann_lsh_topk"),
         s"multi-probe recall must dominate plain LSH at $label: $byName")
-      val json = measured.map { case (name, recall, rows) =>
+      // r14 (verdict ask #4): the SHIPPED ivfPqTopK default config
+      // (cf=32, nProbe=8 — the AnnPqTuneProbe buy-back) measured and
+      // recorded BESIDE the gate's pedagogical cf=8/nProbe=4, so the
+      // artifact shows what callers actually get (0.74-class at sf0.1,
+      // vs the gate config's 0.36)
+      val shipped = {
+        import org.apache.spark.sql.functions.col
+        graft.ann.Ann.ivfPqTopK(graft.Tables.embeddings(spark, dir),
+            "vec_id", "embedding", col("vec_id") < 20, k = 5)
+          .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      }
+      val shippedRecall = (brute intersect shipped).size.toDouble / brute.size
+      val shippedFloor = if (label == "sf0.01") 0.60 else 0.65
+      assert(shippedRecall >= shippedFloor,
+        s"shipped ivfPqTopK default recall $shippedRecall below floor " +
+          s"$shippedFloor at $label")
+      val withShipped = measured :+
+        (("ann_ivfpq_topk_shipped_default", shippedRecall, shipped.size))
+      val json = withShipped.map { case (name, recall, rows) =>
         f"""      "$name": {"recall_vs_brute": $recall%.4f, "candidate_pairs": $rows}"""
       }.mkString(",\n")
       s"""    "$label": {
