@@ -162,7 +162,9 @@ object Bench {
       else scala.util.Try {
         val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/sf1")
         if (!java.nio.file.Files.exists(
-            java.nio.file.Paths.get(sf1Dir, "documents.parquet"))) {
+              java.nio.file.Paths.get(sf1Dir, "documents.parquet")) ||
+            !java.nio.file.Files.exists(
+              java.nio.file.Paths.get(sf1Dir, "orders.parquet"))) {
           java.nio.file.Files.createDirectories(java.nio.file.Paths.get(sf1Dir))
           val p = new ProcessBuilder(
             "python3", "tools/gen_scale_corpus.py", "sf1", sf1Dir)
@@ -192,7 +194,11 @@ object Bench {
           "dd_canonical", "dd_canonical_routed",
           "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
           "cur_decontaminate_bloom", "cur_pii_redact", "tx_perplexity",
-          "tx_bpe_encode")
+          "tx_bpe_encode",
+          // r14 (verdict ask #6): the custom IntervalStabJoin physical
+          // join's 10x rows — the generator ships 1.5M orders / ~6M
+          // lineitems with TPC-H-sparse keys for these two
+          "j1_range_join", "j8_range_classify")
         val rowsJson = try {
           family.map { name =>
             // r13 (verdict ask #3): the r12 single-run walls carried a ~2×

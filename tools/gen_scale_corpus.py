@@ -54,7 +54,27 @@ def gen_sf1(out):
         "embedding": list(emb),
         "label": erng.integers(0, 10, size=n_emb).astype(np.int32),
     }).to_parquet(f"{out}/embeddings.parquet", index=False)
-    print(f"sf1 -> {out}: {len(df)} docs, {n_emb}x{dim} embeddings")
+    # r14: 10x relational tables (keys + quantities only — exactly the
+    # columns the j1/j8 interval-join envelope rows read) so the custom
+    # IntervalStabJoin physical join gets an sf1 trend line beside the
+    # dedup rows. Orderkeys are TPC-H-sparse (~4x the row count) so the
+    # [o, o+9] interval fan-out matches the sf0.1 shape.
+    rrng = np.random.default_rng(45)
+    n_ord = 1_500_000
+    okeys = np.sort(rrng.choice(
+        np.arange(1, 4 * n_ord, dtype=np.int64), size=n_ord, replace=False))
+    pd.DataFrame({"o_orderkey": okeys}).to_parquet(
+        f"{out}/orders.parquet", index=False)
+    lines = rrng.integers(1, 8, size=n_ord)  # 1-7 lines/order, ~6M rows
+    l_ok = np.repeat(okeys, lines)
+    l_ln = np.concatenate([np.arange(1, n + 1, dtype=np.int64) for n in lines])
+    pd.DataFrame({
+        "l_orderkey": l_ok,
+        "l_linenumber": l_ln,
+        "l_quantity": rrng.integers(1, 51, size=len(l_ok)).astype(np.float64),
+    }).to_parquet(f"{out}/lineitem.parquet", index=False)
+    print(f"sf1 -> {out}: {len(df)} docs, {n_emb}x{dim} embeddings, "
+          f"{n_ord} orders, {len(l_ok)} lineitems")
 
 
 def gen_sf1dup(out):
