@@ -1382,13 +1382,16 @@ object Dedup {
   }
 
   /** Crossover constants from the r13 envelope measurements: exact wins
-    * ~30% at sf0.1 (50.5k docs, routed 2.26/2.63 s vs exact 1.79/1.69 s);
-    * routed wins 3.7-12× at sf1 (505k docs: dd_canonical 18.5→4.5 s) and
-    * on the duplicate-heavy sf1dup bracket (51.7→4.2 s, zero spill vs
-    * 34-68 GB) — so the doc cutover sits between the measured brackets
-    * and the dup cutover fires the digest-collapse win early.
+    * ~30% at sf0.1 (5k docs: routed 2.26/2.63 s vs exact 1.79/1.69 s);
+    * routed wins 3.7-12× at sf1 (50.5k docs: dd_canonical 18.5→4.5 s,
+    * dd_components 20.5→5.4 s) and on the duplicate-heavy sf1dup bracket
+    * (51.7→4.2 s, zero spill vs 34-68 GB). The doc cutover sits between
+    * the measured 5k and 50.5k brackets, biased low because the routed
+    * path's worst case is a bounded ~30% overhead while the exact tier's
+    * is unbounded pair blowup; the dup cutover fires the digest-collapse
+    * win early regardless of size.
     */
-  val RoutedDocCutover: Long = 150000L
+  val RoutedDocCutover: Long = 20000L
   val RoutedDupCutover: Double = 0.25
 
   def routeStats(docs: DataFrame, textCol: String): RouteStats = {
@@ -1426,6 +1429,30 @@ object Dedup {
       canonicalDocsRouted(
         docs, idCol, textCol, threshold, k, numHashes, bands, cap, sampleMod)
     else canonicalDocsExact(docs, idCol, textCol, threshold, k)
+
+  /** Auto-routed near-dup components — [[canonicalDocsAuto]]'s decision
+    * applied to the components relation: the exact
+    * `connectedComponents(pairTable(...))` composition below the measured
+    * crossover, [[componentsRouted]] above it or on duplicate-heavy
+    * corpora. Both branches are gate-checked against the same
+    * recursive-CTE oracle as `dd_components`.
+    */
+  def componentsAuto(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      k: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 16,
+      cap: Int = DefaultGroupCap,
+      sampleMod: Int = DefaultSampleMod,
+      docCutover: Long = RoutedDocCutover,
+      dupCutover: Double = RoutedDupCutover): DataFrame =
+    if (routeStats(docs, textCol).useRouted(docCutover, dupCutover))
+      componentsRouted(
+        docs, idCol, textCol, threshold, k, numHashes, bands, cap, sampleMod)
+    else connectedComponents(pairTable(docs, idCol, textCol, threshold, k))
 
   /** Near-dup connected components through the SAME three-stage route as
     * [[canonicalDocsRouted]] — output identical to

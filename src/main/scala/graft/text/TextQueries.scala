@@ -914,6 +914,12 @@ object TextQueries {
       Dedup.componentsRouted(Tables.documents(s, d), "doc_id", "text", 0.5)
     },
 
+    // r14: the auto decision on the components relation (same routeStats
+    // rule as dd_canonical_auto, same oracle as dd_components)
+    "dd_components_auto" -> { (s, d) =>
+      Dedup.componentsAuto(Tables.documents(s, d), "doc_id", "text", 0.5)
+    },
+
     // duplicate clusters straight from the simhash banding WITHOUT the
     // quadratic all-pairs relation (r10): star edges to per-signature
     // representatives + sig-level qualifying edges — linear input to
@@ -1804,7 +1810,8 @@ object TextQueries {
     val base = staticOracles +
       ("dd_canonical_routed" -> staticOracles("dd_canonical")) +
       ("dd_canonical_auto" -> staticOracles("dd_canonical")) +
-      ("dd_components_routed" -> staticOracles("dd_components"))
+      ("dd_components_routed" -> staticOracles("dd_components")) +
+      ("dd_components_auto" -> staticOracles("dd_components"))
     val withIvf = Option(ivfTrainedCentroids.get()) match {
       case Some(cents) => base +
         ("ann_ivf_topk" -> ivfOracle(cents, nProbe = 4, k = 5)) +

@@ -731,6 +731,16 @@ class TextOpsSpec extends SparkSpec {
     assert(viaExactBranch === exact)
     assert(viaRoutedBranch === exact)
     assert(exact.size < heavyDup.size, "planted dups must drop something")
+    // the components form of the auto decision: identical labels on both
+    // branches too
+    val exactComps = Dedup.connectedComponents(
+        Dedup.pairTable(df, "doc_id", "text", 0.5))
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(Dedup.componentsAuto(df, "doc_id", "text", 0.5,
+        docCutover = Long.MaxValue, dupCutover = 2.0)
+      .as[(Long, Long)].collect().toSeq.sorted === exactComps)
+    assert(Dedup.componentsAuto(df, "doc_id", "text", 0.5, docCutover = 1L)
+      .as[(Long, Long)].collect().toSeq.sorted === exactComps)
     Dedup.releaseClassTable(df, "doc_id", "text")
     Dedup.releasePairTable(df, "doc_id", "text", 0.5)
   }
