@@ -80,6 +80,24 @@ class CurateCliSpec extends SparkSpec {
     }
   }
 
+  test("dedup --auto: stats pick the exact tier below the crossover, artifacts match") {
+    import org.apache.spark.sql.functions.col
+    val out = java.nio.file.Files.createTempDirectory("dedup_auto").toString
+    // sf0.01 sits far below the 20k-doc cutover with a light dup ratio, so
+    // the auto decision must take the exact branch — whose signature
+    // artifact is the materialized pair table (the routed fast path never
+    // writes one)
+    graft.Main.main(Array("dedup", "--data", sf001, "--out", out, "--auto"))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$out/pairs.parquet")),
+      "auto below the crossover must run the exact pair-table tier")
+    val docs = graft.Tables.documents(spark, sf001)
+    val comps = spark.read.parquet(s"$out/components.parquet")
+    val dropped = comps.where(col("doc_id") =!= col("component")).count()
+    assert(spark.read.parquet(s"$out/canonical.parquet").count() ==
+      docs.count() - dropped)
+  }
+
   test("curate --decontaminate-below + --redact-pii: leak-free survivors, clean text artifact") {
     import org.apache.spark.sql.functions.col
     val out = java.nio.file.Files.createTempDirectory("curate_pii").toString
