@@ -198,7 +198,9 @@ object Bench {
           // r14 (verdict ask #6): the custom IntervalStabJoin physical
           // join's 10x rows — the generator ships 1.5M orders / ~6M
           // lineitems with TPC-H-sparse keys for these two
-          "j1_range_join", "j8_range_classify")
+          "j1_range_join", "j8_range_classify",
+          // r14: brute vs IVF-bucketed embedding near-dup at 20k vectors
+          "dd_cosine_neardup", "dd_cosine_neardup_ivf")
         val rowsJson = try {
           family.map { name =>
             // r13 (verdict ask #3): the r12 single-run walls carried a ~2×

@@ -228,6 +228,96 @@ object Ann {
       .orderBy("a", "b")
   }
 
+  /** IVF-bucketed cosine near-dup pairs — the 100 TB scale path for
+    * [[cosinePairs]]'s O(n²) triangle sweep (the embedding-modality
+    * analogue of the text dedup's routed tier): vectors bucket into the
+    * deterministic IVF coarse cells, each assigned to its top `nProbe`
+    * cells (multi-assignment is the recall lever — a true pair is missed
+    * only when the two vectors share NONE of their probed cells), pair
+    * candidates are generated per cell by an in-task sweep — work Σ c²
+    * over cell sizes instead of n² — and verified with the EXACT cosine
+    * arithmetic of the brute tier, so a bucketing false positive can
+    * never reach the output (every emitted pair truly clears the
+    * threshold; only recall is approximate). Raise `numCells` ~ √n as
+    * the corpus grows to keep cells bounded; the replication factor is
+    * exactly `nProbe`, one shuffle of (cell, vector) rows.
+    *
+    * Deterministic end-to-end (bounded trainer, lower-cell ties), so the
+    * gate's oracle embeds the trained centroids and DuckDB replicates
+    * the FULL candidate rule — hash-equality holds INDEPENDENT of
+    * recall; recall vs the brute relation is measured separately
+    * (AnnIvfPairsSpec floors). Zero-norm vectors are excluded up front
+    * (cosine undefined; the oracle's n > 0 guards match).
+    */
+  def cosinePairsIvfWithCentroids(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      nProbe: Int,
+      cents: Array[Array[Double]]): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val centsB = spark.sparkContext.broadcast(cents)
+    ivfPrep(embeddings, idCol, vecCol)
+      .filter(_._3 > 0)
+      .flatMap { case (id, v, n, vn) =>
+        val cs = centsB.value
+        val scored = Array.tabulate(cs.length) { c =>
+          val ct = cs(c)
+          var dot = 0.0; var i = 0
+          while (i < ct.length) { dot += vn(i) * ct(i); i += 1 }
+          (c, dot)
+        }
+        scored.sortBy { case (c, dot) => (-dot, c) }.take(nProbe)
+          .map { case (c, _) => (c, id, n, v) }
+      }
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        // in-task sweep over one cell: all (i, j>i) member pairs, exact
+        // verify inline (dot folds ascending — bit-identical either
+        // orientation, so the emitted (min, max, score) row matches the
+        // oracle's lower-id-first computation exactly)
+        val ms = it.map { case (_, id, n, v) => (id, n, v) }.toArray
+        val acc = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        var i = 0
+        while (i < ms.length) {
+          val (ida, na, va) = ms(i)
+          var j = i + 1
+          while (j < ms.length) {
+            val (idb, nb, vb) = ms(j)
+            var dot = 0.0; var d = 0
+            while (d < va.length) { dot += va(d) * vb(d); d += 1 }
+            val cos = dot / (na * nb)
+            if (cos >= threshold) {
+              val a = math.min(ida, idb); val b = math.max(ida, idb)
+              acc += ((a, b, math.floor(cos * 10000.0 + 0.5) / 10000.0))
+            }
+            j += 1
+          }
+          i += 1
+        }
+        acc.iterator
+      }
+      .toDF("a", "b", "score")
+      // a pair meeting in several shared probed cells emits once per cell
+      .dropDuplicates("a", "b")
+      .orderBy("a", "b")
+  }
+
+  /** [[cosinePairsIvfWithCentroids]] with the centroids trained in place. */
+  def cosinePairsIvf(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      numCells: Int = 16,
+      nProbe: Int = 2,
+      lloydIters: Int = 2,
+      trainCap: Int = 4096): DataFrame =
+    cosinePairsIvfWithCentroids(embeddings, idCol, vecCol, threshold, nProbe,
+      trainIvfCentroids(embeddings, idCol, vecCol, numCells, lloydIters, trainCap))
+
   /** Deterministic pseudo-random hyperplanes: component j of plane p is a
     * fixed hash-derived value in [-1, 1). No RNG — reproducible across
     * runs and engines; `private[graft]` so the DuckDB oracle SQL can embed

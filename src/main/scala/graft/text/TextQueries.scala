@@ -719,6 +719,21 @@ object TextQueries {
       Ann.cosinePairs(Tables.embeddings(s, d), "vec_id", "embedding", 0.4)
     },
 
+    // r14: the SCALE path for the same relation — IVF-bucketed candidate
+    // pairs (top-2 cell multi-assignment, work Σ c² instead of n²) with
+    // the brute tier's exact verify. Deterministic quantizer -> the
+    // oracle embeds the centroids and replicates the full candidate
+    // rule, so the hash gate is exact regardless of recall; recall vs
+    // dd_cosine_neardup is spec-floored (AnnIvfPairsSpec).
+    "dd_cosine_neardup_ivf" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val cents = Ann.trainIvfCentroids(emb, "vec_id", "embedding",
+        numCells = 16, lloydIters = 2, trainCap = 4096)
+      ivfPairCents.set(cents)
+      Ann.cosinePairsIvfWithCentroids(emb, "vec_id", "embedding", 0.4,
+        nProbe = 2, cents)
+    },
+
     "dd_hamming" -> { (s, d) =>
       Dedup.simhashPairs(
         Tables.documents(s, d).select(
@@ -1469,6 +1484,13 @@ object TextQueries {
   private[graft] val pqTrainedModel =
     new java.util.concurrent.atomic.AtomicReference[Ann.PqModel]()
 
+  /** Centroids trained by the last `dd_cosine_neardup_ivf` build in this
+    * JVM (the [[ivfTrainedCentroids]] life-cycle; a separate reference so
+    * the pair gate never silently couples to whether the top-k gate ran).
+    */
+  private[graft] val ivfPairCents =
+    new java.util.concurrent.atomic.AtomicReference[Array[Array[Double]]]()
+
   /** The BPE state trained by the last `tx_bpe_encode` build in this JVM —
     * same life-cycle as [[ivfTrainedCentroids]] (Verify runs queries before
     * the oracle dump). The oracle embeds a word→tokens literal dim derived
@@ -1785,6 +1807,32 @@ object TextQueries {
         WHERE rank <= $k ORDER BY query_id, rank"""
   }
 
+  /** IVF-bucketed cosine-pair oracle: embedded centroids, top-`nProbe`
+    * multi-assignment over EVERY vector, distinct same-cell (a < b)
+    * candidates, exact cosine verify with the brute tier's arithmetic
+    * (zero-norm rows excluded — the Scala side filters them before
+    * assignment). The full candidate rule is replicated, so equality is
+    * exact regardless of the bucketing's recall.
+    */
+  private def cosinePairsIvfOracle(
+      cents: Array[Array[Double]], nProbe: Int, threshold: Double): String =
+    s"""WITH ${ivfAssignCte(cents)}, an AS (
+          SELECT id, cell FROM (SELECT id, cell,
+              ROW_NUMBER() OVER (PARTITION BY id ORDER BY dt DESC, cell) AS r
+            FROM cellscore) WHERE r <= $nProbe
+        ), cand AS (
+          SELECT DISTINCT x.id AS ida, y.id AS idb
+          FROM an x JOIN an y ON x.cell = y.cell AND x.id < y.id
+        ), s AS (
+          SELECT ida AS a, idb AS b,
+            ${dot("q.embedding", "c.embedding")} / (q.n * c.n) AS cos
+          FROM cand JOIN emb q ON q.id = cand.ida
+          JOIN emb c ON c.id = cand.idb
+          WHERE q.n > 0 AND c.n > 0
+        )
+        SELECT a, b, FLOOR(cos * 10000.0 + 0.5) / 10000.0 AS score
+        FROM s WHERE cos >= $threshold ORDER BY a, b"""
+
   /** Cluster-balanced curation oracle: same assignment CTE, then top-`n`
     * docs per cell by (quality desc, id).
     */
@@ -1824,11 +1872,17 @@ object TextQueries {
           candidateFactor = 8))
       case None        => withIvf
     }
+    val withIvfPairs = Option(ivfPairCents.get()) match {
+      case Some(cents) => withPq +
+        ("dd_cosine_neardup_ivf" -> cosinePairsIvfOracle(cents,
+          nProbe = 2, threshold = 0.4))
+      case None        => withPq
+    }
     val withBpe = Option(bpeTrained.get()) match {
-      case Some(tr) if tr.complete => withPq +
+      case Some(tr) if tr.complete => withIvfPairs +
         ("tx_bpe_encode" -> bpeOracle(tr)) +
         ("sm_pack_bpe" -> bpePackOracle(tr))
-      case _                       => withPq
+      case _                       => withIvfPairs
     }
     val withQc = Option(classifierWeights.get()) match {
       case Some(w) => withBpe + ("tx_quality_classifier" -> classifierOracle(w))
