@@ -449,6 +449,102 @@ object StreamingOps {
       }
   }
 
+  final case class VecDoc(docId: Long, vec: Seq[Float], tsMs: Long)
+  final case class VecCell(
+      cell: Long, docId: Long, nrm: Double, v: Seq[Double], tsMs: Long,
+      ets: java.sql.Timestamp)
+  final case class VecCellState(
+      members: List[(Long, Double, Seq[Double], Long)]) // (id, nrm, v, tsMs)
+  final case class CosinePair(a: Long, b: Long, score: Double)
+
+  /** Streaming IVF-bucketed embedding near-dup — the streaming twin of
+    * the batch [[graft.ann.Ann.cosinePairsIvfWithCentroids]]
+    * (`dd_cosine_neardup_ivf`), completing the ingest-time near-dup
+    * matrix across modalities (text: minhash/simhash twins; video: clip
+    * signatures; embeddings: this). Centroids train OFFLINE on the batch
+    * corpus and ride the stream as a frozen artifact — exactly how
+    * production IVF deploys, and the same train-once shape as the BPE /
+    * classifier twins. Each arriving vector normalizes once, explodes
+    * into its top-`nProbe` coarse cells (same lower-cell tie rule as
+    * batch), and the per-cell [[cellSweep]] emits an exactly-verified
+    * [[CosinePair]] the moment an arrival clears `threshold` against a
+    * retained member — same fold order and floor-form 4dp rounding as
+    * batch, so the distinct-ed stream output equals the batch pair set
+    * on the same feed. Zero-norm vectors emit no cells (cosine
+    * undefined; matches the batch filter). State bounds, late-arrival
+    * drop, watermark eviction, idle-cell timeout, and the at-least-once
+    * per-shared-cell emission contract are [[streamingSimhashPairs]]'s,
+    * via the shared sweep.
+    */
+  def streamingCosinePairsIvf(
+      docs: Dataset[VecDoc],
+      threshold: Double,
+      cents: Array[Array[Double]],
+      nProbe: Int = 2,
+      retentionMs: Long = Long.MaxValue / 4,
+      watermarkDelay: Option[String] = None,
+      maxCellMembers: Int = 1 << 16): Dataset[CosinePair] = {
+    require(retentionMs >= 0, "retentionMs must be non-negative")
+    require(nProbe >= 1 && nProbe <= cents.length,
+      s"nProbe must be in [1, ${cents.length}]")
+    import docs.sparkSession.implicits._
+    val eventTime = watermarkDelay.isDefined
+    val timeout =
+      if (eventTime) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    val centsB = docs.sparkSession.sparkContext.broadcast(cents)
+    watermarked(
+      docs.flatMap { d =>
+        val v = d.vec.iterator.map(_.toDouble).toArray
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += v(i) * v(i); i += 1 }
+        val nrm = math.sqrt(s)
+        if (nrm == 0.0) Seq.empty
+        else {
+          val vn = v.map(_ / nrm)
+          val cs = centsB.value
+          val scored = Array.tabulate(cs.length) { c =>
+            val ct = cs(c)
+            var dot = 0.0; var j = 0
+            while (j < ct.length) { dot += vn(j) * ct(j); j += 1 }
+            (c, dot)
+          }
+          scored.sortBy { case (c, dot) => (-dot, c) }.take(nProbe)
+            .map { case (c, _) => VecCell(c.toLong, d.docId, nrm,
+              v.toIndexedSeq, d.tsMs, new java.sql.Timestamp(d.tsMs)) }
+            .toSeq
+        }
+      },
+      watermarkDelay)
+      .groupByKey(_.cell)
+      .flatMapGroupsWithState[VecCellState, CosinePair](
+        OutputMode.Append(), timeout) {
+        (_: Long, it: Iterator[VecCell], state: GroupState[VecCellState]) =>
+          cellSweep[VecCell, (Long, Double, Seq[Double], Long), VecCellState, CosinePair](
+            it, state, eventTime, retentionMs, maxCellMembers,
+            c => (c.docId, c.nrm, c.v, c.tsMs),
+            _._4,
+            m => (m._4, m._1),
+            _.members,
+            VecCellState(_),
+            (d, members) => {
+              val (ida, na, va, _) = d
+              members.iterator.flatMap { case (idb, nb, vb, _) =>
+                if (idb != ida) {
+                  var dot = 0.0; var k = 0
+                  val n = va.length
+                  while (k < n) { dot += va(k) * vb(k); k += 1 }
+                  val cos = dot / (na * nb)
+                  if (cos >= threshold)
+                    Some(CosinePair(math.min(ida, idb), math.max(ida, idb),
+                      math.floor(cos * 10000.0 + 0.5) / 10000.0))
+                  else None
+                } else None
+              }
+            })
+      }
+  }
+
   final case class ShingledDoc(docId: Long, shingles: Seq[String], tsMs: Long)
   final case class MinhashCellState(
       members: List[(Long, Seq[String], Long)]) // (docId, shingles, tsMs)

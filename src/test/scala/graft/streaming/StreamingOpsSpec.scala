@@ -482,6 +482,42 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("streamingCosinePairsIvf equals batch cosinePairsIvf on real embeddings") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    // centroids train OFFLINE on the batch corpus (the frozen-artifact
+    // deployment shape); the SAME matrix drives both sides so parity is
+    // over the probe machinery, not training
+    val emb = graft.Tables.embeddings(spark, sf001)
+    val cents = graft.ann.Ann.trainIvfCentroids(emb, "vec_id", "embedding")
+    val rows = emb.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().sortBy(_._1)
+    assert(rows.length >= 100)
+    val batches = rows.grouped(math.max(rows.length / 3, 1)).toSeq
+
+    val input = MemoryStream[StreamingOps.VecDoc]
+    val pairs = StreamingOps.streamingCosinePairsIvf(
+      input.toDS(), threshold = 0.4, cents, nProbe = 2)
+    val q = pairs.writeStream
+      .format("memory").queryName("cosivf_out").outputMode(OutputMode.Append())
+      .start()
+    try {
+      batches.zipWithIndex.foreach { case (b, i) =>
+        input.addData(b.map { case (id, v) => StreamingOps.VecDoc(id, v, 1000L * i) })
+        q.processAllAvailable()
+      }
+      // at-least-once per shared probed cell -> distinct at the sink
+      val got = spark.table("cosivf_out").select("a", "b", "score")
+        .distinct().as[(Long, Long, Double)].collect().toSet
+      val want = graft.ann.Ann.cosinePairsIvfWithCentroids(
+          emb, "vec_id", "embedding", 0.4, nProbe = 2, cents)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(want.nonEmpty)
+      assert(got === want)
+    } finally q.stop()
+  }
+
   test("streamingMinhashPairs equals batch dd_minhash_lsh on real documents") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
