@@ -635,6 +635,61 @@ class StreamingOpsSpec extends SparkSpec {
       "no cross-restart pair emitted — state was not recovered from the checkpoint")
   }
 
+  test("embedding twin event-time retention: late arrivals dropped, idle cells expire") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // two fixed direction clusters; the trained quantizer is irrelevant to
+    // the retention mechanics, so a hand-built 2-cell centroid matrix
+    // keeps the cells predictable
+    val cents = Array(
+      Array(1.0, 0.0, 0.0, 0.0),
+      Array(0.0, 1.0, 0.0, 0.0))
+    def vecA(id: Long, ts: Long) =
+      StreamingOps.VecDoc(id, Seq(1f, 0.01f, 0f, 0f), ts)
+    // watermark pushers: all land in cell B (nProbe=1) but are mutually
+    // ~orthogonal within it (pairwise cos <= 0.71 < 0.9), so they push
+    // event time without pairing with each other
+    def vecB(id: Long, ts: Long): StreamingOps.VecDoc = {
+      val tail: Seq[Float] = (id % 3) match {
+        case 0 => Seq(1f, 0f)
+        case 1 => Seq(-1f, 0f)
+        case _ => Seq(0f, 1f)
+      }
+      StreamingOps.VecDoc(id, Seq(0f, 1f) ++ tail, ts)
+    }
+    val input = MemoryStream[StreamingOps.VecDoc]
+    val pairs = StreamingOps.streamingCosinePairsIvf(input.toDS(),
+      threshold = 0.9, cents, nProbe = 1,
+      retentionMs = 60000, watermarkDelay = Some("5 seconds"))
+    val q = pairs.writeStream.format("memory").queryName("cosret_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val rows = scala.collection.mutable.ArrayBuffer.empty[Long]
+      def step(ds: StreamingOps.VecDoc*): Unit = {
+        input.addData(ds: _*)
+        q.processAllAvailable()
+        rows += q.lastProgress.stateOperators.head.numRowsTotal
+      }
+      // b1: two A-direction vectors inside retention -> the expected pair
+      step(vecA(1, 10000), vecA(2, 12000))
+      // b2: far-future B-direction vector pushes the watermark past
+      // 1/2 + retention (different cell, pairs with nothing)
+      step(vecB(100, 1000000000L))
+      // b3: vector 3 shares A's direction but watermark eviction cleared
+      // 1/2 BEFORE pairing; vector 4 is LATE (behind watermark) -> dropped
+      step(vecA(3, 999996000L), vecA(4, 5000))
+      // b4/b5: watermark pushes expire the now-idle cells
+      step(vecB(200, 2000000000L))
+      step(vecB(201, 2100000000L))
+      val got = spark.table("cosret_out").select("a", "b").distinct()
+        .as[(Long, Long)].collect().toSet
+      assert(got === Set((1L, 2L)),
+        s"expected only the in-retention pair, got $got")
+      assert(rows.last < rows.max,
+        s"idle cells must expire via event-time timeout: $rows")
+    } finally q.stop()
+  }
+
   test("event-time retention: late arrivals dropped, idle cells expire under watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
