@@ -76,9 +76,12 @@ object Pretrain {
     // crossover and has no banding recall term; auto decides from one
     // stats pass over the kept docs.
     val tier = dedupStrategy match {
-      case "auto" =>
+      case "auto" => stage("route_stats") {
+        // an eager stats scan over the kept docs — timed as its own
+        // stage so the decision's cost is visible in the breakdown
         if (graft.text.Dedup.routeStats(kept, "text").useRouted()) "routed"
         else "exact"
+      }
       case t @ ("routed" | "exact") => t
       case other => throw new IllegalArgumentException(
         s"dedupStrategy must be auto|routed|exact, got $other")
