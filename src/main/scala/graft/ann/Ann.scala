@@ -255,7 +255,8 @@ object Ann {
       vecCol: String,
       threshold: Double,
       nProbe: Int,
-      cents: Array[Array[Double]]): DataFrame = {
+      cents: Array[Array[Double]],
+      maxCellMembers: Int = 1 << 16): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val centsB = spark.sparkContext.broadcast(cents)
@@ -279,6 +280,16 @@ object Ann {
         // orientation, so the emitted (min, max, score) row matches the
         // oracle's lower-id-first computation exactly)
         val ms = it.map { case (_, id, n, v) => (id, n, v) }.toArray
+        // the streaming twin's cellSweep tripwire, batch side: a hot cell
+        // (one dominant direction) does O(members²) work and holds its
+        // vectors in one task — fail loud with the remedy instead of
+        // OOMing silently (the same requireBounded contract as the text
+        // dedup tiers)
+        require(ms.length <= maxCellMembers,
+          s"cosinePairsIvf cell holds ${ms.length} members " +
+            s"(> maxCellMembers=$maxCellMembers): raise numCells (~sqrt(n) " +
+            "at scale) so cells stay bounded, or raise maxCellMembers " +
+            "deliberately")
         val acc = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
         var i = 0
         while (i < ms.length) {

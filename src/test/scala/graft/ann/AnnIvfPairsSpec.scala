@@ -74,6 +74,20 @@ class AnnIvfPairsSpec extends SparkSpec {
     assert(!ivf.exists(p => p._1 == 999L || p._2 == 999L))
   }
 
+  test("hot cell fails loud with the remedy, not a silent O(members^2) task") {
+    import spark.implicits._
+    // every vector shares one direction -> one cell holds the corpus
+    val df = (0 until 50).map(i => (i.toLong, Seq(1f, 0.001f * i, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val cents = Array(Array(1.0, 0.0, 0.0, 0.0), Array(0.0, 1.0, 0.0, 0.0))
+    val ex = intercept[org.apache.spark.SparkException] {
+      Ann.cosinePairsIvfWithCentroids(df, "vec_id", "embedding", 0.9,
+        nProbe = 1, cents, maxCellMembers = 10).collect()
+    }
+    assert(ex.getMessage.contains("raise numCells"),
+      s"expected the bounded-cell tripwire, got: ${ex.getMessage.take(200)}")
+  }
+
   test("candidate volume: cell sweep does a fraction of the brute n^2 work") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sf01)
