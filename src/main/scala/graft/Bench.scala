@@ -200,7 +200,12 @@ object Bench {
           // lineitems with TPC-H-sparse keys for these two
           "j1_range_join", "j8_range_classify",
           // r14: brute vs IVF-bucketed embedding near-dup at 20k vectors
-          "dd_cosine_neardup", "dd_cosine_neardup_ivf")
+          "dd_cosine_neardup", "dd_cosine_neardup_ivf",
+          // r15: the families that still had no 10x row — BM25 retrieval
+          // (index-free dims, term strings never shuffle) and the semantic
+          // curation composition, brute vs the IVF-bucketed scale path
+          "ir_term_stats", "ir_batch_bm25",
+          "cur_semantic", "cur_semantic_ivf")
         val rowsJson = try {
           family.map { name =>
             // r13 (verdict ask #3): the r12 single-run walls carried a ~2×

@@ -33,17 +33,17 @@ object SparkEntry {
     *     sharded HNSW) is likewise not SQL-expressible; the index is
     *     deterministic and recall-vs-brute (>= the IVF path's) is asserted
     *     in TextOpsSpec.
-    *   - `ann_ivfpq_topk` — deterministic two-layer Lloyd (coarse + product
-    *     codebooks) with ADC probing; replicating both trainings in SQL
-    *     adds no verification beyond the ann_ivf embedded-centroid oracle.
-    *     Determinism and recall-vs-brute are asserted in TextOpsSpec.
     *
     * Everything else in [[queries]] carries a full hash oracle — including
     * `ann_lsh_topk` (deterministic hyperplanes embedded in the SQL as
     * literals), `ann_ivf_topk` (the trained coarse-quantizer centroids
     * embedded the same way — training is deterministic and runs before the
     * oracle dump, so assignment/probe/re-rank are DuckDB-verified; see
-    * TextQueries.ivfOracle), and `tx_quantiles_sketch` (the sketch outputs
+    * TextQueries.ivfOracle), `ann_ivfpq_topk` (BOTH quantizer layers
+    * embedded — coarse centroids AND per-subspace residual codebooks;
+    * DuckDB re-derives codes, the ADC shortlist in the Scala probe's exact
+    * fold order, and the cosine re-rank — retired from the pin list in
+    * r14), and `tx_quantiles_sketch` (the sketch outputs
     * embedded as literals; DuckDB independently verifies membership plus
     * the ε-rank Greenwald-Khanna bound from the raw corpus — see
     * TextQueries.quantilesSketchOracle).

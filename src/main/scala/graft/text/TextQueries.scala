@@ -15,7 +15,7 @@ import graft.multimodal.Multimodal
 object TextQueries {
   type Q = (SparkSession, String) => DataFrame
 
-  private val qualityStopwords = Seq("the", "a", "of", "and", "to", "is")
+  private[graft] val qualityStopwords = Seq("the", "a", "of", "and", "to", "is")
 
   /** cur_corpus, parameterized: quality gate at `minQuality` -> normalized
     * dedup (keep each cluster's min-id doc) -> survivors with their stats.
@@ -52,6 +52,45 @@ object TextQueries {
     val drop = Ann.cosinePairs(emb, "vec_id", "embedding", 0.4)
       .select(col("b").as("doc_id")).distinct()
     kept.join(broadcast(drop), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** cur_semantic_ivf — the 100 TB composition of the SAME curation rule:
+    * quality gate, then drop embedding-cosine near-dups among the
+    * survivors (keep each pair's min id), with the pair relation coming
+    * from [[Ann.cosinePairsIvfWithCentroids]] instead of the brute O(n²)
+    * triangle sweep — work Σ c² over IVF cell sizes, exact verify inline,
+    * so only RECALL is approximate (a near-dup pair whose vectors share
+    * none of their probed cells survives curation; `nProbe` is the
+    * measured recall lever — pair recall 0.61→0.96+ from 2→4 at 16 cells
+    * on the gaussian worst case, AnnIvfPairsSpec, hence the nProbe=4
+    * default; at nProbe = numCells the composition equals
+    * [[curateSemantic]] exactly, the property CurationSamplingSpec pins).
+    * Centroids train on the KEPT
+    * subset (deterministic, memoized for the oracle dump: the oracle
+    * embeds them and replicates the full candidate rule, so the hash gate
+    * is exact regardless of recall). Unlike the brute tier, the drop-list
+    * anti-join carries NO broadcast hint: in the duplicate-heavy regime
+    * this path exists for, the drop list is O(corpus) and a forced
+    * broadcast collects it to the driver (the r13 ADVICE rule) — AQE
+    * decides, as in Dedup.canonicalDocsRouted.
+    */
+  def curateSemanticIvf(s: SparkSession, d: String, minQuality: Double,
+      threshold: Double = 0.4, numCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val kept = Tables.documents(s, d).select(
+        col("doc_id"), col("lang"),
+        TextOps.qualityScore(col("text"), qualityStopwords).as("quality"))
+      .where(col("quality") >= minQuality)
+    val emb = Tables.embeddings(s, d)
+      .join(kept.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+    val cents = Ann.trainIvfCentroids(emb, "vec_id", "embedding",
+      numCells = numCells, lloydIters = 2, trainCap = 4096)
+    semanticIvfCents.set(cents)
+    val drop = Ann.cosinePairsIvfWithCentroids(
+        emb, "vec_id", "embedding", threshold, nProbe, cents)
+      .select(col("b").as("doc_id")).distinct()
+    kept.join(drop, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"), col("quality"))
       .orderBy("doc_id")
   }
@@ -664,6 +703,13 @@ object TextQueries {
     // near-dup pairs ride the tiled block cosine join; the drop-list is
     // the duplicates — by construction the broadcastable small side
     "cur_semantic" -> { (s, d) => curateSemantic(s, d, 0.4) },
+
+    // r15: the SCALE path for the same curation relation — the semantic
+    // near-dup drop rides the IVF-bucketed pair sweep (Σ c² work, exact
+    // verify inline) instead of the brute triangle; full hash oracle via
+    // the embedded-centroid trick (the oracle replicates the candidate
+    // rule, so equality is exact regardless of the bucketing's recall)
+    "cur_semantic_ivf" -> { (s, d) => curateSemanticIvf(s, d, 0.4) },
 
     // ---- deduplication -------------------------------------------------
 
@@ -1491,6 +1537,14 @@ object TextQueries {
   private[graft] val ivfPairCents =
     new java.util.concurrent.atomic.AtomicReference[Array[Array[Double]]]()
 
+  /** Centroids trained by the last `cur_semantic_ivf` build in this JVM
+    * (trained on the quality-KEPT embedding subset, so a separate
+    * reference from [[ivfPairCents]] — the two quantizers see different
+    * corpora and must never silently couple).
+    */
+  private[graft] val semanticIvfCents =
+    new java.util.concurrent.atomic.AtomicReference[Array[Array[Double]]]()
+
   /** The BPE state trained by the last `tx_bpe_encode` build in this JVM —
     * same life-cycle as [[ivfTrainedCentroids]] (Verify runs queries before
     * the oracle dump). The oracle embeds a word→tokens literal dim derived
@@ -1684,7 +1738,8 @@ object TextQueries {
     * argmax cell per vector — reused by the IVF probe oracle and the
     * cluster-balanced curation oracle.
     */
-  private def ivfAssignCte(cents: Array[Array[Double]]): String = {
+  private def ivfAssignCte(
+      cents: Array[Array[Double]], embWhere: String = ""): String = {
     val centsValues = cents.zipWithIndex.map { case (w, c) =>
       s"($c,[${w.map(_.toString).mkString(",")}])"
     }.mkString(",")
@@ -1694,7 +1749,7 @@ object TextQueries {
         emb AS (
           SELECT vec_id AS id, embedding,
                  SQRT(${dot("embedding", "embedding")}) AS n
-          FROM embeddings
+          FROM embeddings $embWhere
         ), nv AS (
           SELECT id, CASE WHEN n = 0.0
                    THEN list_transform(embedding, x -> x::DOUBLE)
@@ -1833,6 +1888,39 @@ object TextQueries {
         SELECT a, b, FLOOR(cos * 10000.0 + 0.5) / 10000.0 AS score
         FROM s WHERE cos >= $threshold ORDER BY a, b"""
 
+  /** cur_semantic_ivf oracle: quality gate, assignment CTE over the KEPT
+    * embedding subset with the embedded (kept-trained) centroids,
+    * top-`nProbe` multi-assignment, distinct same-cell (a < b) candidate
+    * pairs, exact cosine verify, then drop every pair's max id from the
+    * kept set. The FULL candidate rule is replicated, so hash-equality is
+    * exact regardless of the bucketing's recall.
+    */
+  private def semanticIvfOracle(cents: Array[Array[Double]], nProbe: Int,
+      threshold: Double, minQuality: Double): String =
+    s"""WITH kept AS (
+          SELECT * FROM (
+            SELECT doc_id, lang, $qualitySql AS quality FROM documents) q
+          WHERE quality >= $minQuality
+        ), ${ivfAssignCte(cents,
+            "WHERE vec_id IN (SELECT doc_id FROM kept)")}, an AS (
+          SELECT id, cell FROM (SELECT id, cell,
+              ROW_NUMBER() OVER (PARTITION BY id ORDER BY dt DESC, cell) AS r
+            FROM cellscore) WHERE r <= $nProbe
+        ), cand AS (
+          SELECT DISTINCT x.id AS ida, y.id AS idb
+          FROM an x JOIN an y ON x.cell = y.cell AND x.id < y.id
+        ), drops AS (
+          SELECT DISTINCT cand.idb AS doc_id
+          FROM cand JOIN emb q ON q.id = cand.ida
+          JOIN emb c ON c.id = cand.idb
+          WHERE q.n > 0 AND c.n > 0
+            AND ${dot("q.embedding", "c.embedding")} / (q.n * c.n)
+                >= $threshold
+        )
+        SELECT doc_id, lang, quality FROM kept
+        WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+        ORDER BY doc_id"""
+
   /** Cluster-balanced curation oracle: same assignment CTE, then top-`n`
     * docs per cell by (quality desc, id).
     */
@@ -1878,11 +1966,17 @@ object TextQueries {
           nProbe = 2, threshold = 0.4))
       case None        => withPq
     }
+    val withSemIvf = Option(semanticIvfCents.get()) match {
+      case Some(cents) => withIvfPairs +
+        ("cur_semantic_ivf" -> semanticIvfOracle(cents,
+          nProbe = 4, threshold = 0.4, minQuality = 0.4))
+      case None        => withIvfPairs
+    }
     val withBpe = Option(bpeTrained.get()) match {
-      case Some(tr) if tr.complete => withIvfPairs +
+      case Some(tr) if tr.complete => withSemIvf +
         ("tx_bpe_encode" -> bpeOracle(tr)) +
         ("sm_pack_bpe" -> bpePackOracle(tr))
-      case _                       => withIvfPairs
+      case _                       => withSemIvf
     }
     val withQc = Option(classifierWeights.get()) match {
       case Some(w) => withBpe + ("tx_quality_classifier" -> classifierOracle(w))

@@ -210,6 +210,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
   }
 
+  test("cur_semantic_ivf: anti-join is a hash join with no FORCED broadcast hint") {
+    // the scale path must not hint broadcast(drop): on a duplicate-heavy
+    // corpus the drop list is O(corpus) (the r13 ADVICE rule) — AQE picks
+    // the join strategy from runtime sizes instead
+    val df = q("cur_semantic_ivf")
+    val plan = physical(df)
+    assert(plan.contains("LeftAnti"), s"expected the drop anti-join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"semantic drop degenerated to an all-pairs physical join:\n$plan")
+    val hints = df.queryExecution.logical.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.UnresolvedHint => h.name
+    }
+    assert(hints.isEmpty, s"no join hints expected in the logical plan, got $hints")
+  }
+
   test("x1/x2/x3 native kernels stay inside whole-stage codegen (no ScalaUDF)") {
     assert(!physical(q("x1_direct_text")).contains("ScalaUDF"))
     assert(!physical(q("x2_edit_text")).contains("ScalaUDF"))

@@ -138,4 +138,50 @@ class CurationSamplingSpec extends SparkSpec {
     assert(plainStraddling > 0,
       "expected the naive split to leak on this corpus (else the guard is untestable here)")
   }
+
+  test("cur_semantic_ivf: nProbe = numCells recovers curateSemantic EXACTLY") {
+    // full multi-assignment puts every vector in every cell, so the
+    // candidate set is the complete (a < b) triangle and the IVF
+    // composition must equal the brute tier row-for-row — the property
+    // that pins the scale path's semantics to the pedagogical tier
+    val brute = TextQueries.curateSemantic(spark, sf0001, 0.4)
+      .collect().toSeq
+    val full = TextQueries.curateSemanticIvf(
+      spark, sf0001, 0.4, numCells = 4, nProbe = 4).collect().toSeq
+    assert(full === brute)
+  }
+
+  test("cur_semantic_ivf: bucketing can only WIDEN the kept set (drops ⊆ brute drops)") {
+    import spark.implicits._
+    val bruteKept = TextQueries.curateSemantic(spark, sf001, 0.4)
+      .select("doc_id").as[Long].collect().toSet
+    val ivfKept = TextQueries.curateSemanticIvf(spark, sf001, 0.4)
+      .select("doc_id").as[Long].collect().toSet
+    // exact verify inline: a bucketing false positive can never drop a
+    // doc the brute tier keeps — only recall (missed drops) is possible
+    assert(bruteKept.subsetOf(ivfKept),
+      s"IVF composition dropped docs the brute tier keeps: ${bruteKept -- ivfKept}")
+    // drop recall at the default config, measured on this corpus
+    // (SemIvfProbe): the quality gate keeps 172 docs, the brute tier
+    // semantically drops 7 of them; nProbe=2 misses 2 of those drops
+    // (the expected banding loss — each missed pair's vectors share none
+    // of their two probed cells) and the shipped nProbe=4 default misses
+    // ZERO. Pin a 1-miss band, not exactness: more means the quantizer
+    // or the multi-assignment regressed
+    val misses = ivfKept -- bruteKept
+    val keptQuality = graft.Tables.documents(spark, sf001)
+      .where(TextOps.qualityScore(col("text"),
+        TextQueries.qualityStopwords) >= 0.4).count()
+    val bruteDropCount = keptQuality - bruteKept.size
+    assert(bruteDropCount >= 5, "corpus must exercise the drop path")
+    assert(misses.size <= 1,
+      s"banding-miss count ${misses.size} of $bruteDropCount drops " +
+        s"at the nProbe=4 default (measured: 0): $misses")
+  }
+
+  test("cur_semantic_ivf: deterministic end-to-end (training included)") {
+    val a = TextQueries.curateSemanticIvf(spark, sf0001, 0.4).collect().toSeq
+    val b = TextQueries.curateSemanticIvf(spark, sf0001, 0.4).collect().toSeq
+    assert(a === b)
+  }
 }
