@@ -95,6 +95,39 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** The measured brute/IVF crossover for the semantic-curation pair
+    * sweep, in KEPT-embedding count (the quality gate shrinks the swept
+    * set, so the corpus row count is the wrong signal): brute wins at
+    * 5.5k kept vectors (sf1: 2.79 s vs 3.42 s — the quantizer training +
+    * extra stage aren't paid back), the IVF path wins 3.5× at 20k
+    * (dd_cosine_neardup sf1 envelope: 4.37 s vs 1.27 s). Biased LOW for
+    * the same reason as [[Dedup.RoutedDocCutover]]: the IVF side's worst
+    * case is a bounded ~25% overhead, the brute side's is unbounded n²
+    * blowup.
+    */
+  val SemanticEmbCutover: Long = 10000L
+
+  /** Auto-routed semantic curation — the [[Dedup.canonicalDocsAuto]]
+    * decision shape applied to this composition: ONE cheap pass counts
+    * the quality-KEPT embeddings (ids only — no content shuffles), then
+    * picks [[curateSemantic]] (exact brute sweep) below
+    * [[SemanticEmbCutover]] and [[curateSemanticIvf]] (Σ c² bucketed
+    * sweep, probabilistic drop recall) above it.
+    */
+  def curateSemanticAuto(s: SparkSession, d: String, minQuality: Double,
+      threshold: Double = 0.4, numCells: Int = 16, nProbe: Int = 4,
+      embCutover: Long = SemanticEmbCutover): DataFrame = {
+    val keptIds = Tables.documents(s, d).select(
+        col("doc_id").as("vec_id"),
+        TextOps.qualityScore(col("text"), qualityStopwords).as("q"))
+      .where(col("q") >= minQuality).select("vec_id")
+    val keptEmb = Tables.embeddings(s, d)
+      .join(keptIds, Seq("vec_id"), "left_semi").count()
+    if (keptEmb >= embCutover)
+      curateSemanticIvf(s, d, minQuality, threshold, numCells, nProbe)
+    else curateSemantic(s, d, minQuality)
+  }
+
   /** Deterministic PII injection for the cur_pii_* gates (the mm_ payload
     * pattern: the synthetic corpus has no PII, so the query builds it
     * in-query and the oracle replicates the construction exactly).
@@ -710,6 +743,12 @@ object TextQueries {
     // the embedded-centroid trick (the oracle replicates the candidate
     // rule, so equality is exact regardless of the bucketing's recall)
     "cur_semantic_ivf" -> { (s, d) => curateSemanticIvf(s, d, 0.4) },
+
+    // r15: the decision productized (the dd_canonical_auto shape) — one
+    // kept-embedding count picks brute vs bucketed; below the cutover at
+    // every gate SF, so the gate checks the exact branch against the
+    // cur_semantic oracle and CurationSamplingSpec forces both branches
+    "cur_semantic_auto" -> { (s, d) => curateSemanticAuto(s, d, 0.4) },
 
     // ---- deduplication -------------------------------------------------
 
@@ -1947,7 +1986,12 @@ object TextQueries {
       ("dd_canonical_routed" -> staticOracles("dd_canonical")) +
       ("dd_canonical_auto" -> staticOracles("dd_canonical")) +
       ("dd_components_routed" -> staticOracles("dd_components")) +
-      ("dd_components_auto" -> staticOracles("dd_components"))
+      ("dd_components_auto" -> staticOracles("dd_components")) +
+      // auto picks the exact brute branch below the kept-embedding
+      // cutover — true at every gate SF (691 kept at sf0.1 vs 10k), so
+      // the gate hash-checks that branch against the brute oracle; the
+      // spec forces and checks BOTH branches via the cutover knob
+      ("cur_semantic_auto" -> staticOracles("cur_semantic"))
     val withIvf = Option(ivfTrainedCentroids.get()) match {
       case Some(cents) => base +
         ("ann_ivf_topk" -> ivfOracle(cents, nProbe = 4, k = 5)) +

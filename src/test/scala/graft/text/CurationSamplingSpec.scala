@@ -179,6 +179,19 @@ class CurationSamplingSpec extends SparkSpec {
         s"at the nProbe=4 default (measured: 0): $misses")
   }
 
+  test("cur_semantic_auto: decision picks the measured bracket; both branches checked") {
+    // the gate corpora sit far below the 10k kept-embedding cutover
+    // (sf0.01 keeps ~170), so auto must take the exact brute branch
+    val auto = TextQueries.curateSemanticAuto(spark, sf001, 0.4).collect().toSeq
+    val brute = TextQueries.curateSemantic(spark, sf001, 0.4).collect().toSeq
+    assert(auto === brute)
+    // cutover forced to 1 exercises the IVF branch end-to-end
+    val forced = TextQueries.curateSemanticAuto(
+      spark, sf001, 0.4, embCutover = 1).collect().toSeq
+    val ivf = TextQueries.curateSemanticIvf(spark, sf001, 0.4).collect().toSeq
+    assert(forced === ivf)
+  }
+
   test("cur_semantic_ivf: deterministic end-to-end (training included)") {
     val a = TextQueries.curateSemanticIvf(spark, sf0001, 0.4).collect().toSeq
     val b = TextQueries.curateSemanticIvf(spark, sf0001, 0.4).collect().toSeq
