@@ -534,6 +534,29 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // CURRICULUM training order: high-quality buckets first, deterministic
+    // hash-decorrelation WITHIN each bucket (adjacent corpus ids must not
+    // train adjacently), one global position per doc. Buckets come from
+    // the quality VALUE (the e4 integer form, so the boundary is exact in
+    // both engines), NOT an NTILE — a value bucket needs no global sort,
+    // while NTILE over a global ORDER BY funnels 100 TB through one
+    // partition; the position itself rides GlobalOrder's two-phase
+    // numbering (range partition + per-partition offsets)
+    "sm_curriculum" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        TextOps.qualityScore(col("text"), qualityStopwords).as("quality"))
+      val e4 = floor(col("quality") * 10000.0 + 0.5)
+      val bucketed = docs
+        .withColumn("bucket", least(floor(e4 / 1000.0), lit(9.0)).cast("int"))
+        .withColumn("hkey",
+          pmod(col("doc_id") * lit(2654435761L), lit(1000000007L)))
+      graft.ops.GlobalOrder.withRowNumber(bucketed, "curriculum_pos",
+        col("bucket").desc, col("hkey"), col("doc_id"))
+        .select(col("doc_id"), col("bucket"), col("quality"),
+          col("curriculum_pos"))
+        .orderBy("doc_id")
+    },
+
     // token-BUDGET curation: keep the highest-quality documents until the
     // token budget is exhausted (the "fill the training mix" selection).
     // Distributed via the two-phase prefix sum over (quality desc, id) —
@@ -2336,6 +2359,21 @@ object TextQueries {
            ROW_NUMBER() OVER (ORDER BY (doc_id*2654435761)%1000000007, doc_id)
              AS shuffle_pos
          FROM documents ORDER BY doc_id""",
+
+    "sm_curriculum" ->
+      s"""WITH q AS (
+            SELECT doc_id, $qualitySql AS quality FROM documents
+          ), b AS (
+            SELECT doc_id, quality,
+              CAST(LEAST(FLOOR(FLOOR(quality*10000.0+0.5)/1000.0), 9)
+                   AS INTEGER) AS bucket,
+              (doc_id*2654435761)%1000000007 AS hkey
+            FROM q
+          )
+          SELECT doc_id, bucket, quality,
+            ROW_NUMBER() OVER (ORDER BY bucket DESC, hkey, doc_id)
+              AS curriculum_pos
+          FROM b ORDER BY doc_id""",
 
     "cur_token_budget" ->
       s"""WITH q AS (

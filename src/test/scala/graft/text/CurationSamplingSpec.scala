@@ -192,6 +192,27 @@ class CurationSamplingSpec extends SparkSpec {
     assert(forced === ivf)
   }
 
+  test("sm_curriculum: easy-first bucket order, in-bucket decorrelation, bijective positions") {
+    import spark.implicits._
+    val out = SparkEntry.queries("sm_curriculum")(spark, sf001)
+      .select("doc_id", "bucket", "curriculum_pos")
+      .as[(Long, Int, Long)].collect()
+    val n = out.length
+    // positions are a bijection 1..n (a training order, not a ranking)
+    assert(out.map(_._3).sorted.toSeq === (1L to n).toSeq)
+    // walking the curriculum, bucket is non-increasing: every doc of a
+    // higher-quality bucket trains before any doc of a lower one
+    val byPos = out.sortBy(_._3)
+    assert(byPos.sliding(2).forall { case Array(a, b) => a._2 >= b._2 },
+      "bucket must be non-increasing along curriculum_pos")
+    // in-bucket decorrelation: within the largest bucket, training order
+    // must not equal doc_id order (the hash key actually shuffles)
+    val biggest = byPos.groupBy(_._2).maxBy(_._2.length)._2
+    assert(biggest.length > 10, "corpus must populate a bucket to test decorrelation")
+    assert(!biggest.map(_._1).sliding(2).forall { case Array(a, b) => a < b },
+      "in-bucket order must not be doc_id order")
+  }
+
   test("cur_semantic_ivf: deterministic end-to-end (training included)") {
     val a = TextQueries.curateSemanticIvf(spark, sf0001, 0.4).collect().toSeq
     val b = TextQueries.curateSemanticIvf(spark, sf0001, 0.4).collect().toSeq
