@@ -247,11 +247,24 @@ object Main {
         // queries — a post-filter would drop clusters whose min-id
         // representative fails a stricter gate even when members pass
         val kept0 = graft.text.TextQueries.curateCorpus(spark, dir, minQuality)
+        // --semantic routes through the measured brute/IVF decision
+        // (curateSemanticAuto): exact brute sweep below the 10k
+        // kept-embedding cutover, the IVF-bucketed path (probabilistic
+        // drop recall, documented on the API) above it; --semantic-tier
+        // exact|ivf|auto overrides for callers who need a guarantee
         val kept1 =
           if (!semantic) kept0
-          else kept0.join(
-            graft.text.TextQueries.curateSemantic(spark, dir, minQuality)
-              .select(col("doc_id")), Seq("doc_id"), "left_semi")
+          else {
+            val sem = opts.getOrElse("semantic-tier", "auto") match {
+              case "exact" => graft.text.TextQueries.curateSemantic(spark, dir, minQuality)
+              case "ivf"   => graft.text.TextQueries.curateSemanticIvf(spark, dir, minQuality)
+              case "auto"  => graft.text.TextQueries.curateSemanticAuto(spark, dir, minQuality)
+              case other =>
+                System.err.println(s"--semantic-tier must be auto|exact|ivf, got '$other'\n$usage")
+                sys.exit(2); null
+            }
+            kept0.join(sem.select(col("doc_id")), Seq("doc_id"), "left_semi")
+          }
         // --decontaminate-below b: drop docs leaking benchmark shingles
         // (docs < b ARE the benchmark and leave the training set too);
         // always the bloom-prefiltered scale path — identical output to
@@ -502,6 +515,7 @@ object Main {
       |          neighbor, ecocyc-enrich, kegg, found-gene-near-range,
       |          file-format, gentamycin,
       |          curate [--data sfDir --out dir --min-quality 0.4 --semantic
+      |                  --semantic-tier auto|exact|ivf
       |                  --decontaminate-below id --redact-pii],
       |          dedup [--data sfDir --out dir --threshold 0.5 --new-from id
       |                 --routed | --auto],

@@ -150,4 +150,32 @@ class CurateCliSpec extends SparkSpec {
     val plain = graft.SparkEntry.queries("cur_corpus")(spark, sf001).count()
     assert(survivors < plain) // the near-dup drop bites
   }
+
+  test("curate --semantic-tier: auto default equals exact below the cutover; ivf runs") {
+    import org.apache.spark.sql.functions.col
+    // sf0.01 keeps ~170 embeddings, far below the 10k cutover, so the
+    // auto default (previous test) must equal an explicit --semantic-tier
+    // exact run doc-for-doc
+    val outAuto = java.nio.file.Files.createTempDirectory("curate_sem_a").toString
+    graft.Main.main(Array(
+      "curate", "--data", sf001, "--out", outAuto, "--semantic"))
+    val outExact = java.nio.file.Files.createTempDirectory("curate_sem_e").toString
+    graft.Main.main(Array(
+      "curate", "--data", sf001, "--out", outExact,
+      "--semantic", "--semantic-tier", "exact"))
+    val a = spark.read.parquet(s"$outAuto/survivors.parquet")
+      .select("doc_id").orderBy("doc_id").collect().toSeq
+    val e = spark.read.parquet(s"$outExact/survivors.parquet")
+      .select("doc_id").orderBy("doc_id").collect().toSeq
+    assert(a === e)
+    // the ivf tier runs end-to-end and can only keep MORE docs (subset
+    // property of the bucketed drop)
+    val outIvf = java.nio.file.Files.createTempDirectory("curate_sem_i").toString
+    graft.Main.main(Array(
+      "curate", "--data", sf001, "--out", outIvf,
+      "--semantic", "--semantic-tier", "ivf"))
+    val i = spark.read.parquet(s"$outIvf/survivors.parquet")
+      .select(col("doc_id")).orderBy("doc_id").collect().toSeq
+    assert(e.toSet.subsetOf(i.toSet))
+  }
 }
