@@ -41,7 +41,10 @@ class PartitionInvarianceSpec extends SparkSpec {
     "mm_audio_errors",    // lenient RIFF rejection amid clean decodes
     "tx_bpe_encode",      // word-freq training collect + native encode map
     "tx_quality_classifier", // bounded-sample training + literal-weight scoring
-    "ir_bm25_topk")       // stats collect + literal-idf scoring + TakeOrdered
+    "ir_bm25_topk",       // stats collect + literal-idf scoring + TakeOrdered
+    "dd_cosine_neardup_ivf", // IVF cell groupByKey pair sweep (r14)
+    "cur_semantic_ivf",   // kept-subset quantizer training + bucketed drop (r15)
+    "sm_curriculum")      // desc-keyed GlobalOrder range partitioning (r15)
 
   test("representative queries are invariant to shuffle.partitions in {1, 7}") {
     val key = "spark.sql.shuffle.partitions"
