@@ -205,7 +205,11 @@ object Bench {
           // (index-free dims, term strings never shuffle) and the semantic
           // curation composition, brute vs the IVF-bucketed scale path
           "ir_term_stats", "ir_batch_bm25",
-          "cur_semantic", "cur_semantic_ivf")
+          "cur_semantic", "cur_semantic_ivf",
+          // r15: multimodal at 10x — payloads are built in-query from the
+          // 50.5k docs, so these scale the decode/fingerprint/banding
+          // path, the heaviest per-row work in the suite
+          "mm_video_neardup", "mm_image_decode", "mm_audio_neardup")
         val rowsJson = try {
           family.map { name =>
             // r13 (verdict ask #3): the r12 single-run walls carried a ~2×

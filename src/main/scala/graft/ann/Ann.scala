@@ -759,18 +759,15 @@ object Ann {
       }
       .toDF("cell", "query_id", "celldot", "lut")
 
-    val adc = udf { (celldot: Double, lut: Seq[Double], code: Array[Byte]) =>
-      var s = celldot
-      var sub = 0
-      while (sub < code.length) {
-        s += lut(sub * kks + (code(sub) & 0xff))
-        sub += 1
-      }
-      s
-    }
+    // native codegen ADC (r15): the shortlist relation is the ANN family's
+    // biggest intermediate (|probes|×|cell members| rows) and the UDF tier
+    // boxed the m·ks-double LUT per candidate row — the r10 dd_ppjoin
+    // pathology. Same ascending-subspace fold, bit-identical scores.
+    val adc = (c: Column, l: Column, d: Column) => call_function(
+      "pq_adc_native", c, l, d, lit(kks))
     val wApprox = Window.partitionBy("query_id")
       .orderBy(col("approx").desc, col("neighbor_id"))
-    val candidates = probes.join(index, Seq("cell"))
+    val candidates = kernels(probes).join(index, Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("approx", adc(col("celldot"), col("lut"), col("code")))
       .withColumn("arank", row_number().over(wApprox))

@@ -109,6 +109,9 @@ object GraftExtensions {
       children => SortedLongIntersectCount(children(0), children(1))),
     ("double_array_dot_native", classOf[DoubleArrayDot].getName,
       children => DoubleArrayDot(children(0), children(1))),
+    ("pq_adc_native", classOf[PqAdc].getName,
+      children => PqAdc(children(0), children(1), children(2),
+        foldInt("pq_adc_native", "ks")(children(3)))),
     ("minhash_signature_native", classOf[MinhashSignature].getName,
       children => MinhashSignature(children(0),
         foldInt("minhash_signature_native", "numHashes")(children(1)))),

@@ -254,7 +254,10 @@ class PlanAuditSpec extends SparkSpec {
         "tx_repetition", "cur_dedup_spans",
         "cur_pii_stats", "cur_pii_redact", "cur_decontaminate_bloom",
         "ann_lsh_mp_topk", "sm_temperature", "tx_perplexity",
-        "tx_bpe_encode", "tx_quality_classifier")) {
+        "tx_bpe_encode", "tx_quality_classifier",
+        // r15: the ADC shortlist scoring moved from a boxed Seq[Double]
+        // UDF to the native pq_adc_native kernel
+        "ann_ivfpq_topk")) {
       val plan = physical(q(name))
       assert(!plan.contains("ScalaUDF"),
         s"$name: expected a fully native map path, found a ScalaUDF:\n$plan")
