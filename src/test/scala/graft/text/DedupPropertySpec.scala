@@ -70,6 +70,48 @@ class DedupPropertySpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("property: pointer-doubling == union-find == reference on random graphs") {
+    import spark.implicits._
+    val gen = for {
+      seed <- Gen.choose(1, 1000000)
+      nNodes <- Gen.choose(2, 200)
+      nEdges <- Gen.choose(1, 400)
+    } yield (seed, nNodes, nEdges)
+    val prop = Prop.forAll(gen) { case (seed, nNodes, nEdges) =>
+      val rnd = new scala.util.Random(seed)
+      val edges = Seq.fill(nEdges)(
+        (rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong))
+        .filter { case (a, b) => a != b }
+      if (edges.isEmpty) true
+      else {
+        // reference: in-test union-find, component = min id
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElse(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { val (lo, hi) = (math.min(ra, rb), math.max(ra, rb))
+            parent(hi) = lo }
+        }
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        val want = nodes.map(n => (n, find(n))).sortBy(_._1)
+        val pairs = edges.toDF("d1", "d2")
+        val viaUf = Dedup.connectedComponents(pairs)
+          .as[(Long, Long)].collect().toSeq.sortBy(_._1)
+        // smallEdgeLimit=0 forces the distributed pointer-doubling path
+        val viaPd = Dedup.connectedComponents(pairs, smallEdgeLimit = 0L)
+          .as[(Long, Long)].collect().toSeq.sortBy(_._1)
+        if (viaUf != want || viaPd != want)
+          System.err.println(s"COMPONENTS MISMATCH seed=$seed n=$nNodes e=$nEdges")
+        viaUf == want && viaPd == want
+      }
+    }
+    val res = check(Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("property: LSH pairs ⊆ exact pairs with identical (inter, j) on random corpora") {
     val gen = for {
       seed <- Gen.choose(1, 1000000)
