@@ -316,6 +316,86 @@ object Ann {
       .orderBy("a", "b")
   }
 
+  /** Incremental IVF-bucketed cosine near-dup pairs — exactly the
+    * [[cosinePairsIvfWithCentroids]] pairs that TOUCH a new-batch vector
+    * (`isNew`), computed without pairing old vectors among themselves: the
+    * per-cell sweep runs new×old + the new×new triangle, so per-cell work
+    * is |new|·|members| instead of |members|² — the steady-state ingest
+    * shape ([[graft.text.Dedup.jaccardPairsIncremental]]'s contract on the
+    * embedding modality; old×old pairs live in yesterday's materialized
+    * pair table). Same exact verify, same emission dedup: output equals
+    * the full relation restricted to touching-new pairs (spec-pinned).
+    */
+  def cosinePairsIvfIncrementalWithCentroids(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      isNew: Column,
+      threshold: Double,
+      nProbe: Int,
+      cents: Array[Array[Double]],
+      maxCellMembers: Int = 1 << 16): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val centsB = spark.sparkContext.broadcast(cents)
+    embeddings.select(col(idCol).cast("long").as("id"),
+        asDouble(col(vecCol)).as("v"), isNew.cast("boolean").as("nw"))
+      .as[(Long, Array[Double], Boolean)]
+      .flatMap { case (id, v, nw) =>
+        // the ivfPrep norm/normalize fold with the isNew flag carried
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += v(i) * v(i); i += 1 }
+        val n = math.sqrt(s)
+        if (n == 0.0) Iterator.empty   // cosine undefined — excluded up front
+        else {
+          val vn = v.map(_ / n)
+          val cs = centsB.value
+          val scored = Array.tabulate(cs.length) { c =>
+            val ct = cs(c)
+            var dot = 0.0; var j = 0
+            while (j < ct.length) { dot += vn(j) * ct(j); j += 1 }
+            (c, dot)
+          }
+          scored.sortBy { case (c, dot) => (-dot, c) }.take(nProbe)
+            .iterator.map { case (c, _) => (c, id, n, v, nw) }
+        }
+      }
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val ms = it.map { case (_, id, n, v, nw) => (id, n, v, nw) }.toArray
+        require(ms.length <= maxCellMembers,
+          s"cosinePairsIvfIncremental cell holds ${ms.length} members " +
+            s"(> maxCellMembers=$maxCellMembers): raise numCells (~sqrt(n) " +
+            "at scale) so cells stay bounded, or raise maxCellMembers " +
+            "deliberately")
+        val acc = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        var i = 0
+        while (i < ms.length) {
+          val (ida, na, va, newA) = ms(i)
+          var j = i + 1
+          while (j < ms.length) {
+            val (idb, nb, vb, newB) = ms(j)
+            // the incremental prune: old×old never verifies (nor pairs)
+            if (newA || newB) {
+              var dot = 0.0; var d = 0
+              while (d < va.length) { dot += va(d) * vb(d); d += 1 }
+              val cos = dot / (na * nb)
+              if (cos >= threshold) {
+                val a = math.min(ida, idb); val b = math.max(ida, idb)
+                acc += ((a, b, math.floor(cos * 10000.0 + 0.5) / 10000.0))
+              }
+            }
+            j += 1
+          }
+          i += 1
+        }
+        acc.iterator
+      }
+      .toDF("a", "b", "score")
+      .dropDuplicates("a", "b")
+      .orderBy("a", "b")
+  }
+
   /** [[cosinePairsIvfWithCentroids]] with the centroids trained in place. */
   def cosinePairsIvf(
       embeddings: DataFrame,

@@ -842,6 +842,20 @@ object TextQueries {
         nProbe = 2, cents)
     },
 
+    // r15: the daily-ingest shape on the embedding modality — exactly the
+    // bucketed pairs that TOUCH a new-batch vector (vec_id >= 400, the
+    // dd_incremental convention), old×old never generated (yesterday's
+    // materialized pair table holds those). Same embedded-centroid oracle
+    // with the touching-new predicate on the candidate rule
+    "dd_cosine_neardup_inc" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val cents = Ann.trainIvfCentroids(emb, "vec_id", "embedding",
+        numCells = 16, lloydIters = 2, trainCap = 4096)
+      ivfIncCents.set(cents)
+      Ann.cosinePairsIvfIncrementalWithCentroids(emb, "vec_id", "embedding",
+        col("vec_id") >= 400, 0.4, nProbe = 2, cents)
+    },
+
     "dd_hamming" -> { (s, d) =>
       Dedup.simhashPairs(
         Tables.documents(s, d).select(
@@ -1607,6 +1621,12 @@ object TextQueries {
   private[graft] val semanticIvfCents =
     new java.util.concurrent.atomic.AtomicReference[Array[Array[Double]]]()
 
+  /** Centroids trained by the last `dd_cosine_neardup_inc` build in this
+    * JVM (same no-silent-coupling rationale as [[ivfPairCents]]).
+    */
+  private[graft] val ivfIncCents =
+    new java.util.concurrent.atomic.AtomicReference[Array[Array[Double]]]()
+
   /** The BPE state trained by the last `tx_bpe_encode` build in this JVM —
     * same life-cycle as [[ivfTrainedCentroids]] (Verify runs queries before
     * the oracle dump). The oracle embeds a word→tokens literal dim derived
@@ -1932,14 +1952,15 @@ object TextQueries {
     * exact regardless of the bucketing's recall.
     */
   private def cosinePairsIvfOracle(
-      cents: Array[Array[Double]], nProbe: Int, threshold: Double): String =
+      cents: Array[Array[Double]], nProbe: Int, threshold: Double,
+      candWhere: String = ""): String =
     s"""WITH ${ivfAssignCte(cents)}, an AS (
           SELECT id, cell FROM (SELECT id, cell,
               ROW_NUMBER() OVER (PARTITION BY id ORDER BY dt DESC, cell) AS r
             FROM cellscore) WHERE r <= $nProbe
         ), cand AS (
           SELECT DISTINCT x.id AS ida, y.id AS idb
-          FROM an x JOIN an y ON x.cell = y.cell AND x.id < y.id
+          FROM an x JOIN an y ON x.cell = y.cell AND x.id < y.id$candWhere
         ), s AS (
           SELECT ida AS a, idb AS b,
             ${dot("q.embedding", "c.embedding")} / (q.n * c.n) AS cos
@@ -2033,11 +2054,18 @@ object TextQueries {
           nProbe = 2, threshold = 0.4))
       case None        => withPq
     }
-    val withSemIvf = Option(semanticIvfCents.get()) match {
+    val withIncPairs = Option(ivfIncCents.get()) match {
       case Some(cents) => withIvfPairs +
+        ("dd_cosine_neardup_inc" -> cosinePairsIvfOracle(cents,
+          nProbe = 2, threshold = 0.4,
+          candWhere = " AND (x.id >= 400 OR y.id >= 400)"))
+      case None        => withIvfPairs
+    }
+    val withSemIvf = Option(semanticIvfCents.get()) match {
+      case Some(cents) => withIncPairs +
         ("cur_semantic_ivf" -> semanticIvfOracle(cents,
           nProbe = 4, threshold = 0.4, minQuality = 0.4))
-      case None        => withIvfPairs
+      case None        => withIncPairs
     }
     val withBpe = Option(bpeTrained.get()) match {
       case Some(tr) if tr.complete => withSemIvf +

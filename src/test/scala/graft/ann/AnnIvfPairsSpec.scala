@@ -102,4 +102,23 @@ class AnnIvfPairsSpec extends SparkSpec {
     assert(sweepUpper < n * n / 2,
       s"cell sweep bound $sweepUpper not meaningfully below brute ${n * n}")
   }
+
+  test("incremental == full relation restricted to touching-new (same centroids)") {
+    // same centroids => identical cell co-occurrence, so the touching-new
+    // restriction commutes with the sweep: exact equality, not subset
+    for (dir <- Seq(sf001, sf01)) {
+      val emb = Tables.embeddings(spark, dir)
+      val cents = Ann.trainIvfCentroids(emb, "vec_id", "embedding")
+      val newFrom = 400L
+      val full = Ann.cosinePairsIvfWithCentroids(
+        emb, "vec_id", "embedding", 0.4, 2, cents)
+      val want = pairs(full.where(col("a") >= newFrom || col("b") >= newFrom))
+      val inc = pairs(Ann.cosinePairsIvfIncrementalWithCentroids(
+        emb, "vec_id", "embedding", col("vec_id") >= newFrom, 0.4, 2, cents))
+      assert(want.nonEmpty, s"corpus at $dir must produce touching-new pairs")
+      assert(inc === want)
+      // and old x old pairs are absent by construction
+      assert(!inc.exists { case (a, b) => a < newFrom && b < newFrom })
+    }
+  }
 }
