@@ -205,7 +205,8 @@ object Bench {
           // (index-free dims, term strings never shuffle) and the semantic
           // curation composition, brute vs the IVF-bucketed scale path
           "ir_term_stats", "ir_batch_bm25",
-          "cur_semantic", "cur_semantic_ivf",
+          "cur_semantic", "cur_semantic_ivf", "cur_semantic_auto",
+          "dd_cosine_neardup_inc",
           // r15: multimodal at 10x — payloads are built in-query from the
           // 50.5k docs, so these scale the decode/fingerprint/banding
           // path, the heaviest per-row work in the suite
