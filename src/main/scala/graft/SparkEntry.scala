@@ -23,16 +23,13 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     *
-    * Deliberately ABSENT (rows-only in the driver gate, each pinned by
-    * in-repo specs instead):
+    * Deliberately ABSENT (rows-only in the driver gate, pinned by in-repo
+    * specs instead):
     *
     *   - `x5_blat_text` — the blat kernel's recursive seed-extend DFS is
     *     not expressible as (non-recursive) SQL at reasonable cost; a
-    *     truth-table golden pins the kernel in SimilarityKernelsSpec.
-    *   - `ann_hnsw_topk` — greedy graph traversal (beam search over the
-    *     sharded HNSW) is likewise not SQL-expressible; the index is
-    *     deterministic and recall-vs-brute (>= the IVF path's) is asserted
-    *     in TextOpsSpec.
+    *     truth-table golden pins the kernel in SimilarityKernelsSpec, and
+    *     NaiveBlatSpec corroborates with a clean-room differential.
     *
     * Everything else in [[queries]] carries a full hash oracle — including
     * `ann_lsh_topk` (deterministic hyperplanes embedded in the SQL as
@@ -43,10 +40,13 @@ object SparkEntry {
     * embedded — coarse centroids AND per-subspace residual codebooks;
     * DuckDB re-derives codes, the ADC shortlist in the Scala probe's exact
     * fold order, and the cosine re-rank — retired from the pin list in
-    * r14), and `tx_quantiles_sketch` (the sketch outputs
-    * embedded as literals; DuckDB independently verifies membership plus
-    * the ε-rank Greenwald-Khanna bound from the raw corpus — see
-    * TextQueries.quantilesSketchOracle).
+    * r14), `ann_hnsw_topk` (the deterministic shard GRAPHS embedded as the
+    * trained artifact; DuckDB re-derives the greedy descent + ef-bounded
+    * beam search itself in recursive CTEs — see TextQueries.hnswOracle,
+    * retired from the pin list in r14), and `tx_quantiles_sketch` (the
+    * sketch outputs embedded as literals; DuckDB independently verifies
+    * membership plus the ε-rank Greenwald-Khanna bound from the raw
+    * corpus — see TextQueries.quantilesSketchOracle).
     */
   def oracleSql: Map[String, String] =
     graft.relational.RelationalQueries.oracles ++

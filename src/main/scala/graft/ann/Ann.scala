@@ -1010,6 +1010,22 @@ object Ann {
       if (lvl > levels(entry)) entry = node
     }
 
+    /** Structural dump: entry, per-node top level, adjacency lists in
+      * array order. The oracle's batch replay of the beam sweep is
+      * order-independent (the bounded-heap result is the set top-ef of
+      * everything examined — see TextQueries.hnswOracle for the
+      * argument, HnswOracleEquivalenceSpec for the pin), but the dump
+      * preserves array order anyway so heap-faithful re-executions can
+      * also be driven from it.
+      */
+    def dump(shard: Int): HnswShardDump = HnswShardDump(
+      shard,
+      if (entry < 0) -1L else ids(entry),
+      if (entry < 0) -1 else levels(entry),
+      Array.tabulate(ids.length)(i => (ids(i), levels(i))),
+      (for { i <- ids.indices; l <- 0 to levels(i) } yield
+        (ids(i), l, neighbors(i)(l).map(ids(_)).toArray)).toArray)
+
     /** Top-k (id, dot) for a query, self excluded. */
     def search(q: Array[Double], selfId: Long, k: Int, ef: Int): Seq[(Long, Double)] = {
       if (entry < 0) return Seq.empty
@@ -1100,12 +1116,9 @@ object Ann {
     val kk = k; val mm = m; val eff = ef
 
     val candidates = prep(embeddings)
-      .groupByKey { case (id, _) => (((id % numShards) + numShards) % numShards).toInt }
+      .groupByKey { case (id, _) => hnswShardOf(id, numShards) }
       .flatMapGroups { (_, it) =>
-        // ascending-id insertion: shard graphs reproduce bit-for-bit
-        val rows = it.toArray.sortBy(_._1)
-        val g = new HnswGraph(mm, math.max(eff, 2 * mm))
-        rows.foreach { case (id, vn) => g.insert(id, vn) }
+        val g = buildShardGraph(it.toArray, mm, eff)
         queriesB.value.iterator.flatMap { case (qid, qv) =>
           g.search(qv, qid, kk, eff).iterator.map { case (nid, _) => (qid, nid) }
         }
@@ -1114,6 +1127,66 @@ object Ann {
 
     // exact re-scoring + global merge: identical arithmetic to cosineTopK
     exactRerank(candidates, embeddings, idCol, vecCol, k)
+  }
+
+  private def hnswShardOf(id: Long, numShards: Int): Int =
+    (((id % numShards) + numShards) % numShards).toInt
+
+  /** Shared by the in-task probe and the oracle dump: ascending-id
+    * insertion makes the graph a pure function of the shard's rows.
+    */
+  private def buildShardGraph(
+      rows: Array[(Long, Array[Double])], m: Int, ef: Int): HnswGraph = {
+    val g = new HnswGraph(m, math.max(ef, 2 * m))
+    rows.sortBy(_._1).foreach { case (id, vn) => g.insert(id, vn) }
+    g
+  }
+
+  /** One shard's HNSW structure: entry point, per-node top level, and
+    * adjacency lists in array order (see [[HnswGraph.dump]] on why order
+    * is part of the contract).
+    */
+  final case class HnswShardDump(
+      shard: Int,
+      entryId: Long,
+      entryLevel: Int,
+      nodeLevels: Array[(Long, Int)],
+      adjacency: Array[(Long, Int, Array[Long])])
+
+  /** Driver-side rebuild of the exact shard graphs [[hnswTopK]]'s tasks
+    * construct — possible because the build is fully deterministic (hash-
+    * derived levels, ascending-id insertion, lower-id tie-breaks): the
+    * same rows always produce the same graph, in a task or on the driver.
+    * This is what lets the gate's DuckDB oracle treat the graph like the
+    * IVF centroids — a TRAINED ARTIFACT embedded as literals — and then
+    * independently re-derive the search (greedy descent + bounded beam)
+    * from the raw parquet vectors.
+    *
+    * ORACLE-DUMP HELPER ONLY: collects up to `maxRows` prep rows to the
+    * driver (fail-fast above the cap, no partial work) — the production
+    * probe path never moves shard graphs or the corpus off the executors.
+    */
+  def hnswIndexDump(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numShards: Int = 8,
+      m: Int = 8,
+      ef: Int = 64,
+      maxRows: Int = 100000): Array[HnswShardDump] = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val over = ivfPrep(embeddings, idCol, vecCol)
+      .map { case (id, _, _, vn) => (id, vn) }
+      .take(maxRows + 1)
+    require(over.length <= maxRows,
+      s"hnswIndexDump: corpus exceeds maxRows=$maxRows rows; this helper " +
+        "rebuilds the shard graphs on the driver for the oracle dump and " +
+        "is not a production probe — raise maxRows deliberately or dump " +
+        "at a smaller scale.")
+    over.groupBy { case (id, _) => hnswShardOf(id, numShards) }
+      .toArray.sortBy(_._1)
+      .map { case (shard, rows) => buildShardGraph(rows, m, ef).dump(shard) }
   }
 
   /** LSH-bucketed approximate top-k with OR-amplification: `tables`

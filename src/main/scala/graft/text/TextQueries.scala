@@ -1202,13 +1202,17 @@ object TextQueries {
       }
     },
 
-    // HNSW stays rows-only: greedy graph traversal is not SQL-expressible
-    // at reasonable cost. The index is fully deterministic (hash levels,
-    // ascending-id insertion, lower-id tie-breaks) and recall >= the IVF
-    // path at equal candidate budget is spec-asserted (TextOpsSpec).
+    // HNSW has a FULL hash oracle since r14: the deterministic shard
+    // graphs (hash levels, ascending-id insertion, lower-id tie-breaks)
+    // are a TRAINED ARTIFACT — the oracle builder rebuilds them driver-
+    // side (bit-identical by determinism, spec-pinned) and embeds entry
+    // points + adjacency as literals, while DuckDB re-derives the SEARCH
+    // itself: greedy descent, the ef-bounded beam sweep as a recursive
+    // CTE, per-shard top-k, exact re-rank. See [[hnswOracle]].
     "ann_hnsw_topk" -> { (s, d) =>
-      Ann.hnswTopK(Tables.embeddings(s, d), "vec_id", "embedding",
-        col("vec_id") < 20, k = 5)
+      val emb = Tables.embeddings(s, d)
+      hnswModel.set(Ann.hnswIndexDump(emb, "vec_id", "embedding"))
+      Ann.hnswTopK(emb, "vec_id", "embedding", col("vec_id") < 20, k = 5)
     },
 
     // ---- multimodal plumbing --------------------------------------------
@@ -1627,6 +1631,12 @@ object TextQueries {
   private[graft] val ivfIncCents =
     new java.util.concurrent.atomic.AtomicReference[Array[Array[Double]]]()
 
+  /** The HNSW shard graphs rebuilt by the last `ann_hnsw_topk` run in this
+    * JVM (the [[ivfTrainedCentroids]] life-cycle).
+    */
+  private[graft] val hnswModel =
+    new java.util.concurrent.atomic.AtomicReference[Array[Ann.HnswShardDump]]()
+
   /** The BPE state trained by the last `tx_bpe_encode` build in this JVM —
     * same life-cycle as [[ivfTrainedCentroids]] (Verify runs queries before
     * the oracle dump). The oracle embeds a word→tokens literal dim derived
@@ -1846,6 +1856,152 @@ object TextQueries {
         )"""
   }
 
+  /** HNSW oracle: the embedded-literal trick applied to a GRAPH index.
+    * The deterministic shard graphs are the trained artifact (the IVF-
+    * centroid seam): entry points + adjacency lists ride the SQL as
+    * literals, and DuckDB independently re-derives every SEARCH decision
+    * from the raw parquet vectors:
+    *
+    *   1. L2 normalization with ivfPrep's exact arithmetic (zero-norm
+    *      vectors keep their raw coordinates, as in the Scala prep);
+    *   2. the per-(query, node) dot matrix over normalized vectors
+    *      (left-to-right fold — bit-identical doubles, so every
+    *      comparison below lands the same way);
+    *   3. the greedy upper-level descent (recursive CTE `walk`): at each
+    *      level, move to the best of {current} ∪ neighbors by (sim DESC,
+    *      id ASC) until a fixpoint, then descend — the argmax is
+    *      list_sort ascending on (negs = −sim, id) then element 1;
+    *   4. the ef-bounded level-0 beam sweep (recursive CTE `beam`): one
+    *      candidate-heap pop per iteration, termination when the popped
+    *      sim is strictly below the worst retained result with the heap
+    *      full, then a WHOLE-EXPANSION batch step:
+    *      res' = top-ef(res ∪ unvisited-neighbors),
+    *      cand' = sorted(rest ∪ unvisited-neighbors).
+    *      This is provably equal to the kernel's sequential bounded-heap
+    *      insertion: (a) a bounded min-heap streamed over items yields
+    *      exactly the top-ef of everything examined — an item rejected
+    *      against the then-worst is dominated by ef retained items and
+    *      can never re-enter; (b) adding rejected (dominated) items to
+    *      the candidate heap never changes which nodes get EXPANDED,
+    *      because a dominated item pops only after everything better,
+    *      at which point it is below the (monotone) worst with a full
+    *      heap — the same immediate termination the faithful heap
+    *      reaches on its next pop. HnswOracleEquivalenceSpec pins this
+    *      equivalence against the heap-faithful kernel. (The batch form
+    *      also sidesteps a DuckDB 1.0 defect: list_reduce over struct
+    *      accumulators inside a RECURSIVE term returns corrupted lists
+    *      once the working table spans multiple vector chunks — observed
+    *      as cross-shard ids; list_sort/list_filter/list_slice are
+    *      reliable there, so the recursion uses only those.)
+    *   5. per-shard top-k with self exclusion, then the exact cosine
+    *      re-rank over ORIGINAL vectors with the shared zero-norm guards
+    *      (the ann_cosine contract).
+    *
+    * Sorted lists stand in for both heaps: ascending (negs = −sim, id)
+    * puts the BEST candidate at position 1 (pop) and the WORST retained
+    * result at position len (termination comparison + trim), exactly
+    * the kernel's two priority-queue orderings.
+    */
+  private def hnswOracle(
+      model: Array[Ann.HnswShardDump], dim: Int, k: Int, ef: Int): String = {
+    val stp = "STRUCT(negs DOUBLE, id BIGINT)[]"
+    val adjVals = model.flatMap(_.adjacency.collect {
+      case (node, lvl, nbrs) if nbrs.nonEmpty =>
+        s"($node,$lvl,[${nbrs.mkString(",")}])"
+    }).mkString(",")
+    val entryVals = model.collect {
+      case d if d.entryId >= 0 => s"(${d.shard},${d.entryId},${d.entryLevel})"
+    }.mkString(",")
+    s"""WITH RECURSIVE
+        adjl AS (SELECT n::BIGINT AS node, l::INTEGER AS lvl,
+                        list_transform(ns, z -> z::BIGINT) AS nbrs
+                 FROM (VALUES $adjVals) t(n, l, ns)),
+        entries AS (SELECT sh::INTEGER AS shard, e::BIGINT AS ep,
+                           el::INTEGER AS eplvl
+                    FROM (VALUES $entryVals) t(sh, e, el)),
+        vn AS (SELECT id, CASE WHEN nn = 0 THEN v
+                               ELSE list_transform(v, x -> x / nn) END AS vn
+               FROM (SELECT id, v, SQRT(list_reduce(list_prepend(0.0::DOUBLE,
+                       list_transform(generate_series(1, $dim),
+                         i -> v[i] * v[i])), (x, y) -> x + y)) AS nn
+                     FROM (SELECT vec_id AS id,
+                             list_transform(embedding, x -> x::DOUBLE) AS v
+                           FROM embeddings))),
+        q AS (SELECT id AS qid, vn AS qv FROM vn WHERE id < 20),
+        qd AS (SELECT q.qid, c.id AS node,
+                 list_reduce(list_prepend(0.0::DOUBLE,
+                   list_transform(generate_series(1, $dim),
+                     i -> q.qv[i] * c.vn[i])), (x, y) -> x + y) AS s
+               FROM q CROSS JOIN vn c),
+        adjx AS (SELECT node, lvl, unnest(nbrs) AS nbr,
+                        unnest(generate_series(1, len(nbrs))) AS pos
+                 FROM adjl),
+        adjq AS (SELECT x.node, x.lvl, d.qid,
+                   list(struct_pack(negs := -d.s, id := x.nbr)
+                        ORDER BY x.pos) AS snbrs
+                 FROM adjx x JOIN qd d ON d.node = x.nbr
+                 GROUP BY x.node, x.lvl, d.qid),
+        walk(qid, shard, lvl, cur, curnegs) AS (
+          SELECT q.qid, e.shard, e.eplvl, e.ep, -d.s
+          FROM q CROSS JOIN entries e
+          JOIN qd d ON d.qid = q.qid AND d.node = e.ep
+          UNION ALL
+          SELECT qid, shard,
+                 CASE WHEN best.id = cur THEN lvl - 1 ELSE lvl END,
+                 best.id, best.negs
+          FROM (SELECT w.qid, w.shard, w.lvl, w.cur,
+                  (list_sort(
+                    list_prepend(struct_pack(negs := w.curnegs, id := w.cur),
+                                 coalesce(a.snbrs, []::$stp))))[1] AS best
+                FROM walk w LEFT JOIN adjq a
+                  ON a.qid = w.qid AND a.node = w.cur AND a.lvl = w.lvl
+                WHERE w.lvl > 0)),
+        beam(qid, shard, done, vis, cand, res) AS (
+          SELECT w.qid, w.shard, false, [w.cur],
+                 [struct_pack(negs := w.curnegs, id := w.cur)],
+                 [struct_pack(negs := w.curnegs, id := w.cur)]
+          FROM walk w WHERE w.lvl = 0
+          UNION ALL
+          SELECT qid, shard, term,
+            CASE WHEN term THEN vis
+                 ELSE vis || list_transform(unv, u -> u.id) END,
+            CASE WHEN term THEN []::$stp ELSE list_sort(rest || unv) END,
+            CASE WHEN term THEN res
+                 ELSE list_slice(list_sort(res || unv), 1, $ef) END
+          FROM (SELECT b.qid, b.shard, b.vis, b.res,
+                  (len(b.cand) = 0 OR (len(b.res) >= $ef
+                     AND b.cand[1].negs > b.res[len(b.res)].negs)) AS term,
+                  list_filter(coalesce(a.snbrs, []::$stp),
+                              x -> NOT list_contains(b.vis, x.id)) AS unv,
+                  list_slice(b.cand, 2, len(b.cand)) AS rest
+                FROM beam b LEFT JOIN adjq a
+                  ON a.qid = b.qid AND a.lvl = 0
+                 AND a.node = b.cand[1].id
+                WHERE NOT b.done)),
+        fin AS (SELECT qid,
+                  unnest(list_slice(list_filter(res, x -> x.id <> qid),
+                                    1, $k)) AS c
+                FROM beam WHERE done),
+        cand2 AS (SELECT qid AS query_id,
+                         struct_extract(c, 'id') AS neighbor_id FROM fin),
+        sc AS (
+          SELECT cand2.query_id, cand2.neighbor_id,
+            ${dot("eq.embedding", "ec.embedding")} /
+              (SQRT(${dot("eq.embedding", "eq.embedding")}) *
+               SQRT(${dot("ec.embedding", "ec.embedding")})) AS cos
+          FROM cand2
+          JOIN embeddings eq ON eq.vec_id = cand2.query_id
+          JOIN embeddings ec ON ec.vec_id = cand2.neighbor_id
+          WHERE ${dot("eq.embedding", "eq.embedding")} > 0
+            AND ${dot("ec.embedding", "ec.embedding")} > 0
+        )
+        SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+               FLOOR(cos * 10000.0 + 0.5) / 10000.0 AS score
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, neighbor_id) AS rank FROM sc)
+        WHERE rank <= $k ORDER BY query_id, rank"""
+  }
+
   private def ivfOracle(cents: Array[Array[Double]], nProbe: Int, k: Int): String = {
     s"""WITH ${ivfAssignCte(cents)}, probes AS (
           SELECT id, cell FROM (SELECT id, cell,
@@ -2048,11 +2204,16 @@ object TextQueries {
           candidateFactor = 8))
       case None        => withIvf
     }
+    val withHnsw = Option(hnswModel.get()) match {
+      case Some(model) => withPq +
+        ("ann_hnsw_topk" -> hnswOracle(model, dim = 64, k = 5, ef = 64))
+      case None        => withPq
+    }
     val withIvfPairs = Option(ivfPairCents.get()) match {
-      case Some(cents) => withPq +
+      case Some(cents) => withHnsw +
         ("dd_cosine_neardup_ivf" -> cosinePairsIvfOracle(cents,
           nProbe = 2, threshold = 0.4))
-      case None        => withPq
+      case None        => withHnsw
     }
     val withIncPairs = Option(ivfIncCents.get()) match {
       case Some(cents) => withIvfPairs +
