@@ -142,6 +142,49 @@ object Ann {
     */
   private def round4(c: Column): Column = floor(c * 10000.0 + 0.5) / 10000.0
 
+  /** Hard-negative mining for contrastive / embedding-model training:
+    * for each query, the top-k corpus vectors whose cosine falls in
+    * [lo, hi) — similar enough to be informative negatives, but BELOW the
+    * near-duplicate band (cosine >= hi is a likely positive/duplicate and
+    * would poison the negative set; cosine < lo is trivially easy).
+    * Ranked (cosine DESC, neighbor_id) — hardest negatives first. Output:
+    * (query_id, rank, neighbor_id, score 4dp), the [[cosineTopK]] shape.
+    *
+    * Scale shape: identical to [[cosineTopK]] — queries broadcast, the
+    * band predicate and scoring run inside the scan-side codegen stage,
+    * only (query, neighbor, cos) survivors reach the per-query rank. For
+    * corpus-wide mining (every doc a query) compose the banded filter
+    * with [[cosinePairsIvf]]'s bucketed candidate rule instead — the
+    * per-query broadcast contract here is deliberate (`maxQueries`-free
+    * because the band filter bounds the rank input, but the query SET
+    * still rides a broadcast, so keep it small like [[hnswTopK]]'s).
+    */
+  def hardNegatives(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryPred: Column,
+      k: Int,
+      lo: Double,
+      hi: Double): DataFrame = {
+    require(lo < hi, s"hardNegatives: empty band [$lo, $hi)")
+    val corpus = withNorm(embeddings, idCol, vecCol)
+      .select(col("id").as("neighbor_id"), col("v").as("nvec"), col("nrm").as("nn"))
+    val queries = withNorm(embeddings.where(queryPred), idCol, vecCol)
+      .select(col("id").as("query_id"), col("v").as("qvec"), col("nrm").as("qn"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    broadcast(queries).crossJoin(corpus)
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", dotCol(col("qvec"), col("nvec")) / (col("qn") * col("nn")))
+      .where(col("cos") >= lo && col("cos") < hi)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round4(col("cos")).as("score"))
+      .orderBy("query_id", "rank")
+  }
+
   /** All pairs (a<b) with cosine >= threshold — embedding near-dup dedup.
     *
     * Exact all-pairs is inherently O(n²) work; the scalable shape is to

@@ -977,6 +977,19 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // source-SCOPED boilerplate stripping (r14; the CCNet/RefinedWeb
+    // curation rule): a segment shared by >= 2 docs OF THE SAME SOURCE is
+    // crawl chrome and is dropped from every doc carrying it. Distinct
+    // from cur_dedup_spans (corpus-global, stride-1 windows, any repeat):
+    // this is the per-source frequency rule at fixed segment granularity
+    // with a threshold knob (minFrac is the production surface; the gate
+    // pins minDocs=2 because the synthetic corpus tops out at 2-doc
+    // sharing — non-vacuous at both gate SFs: the planted mutated-copy
+    // pairs share exact chunks inside at least one source each).
+    "cur_boilerplate" -> { (s, d) =>
+      TextOps.stripBoilerplate(Tables.documents(s, d)).orderBy("doc_id")
+    },
+
     // the REPORTING form of the span family: VARIABLE-LENGTH maximal
     // duplicated spans (the Lee-et-al "deduplicating training data"
     // surface) — overlapping/adjacent cross-doc 20-token hot windows merge
@@ -1200,6 +1213,17 @@ object TextQueries {
         case None => Seq.empty[(Long, Int, Long, Double)]
           .toDF("query_id", "rank", "neighbor_id", "score")
       }
+    },
+
+    // hard-negative mining for contrastive/embedding-model training: per
+    // query, the top-k corpus vectors in the cosine band [0.2, 0.8) —
+    // informative negatives BELOW the near-duplicate band (>= 0.8 is a
+    // likely positive and would poison the negative set). The band is
+    // non-degenerate on the gate corpus: random-pair cosines sit ~0.2-0.45
+    // and the planted duplicates at ~1.0, so both band edges bind.
+    "ann_hard_negatives" -> { (s, d) =>
+      Ann.hardNegatives(Tables.embeddings(s, d), "vec_id", "embedding",
+        col("vec_id") < 20, k = 5, lo = 0.2, hi = 0.8)
     },
 
     // HNSW has a FULL hash oracle since r14: the deterministic shard
@@ -2935,6 +2959,58 @@ object TextQueries {
           FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                   ORDER BY cos DESC, neighbor_id) AS rank FROM s)
           WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    // the cosine oracle with the hard-negative band applied BEFORE the
+    // per-query rank — both band edges re-derived by DuckDB
+    "ann_hard_negatives" ->
+      s"""WITH s AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+              ${dot("q.embedding", "c.embedding")} /
+                (SQRT(${dot("q.embedding", "q.embedding")}) *
+                 SQRT(${dot("c.embedding", "c.embedding")})) AS cos
+            FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+            WHERE q.vec_id < 20
+              AND ${dot("q.embedding", "q.embedding")} > 0
+              AND ${dot("c.embedding", "c.embedding")} > 0
+          )
+          SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+                 FLOOR(cos * 10000.0 + 0.5) / 10000.0 AS score
+          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY cos DESC, neighbor_id) AS rank
+                FROM s WHERE cos >= 0.2 AND cos < 0.8)
+          WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    // boilerplate: chunking, the per-source distinct-doc frequency rule,
+    // the threshold, and the token-stream rewrite all re-derived by
+    // DuckDB — grouping by chunk TEXT where Spark groups by xxhash64
+    // (the dedup-family collision trade, decided the same way)
+    "cur_boilerplate" ->
+      s"""WITH toks AS (SELECT doc_id, source, $tokensSql AS w FROM documents),
+          chunks AS (SELECT doc_id, source, i AS idx,
+                array_to_string(w[(i*8+1):(i*8+8)], ' ') AS chunk
+              FROM toks,
+                   unnest(generate_series(0, CAST(len(w)//8 AS BIGINT) - 1)) t(i)),
+          srcn AS (SELECT source, COUNT(*) AS ndocs FROM documents GROUP BY 1),
+          hot AS (SELECT f.source, f.chunk
+                  FROM (SELECT source, chunk, COUNT(DISTINCT doc_id) AS nd
+                        FROM chunks GROUP BY 1, 2) f
+                  JOIN srcn s USING (source)
+                  WHERE f.nd >= GREATEST(2, CAST(CEIL(0.0 * s.ndocs) AS BIGINT))),
+          drops AS (SELECT c.doc_id, list(c.idx) AS di
+                    FROM chunks c JOIN hot h
+                      ON h.source = c.source AND h.chunk = c.chunk
+                    GROUP BY c.doc_id)
+          SELECT t.doc_id, t.source,
+                 CAST(len(t.w)//8 AS INTEGER) AS n_chunks,
+                 CAST(coalesce(len(d.di), 0) AS INTEGER) AS n_dropped,
+                 COALESCE(array_to_string(list_transform(
+                   list_filter(generate_series(1, len(t.w)),
+                     i -> (i-1) >= (len(t.w)//8)*8
+                       OR NOT list_contains(coalesce(d.di, []::BIGINT[]),
+                                            (i-1)//8)),
+                   i -> t.w[i]), ' '), '') AS clean_text
+          FROM toks t LEFT JOIN drops d USING (doc_id)
+          ORDER BY t.doc_id""",
 
     // replica of the REAL decode path's arithmetic: the PPM raster is the
     // 192-byte ASCII prefix, so codes == raster bytes; lum = 299R+587G+114B

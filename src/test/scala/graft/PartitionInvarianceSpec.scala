@@ -44,7 +44,8 @@ class PartitionInvarianceSpec extends SparkSpec {
     "ir_bm25_topk",       // stats collect + literal-idf scoring + TakeOrdered
     "dd_cosine_neardup_ivf", // IVF cell groupByKey pair sweep (r14)
     "cur_semantic_ivf",   // kept-subset quantizer training + bucketed drop (r15)
-    "sm_curriculum")      // desc-keyed GlobalOrder range partitioning (r15)
+    "sm_curriculum",      // desc-keyed GlobalOrder range partitioning (r15)
+    "cur_boilerplate")    // per-source freq threshold + index-set rewrite (r14)
 
   test("representative queries are invariant to shuffle.partitions in {1, 7}") {
     val key = "spark.sql.shuffle.partitions"
