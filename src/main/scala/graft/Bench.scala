@@ -210,7 +210,10 @@ object Bench {
           // r15: multimodal at 10x — payloads are built in-query from the
           // 50.5k docs, so these scale the decode/fingerprint/banding
           // path, the heaviest per-row work in the suite
-          "mm_video_neardup", "mm_image_decode", "mm_audio_neardup")
+          "mm_video_neardup", "mm_image_decode", "mm_audio_neardup",
+          // r14 late additions: source-scoped boilerplate (50.5k docs,
+          // ~19 chunks each) and banded hard-negative mining (20k vectors)
+          "cur_boilerplate", "ann_hard_negatives")
         val rowsJson = try {
           family.map { name =>
             // r13 (verdict ask #3): the r12 single-run walls carried a ~2×

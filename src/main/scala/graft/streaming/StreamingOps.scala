@@ -99,6 +99,51 @@ object StreamingOps {
     docs.withColumn(tokensCol,
       graft.text.Bpe.encodeTokens(col(textCol), merges))
 
+  /** Streaming boilerplate stripping — the ingest-time face of
+    * `cur_boilerplate`: the per-source hot set is derived OFFLINE on the
+    * batch corpus ([[graft.text.TextOps.boilerplateHotSet]]) and rides
+    * the projection as map/array literals (train once, strip every
+    * arriving document — the BPE-merges deployment shape); the stream
+    * stage is STATELESS (chunk hashes recomputed in-row, membership via
+    * array_contains against the frozen per-source array), so it composes
+    * with any watermark/trigger. Output columns match the batch operator
+    * exactly: (doc_id, source, n_chunks, n_dropped, clean_text); parity
+    * against batch [[graft.text.TextOps.stripBoilerplate]] on the
+    * training corpus is asserted in tests (structural — same chunk rule,
+    * same threshold artifact, same rewrite arithmetic).
+    */
+  def streamingStripBoilerplate(
+      docs: DataFrame,
+      hot: Map[String, Array[Long]],
+      chunkTokens: Int = 8): DataFrame = {
+    import graft.text.TextOps
+    val ck = chunkTokens
+    val emptyHashes = array().cast("array<bigint>")
+    val hotArr =
+      if (hot.isEmpty) emptyHashes
+      else coalesce(element_at(
+        map(hot.toSeq.sortBy(_._1).flatMap { case (s, hs) =>
+          Seq(lit(s), typedlit(hs.toSeq))
+        }: _*), col("source")), emptyHashes)
+    val base = docs
+      .withColumn("toks", TextOps.whitespaceTokens(col("text")))
+      .withColumn("nfull", floor(size(col("toks")) / ck).cast("int"))
+      .withColumn("hot_hashes", hotArr)
+    val dropIdxs = when(col("nfull") >= 1,
+      filter(sequence(lit(0), col("nfull") - 1), i =>
+        array_contains(col("hot_hashes"),
+          xxhash64(array_join(slice(col("toks"), i * ck + 1, lit(ck)), " "))))
+    ).otherwise(array().cast("array<int>"))
+    base.withColumn("dropIdxs", dropIdxs)
+      .select(col("doc_id"), col("source"),
+        col("nfull").as("n_chunks"),
+        size(col("dropIdxs")).as("n_dropped"),
+        array_join(
+          filter(col("toks"), (_, i) =>
+            !array_contains(col("dropIdxs"), (i / ck).cast("int"))),
+          " ").as("clean_text"))
+  }
+
   /** Streaming quality-classifier scoring — the ingest-time face of
     * `tx_quality_classifier`: weights are trained OFFLINE
     * ([[graft.text.QualityClassifier.train]]) and ride the projection as

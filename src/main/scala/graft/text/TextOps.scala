@@ -109,29 +109,8 @@ object TextOps {
       minDocs: Int = 2,
       minFrac: Double = 0.0): DataFrame = {
     val ck = chunkTokens
-    // `toks` / `nfull` are REAL projection columns, not inlined
-    // expressions: the chunk and rewrite lambdas below reference them in
-    // their bodies, and a captured non-attribute expression re-evaluates
-    // PER ARRAY ELEMENT inside a higher-order function — measured 7 s at
-    // sf0.1 (one regex split of the full text per token) vs sub-second
-    // with the projection seam. Multi-referenced non-cheap aliases also
-    // survive CollapseProject, so the seam holds through optimization.
-    val base = docs.select(col("doc_id"), col("source"), col("text"))
-      .withColumn("toks", whitespaceTokens(col("text")))
-      .withColumn("nfull", floor(size(col("toks")) / ck).cast("int"))
-    val chunkArr = when(col("nfull") >= 1,
-      transform(sequence(lit(0), col("nfull") - 1),
-        i => array_join(slice(col("toks"), i * ck + 1, lit(ck)), " "))
-    ).otherwise(array().cast("array<string>"))
-    val posting = base
-      .select(col("doc_id"), col("source"), posexplode(chunkArr).as(Seq("idx", "chunk")))
-      .select(col("doc_id"), col("source"), col("idx"), xxhash64(col("chunk")).as("h"))
-    val perSource = base.groupBy("source").agg(count(lit(1)).as("ndocs"))
-    val hot = posting
-      .groupBy("source", "h").agg(countDistinct(col("doc_id")).as("nd"))
-      .join(perSource, Seq("source"))
-      .where(col("nd") >= greatest(lit(minDocs.toLong), ceil(lit(minFrac) * col("ndocs"))))
-      .select("source", "h")
+    val base = boilerBase(docs, ck)
+    val (posting, hot) = boilerHot(base, ck, minDocs, minFrac)
     val drops = posting.join(hot, Seq("source", "h"))
       .groupBy("doc_id").agg(collect_list(col("idx")).as("dropIdxs"))
     val di = coalesce(col("dropIdxs"), array().cast("array<int>"))
@@ -145,6 +124,65 @@ object TextOps {
         col("nfull").as("n_chunks"),
         size(di).as("n_dropped"),
         array_join(kept, " ").as("clean_text"))
+  }
+
+  /** `toks` / `nfull` are REAL projection columns, not inlined
+    * expressions: the chunk and rewrite lambdas reference them in their
+    * bodies, and a captured non-attribute expression re-evaluates PER
+    * ARRAY ELEMENT inside a higher-order function — measured 7 s at
+    * sf0.1 (one regex split of the full text per token) vs sub-second
+    * with the projection seam. Multi-referenced non-cheap aliases also
+    * survive CollapseProject, so the seam holds through optimization.
+    */
+  private def boilerBase(docs: DataFrame, ck: Int): DataFrame =
+    docs.select(col("doc_id"), col("source"), col("text"))
+      .withColumn("toks", whitespaceTokens(col("text")))
+      .withColumn("nfull", floor(size(col("toks")) / ck).cast("int"))
+
+  /** (posting, hot): the per-chunk hash postings and the per-source hot
+    * set `(source, h)` passing the boilerplate threshold.
+    */
+  private def boilerHot(base: DataFrame, ck: Int, minDocs: Int,
+      minFrac: Double): (DataFrame, DataFrame) = {
+    val chunkArr = when(col("nfull") >= 1,
+      transform(sequence(lit(0), col("nfull") - 1),
+        i => array_join(slice(col("toks"), i * ck + 1, lit(ck)), " "))
+    ).otherwise(array().cast("array<string>"))
+    val posting = base
+      .select(col("doc_id"), col("source"), posexplode(chunkArr).as(Seq("idx", "chunk")))
+      .select(col("doc_id"), col("source"), col("idx"), xxhash64(col("chunk")).as("h"))
+    val perSource = base.groupBy("source").agg(count(lit(1)).as("ndocs"))
+    val hot = posting
+      .groupBy("source", "h").agg(countDistinct(col("doc_id")).as("nd"))
+      .join(perSource, Seq("source"))
+      .where(col("nd") >= greatest(lit(minDocs.toLong), ceil(lit(minFrac) * col("ndocs"))))
+      .select("source", "h")
+    (posting, hot)
+  }
+
+  /** The per-source boilerplate hash sets as a DRIVER-COLLECTED artifact —
+    * the deployment seam for the streaming twin: train the hot set on
+    * yesterday's corpus offline, strip every arriving document statelessly
+    * (the BPE-merges / classifier-weights shape). Bounded by contract:
+    * boilerplate is crawl chrome, a per-source vocabulary orders of
+    * magnitude smaller than the corpus — the cap fails fast if a corpus
+    * violates that assumption rather than silently collecting unbounded
+    * rows.
+    */
+  def boilerplateHotSet(
+      docs: DataFrame,
+      chunkTokens: Int = 8,
+      minDocs: Int = 2,
+      minFrac: Double = 0.0,
+      maxEntries: Int = 100000): Map[String, Array[Long]] = {
+    val (_, hot) = boilerHot(boilerBase(docs, chunkTokens), chunkTokens, minDocs, minFrac)
+    val rows = hot.limit(maxEntries + 1).collect()
+    require(rows.length <= maxEntries,
+      s"boilerplateHotSet: hot set exceeds maxEntries=$maxEntries — this " +
+        "artifact is meant to be a small per-source chrome vocabulary; " +
+        "raise the threshold knobs or the cap deliberately.")
+    rows.groupBy(_.getString(0))
+      .map { case (s, rs) => s -> rs.map(_.getLong(1)).sorted.toArray }
   }
 
   /** LRU-bounded memo for the window-posting stage (same seam treatment as

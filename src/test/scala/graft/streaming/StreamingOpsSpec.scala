@@ -206,6 +206,50 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingStripBoilerplate: frozen hot set, stateless strip equals BATCH stripBoilerplate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // real docs + planted chrome so the drop path is guaranteed to fire:
+    // three docs of one source share an 8-token header
+    val header = "home about contact login search terms privacy cookie"
+    val planted = Seq(
+      (9001L, s"$header alpha beta gamma delta", "zsrc", "en", 1),
+      (9002L, s"$header epsilon zeta eta theta", "zsrc", "en", 1),
+      (9003L, s"$header iota kappa lambda mu", "zsrc", "en", 1))
+      .toDF("doc_id", "text", "source", "lang", "n_chars")
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select("doc_id", "text", "source", "lang", "n_chars")
+      .unionByName(planted)
+    // artifact trained OFFLINE on the batch corpus
+    val hot = graft.text.TextOps.boilerplateHotSet(docs)
+    assert(hot.contains("zsrc"), "planted chrome must enter the hot set")
+    val rows = docs.select("doc_id", "source", "text")
+      .as[(Long, String, String)].orderBy("doc_id").collect().toSeq
+    val input = MemoryStream[(Long, String, String)]
+    val stripped = StreamingOps.streamingStripBoilerplate(
+      input.toDF().toDF("doc_id", "source", "text"), hot)
+    val q = stripped.writeStream
+      .format("memory").queryName("bp_out").outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(rows.take(300): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(300): _*)
+      q.processAllAvailable()
+      val got = spark.table("bp_out")
+        .select("doc_id", "n_chunks", "n_dropped", "clean_text")
+        .as[(Long, Int, Int, String)].collect().sortBy(_._1)
+      // parity target is the BATCH operator — a different implementation
+      // (aggregation-derived drop joins) over the same corpus + rule
+      val want = graft.text.TextOps.stripBoilerplate(docs)
+        .select("doc_id", "n_chunks", "n_dropped", "clean_text")
+        .as[(Long, Int, Int, String)].collect().sortBy(_._1)
+      assert(got.length == want.length)
+      got.zip(want).foreach { case (g, w) => assert(g == w, s"diverged: $g vs $w") }
+      assert(got.count(_._3 > 0) >= 3, "the planted chrome must be stripped")
+    } finally q.stop()
+  }
+
   test("streamingQualityScore: frozen weights, stateless scoring equals batch on real docs") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
