@@ -21,17 +21,15 @@ object SparkEntry {
       graft.text.TextQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops.
+    * the same parquet tables.
     *
-    * Deliberately ABSENT (rows-only in the driver gate, pinned by in-repo
-    * specs instead):
-    *
-    *   - `x5_blat_text` — the blat kernel's recursive seed-extend DFS is
-    *     not expressible as (non-recursive) SQL at reasonable cost; a
-    *     truth-table golden pins the kernel in SimilarityKernelsSpec, and
-    *     NaiveBlatSpec corroborates with a clean-room differential.
-    *
-    * Everything else in [[queries]] carries a full hash oracle — including
+    * EVERY query carries a full hash oracle as of r14 (zero frozen pins) —
+    * including the historically hard ones: `x5_blat_text` (the blat DFS
+    * decomposes into budget-bounded greedy scans + a bounded anchor
+    * retry, so each offset's verdict reads at most 31 chars and the sweep
+    * is plain scalar SQL — CoverageQueries.x5OracleSql, the SQL
+    * transcription of the NaiveBlat declarative reformulation the kernel
+    * is differentially pinned against),
     * `ann_lsh_topk` (deterministic hyperplanes embedded in the SQL as
     * literals), `ann_ivf_topk` (the trained coarse-quantizer centroids
     * embedded the same way — training is deterministic and runs before the

@@ -265,8 +265,118 @@ object CoverageQueries {
         ORDER BY doc_id"""
   }
 
+  /** X5 oracle (r14 — the LAST pin retired): the blat "recursive DFS" is,
+    * on inspection, three BUDGET-BOUNDED greedy scans plus a bounded
+    * anchor-retry loop, so every offset's verdict depends on at most 31
+    * characters and the whole sweep is plain scalar SQL — no recursion:
+    *
+    *   - phase 1 (g1..g3): greedy first-match chain `q1 < q2 < q3` with
+    *     total skips q3−4 ≤ midLimit (skips are monotone, so the single
+    *     final bound equals the kernel's mid-scan overflow checks) and
+    *     the adjacency condition (some g_i matched with no skip before
+    *     it); truncation = running off the string = a missing q_i or the
+    *     phase-4 entry bound;
+    *   - phase 4 anchors: candidate positions x ∈ [s, s+midLimit] in
+    *     class(g4) — the kernel's retry loop prices every advanced
+    *     position at one insert, so the budget is exactly x − s ≤ mid —
+    *     fanned out via generate_series, FIRST succeeding anchor wins
+    *     (min over x);
+    *   - phase 5..7 per anchor: the same greedy chain r5 < r6 < r7 with
+    *     endLimit, PLUS the kernel's truncated-success quirk — the outer
+    *     loop exits at end-of-string after a match and still returns
+    *     success if the adjacency condition already held (the CASE arms
+    *     on `rem`, the chars remaining in the doc from this offset);
+    *   - baseMatches wobble (gene 'c' matches subject c OR t) becomes a
+    *     least-of-strpos over the class characters.
+    *
+    * Every branch is exercised by the BlatOracleDifferentialSpec-style
+    * Python differential used to build it (uniform/a-heavy/boundary/
+    * g-run/t-heavy corpora, 4k+ hits, zero diffs) and by the driver's
+    * hash gate at three SFs; the kernel keeps its reference truth table
+    * in KernelDifferentialSpec.
+    */
+  private def x5OracleSql: String = {
+    val gene = "gattacca"
+    val mid = 10
+    val endL = 2
+    def cls(ch: Char): Seq[Char] = if (ch == 'c') Seq('c', 't') else Seq(ch)
+    // 1-based window position of the first class(ch) match at >= start
+    def firstAt(start: String, ch: Char): String = {
+      val alts = cls(ch).map(c => s"nullif(strpos(substr(w, $start), '$c'), 0)")
+      val inner = if (alts.size == 1) alts.head else s"least(${alts.mkString(", ")})"
+      s"($inner + $start - 1)"
+    }
+    val g4In = cls(gene(4)).map(c => s"'$c'").mkString(", ")
+    s"""WITH dna AS (
+          SELECT doc_id, array_to_string(list_transform(string_split(text, ''),
+                   c -> 'acgt'[ascii(c) % 4 + 1]), '') AS dna
+          FROM documents),
+        offs AS (
+          SELECT doc_id, o, substr(dna, o + 1, 31) AS w, len(dna) - o AS rem
+          FROM dna, unnest(generate_series(0, len(dna) - 22)) t(o)
+          WHERE len(dna) >= 22 AND dna[o + 1] = '${gene(0)}'),
+        p1 AS (
+          SELECT doc_id, o, w, rem, q1, q2, q3, q3 + 2 AS s,
+                 (q1 = 2 OR q2 = q1 + 1 OR q3 = q2 + 1) AS cond1
+          FROM (
+            SELECT *, ${firstAt("q2 + 1", gene(3))} AS q3
+            FROM (
+              SELECT *, ${firstAt("q1 + 1", gene(2))} AS q2
+              FROM (
+                SELECT *, ${firstAt("2", gene(1))} AS q1
+                FROM offs)))),
+        p1ok AS (
+          SELECT doc_id, o, w, rem, s
+          FROM p1
+          WHERE q3 IS NOT NULL AND q3 - 4 <= $mid AND cond1
+            AND q3 + 1 <= rem
+            AND s <= rem),
+        anchors AS (
+          SELECT doc_id, o, w, rem, s, s + da AS x
+          FROM p1ok, unnest(generate_series(0, $mid)) t(da)
+          WHERE s + da <= len(w) AND s + da <= rem
+            AND w[s + da] IN ($g4In)),
+        p57 AS (
+          SELECT doc_id, o, x,
+            CASE
+              WHEN x + 1 > rem THEN NULL
+              WHEN r5 IS NULL OR r5 - (x + 1) > $endL THEN NULL
+              WHEN r5 + 1 > rem THEN (CASE WHEN r5 = x + 1 THEN o + r5 END)
+              WHEN r6 IS NULL OR r6 - (x + 1) - 1 > $endL THEN NULL
+              WHEN r6 + 1 > rem THEN
+                (CASE WHEN r5 = x + 1 OR r6 = r5 + 1 THEN o + r6 END)
+              WHEN r7 IS NULL OR r7 - (x + 1) - 2 > $endL THEN NULL
+              WHEN r5 = x + 1 OR r6 = r5 + 1 OR r7 = r6 + 1 THEN o + r7
+              ELSE NULL
+            END AS hit_end
+          FROM (
+            SELECT *, ${firstAt("r6 + 1", gene(7))} AS r7
+            FROM (
+              SELECT *, ${firstAt("r5 + 1", gene(6))} AS r6
+              FROM (
+                SELECT *, ${firstAt("x + 1", gene(5))} AS r5
+                FROM anchors)))),
+        offwin AS (
+          SELECT doc_id, o,
+                 min(CASE WHEN hit_end IS NOT NULL THEN x END) AS best_x,
+                 min_by(hit_end, CASE WHEN hit_end IS NOT NULL THEN x END)
+                   AS end_of_best
+          FROM p57 GROUP BY doc_id, o),
+        hits AS (
+          SELECT doc_id, o, end_of_best AS hit_end
+          FROM offwin WHERE best_x IS NOT NULL)
+        SELECT d.doc_id,
+               CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+               CAST(coalesce(h.fe, -1) AS INTEGER) AS first_end
+        FROM dna d LEFT JOIN (
+          SELECT doc_id, count(*) AS n, min_by(hit_end, o) AS fe
+          FROM hits GROUP BY doc_id) h USING (doc_id)
+        ORDER BY d.doc_id"""
+  }
+
   val oracles: Map[String, String] = Map(
     "x4_pattern_text" -> x4OracleSql,
+    "x5_blat_text" -> x5OracleSql,
     "f2_alphabet_filter" ->
       """SELECT doc_id, n_chars FROM documents
          WHERE regexp_matches(text, '^[a-z ]+$') ORDER BY doc_id""",
