@@ -233,6 +233,39 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** sm_mixture core: EXPLICIT per-source target weights — the
+    * DoReMi/Pile deployment shape, where the mixture is a CONFIG decision
+    * (tuned weights per domain), not a function of corpus counts like
+    * [[temperatureSample]]'s n^α rule. target_s = floor(budget·w_s/Σw),
+    * keep-rate = min(1, target_s/n_s) as an exact integer ppm threshold
+    * on the shared doc-id hash (downsample-only; compose with
+    * [[temperatureEpochs]]'s copy emission when a source must upsample).
+    * Weights here derive deterministically from the source NAME (1 +
+    * ascii(last char) mod 5) so the gate pins a non-trivial mixture
+    * without a config side-channel; production callers pass real weights
+    * through the same arithmetic. Every op after the two tiny dims is
+    * integer (sums ≪ 2^52, so both engines' division-floor chains are
+    * exact). Scale shape: two broadcast dims + one scan-stage filter —
+    * no corpus shuffle.
+    */
+  private[text] def mixtureSample(docs: DataFrame): DataFrame = {
+    val counts = docs.groupBy("source").agg(count(lit(1)).cast("long").as("n"))
+      .withColumn("wraw",
+        (lit(1L) + pmod(ascii(substring(col("source"), -1, 1)).cast("long"), lit(5L))))
+    val tot = counts.agg(sum("n").cast("long").as("total"),
+      sum("wraw").cast("long").as("wsum"))
+    val rates = counts.crossJoin(broadcast(tot))
+      .withColumn("budget", floor(col("total") / 2.0).cast("long"))
+      .withColumn("target", floor(col("budget") * col("wraw") / col("wsum")).cast("long"))
+      .withColumn("thr",
+        least(lit(1000000L), floor(col("target") * 1000000.0 / col("n")).cast("long")))
+      .select(col("source"), col("thr"))
+    docs.join(broadcast(rates), Seq("source"))
+      .where(Sampling.hashBucket(col("doc_id"), 1000000) < col("thr"))
+      .select(col("doc_id"), col("source"), col("thr"))
+      .orderBy("doc_id")
+  }
+
   /** sm_temperature_epochs core (full resampling form, budget = corpus
     * size): floor(rate) whole copies per doc plus one more under the
     * fractional-remainder hash — small sources upsample past 1×, large
@@ -656,6 +689,12 @@ object TextQueries {
     // Scale shape: two tiny source-cardinality dims (broadcast), the
     // corpus is one scan + map-side filter — no corpus shuffle at all.
     "sm_temperature" -> { (s, d) => temperatureSample(Tables.documents(s, d)) },
+
+    // explicit-weight domain mixture (the DoReMi/Pile config shape) —
+    // see mixtureSample; distinct from sm_temperature (weights are a
+    // decision, not a count statistic) and sm_source_cap (a ceiling,
+    // not a target allocation)
+    "sm_mixture" -> { (s, d) => mixtureSample(Tables.documents(s, d)) },
 
     // the UPSAMPLING form of sm_temperature (epochs, the full XLM-R
     // recipe): budget = the corpus size, so small sources resample at
@@ -2400,6 +2439,23 @@ object TextQueries {
                FROM c CROSS JOIN d)
          SELECT doc_id, source, r.thr AS thr
          FROM documents JOIN r USING(source)
+         WHERE ((doc_id % 1000000007) * 2654435761) % 1000000007 % 1000000 < r.thr
+         ORDER BY doc_id""",
+
+    // integer-exact throughout: budget, target, and threshold divisions
+    // all floor on values << 2^52, so Spark's double-division floor and
+    // DuckDB's integer // agree exactly
+    "sm_mixture" ->
+      """WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+                    1 + (ascii(right(source, 1)) % 5) AS wraw
+                FROM documents GROUP BY 1),
+         d AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+                      CAST(SUM(wraw) AS BIGINT) AS wsum FROM c),
+         r AS (SELECT c.source,
+                 LEAST(1000000, ((d.total // 2) * c.wraw // d.wsum) * 1000000 // c.n) AS thr
+               FROM c CROSS JOIN d)
+         SELECT doc_id, source, r.thr AS thr
+         FROM documents JOIN r USING (source)
          WHERE ((doc_id % 1000000007) * 2654435761) % 1000000007 % 1000000 < r.thr
          ORDER BY doc_id""",
 

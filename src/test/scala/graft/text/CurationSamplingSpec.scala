@@ -218,4 +218,36 @@ class CurationSamplingSpec extends SparkSpec {
     val b = TextQueries.curateSemanticIvf(spark, sf0001, 0.4).collect().toSeq
     assert(a === b)
   }
+
+  test("sm_mixture: planted corpus — allocations track weights, rates cap at 1, hash is exact") {
+    import spark.implicits._
+    // sources sized AGAINST their weights: the high-weight source is
+    // SMALL (rate caps at 1, keeps everything), the low-weight source is
+    // LARGE (thinned hard) — the config-over-counts semantics that
+    // distinguishes sm_mixture from sm_temperature
+    // weights: 1 + ascii(last char) % 5 → 'e'(101)%5=1 → 2 … pick names:
+    //   heavy: last char 'i' (105%5=0 → w=1)?? choose: 'd'(100)%5=0→1, 'h'(104)%5=4→5
+    val rows =
+      (1L to 400L).map(i => (i, s"t$i body words here", "low_d")) ++    // w = 1+0 = 1, n=400
+      (401L to 440L).map(i => (i, s"t$i body words here", "high_h"))    // w = 1+4 = 5, n=40
+    val docs = rows.toDF("doc_id", "text", "source")
+    val out = TextQueries.mixtureSample(docs)
+      .select("doc_id", "source", "thr").as[(Long, String, Long)].collect()
+    val bySrc = out.groupBy(_._2).view.mapValues(_.length).toMap
+    // total=440, budget=220, wsum=6: target(low)=36, target(high)=183
+    // → thr(low)=90000 ppm; thr(high) caps at 1e6 (target > n)
+    val thr = out.groupBy(_._2).view.mapValues(_.head._3).toMap
+    assert(thr("high_h") == 1000000L, s"high-weight small source keeps all: $thr")
+    assert(thr("low_d") == 90000L, s"low-weight large source thins to 9%: $thr")
+    assert(bySrc("high_h") == 40, "rate 1 keeps every doc")
+    // exact-hash replay: membership is the ppm threshold, no randomness
+    def hash(id: Long): Long =
+      ((id % 1000000007L) * 2654435761L) % 1000000007L % 1000000L
+    val expectedLow = (1L to 400L).count(hash(_) < 90000L)
+    assert(bySrc.getOrElse("low_d", 0) == expectedLow)
+    // determinism
+    val again = TextQueries.mixtureSample(docs)
+      .select("doc_id", "source", "thr").as[(Long, String, Long)].collect()
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
 }
