@@ -1968,13 +1968,21 @@ object TextQueries {
   private def hnswOracle(
       model: Array[Ann.HnswShardDump], dim: Int, k: Int, ef: Int): String = {
     val stp = "STRUCT(negs DOUBLE, id BIGINT)[]"
-    val adjVals = model.flatMap(_.adjacency.collect {
+    // degenerate dumps (empty corpus, or 1-node shards with no links) must
+    // still yield WELL-FORMED SQL: a sentinel row that joins nothing
+    // (node/shard -1 never appears in the data) keeps the VALUES lists
+    // non-empty without changing any result
+    val adjRows = model.flatMap(_.adjacency.collect {
       case (node, lvl, nbrs) if nbrs.nonEmpty =>
         s"($node,$lvl,[${nbrs.mkString(",")}])"
-    }).mkString(",")
-    val entryVals = model.collect {
+    })
+    val adjVals =
+      (if (adjRows.isEmpty) Array("(-1,0,[-1])") else adjRows).mkString(",")
+    val entryRows = model.collect {
       case d if d.entryId >= 0 => s"(${d.shard},${d.entryId},${d.entryLevel})"
-    }.mkString(",")
+    }
+    val entryVals =
+      (if (entryRows.isEmpty) Array("(-1,-1,0)") else entryRows).mkString(",")
     s"""WITH RECURSIVE
         adjl AS (SELECT n::BIGINT AS node, l::INTEGER AS lvl,
                         list_transform(ns, z -> z::BIGINT) AS nbrs
