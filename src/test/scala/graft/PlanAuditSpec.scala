@@ -183,7 +183,9 @@ class PlanAuditSpec extends SparkSpec {
     // final (one 6-column partial row per upstream partition)
     val scalarAggFinal =
       Set("a1_distribution_count", "sm_temperature", "sm_temperature_epochs",
-        "tx_perplexity", "ir_term_stats")
+        "tx_perplexity", "ir_term_stats",
+        // total/wsum over the ~20-row source dim (r14) — same shape
+        "sm_mixture")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(scalarAggFinal)
       .flatMap { name =>
