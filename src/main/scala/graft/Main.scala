@@ -488,7 +488,8 @@ object Main {
           ctxLen = opts.getOrElse("context", "2048").toDouble,
           numMerges = opts.getOrElse("merges", "24").toInt,
           decontaminateBelow = opts.get("decontaminate-below").map(_.toLong),
-          dedupStrategy = opts.getOrElse("dedup", "auto"))
+          dedupStrategy = opts.getOrElse("dedup", "auto"),
+          stripBoilerplate = opts.contains("strip-boilerplate"))
         println(s"[pretrain] input=${res.input} kept=${res.kept} " +
           s"packs=${res.packs} merges=${res.numMerges} " +
           s"dedup=${res.dedupTier} " +
@@ -524,6 +525,7 @@ object Main {
       |          classify [--data sfDir --out dir --min-logit x],
       |          search [--data sfDir --terms a,b,c --k 20],
       |          pretrain [--data sfDir --out dir --context 2048 --merges 24
-      |                    --decontaminate-below id --dedup auto|exact|routed]
+      |                    --decontaminate-below id --dedup auto|exact|routed
+      |                    --strip-boilerplate]
       |(see Scaladoc for per-command arguments)""".stripMargin
 }

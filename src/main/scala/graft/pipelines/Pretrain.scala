@@ -40,6 +40,13 @@ object Pretrain {
     *   16 bands — so near-threshold duplicates can survive into training
     *   data; callers who need guaranteed exact-tier output pass "exact".
     */
+  /** @param stripBoilerplate when set, per-source boilerplate chunks are
+    *   stripped from the quality-kept docs BEFORE dedup (the RefinedWeb
+    *   order — shared crawl chrome otherwise inflates near-dup
+    *   similarity and survives into training text). The quality gate
+    *   still scores the ORIGINAL text (the classifier was trained on
+    *   it); its cost lands in the clean-write stage (lazy lineage).
+    */
   def run(
       spark: SparkSession,
       dataDir: String,
@@ -47,7 +54,8 @@ object Pretrain {
       ctxLen: Double = 2048,
       numMerges: Int = 24,
       decontaminateBelow: Option[Long] = None,
-      dedupStrategy: String = "auto"): Result = {
+      dedupStrategy: String = "auto",
+      stripBoilerplate: Boolean = false): Result = {
     val stages = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     def stage[T](name: String)(f: => T): T = {
       val t0 = System.nanoTime()
@@ -65,8 +73,15 @@ object Pretrain {
     Files.writeString(Paths.get(s"$out/weights.tsv"),
       w.zipWithIndex.map { case (v, i) => s"w$i\t$v" }
         .mkString("", "\n", "\n"))
-    val kept = docs.where(
+    val gated = docs.where(
       graft.text.QualityClassifier.logitColumn(col("text"), w) >= 0.0)
+
+    // 1.5 optional per-source boilerplate strip (see the param scaladoc)
+    val kept =
+      if (stripBoilerplate)
+        graft.text.TextOps.stripBoilerplate(gated)
+          .select(col("doc_id"), col("clean_text").as("text"))
+      else gated
 
     // 2. near-dup canonical dedup among the kept docs. Tier per
     // `dedupStrategy` (see the run() scaladoc for the recall contract):

@@ -73,4 +73,28 @@ class PretrainCliSpec extends SparkSpec {
       .join(bench, Seq("sh"), "left_semi").count()
     assert(leak == 0, s"$leak leaked benchmark shingles among survivors")
   }
+
+  test("pretrain --strip-boilerplate: clean text equals redact(strip(gated)) per survivor") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("pre_bp").toString
+    graft.Main.main(Array("pretrain", "--data", sf0001, "--out", out,
+      "--strip-boilerplate", "--dedup", "exact"))
+    val docs = graft.Tables.documents(spark, sf0001)
+    val clean = spark.read.parquet(s"$out/clean.parquet")
+    assert(clean.count() > 0)
+    // reconstruct the expected per-doc text independently: gate with the
+    // deterministic retrained classifier, strip, redact — the pipeline
+    // may DROP docs (dedup) but every survivor's text must match exactly
+    val w = graft.text.QualityClassifier.train(docs, "text")
+    val gated = docs.where(
+      graft.text.QualityClassifier.logitColumn(col("text"), w) >= 0.0)
+    val expected = graft.text.TextOps.stripBoilerplate(gated)
+      .select(col("doc_id"),
+        graft.text.TextOps.piiRedact(col("clean_text")).as("want"))
+    val mismatches = clean.join(expected, Seq("doc_id"))
+      .where(col("text") =!= col("want")).count()
+    assert(mismatches == 0, s"$mismatches survivors with unstripped text")
+    val unmatched = clean.join(expected, Seq("doc_id"), "left_anti").count()
+    assert(unmatched == 0, "every survivor must come from the gated set")
+  }
 }
