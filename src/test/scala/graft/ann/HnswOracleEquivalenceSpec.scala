@@ -154,6 +154,49 @@ class HnswOracleEquivalenceSpec extends SparkSpec {
     diff(got, NaiveAnn.rerank(rows, cands, k = 5))
   }
 
+  /** Randomized sweep of the batch-equivalence theorem: seeded synthetic
+    * corpora across shard counts / m / ef (including ef far below shard
+    * size, where termination and the cap bind constantly) must keep the
+    * heap-faithful kernel and the batch replay row-for-row equal. The
+    * hand-built cases pin specific paths; this sweeps their composition.
+    */
+  test("randomized corpora: heap-faithful kernel == batch replay across configs") {
+    val rnd = new scala.util.Random(0x5eed14L)
+    (1 to 3).foreach { round =>
+      val n = 120 + rnd.nextInt(200)
+      val dim = 8 + rnd.nextInt(12)
+      val rows = (0L until n.toLong).map { i =>
+        // ~15% mutated near-copies of earlier vectors: similarity ties
+        // and tight margins around the beam's termination comparisons
+        if (i > 10 && rnd.nextDouble() < 0.15) {
+          val base = (rnd.nextInt(i.toInt)).toLong
+          (i, Array.tabulate(dim)(j =>
+            math.sin(base * 3.7 + j) + (if (rnd.nextBoolean()) 1e-9 else 0.0)))
+        } else (i, Array.tabulate(dim)(j => math.sin(i * 3.7 + j * 1.3)))
+      }
+      val emb = rows.toDF("vec_id", "embedding")
+      val shards = 1 + rnd.nextInt(4)
+      val m = 3 + rnd.nextInt(4)
+      val ef = 6 + rnd.nextInt(10)
+      val k = 3
+      val got = Ann.hnswTopK(emb, "vec_id", "embedding", col("vec_id") < 8,
+          k, numShards = shards, m = m, ef = ef)
+        .select(col("query_id").cast("long"), col("rank"),
+          col("neighbor_id").cast("long"), col("score"))
+        .as[(Long, Int, Long, Double)].collect().toSeq
+      val dump = Ann.hnswIndexDump(emb, "vec_id", "embedding",
+        numShards = shards, m = m, ef = ef)
+      val cands = batchCandidates(dump, rows, (0L until 8L), k, ef)
+      val want = NaiveAnn.rerank(rows, cands, k)
+      assert(got.size == want.size,
+        s"round $round (n=$n dim=$dim shards=$shards m=$m ef=$ef): " +
+          s"${got.size} vs ${want.size} rows")
+      got.zip(want).foreach { case (g, w) =>
+        assert(g == w, s"round $round (shards=$shards m=$m ef=$ef): $g vs $w")
+      }
+    }
+  }
+
   /** Duplicate vectors force exact similarity ties (the id tie-break
     * paths) and a zero vector rides the un-normalized prep branch; the
     * gate's rerank drops it, so the batch side filters it the same way.

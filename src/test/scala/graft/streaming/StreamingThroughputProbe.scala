@@ -84,6 +84,34 @@ object StreamingThroughputProbe {
       println(f"RESULT cosine_pairs_ivf docs=$n batches=10 sec=$sec%.2f " +
         f"rate=${n / sec}%.0f docs/s per_batch=${sec / 10}%.2f s")
     }
+
+    // --- streamingStripBoilerplate: 100k docs, frozen hot set ----------
+    // STATELESS twin — this measures the projection path (chunk hashing +
+    // membership rewrite) at micro-batch granularity, the ceiling for the
+    // state-free ingest ops (BPE/classifier/PII share the shape)
+    {
+      val n = 100000
+      val rnd = new scala.util.Random(23)
+      val header = "home about contact login search terms privacy cookie"
+      val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+      val docs = Array.tabulate(n) { i =>
+        val body = Seq.fill(20 + rnd.nextInt(60))(vocab(rnd.nextInt(vocab.size)))
+        val t = if (i % 3 == 0) (header +: body).mkString(" ") else body.mkString(" ")
+        (i.toLong, s"src${i % 8}", t)
+      }
+      val hot = graft.text.TextOps.boilerplateHotSet(
+        docs.take(5000).toSeq.toDF("doc_id", "source", "text"))
+      val input = MemoryStream[(Long, String, String)]
+      val q = StreamingOps.streamingStripBoilerplate(
+          input.toDF().toDF("doc_id", "source", "text"), hot)
+        .writeStream.format("noop").outputMode(OutputMode.Append()).start()
+      val t0 = System.nanoTime()
+      docs.grouped(n / 10).foreach { b => input.addData(b.toSeq); q.processAllAvailable() }
+      val sec = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      println(f"RESULT strip_boilerplate docs=$n batches=10 sec=$sec%.2f " +
+        f"rate=${n / sec}%.0f docs/s per_batch=${sec / 10}%.2f s")
+    }
     spark.stop()
   }
 }
