@@ -1274,7 +1274,12 @@ object TextQueries {
     // CTE, per-shard top-k, exact re-rank. See [[hnswOracle]].
     "ann_hnsw_topk" -> { (s, d) =>
       val emb = Tables.embeddings(s, d)
-      hnswModel.set(Ann.hnswIndexDump(emb, "vec_id", "embedding"))
+      // the dump is ORACLE machinery, not part of the probe — memoized
+      // per (session, dir) so repeated bench runs time the operator, not
+      // the driver-side rebuild (the data under a dir is static)
+      hnswModel.set(hnswDumpMemo.getOrElseUpdate(
+        (System.identityHashCode(s), d),
+        Ann.hnswIndexDump(emb, "vec_id", "embedding")))
       Ann.hnswTopK(emb, "vec_id", "embedding", col("vec_id") < 20, k = 5)
     },
 
@@ -1699,6 +1704,10 @@ object TextQueries {
     */
   private[graft] val hnswModel =
     new java.util.concurrent.atomic.AtomicReference[Array[Ann.HnswShardDump]]()
+
+  /** Per-(session, dir) cache of the oracle dump — see the gate comment. */
+  private val hnswDumpMemo =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), Array[Ann.HnswShardDump]]
 
   /** The BPE state trained by the last `tx_bpe_encode` build in this JVM —
     * same life-cycle as [[ivfTrainedCentroids]] (Verify runs queries before
