@@ -139,6 +139,29 @@ object TextOps {
       .withColumn("toks", whitespaceTokens(col("text")))
       .withColumn("nfull", floor(size(col("toks")) / ck).cast("int"))
 
+  /** LRU-bounded memo for the boilerplate posting stage — the
+    * [[windowPostingsMemo]] treatment: the posting relation has TWO
+    * consumers (the hot-set aggregation and the drop-index semi-join),
+    * and without the seam each re-runs the chunk explode + hash scan
+    * pass. At 100 TB this is precisely the table a staged pipeline
+    * materializes once.
+    */
+  private val boilerPostingMemo = new graft.ops.PlanMemo()
+
+  private def boilerPostingKey(base: DataFrame, ck: Int): AnyRef =
+    (System.identityHashCode(base.sparkSession),
+      base.queryExecution.logical.canonicalized, "boilerPosting", ck)
+
+  /** Drop the memo entry for exactly these stripBoilerplate inputs
+    * (blocking unpersist); returns whether one existed.
+    */
+  def releaseBoilerPostings(docs: DataFrame, chunkTokens: Int = 8): Boolean =
+    boilerPostingMemo.release(
+      boilerPostingKey(boilerBase(docs, chunkTokens), chunkTokens))
+
+  /** Drop EVERY memoized boilerplate posting and unpersist their blocks. */
+  def clearBoilerPostings(): Unit = boilerPostingMemo.clear()
+
   /** (posting, hot): the per-chunk hash postings and the per-source hot
     * set `(source, h)` passing the boilerplate threshold.
     */
@@ -148,9 +171,11 @@ object TextOps {
       transform(sequence(lit(0), col("nfull") - 1),
         i => array_join(slice(col("toks"), i * ck + 1, lit(ck)), " "))
     ).otherwise(array().cast("array<string>"))
-    val posting = base
-      .select(col("doc_id"), col("source"), posexplode(chunkArr).as(Seq("idx", "chunk")))
-      .select(col("doc_id"), col("source"), col("idx"), xxhash64(col("chunk")).as("h"))
+    val posting = boilerPostingMemo.get(boilerPostingKey(base, ck)) {
+      base
+        .select(col("doc_id"), col("source"), posexplode(chunkArr).as(Seq("idx", "chunk")))
+        .select(col("doc_id"), col("source"), col("idx"), xxhash64(col("chunk")).as("h"))
+    }
     val perSource = base.groupBy("source").agg(count(lit(1)).as("ndocs"))
     val hot = posting
       .groupBy("source", "h").agg(countDistinct(col("doc_id")).as("nd"))
