@@ -127,9 +127,12 @@ object Pretrain {
       }
     } finally {
       // release whichever memoized dedup seam the chosen tier built
-      // (both calls are no-ops for the tier that did not run)
+      // (both calls are no-ops for the tier that did not run), plus the
+      // boilerplate posting seam when --strip-boilerplate persisted one
+      // (no-op when the flag is off)
       graft.text.Dedup.releaseClassTable(kept, "doc_id", "text")
       graft.text.Dedup.releasePairTable(kept, "doc_id", "text", 0.5)
+      if (stripBoilerplate) graft.text.TextOps.releaseBoilerPostings(gated)
     }
 
     // 5. tokenizer trains on the CLEANED corpus (what it will encode)

@@ -289,9 +289,13 @@ object CoverageQueries {
     *   - baseMatches wobble (gene 'c' matches subject c OR t) becomes a
     *     least-of-strpos over the class characters.
     *
-    * Every branch is exercised by the BlatOracleDifferentialSpec-style
-    * Python differential used to build it (uniform/a-heavy/boundary/
-    * g-run/t-heavy corpora, 4k+ hits, zero diffs) and by the driver's
+    * Every branch is exercised by COMMITTED differentials (r15): the
+    * scalar derivation is transliterated phase-for-phase and pinned
+    * against the kernel in X5OracleDerivationSpec (uniform/a-heavy/
+    * g-run/t-heavy/boundary/planted-mutated corpora, every suite run),
+    * and the SQL TEXT itself runs through DuckDB in
+    * `tools/x5_blat_differential.py` (fed the shipped string via
+    * [[graft.PrintOracle]]; 6,314 docs, zero diffs), plus the driver's
     * hash gate at three SFs; the kernel keeps its reference truth table
     * in KernelDifferentialSpec.
     */

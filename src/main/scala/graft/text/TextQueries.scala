@@ -1169,9 +1169,12 @@ object TextQueries {
     // LSH has a FULL hash oracle: its hyperplanes are data-independent and
     // deterministic, so the oracle SQL embeds the exact plane matrix as
     // literals (same fold order, same sign test — see `lshPlanesValues`)
+    // the gate PINS the pedagogical 8-bit × 8-table config (the oracle
+    // embeds exactly this plane matrix); the library's shipped default is
+    // the r15-measured 4×16 preset — see Ann.lshTopK's scaladoc
     "ann_lsh_topk" -> { (s, d) =>
       Ann.lshTopK(Tables.embeddings(s, d), "vec_id", "embedding",
-        col("vec_id") < 20, k = 5, dim = 64)
+        col("vec_id") < 20, k = 5, dim = 64, numPlanes = 8, tables = 8)
     },
 
     // multi-probe LSH (query-side 1-bit-flip probes over the SAME corpus
@@ -1180,7 +1183,7 @@ object TextQueries {
     // recorded per round in RECALL.json; same literal-plane full oracle
     "ann_lsh_mp_topk" -> { (s, d) =>
       Ann.lshMultiProbeTopK(Tables.embeddings(s, d), "vec_id", "embedding",
-        col("vec_id") < 20, k = 5, dim = 64)
+        col("vec_id") < 20, k = 5, dim = 64, numPlanes = 8, tables = 8)
     },
 
     // IVF has a FULL hash oracle despite its DATA-DEPENDENT coarse
@@ -1274,12 +1277,13 @@ object TextQueries {
     // CTE, per-shard top-k, exact re-rank. See [[hnswOracle]].
     "ann_hnsw_topk" -> { (s, d) =>
       val emb = Tables.embeddings(s, d)
-      // the dump is ORACLE machinery, not part of the probe — memoized
-      // per (session, dir) so repeated bench runs time the operator, not
-      // the driver-side rebuild (the data under a dir is static)
-      hnswModel.set(hnswDumpMemo.getOrElseUpdate(
-        (System.identityHashCode(s), d),
-        Ann.hnswIndexDump(emb, "vec_id", "embedding")))
+      // the dump is ORACLE machinery, not part of the probe — memoized so
+      // repeated bench runs time the operator, not the driver-side
+      // rebuild. Keyed by a CONTENT fingerprint of the embeddings files
+      // (name+size+mtime), not by dir alone: rewriting the data under a
+      // dir mid-session refreshes the dump instead of replaying a stale
+      // one against a fresh probe (r15 ADVICE).
+      hnswModel.set(hnswDumpFor(s, d, emb))
       Ann.hnswTopK(emb, "vec_id", "embedding", col("vec_id") < 20, k = 5)
     },
 
@@ -1705,9 +1709,61 @@ object TextQueries {
   private[graft] val hnswModel =
     new java.util.concurrent.atomic.AtomicReference[Array[Ann.HnswShardDump]]()
 
-  /** Per-(session, dir) cache of the oracle dump — see the gate comment. */
+  /** Cache of the oracle dump keyed by (dir, content fingerprint) — see
+    * the gate comment. The fingerprint (file listing + sizes + mtimes of
+    * the embeddings parquet, one cheap driver-side directory walk) makes
+    * in-session data rewrites a cache MISS: the old (session, dir)-only
+    * key silently replayed a stale dump against freshly built graphs, a
+    * false gate failure waiting to happen (r15 ADVICE). Stale entries for
+    * overwritten data are evicted on insert (same dir, different print),
+    * and [[clearHnswDumps]] releases everything.
+    */
   private val hnswDumpMemo =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), Array[Ann.HnswShardDump]]
+    scala.collection.concurrent.TrieMap.empty[(String, String), Array[Ann.HnswShardDump]]
+
+  /** name:size:mtime for every regular file under the dir's embeddings
+    * parquet (or the file itself), sorted — a cheap, deterministic proxy
+    * for "did anyone rewrite this data". Parquet writers always produce
+    * new part files (new names/mtimes), so any overwrite changes the
+    * print; hash collisions are not a concern because the raw listing is
+    * the key component, not a digest.
+    */
+  private[graft] def embeddingsFingerprint(d: String): String = {
+    val root = java.nio.file.Paths.get(d, "embeddings.parquet")
+    if (!java.nio.file.Files.exists(root)) s"absent:$root"
+    else {
+      val s = java.nio.file.Files.walk(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .map(p => s"${root.relativize(p)}:${java.nio.file.Files.size(p)}:" +
+            s"${java.nio.file.Files.getLastModifiedTime(p).toMillis}")
+          .toSeq.sorted.mkString("|")
+      } finally s.close()
+    }
+  }
+
+  /** The memoized oracle dump for the embeddings under `d` — rebuilds iff
+    * the content fingerprint changed since the last build in this JVM.
+    */
+  private[graft] def hnswDumpFor(s: org.apache.spark.sql.SparkSession,
+      d: String, emb: DataFrame): Array[Ann.HnswShardDump] = {
+    val fp = embeddingsFingerprint(d)
+    val dump = hnswDumpMemo.getOrElseUpdate((d, fp),
+      Ann.hnswIndexDump(emb, "vec_id", "embedding"))
+    // evict superseded prints for the same dir (bounded memo: one live
+    // entry per dir; the dumps hold full adjacency arrays)
+    hnswDumpMemo.keys.foreach { case k @ (kd, kfp) =>
+      if (kd == d && kfp != fp) hnswDumpMemo.remove(k)
+    }
+    dump
+  }
+
+  /** Drop every memoized HNSW oracle dump (test/maintenance hook — the
+    * boilerplate-memo release discipline applied here).
+    */
+  private[graft] def clearHnswDumps(): Unit = hnswDumpMemo.clear()
 
   /** The BPE state trained by the last `tx_bpe_encode` build in this JVM —
     * same life-cycle as [[ivfTrainedCentroids]] (Verify runs queries before
