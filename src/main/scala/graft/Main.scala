@@ -473,6 +473,43 @@ object Main {
         hits.foreach { r => println(s"[search] ${r.getLong(0)}\t${r.getLong(1)}") }
         println(s"[search] terms=${terms.mkString(",")} hits=${hits.length}")
 
+      // vector similarity search over the embeddings table — every ANN
+      // family at its SHIPPED-DEFAULT preset (r15: the measured
+      // recall/cost presets recorded in RECALL.json; pass no knobs, get
+      // the recommended config). --method picks the index family.
+      case "ann-search" =>
+        val spark = session()
+        val dir = req("data")
+        val k = opts.getOrElse("k", "5").toInt
+        val ids = req("query-ids").split(",").map(_.trim.toLong).toSeq
+        import org.apache.spark.sql.functions.{col, size => sizeF}
+        val emb = Tables.embeddings(spark, dir)
+        val pred = col("vec_id").isin(ids: _*)
+        val dim = emb.select(sizeF(col("embedding"))).head().getInt(0)
+        val method = opts.getOrElse("method", "ivf")
+        val hits = (method match {
+          case "brute" =>
+            graft.ann.Ann.cosineTopK(emb, "vec_id", "embedding", pred, k)
+          case "lsh" =>
+            graft.ann.Ann.lshTopK(emb, "vec_id", "embedding", pred, k, dim)
+          case "mplsh" =>
+            graft.ann.Ann.lshMultiProbeTopK(emb, "vec_id", "embedding", pred, k, dim)
+          case "ivf" =>
+            graft.ann.Ann.ivfTopK(emb, "vec_id", "embedding", pred, k)
+          case "ivfpq" =>
+            graft.ann.Ann.ivfPqTopK(emb, "vec_id", "embedding", pred, k)
+          case "hnsw" =>
+            graft.ann.Ann.hnswTopK(emb, "vec_id", "embedding", pred, k)
+          case other => sys.error(
+            s"unknown --method $other (brute|lsh|mplsh|ivf|ivfpq|hnsw)")
+        }).collect()
+        hits.foreach { r =>
+          println(s"[ann-search] q=${r.get(0)} rank=${r.get(1)} " +
+            s"neighbor=${r.get(2)} score=${r.get(3)}")
+        }
+        println(s"[ann-search] method=$method k=$k queries=${ids.size} " +
+          s"hits=${hits.length}")
+
       // the END-TO-END pretraining-data pipeline, composed from the
       // library stages a real corpus run chains: trained-classifier
       // quality gate → near-dup canonical dedup → (optional) benchmark
@@ -524,6 +561,8 @@ object Main {
       |                    --merges-in merges.tsv],
       |          classify [--data sfDir --out dir --min-logit x],
       |          search [--data sfDir --terms a,b,c --k 20],
+      |          ann-search [--data sfDir --query-ids 1,2,3 --k 5
+      |                      --method brute|lsh|mplsh|ivf|ivfpq|hnsw],
       |          pretrain [--data sfDir --out dir --context 2048 --merges 24
       |                    --decontaminate-below id --dedup auto|exact|routed
       |                    --strip-boilerplate]

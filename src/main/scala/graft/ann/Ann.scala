@@ -155,9 +155,10 @@ object Ann {
     * only (query, neighbor, cos) survivors reach the per-query rank. For
     * corpus-wide mining (every doc a query) compose the banded filter
     * with [[cosinePairsIvf]]'s bucketed candidate rule instead — the
-    * per-query broadcast contract here is deliberate (`maxQueries`-free
-    * because the band filter bounds the rank input, but the query SET
-    * still rides a broadcast, so keep it small like [[hnswTopK]]'s).
+    * per-query broadcast contract here is the [[hnswTopK]] one: the query
+    * SET rides a broadcast (queries × dim × 8 bytes on the driver), so it
+    * must be small — enforced by `maxQueries` (fail-fast, no partial
+    * work) rather than assumed.
     */
   def hardNegatives(
       embeddings: DataFrame,
@@ -166,12 +167,23 @@ object Ann {
       queryPred: Column,
       k: Int,
       lo: Double,
-      hi: Double): DataFrame = {
+      hi: Double,
+      maxQueries: Int = 4096): DataFrame = {
     require(lo < hi, s"hardNegatives: empty band [$lo, $hi)")
     val corpus = withNorm(embeddings, idCol, vecCol)
       .select(col("id").as("neighbor_id"), col("v").as("nvec"), col("nrm").as("nn"))
     val queries = withNorm(embeddings.where(queryPred), idCol, vecCol)
       .select(col("id").as("query_id"), col("v").as("qvec"), col("nrm").as("qn"))
+    // the broadcast below materializes the full query set on the driver —
+    // enforce the bounded-collect contract the way hnswTopK does (one
+    // cheap limit(n+1) count over ids only; no partial work on failure)
+    val nq = queries.select(col("query_id")).limit(maxQueries + 1).count()
+    require(nq <= maxQueries,
+      s"hardNegatives: queryPred matched more than maxQueries=$maxQueries " +
+        "rows; the banded mining probe broadcasts the full query set — " +
+        "narrow the predicate, chunk the queries, or raise maxQueries " +
+        "deliberately (driver memory = queries x dim x 8 bytes). For " +
+        "corpus-wide mining compose the band filter with cosinePairsIvf.")
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
     broadcast(queries).crossJoin(corpus)
@@ -499,6 +511,14 @@ object Ann {
     * (A corpus within trainCap trains on everything — identical output to
     * the previous all-corpus distributed-Lloyd formulation.) Recall vs
     * [[cosineTopK]] is asserted in tests.
+    *
+    * SHIPPED DEFAULT (r15, AnnPresetTuneProbe): `nProbe=8` of 16 cells —
+    * measured recall@5 0.84/0.84 at sf0.01/sf0.1 (the pedagogical
+    * nProbe=4 gate config measures 0.61/0.58); nProbe=12 buys 0.93 at
+    * 3/4 of the corpus probed. The probe fraction nProbe/numCells is the
+    * compute dial: at larger corpora raise numCells with nProbe
+    * (32/16 measured 0.85-0.86 at the same 0.5 fraction). Tripwired in
+    * AnnRecallSpec; both configs recorded in RECALL.json.
     */
   def ivfTopK(
       embeddings: DataFrame,
@@ -507,7 +527,7 @@ object Ann {
       queryPred: Column,
       k: Int,
       numCells: Int = 16,
-      nProbe: Int = 4,
+      nProbe: Int = 8,
       lloydIters: Int = 2,
       trainCap: Int = 4096): DataFrame =
     ivfTopKWithCentroids(embeddings, idCol, vecCol, queryPred, k, nProbe,
@@ -1241,6 +1261,16 @@ object Ann {
     * Scale shape: corpus explodes ×L into (table, bucket) cells — an
     * equi-join on the cell key replaces the all-pairs cross join; bucket
     * fan-in is tunable via `numPlanes` (more bits → smaller buckets).
+    *
+    * SHIPPED DEFAULT (r15, AnnPresetTuneProbe): `numPlanes=4, tables=16`
+    * — measured recall@5 0.63/0.73 at sf0.01/sf0.1 on the near-random
+    * gate corpus (the documented LSH worst case), touching ~7.6% of
+    * all pairs at sf0.1; the pedagogical 8×8 gate config measures
+    * 0.15/0.13. Wider buckets ARE the recall lever for plain LSH — on a
+    * clustered production corpus raise `numPlanes` back toward 6-8 to
+    * shrink cells, or prefer [[lshMultiProbeTopK]], which buys its
+    * recall on the query side at the same index cost. Tripwired in
+    * AnnRecallSpec; both configs recorded in RECALL.json.
     */
   def lshTopK(
       embeddings: DataFrame,
@@ -1249,8 +1279,8 @@ object Ann {
       queryPred: Column,
       k: Int,
       dim: Int,
-      numPlanes: Int = 8,
-      tables: Int = 8): DataFrame = {
+      numPlanes: Int = 4,
+      tables: Int = 16): DataFrame = {
     val sigs = array((0 until tables).map { t =>
       struct(lit(t).as("t"),
         hyperplaneSignature(col(vecCol), dim, numPlanes, t * numPlanes).as("sig"))
@@ -1284,6 +1314,14 @@ object Ann {
     * round in RECALL.json; output pinned by a full hash oracle whose
     * candidate rule is `bit_count(xor(sig_q, sig_n)) <= 1` per table over
     * the same literal-embedded plane matrix.
+    *
+    * SHIPPED DEFAULT (r15, AnnPresetTuneProbe): `numPlanes=6, tables=16`
+    * — measured recall@5 0.69/0.84 at sf0.01/sf0.1 on the near-random
+    * gate corpus at a ~3.1% candidate fraction (sf0.1) — the probing,
+    * not coarser buckets, buys the recall, so the index cells stay
+    * 6-bit-selective (the scale-friendly trade; the pedagogical 8×8
+    * gate config measures 0.39/0.46). Tripwired in AnnRecallSpec; both
+    * configs recorded in RECALL.json.
     */
   def lshMultiProbeTopK(
       embeddings: DataFrame,
@@ -1292,8 +1330,8 @@ object Ann {
       queryPred: Column,
       k: Int,
       dim: Int,
-      numPlanes: Int = 8,
-      tables: Int = 8): DataFrame = {
+      numPlanes: Int = 6,
+      tables: Int = 16): DataFrame = {
     val sigs = array((0 until tables).map { t =>
       struct(lit(t).as("t"),
         hyperplaneSignature(col(vecCol), dim, numPlanes, t * numPlanes).as("sig"))

@@ -93,7 +93,42 @@ class AnnRecallSpec extends SparkSpec {
       assert(shippedRecall >= shippedFloor,
         s"shipped ivfPqTopK default recall $shippedRecall below floor " +
           s"$shippedFloor at $label")
-      val withShipped = measured :+
+      // r15 (verdict ask #2): the remaining families' SHIPPED defaults —
+      // the AnnPresetTuneProbe-measured presets that are now the method
+      // signature defaults (lsh 4×16, mp-lsh 6×16, ivf nProbe=8/16) —
+      // measured beside their pedagogical gate configs with tripwire
+      // floors set just under the measurements (lsh 0.63/0.73,
+      // mp 0.69/0.84, ivf 0.84/0.84)
+      val emb = graft.Tables.embeddings(spark, dir)
+      def shippedPairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+        df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      import org.apache.spark.sql.functions.col
+      val moreShipped = Seq(
+        ("ann_lsh_topk_shipped_default",
+          shippedPairs(graft.ann.Ann.lshTopK(emb, "vec_id", "embedding",
+            col("vec_id") < 20, k = 5, dim = 64)),
+          if (label == "sf0.01") 0.55 else 0.65),
+        ("ann_lsh_mp_topk_shipped_default",
+          shippedPairs(graft.ann.Ann.lshMultiProbeTopK(emb, "vec_id",
+            "embedding", col("vec_id") < 20, k = 5, dim = 64)),
+          if (label == "sf0.01") 0.60 else 0.75),
+        ("ann_ivf_topk_shipped_default",
+          shippedPairs(graft.ann.Ann.ivfTopK(emb, "vec_id", "embedding",
+            col("vec_id") < 20, k = 5)),
+          0.75)
+      ).map { case (name, pairsGot, floor) =>
+        val r = (brute intersect pairsGot).size.toDouble / brute.size
+        assert(r >= floor, s"$name recall $r below floor $floor at $label")
+        (name, r, pairsGot.size)
+      }
+      // shipped presets must dominate their own pedagogical gate configs
+      val gateByName = measured.map(m => m._1 -> m._2).toMap
+      val shipByName = moreShipped.map(m => m._1 -> m._2).toMap
+      assert(shipByName("ann_lsh_topk_shipped_default") >=
+        gateByName("ann_lsh_topk"), "lsh preset must beat the gate config")
+      assert(shipByName("ann_ivf_topk_shipped_default") >=
+        gateByName("ann_ivf_topk"), "ivf preset must beat the gate config")
+      val withShipped = measured ++ moreShipped :+
         (("ann_ivfpq_topk_shipped_default", shippedRecall, shipped.size))
       val json = withShipped.map { case (name, recall, rows) =>
         f"""      "$name": {"recall_vs_brute": $recall%.4f, "candidate_pairs": $rows}"""
