@@ -144,6 +144,32 @@ object Retrieval {
       })
   }
 
+  /** TermStats derived FROM an existing (typically persisted)
+    * [[postingTf]] frame plus ONE corpus-scalar agg job — the
+    * cluster-scale composition the [[observedStats]] scaladoc names: a
+    * caller who persists the posting frame reuses it for both this stats
+    * pass and [[batchBm25TopK]]'s scoring pass (`postings = Some(...)`),
+    * paying the posting build's corpus scan once instead of twice. The
+    * caller owns the persisted frame's lifetime (unpersist when done);
+    * the gate keeps the persist-free [[observedStats]] shape so no cache
+    * outlives a Verify query.
+    */
+  def statsFromPostings(docs: DataFrame, textCol: String,
+      postings: DataFrame, terms: Seq[String]): TermStats = {
+    val allTerms = terms.distinct.sorted
+    val byTerm = postings.groupBy("term_id")
+      .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val row = docs.agg(count(lit(1)).as("n"),
+      sum(size(TextOps.whitespaceTokens(col(textCol))).cast("long")).as("tot"))
+      .head()
+    TermStats(row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1),
+      allTerms.zipWithIndex.map { case (t, i) =>
+        val (df, cf) = byTerm.getOrElse(i, (0L, 0L))
+        (t, df, cf)
+      })
+  }
+
   def batchBm25TopK(docs: DataFrame, idCol: String, textCol: String,
       queries: Seq[(Int, Seq[String])], idfs: Seq[(String, Double)],
       avgdl: Double, k: Int,

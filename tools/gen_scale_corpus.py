@@ -77,6 +77,45 @@ def gen_sf1(out):
           f"{n_ord} orders, {len(l_ok)} lineitems")
 
 
+def gen_sf10(out):
+    """r15 (verdict ask #4): the 100x bracket — one decade past the sf1
+    envelope. Docs/orders/lineitem at 10x sf1 with the same planted
+    shapes, so the routed dedup path, the auto-router's decision, and the
+    IntervalStabJoin sweep get a trend POINT beyond 10x (505k docs, 15M
+    orders, ~60M lineitems). Embeddings stay at sf1 scale on purpose: the
+    sf10 envelope's target families are dedup + interval joins.
+    """
+    rng = np.random.default_rng(52)
+    uniques = [doc_text(rng) for _ in range(495_000)]
+    planted = [uniques[0]] * 10_000
+    df = docs_frame(uniques + planted, 0)
+    df.to_parquet(f"{out}/documents.parquet", index=False)
+    erng = np.random.default_rng(53)
+    n_emb, dim = 20_000, 64
+    emb = erng.standard_normal((n_emb, dim)).astype(np.float32)
+    pd.DataFrame({
+        "vec_id": np.arange(n_emb, dtype=np.int64),
+        "embedding": list(emb),
+        "label": erng.integers(0, 10, size=n_emb).astype(np.int32),
+    }).to_parquet(f"{out}/embeddings.parquet", index=False)
+    rrng = np.random.default_rng(55)
+    n_ord = 15_000_000
+    okeys = np.sort(rrng.choice(
+        np.arange(1, 4 * n_ord, dtype=np.int64), size=n_ord, replace=False))
+    pd.DataFrame({"o_orderkey": okeys}).to_parquet(
+        f"{out}/orders.parquet", index=False)
+    lines = rrng.integers(1, 8, size=n_ord)
+    l_ok = np.repeat(okeys, lines)
+    l_ln = np.concatenate([np.arange(1, n + 1, dtype=np.int64) for n in lines])
+    pd.DataFrame({
+        "l_orderkey": l_ok,
+        "l_linenumber": l_ln,
+        "l_quantity": rrng.integers(1, 51, size=len(l_ok)).astype(np.float64),
+    }).to_parquet(f"{out}/lineitem.parquet", index=False)
+    print(f"sf10 -> {out}: {len(df)} docs, {n_emb}x{dim} embeddings, "
+          f"{n_ord} orders, {len(l_ok)} lineitems")
+
+
 def gen_sf1dup(out):
     rng = np.random.default_rng(44)
     classes = [doc_text(rng) for _ in range(100)]
@@ -91,4 +130,4 @@ if __name__ == "__main__":
     kind, out = sys.argv[1], sys.argv[2]
     import os
     os.makedirs(out, exist_ok=True)
-    {"sf1": gen_sf1, "sf1dup": gen_sf1dup}[kind](out)
+    {"sf1": gen_sf1, "sf10": gen_sf10, "sf1dup": gen_sf1dup}[kind](out)
