@@ -83,4 +83,59 @@ class BoilerplateSpec extends SparkSpec {
     val dropped = out.where(col("n_dropped") > 0).count()
     assert(dropped > 0, "planted duplicate pairs must trigger the rule")
   }
+
+  // ---- r15 (verdict ask #7): single-source knob edges ------------------
+
+  test("single-doc source: minDocs=2 keeps everything, minDocs=1 drops every full chunk") {
+    val body = s"$header ${toks(8, "solo")} extra tail"
+    val rows = Seq((1L, "only", body))
+    // the default threshold can never fire with one doc
+    assert(run(rows)(1L) == ((2, 0, body)))
+    // minDocs=1 makes every chunk hot in its own doc — both full chunks
+    // drop, the 2-token tail survives (trailing-chunk immunity)
+    assert(run(rows, minDocs = 1)(1L) == ((2, 2, "extra tail")))
+  }
+
+  test("minFrac=1.0 on a single source requires the chunk in EVERY doc") {
+    val rows = Seq(
+      (1L, "s", s"$header ${toks(8, "a")}"),
+      (2L, "s", s"$header ${toks(8, "b")}"),
+      (3L, "s", s"$header ${toks(8, "c")}"))
+    val all = run(rows, minDocs = 2, minFrac = 1.0)
+    assert((1L to 3L).forall(i => all(i)._2 == 1),
+      "chunk in 3/3 docs passes the all-docs bar")
+    val missingOne = rows.take(2) :+ ((3L, "s", toks(16, "c")))
+    val out = run(missingOne, minDocs = 2, minFrac = 1.0)
+    assert(out.values.forall(_._2 == 0),
+      "chunk in 2/3 docs fails ceil(1.0*3)=3")
+  }
+
+  test("ceil boundary: 3 docs at minFrac=0.5 needs 2, not 1 (ceil(1.5)=2)") {
+    val rows = Seq(
+      (1L, "s", s"$header ${toks(8, "a")}"),
+      (2L, "s", toks(16, "b")),
+      (3L, "s", toks(16, "c")))
+    // header in 1/3 docs: greatest(minDocs=1, ceil(0.5*3)=2) = 2 — kept
+    val out = run(rows, minDocs = 1, minFrac = 0.5)
+    assert(out.values.forall(_._2 == 0), "1/3 must fail the ceil(1.5)=2 bar")
+    val rows2 = rows.updated(1, (2L, "s", s"$header ${toks(8, "b")}"))
+    val out2 = run(rows2, minDocs = 1, minFrac = 0.5)
+    assert(out2(1L)._2 == 1 && out2(2L)._2 == 1, "2/3 passes exactly at the bar")
+  }
+
+  test("chunk repeated within ONE doc counts once toward the doc threshold") {
+    // doc 1 carries the header chunk TWICE; no other doc has it. The
+    // posting threshold is countDistinct(doc_id), so 1 doc < minDocs=2:
+    // nothing drops — a per-occurrence count would wrongly fire here
+    val rows = Seq(
+      (1L, "s", s"$header $header"),
+      (2L, "s", toks(16, "z")))
+    val out = run(rows)
+    assert(out(1L) == ((2, 0, s"$header $header")))
+    // but a second DOC with the chunk fires it, dropping BOTH positions
+    // in doc 1 (the drop names the hash, every matching position goes)
+    val out2 = run(rows :+ ((3L, "s", s"$header ${toks(8, "y")}")))
+    assert(out2(1L) == ((2, 2, "")))
+    assert(out2(3L) == ((2, 1, toks(8, "y"))))
+  }
 }
