@@ -465,16 +465,48 @@ case class IntervalStabJoinExec(
 
     ptsPart.zipPartitions(ivPart, preservesPartitioning = false) { (pit, iit) =>
       // keys re-evaluate off the rows (shuffle keys are partition ids now);
-      // the strategy guards cond.deterministic, so both evaluations agree
-      val pts = pit.map { case (_, row) =>
-        (toLong(boundPoint.eval(row)), row)
-      }.toArray.sortBy(_._1)
-      val ivs = iit.map { case (_, row) =>
-        (toLong(boundLo.eval(row)), toLong(boundHi.eval(row)), row)
-      }.toArray.sortBy(_._1)
+      // the strategy guards cond.deterministic, so both evaluations agree.
+      // Both sides buffer as PRIMITIVE parallel arrays (long[] keys +
+      // UnsafeRow[] rows) co-sorted in place: the previous
+      // Array[(Long, UnsafeRow)].sortBy shape paid a Tuple2 + boxed Long
+      // per row AND boxed every TimSort comparison — ~40 extra bytes/row
+      // plus allocation churn that OOM'd an 8 GB local[32] heap at the
+      // sf10 bracket (~1.9M buffered rows × 32 concurrent tasks). The
+      // partitioner's rows-per-partition cap bounds these buffers; the
+      // join output is order-insensitive among equal keys, so the
+      // unstable in-place sort preserves the result set exactly.
+      var pKeys = new Array[Long](1024)
+      var pRows = new Array[UnsafeRow](1024)
+      var pn = 0
+      while (pit.hasNext) {
+        val row = pit.next()._2
+        if (pn == pKeys.length) {
+          pKeys = java.util.Arrays.copyOf(pKeys, pn << 1)
+          pRows = java.util.Arrays.copyOf(pRows, pn << 1)
+        }
+        pKeys(pn) = toLong(boundPoint.eval(row)); pRows(pn) = row; pn += 1
+      }
+      var iLo = new Array[Long](1024)
+      var iHi = new Array[Long](1024)
+      var iRows = new Array[UnsafeRow](1024)
+      var in = 0
+      while (iit.hasNext) {
+        val row = iit.next()._2
+        if (in == iLo.length) {
+          iLo = java.util.Arrays.copyOf(iLo, in << 1)
+          iHi = java.util.Arrays.copyOf(iHi, in << 1)
+          iRows = java.util.Arrays.copyOf(iRows, in << 1)
+        }
+        iLo(in) = toLong(boundLo.eval(row)); iHi(in) = toLong(boundHi.eval(row))
+        iRows(in) = row; in += 1
+      }
+      SweepSort.sort2(pKeys, pRows, pn)
+      SweepSort.sort3(iLo, iHi, iRows, in)
 
-      if (pts.isEmpty || ivs.isEmpty) Iterator.empty
+      if (pn == 0 || in == 0) Iterator.empty
       else {
+        val nPts = pn
+        val nIvs = in
         val joined = new JoinedRow
         val pred = extra.map(e =>
           Predicate.create(BindReferences.bindReference(e, outAttrs)))
@@ -483,7 +515,10 @@ case class IntervalStabJoinExec(
           private var pi = 0          // current point
           private var ai = 0          // next interval to arrive
           private var ci = 0          // cursor into active for current point
-          private val active = new java.util.ArrayList[(Long, UnsafeRow)]()
+          // active intervals as parallel grow-arrays (same no-boxing rule)
+          private var activeHi = new Array[Long](64)
+          private var activeRows = new Array[UnsafeRow](64)
+          private var activeN = 0
           private var ready = false   // active prepared for pts(pi)
 
           private def arrives(lo: Long, p: Long): Boolean =
@@ -492,18 +527,28 @@ case class IntervalStabJoinExec(
             if (hiStrict) hi <= p else hi < p
 
           private def prepare(): Unit = {
-            while (!ready && pi < pts.length) {
-              val p = pts(pi)._1
-              while (ai < ivs.length && arrives(ivs(ai)._1, p)) {
-                active.add((ivs(ai)._2, ivs(ai)._3)); ai += 1
+            while (!ready && pi < nPts) {
+              val p = pKeys(pi)
+              while (ai < nIvs && arrives(iLo(ai), p)) {
+                if (activeN == activeHi.length) {
+                  activeHi = java.util.Arrays.copyOf(activeHi, activeN << 1)
+                  activeRows = java.util.Arrays.copyOf(activeRows, activeN << 1)
+                }
+                activeHi(activeN) = iHi(ai); activeRows(activeN) = iRows(ai)
+                activeN += 1; ai += 1
               }
               var r = 0; var w = 0
-              while (r < active.size) {
-                val e = active.get(r)
-                if (!expired(e._1, p)) { active.set(w, e); w += 1 }
+              while (r < activeN) {
+                if (!expired(activeHi(r), p)) {
+                  activeHi(w) = activeHi(r); activeRows(w) = activeRows(r)
+                  w += 1
+                }
                 r += 1
               }
-              while (active.size > w) active.remove(active.size - 1)
+              // release dropped row refs so expired intervals can GC
+              var z = w
+              while (z < activeN) { activeRows(z) = null; z += 1 }
+              activeN = w
               if (w > 0) { ci = 0; ready = true }
               else pi += 1
             }
@@ -511,16 +556,16 @@ case class IntervalStabJoinExec(
 
           override def hasNext: Boolean = {
             if (!ready) prepare()
-            while (ready && ci >= active.size) {
+            while (ready && ci >= activeN) {
               ready = false; pi += 1; prepare()
             }
-            ready && pi < pts.length
+            ready && pi < nPts
           }
 
           override def next(): InternalRow = {
             if (!hasNext) throw new NoSuchElementException
-            val prow = pts(pi)._2
-            val irow = active.get(ci)._2
+            val prow = pRows(pi)
+            val irow = activeRows(ci)
             ci += 1
             if (ptsLeft) joined(prow, irow) else joined(irow, prow)
           }
@@ -533,4 +578,74 @@ case class IntervalStabJoinExec(
       }
     }
   }
+}
+
+/** In-place co-sorts over parallel primitive/ref arrays for the stab-join
+  * sweep buffers — quicksort (median-of-three, insertion below 32) that
+  * swaps the companion arrays alongside the long keys, so sorting N rows
+  * allocates ZERO per-element objects. Unstable, which the sweep tolerates:
+  * equal point keys see identical active sets and equal-lo intervals all
+  * arrive before any point that admits them.
+  */
+private[plans] object SweepSort {
+
+  def sort2(keys: Array[Long], rows: Array[UnsafeRow], n: Int): Unit =
+    qsort(keys, rows, null, 0, n - 1)
+
+  def sort3(lo: Array[Long], hi: Array[Long], rows: Array[UnsafeRow], n: Int): Unit =
+    qsort(lo, rows, hi, 0, n - 1)
+
+  // sorts keys[l..r]; rows swaps alongside; aux (the hi bounds) optionally too
+  @annotation.tailrec
+  private def qsort(keys: Array[Long], rows: Array[UnsafeRow],
+      aux: Array[Long], l: Int, r: Int): Unit = {
+    if (r - l < 32) {
+      var i = l + 1
+      while (i <= r) {
+        val k = keys(i); val rw = rows(i)
+        val a = if (aux != null) aux(i) else 0L
+        var j = i - 1
+        while (j >= l && keys(j) > k) {
+          keys(j + 1) = keys(j); rows(j + 1) = rows(j)
+          if (aux != null) aux(j + 1) = aux(j)
+          j -= 1
+        }
+        keys(j + 1) = k; rows(j + 1) = rw
+        if (aux != null) aux(j + 1) = a
+        i += 1
+      }
+    } else {
+      val m = l + ((r - l) >>> 1)
+      // median-of-three pivot to keep sorted/reverse inputs O(n log n)
+      val pivot = {
+        val a = keys(l); val b = keys(m); val c = keys(r)
+        if (a < b) { if (b < c) b else if (a < c) c else a }
+        else { if (a < c) a else if (b < c) c else b }
+      }
+      var i = l; var j = r
+      while (i <= j) {
+        while (keys(i) < pivot) i += 1
+        while (keys(j) > pivot) j -= 1
+        if (i <= j) {
+          val tk = keys(i); keys(i) = keys(j); keys(j) = tk
+          val tr = rows(i); rows(i) = rows(j); rows(j) = tr
+          if (aux != null) { val ta = aux(i); aux(i) = aux(j); aux(j) = ta }
+          i += 1; j -= 1
+        }
+      }
+      // recurse into the smaller half, iterate the larger (stack-safe)
+      if (j - l < r - i) {
+        if (l < j) qsortCall(keys, rows, aux, l, j)
+        qsort(keys, rows, aux, i, r)
+      } else {
+        if (i < r) qsortCall(keys, rows, aux, i, r)
+        qsort(keys, rows, aux, l, j)
+      }
+    }
+  }
+
+  // non-tailrec trampoline for the smaller half
+  private def qsortCall(keys: Array[Long], rows: Array[UnsafeRow],
+      aux: Array[Long], l: Int, r: Int): Unit =
+    qsort(keys, rows, aux, l, r)
 }

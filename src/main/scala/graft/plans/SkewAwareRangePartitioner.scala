@@ -79,16 +79,32 @@ object SkewAwareRangePartitioner {
     *
     * A key is hot when its estimated row share is at least `hotFactor`
     * average partitions' worth; its split factor is `ceil(share / avg)`,
-    * capped at `targetPartitions`.
+    * capped at the effective partition count.
+    *
+    * `maxRowsPerPartition` bounds the per-task sweep buffer: the reservoir
+    * pass counts the point side EXACTLY (it sums per-partition counts), so
+    * when `total / targetPartitions` exceeds the cap the partition count
+    * GROWS to `ceil(total / cap)` instead of letting each task buffer an
+    * unbounded slice. This is the 100 TB invariant — the sweep materializes
+    * one partition of points per task, so rows-per-partition (not the
+    * session's shuffle-partition setting) is what must stay constant as
+    * data scales. Found the hard way: at the sf10 bracket (60M points),
+    * 32 fixed partitions put ~1.9M buffered rows in each of 32 concurrent
+    * tasks and OOM'd an 8 GB local[32] heap. The sample size stays
+    * 20·targetPartitions, so bounds for a grown count are coarser — that
+    * only affects balance (≥ ~10 samples/bound at the observed growth
+    * factors), and pathological imbalance is what the hot-key table
+    * handles.
     */
   def fromKeys(
       keys: RDD[Long],
       targetPartitions: Int,
-      hotFactor: Double = 2.0): SkewAwareRangePartitioner = {
-    val n = math.max(1, targetPartitions)
-    if (n == 1) return new SkewAwareRangePartitioner(Array.empty, Map.empty)
+      hotFactor: Double = 2.0,
+      maxRowsPerPartition: Long = 1000000L): SkewAwareRangePartitioner = {
+    val n0 = math.max(1, targetPartitions)
+    if (n0 == 1) return new SkewAwareRangePartitioner(Array.empty, Map.empty)
 
-    val sampleSize = math.min(20.0 * n, 1e6)
+    val sampleSize = math.min(20.0 * n0, 1e6)
     val inputParts = math.max(1, keys.getNumPartitions)
     val perPart = math.max(1, math.ceil(3.0 * sampleSize / inputParts).toInt)
     val sketch: Array[(Long, Array[Long])] =
@@ -114,6 +130,12 @@ object SkewAwareRangePartitioner {
 
     val total = sketch.map(_._1).sum.toDouble
     if (total == 0) return new SkewAwareRangePartitioner(Array.empty, Map.empty)
+
+    // grow the partition count when the requested one would overshoot the
+    // per-task buffer cap (see scaladoc); 16384 is a runaway backstop, two
+    // orders past any corpus this repo benches
+    val n = math.min(16384, math.max(n0,
+      math.ceil(total / math.max(1L, maxRowsPerPartition).toDouble).toInt))
 
     // weight = rows each sampled key stands for in its input partition
     val weighted: Array[(Long, Double)] = sketch.flatMap { case (cnt, ks) =>
