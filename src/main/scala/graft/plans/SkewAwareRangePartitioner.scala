@@ -102,8 +102,12 @@ object SkewAwareRangePartitioner {
       hotFactor: Double = 2.0,
       maxRowsPerPartition: Long = 1000000L): SkewAwareRangePartitioner = {
     val n0 = math.max(1, targetPartitions)
-    if (n0 == 1) return new SkewAwareRangePartitioner(Array.empty, Map.empty)
-
+    // no n0 == 1 short-circuit: even a single requested partition must go
+    // through the exact count below so `maxRowsPerPartition` can still GROW
+    // the partition count — a session with shuffle.partitions=1 would
+    // otherwise buffer the whole point side in one task (r15 ADVICE). When
+    // total <= cap the bounds loop yields n-1 = 0 bounds, i.e. the same
+    // single-partition result the old early return produced.
     val sampleSize = math.min(20.0 * n0, 1e6)
     val inputParts = math.max(1, keys.getNumPartitions)
     val perPart = math.max(1, math.ceil(3.0 * sampleSize / inputParts).toInt)

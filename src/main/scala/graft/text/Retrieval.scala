@@ -160,6 +160,19 @@ object Retrieval {
     val byTerm = postings.groupBy("term_id")
       .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
       .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // the term_id space is an implicit contract with the postingTf frame
+    // the caller built: ids index `terms.distinct.sorted`. A caller that
+    // passes a DIFFERENT term list than the one that built the postings
+    // would silently mis-attribute df/cf — fail loudly instead (r15
+    // ADVICE). Ids >= allTerms.length prove the lists diverged; equal
+    // lengths with reordered terms are not detectable here, which is why
+    // [[postingTf]] and this method both canonicalize via distinct.sorted.
+    byTerm.keys.find(id => id < 0 || id >= allTerms.length).foreach { id =>
+      throw new IllegalArgumentException(
+        s"statsFromPostings: postings frame has term_id=$id outside the " +
+          s"${allTerms.length}-term dictionary derived from `terms` — the " +
+          "postings were built from a different term list")
+    }
     val row = docs.agg(count(lit(1)).as("n"),
       sum(size(TextOps.whitespaceTokens(col(textCol))).cast("long")).as("tot"))
       .head()

@@ -1721,35 +1721,70 @@ object TextQueries {
   private val hnswDumpMemo =
     scala.collection.concurrent.TrieMap.empty[(String, String), Array[Ann.HnswShardDump]]
 
-  /** name:size:mtime for every regular file under the dir's embeddings
-    * parquet (or the file itself), sorted — a cheap, deterministic proxy
-    * for "did anyone rewrite this data". Parquet writers always produce
-    * new part files (new names/mtimes), so any overwrite changes the
-    * print; hash collisions are not a concern because the raw listing is
-    * the key component, not a digest.
+  /** name:size:mtime:tailCrc for every regular file under the dir's
+    * embeddings parquet (or the file itself), sorted — a cheap,
+    * deterministic proxy for "did anyone rewrite this data". Parquet
+    * writers always produce new part files (new names/mtimes), so any
+    * overwrite changes the print; the tail CRC (last 64 bytes — the
+    * parquet footer, which encodes row counts and column stats) breaks
+    * the residual alias where an in-place rewrite lands the same sizes
+    * within mtime granularity (r15 verdict note).
+    *
+    * Returns None for a dir java.nio cannot resolve (hdfs://, s3a://
+    * schemes): the old code hashed every such state to the same
+    * `absent:` constant, silently re-enabling the stale-dump replay this
+    * key exists to prevent (r15 ADVICE). None tells the caller "do not
+    * memoize". `file:` URIs are local and are stripped to their path.
     */
-  private[graft] def embeddingsFingerprint(d: String): String = {
-    val root = java.nio.file.Paths.get(d, "embeddings.parquet")
-    if (!java.nio.file.Files.exists(root)) s"absent:$root"
+  private[graft] def embeddingsFingerprint(d: String): Option[String] = {
+    val scheme = "^([A-Za-z][A-Za-z0-9+.\\-]*)://".r
+    val local = scheme.findFirstMatchIn(d) match {
+      case Some(m) if m.group(1).equalsIgnoreCase("file") => d.substring(m.end)
+      case Some(_) => return None
+      case None => d
+    }
+    val root = java.nio.file.Paths.get(local, "embeddings.parquet")
+    if (!java.nio.file.Files.exists(root)) Some(s"absent:$root")
     else {
       val s = java.nio.file.Files.walk(root)
       try {
         import scala.jdk.CollectionConverters._
-        s.iterator().asScala
+        Some(s.iterator().asScala
           .filter(java.nio.file.Files.isRegularFile(_))
-          .map(p => s"${root.relativize(p)}:${java.nio.file.Files.size(p)}:" +
-            s"${java.nio.file.Files.getLastModifiedTime(p).toMillis}")
-          .toSeq.sorted.mkString("|")
+          .map { p =>
+            val size = java.nio.file.Files.size(p)
+            val tail = {
+              val n = math.min(64L, size).toInt
+              val ch = java.nio.file.Files.newByteChannel(p)
+              try {
+                ch.position(size - n)
+                val buf = java.nio.ByteBuffer.allocate(n)
+                while (buf.hasRemaining && ch.read(buf) >= 0) {}
+                val crc = new java.util.zip.CRC32()
+                crc.update(buf.array(), 0, buf.position())
+                crc.getValue
+              } finally ch.close()
+            }
+            s"${root.relativize(p)}:$size:" +
+              s"${java.nio.file.Files.getLastModifiedTime(p).toMillis}:$tail"
+          }
+          .toSeq.sorted.mkString("|"))
       } finally s.close()
     }
   }
 
   /** The memoized oracle dump for the embeddings under `d` — rebuilds iff
     * the content fingerprint changed since the last build in this JVM.
+    * An unfingerprintable dir (remote scheme → [[embeddingsFingerprint]]
+    * None) falls back to an unmemoized rebuild: correct every time, just
+    * without the cache.
     */
   private[graft] def hnswDumpFor(s: org.apache.spark.sql.SparkSession,
       d: String, emb: DataFrame): Array[Ann.HnswShardDump] = {
-    val fp = embeddingsFingerprint(d)
+    val fp = embeddingsFingerprint(d) match {
+      case None => return Ann.hnswIndexDump(emb, "vec_id", "embedding")
+      case Some(f) => f
+    }
     val dump = hnswDumpMemo.getOrElseUpdate((d, fp),
       Ann.hnswIndexDump(emb, "vec_id", "embedding"))
     // evict superseded prints for the same dir (bounded memo: one live

@@ -220,6 +220,23 @@ class IntervalStabJoinSpec extends SparkSpec with BeforeAndAfterAll {
     assert(flat.hotKeys.isEmpty && flat.numPartitions == flat.basePartitions)
   }
 
+  test("targetPartitions=1 still grows past the rows-per-partition cap") {
+    // r15 ADVICE: the old n0==1 early return ran before the exact count,
+    // so a session with shuffle.partitions=1 buffered the entire point
+    // side in one task — the unbounded-buffer OOM the cap exists to
+    // prevent. Growth must apply regardless of the requested count.
+    val keys = spark.sparkContext.parallelize(0L until 50000L, 8)
+    val grown = SkewAwareRangePartitioner.fromKeys(
+      keys, 1, maxRowsPerPartition = 10000L)
+    assert(grown.numPartitions >= 5,
+      s"cap must grow a 1-partition request: got ${grown.numPartitions}")
+    // under the cap a single requested partition stays single (the old
+    // early-return behavior, now produced by the zero-bounds walk)
+    val single = SkewAwareRangePartitioner.fromKeys(
+      spark.sparkContext.parallelize(0L until 100L, 2), 1)
+    assert(single.numPartitions == 1 && single.hotKeys.isEmpty)
+  }
+
   test("equi-join predicates are left to Catalyst") {
     val (pts, ivs) = randomData(6, 50, 30, 10)
     val plan = pts.join(ivs,

@@ -59,6 +59,37 @@ class HnswDumpMemoSpec extends SparkSpec {
 
   test("fingerprint handles an absent embeddings table") {
     val dir = java.nio.file.Files.createTempDirectory("hnsw_memo_absent").toString
-    assert(TextQueries.embeddingsFingerprint(dir).startsWith("absent:"))
+    assert(TextQueries.embeddingsFingerprint(dir).exists(_.startsWith("absent:")))
+  }
+
+  test("non-local schemes are unfingerprintable (None), never a constant") {
+    // r15 ADVICE: hdfs:// resolved to a nonexistent LOCAL path, so every
+    // remote state hashed to the same 'absent:' constant and the memo
+    // silently replayed stale dumps. Now: None -> caller skips the memo.
+    assert(TextQueries.embeddingsFingerprint("hdfs://nn:8020/warehouse/sf1").isEmpty)
+    assert(TextQueries.embeddingsFingerprint("s3a://bucket/prefix").isEmpty)
+    // file: IS local — strip the scheme and fingerprint the path
+    val dir = java.nio.file.Files.createTempDirectory("hnsw_memo_file").toString
+    writeEmbeddings(dir, seed = 7)
+    val viaUri = TextQueries.embeddingsFingerprint(s"file://$dir")
+    assert(viaUri.isDefined && viaUri == TextQueries.embeddingsFingerprint(dir))
+  }
+
+  test("in-place rewrite with identical sizes and mtimes still changes the print") {
+    // the r15 verdict's residual-alias note: same file name, same length,
+    // same mtime, different bytes — the tail CRC must discriminate.
+    val dir = java.nio.file.Files.createTempDirectory("hnsw_memo_alias").toString
+    val root = java.nio.file.Paths.get(dir, "embeddings.parquet")
+    java.nio.file.Files.createDirectories(root)
+    val f = root.resolve("part-00000")
+    val t = java.nio.file.attribute.FileTime.fromMillis(1700000000000L)
+    java.nio.file.Files.write(f, Array.fill[Byte](128)(1))
+    java.nio.file.Files.setLastModifiedTime(f, t)
+    val fp1 = TextQueries.embeddingsFingerprint(dir)
+    java.nio.file.Files.write(f, Array.fill[Byte](128)(2))
+    java.nio.file.Files.setLastModifiedTime(f, t)
+    val fp2 = TextQueries.embeddingsFingerprint(dir)
+    assert(fp1.isDefined && fp2.isDefined && fp1 != fp2,
+      "tail CRC must break the size+mtime alias")
   }
 }

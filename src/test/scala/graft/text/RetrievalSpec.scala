@@ -33,6 +33,27 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("statsFromPostings rejects a postings frame built from other terms") {
+    // r15 ADVICE: term_id -> term is an implicit contract with the
+    // postingTf frame the caller passes; a diverged term list must fail
+    // loudly, not silently mis-attribute df/cf.
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "beta beta delta"))
+      .toDF("doc_id", "text")
+    val wide = Retrieval.postingTf(docs, "doc_id", "text",
+      Seq("alpha", "beta", "delta", "gamma"))
+    val err = intercept[IllegalArgumentException] {
+      Retrieval.statsFromPostings(docs, "text", wide, Seq("alpha", "beta"))
+    }
+    assert(err.getMessage.contains("different term list"))
+    // the matched contract still works and agrees with observedStats
+    val terms = Seq("beta", "alpha")
+    val post = Retrieval.postingTf(docs, "doc_id", "text",
+      terms.distinct.sorted)
+    val a = Retrieval.statsFromPostings(docs, "text", post, terms)
+    val b = Retrieval.observedStats(docs, "doc_id", "text", terms)
+    assert(a == b)
+  }
+
   test("ranking: term-dense docs beat term-free docs; ties break to lower id") {
     val docs = Seq(
       (1L, "dup dup spark window filter"),   // all three terms, dense
