@@ -373,6 +373,23 @@ case class IntervalStabJoinExec(
       .setSerializer(new org.apache.spark.serializer.KryoSerializer(
         sparkContext.getConf))
 
+  /** Whether map-side rows must be defensively copied before the shuffle —
+    * `ShuffleExchangeExec.needToCopyObjectsBeforeShuffle`'s rule applied to
+    * this RDD shuffle. With ≤ bypassMergeThreshold partitions the bypass
+    * writer streams each record straight through the serializer; above it,
+    * our Kryo serializer relocates serialized objects so the serialized
+    * (Tungsten) writer is chosen and records are likewise serialized the
+    * moment `write` receives them. In both regimes no writer retains a
+    * deserialized reference, so the projection's reused buffer can be
+    * handed over copy-free. Only the leftover regime — more partitions
+    * than both thresholds, or a Kryo registrator that disabled autoReset —
+    * buffers deserialized rows (SortShuffleWriter) and needs the copy.
+    * The copy was ~60M allocations at the sf10 bracket: 25–40% of j1 wall
+    * went to GC (r15 verdict watch item).
+    */
+  private def mustCopyBeforeShuffle(numParts: Int): Boolean =
+    IntervalStabJoinExec.mustCopyBeforeShuffle(sparkContext.getConf, numParts)
+
   private def toLong(v: Any): Long = v match {
     case l: Long => l
     case i: Int => i.toLong
@@ -415,7 +432,19 @@ case class IntervalStabJoinExec(
           if (k == null) Iterator.empty else Iterator.single(toLong(k))
         }
       }
-    val rp = SkewAwareRangePartitioner.fromKeys(keysOnly, numParts)
+    // 256k default cap (was 1M): the sweep buffers one partition of points
+    // per task, so resident bytes ≈ cap × concurrent tasks × row footprint.
+    // At the sf10 bracket (60M points, 32-way local) the 1M cap buffered
+    // ~3.5-4.5 GB across concurrent tasks and OOM'd a standalone 8 GB
+    // heap; 256k holds ~1 GB resident with identical results — the grown
+    // partition count (≈240 at sf10) just means smaller, safer tasks, and
+    // past the bypass threshold the serialized Kryo writer keeps the map
+    // side copy-free. Overridable per session for clusters with more
+    // memory per core.
+    val capRows = conf.getConfString(
+      "spark.graft.stabJoin.maxRowsPerPartition", "262144").toLong
+    val rp = SkewAwareRangePartitioner.fromKeys(keysOnly, numParts,
+      maxRowsPerPartition = capRows)
     val n = math.max(1, rp.numPartitions)
     val idPart = new Partitioner {
       override def numPartitions: Int = n
@@ -424,7 +453,11 @@ case class IntervalStabJoinExec(
 
     // points carry their DESTINATION partition id: a hot key fans out over
     // its sub-partitions by row-content hash (deterministic — retry-safe),
-    // so one hot point key can no longer form a straggler partition
+    // so one hot point key can no longer form a straggler partition.
+    // needCopy is almost always false (see mustCopyBeforeShuffle): the
+    // shuffle writer serializes each record on receipt, so the
+    // projection's reused buffer goes over copy-free.
+    val needCopy = mustCopyBeforeShuffle(n)
     val ptsKeyed: RDD[(Int, UnsafeRow)] =
       pointsPlan.execute().mapPartitions { it =>
         val proj = UnsafeProjection.create(ptsOutput, ptsOutput)
@@ -432,7 +465,8 @@ case class IntervalStabJoinExec(
           val k = boundPoint.eval(r)
           if (k == null) Iterator.empty
           else {
-            val row = proj(r).copy()
+            val row0 = proj(r)
+            val row = if (needCopy) row0.copy() else row0
             Iterator.single((rp.pointPartition(toLong(k), row.hashCode), row))
           }
         }
@@ -449,7 +483,10 @@ case class IntervalStabJoinExec(
           val l = toLong(lo); val h = toLong(hi)
           if (h < l) Iterator.empty
           else {
-            val row = proj(r).copy()
+            val row0 = proj(r)
+            // the cover fan-out reuses ONE row across destinations; each
+            // (p, row) pair is serialized before the next is pulled
+            val row = if (needCopy) row0.copy() else row0
             rp.intervalCover(l, h).map(p => (p, row))
           }
         }
@@ -587,6 +624,25 @@ case class IntervalStabJoinExec(
   * equal point keys see identical active sets and equal-lo intervals all
   * arrive before any point that admits them.
   */
+object IntervalStabJoinExec {
+  /** The copy decision, static so the regimes are unit-testable: copy only
+    * when neither stream-through writer applies (see the instance method's
+    * scaladoc for the writer-selection reasoning).
+    */
+  private[plans] def mustCopyBeforeShuffle(
+      conf: org.apache.spark.SparkConf, numParts: Int): Boolean = {
+    val bypass = conf.getInt("spark.shuffle.sort.bypassMergeThreshold", 200)
+    if (numParts <= bypass) false
+    else {
+      val kryoRelocates = org.apache.spark.serializer.GraftSerializerBridge
+        .supportsRelocation(
+          new org.apache.spark.serializer.KryoSerializer(conf))
+      // 2^24: SortShuffleManager.MAX_SHUFFLE_OUTPUT_PARTITIONS_FOR_SERIALIZED_MODE
+      !(kryoRelocates && numParts <= (1 << 24))
+    }
+  }
+}
+
 private[plans] object SweepSort {
 
   def sort2(keys: Array[Long], rows: Array[UnsafeRow], n: Int): Unit =

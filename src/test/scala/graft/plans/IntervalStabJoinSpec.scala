@@ -237,6 +237,29 @@ class IntervalStabJoinSpec extends SparkSpec with BeforeAndAfterAll {
     assert(single.numPartitions == 1 && single.hotKeys.isEmpty)
   }
 
+  test("map-side copy is skipped exactly when a stream-through writer applies") {
+    // r15 verdict watch item: the per-row copy before the shuffle was
+    // 25-40% of j1's sf10 wall in GC. It is safe to skip whenever the
+    // writer serializes records on receipt: bypass (<= threshold) or the
+    // serialized Kryo shuffle (relocation + <= 2^24 partitions). All the
+    // differential tests in this suite run copy-free through the bypass
+    // regime; this pins the decision table itself.
+    val conf = new org.apache.spark.SparkConf()
+    assert(!IntervalStabJoinExec.mustCopyBeforeShuffle(conf, 32))
+    assert(!IntervalStabJoinExec.mustCopyBeforeShuffle(conf, 200))
+    // above bypass: default Kryo relocates -> serialized writer -> no copy
+    assert(!IntervalStabJoinExec.mustCopyBeforeShuffle(conf, 201))
+    assert(!IntervalStabJoinExec.mustCopyBeforeShuffle(conf, 16384))
+    // past the serialized-mode partition limit nothing streams -> copy
+    assert(IntervalStabJoinExec.mustCopyBeforeShuffle(conf, (1 << 24) + 1))
+    // a conf that shrinks the bypass threshold moves the boundary
+    val tight = new org.apache.spark.SparkConf()
+      .set("spark.shuffle.sort.bypassMergeThreshold", "1")
+    assert(!IntervalStabJoinExec.mustCopyBeforeShuffle(tight, 1))
+    assert(!IntervalStabJoinExec.mustCopyBeforeShuffle(tight, 2),
+      "Kryo relocation keeps the serialized writer available above bypass")
+  }
+
   test("equi-join predicates are left to Catalyst") {
     val (pts, ivs) = randomData(6, 50, 30, 10)
     val plan = pts.join(ivs,
