@@ -30,6 +30,41 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // r15 verdict ask #1: the builder's in-round run and the driver's
+    // graded run of the SAME code disagreed on spill (34 GB vs 0) and sf1
+    // bands (≤1.9× vs 3.15×) two rounds straight, and nothing in the
+    // artifact could say why. This stanza makes two bench JSONs
+    // comparable: heap, host memory headroom, shuffle-local-dir free
+    // space, and the 1-min load average at start/end (concurrent driver
+    // work — suite, verify, leakcheck — is the leading suspect for both
+    // the spill flip and the band).
+    def loadAvg1m(): Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val benchStartLoad = loadAvg1m()
+    def envJson(): String = {
+      val rt = Runtime.getRuntime
+      val (physTotalMb, physFreeMb) =
+        java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+          case x: com.sun.management.OperatingSystemMXBean =>
+            (x.getTotalMemorySize / 1048576, x.getFreeMemorySize / 1048576)
+          case _ => (-1L, -1L)
+        }
+      import scala.jdk.CollectionConverters._
+      val gcNames = java.lang.management.ManagementFactory
+        .getGarbageCollectorMXBeans.asScala.map(_.getName).mkString("+")
+      val localDir = spark.conf.getOption("spark.local.dir")
+        .getOrElse(System.getProperty("java.io.tmpdir"))
+      val localFreeGb =
+        new java.io.File(localDir).getUsableSpace / (1L << 30)
+      f"""{"max_heap_mb":${rt.maxMemory / 1048576},"jvm_cpus":${rt.availableProcessors},""" +
+        f""""spark_cpus":"$cpus","shuffle_partitions":"${spark.conf.get("spark.sql.shuffle.partitions")}",""" +
+        f""""host_mem_total_mb":$physTotalMb,"host_mem_free_mb":$physFreeMb,""" +
+        f""""local_dir":"$localDir","local_dir_free_gb":$localFreeGb,""" +
+        f""""gc":"$gcNames","java":"${System.getProperty("java.version")}",""" +
+        f""""spark":"${spark.version}","load_1m_start":$benchStartLoad%.2f,""" +
+        f""""load_1m_end":${loadAvg1m()}%.2f,"wall_clock_utc":"${java.time.Instant.now()}"}"""
+    }
+
     // warmup: exercise parquet read, shuffle, and codegen paths untimed
     spark.range(1000000).selectExpr("sum(id)").collect()
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
@@ -282,6 +317,10 @@ object Bench {
             var peakMax = 0L
             var spillMax = 0L
             val gcSecs = scala.collection.mutable.ArrayBuffer.empty[Double]
+            // per-run 1-min load average (sampled at run end): lets a band
+            // be attributed to concurrent host work — the leading suspect
+            // for the r15 in-round/graded artifact mismatch
+            val loads = scala.collection.mutable.ArrayBuffer.empty[Double]
             val runs = (1 to 3).map { _ =>
               peak = 0L; spill = 0L
               // r12 memo-efficacy row: the encode kernel's per-executor
@@ -298,6 +337,7 @@ object Bench {
                 .write.format("noop").mode("overwrite").save()
               val sec = (System.nanoTime() - t0) / 1e9
               gcSecs += (gcMillis() - gc0) / 1e3
+              loads += loadAvg1m()
               // listener events are queued on a private bus with no flush
               // API; the noop save is synchronous and the bus drains in ms
               Thread.sleep(500)
@@ -313,7 +353,8 @@ object Bench {
             }
             val runsJson = runs.map(s => f"$s%.3f").mkString("[", ",", "]")
             val gcJson = gcSecs.map(s => f"$s%.3f").mkString("[", ",", "]")
-            f""""$name":{"sec":${runs.min}%.3f,"sec_max":${runs.max}%.3f,"runs_sec":$runsJson,"runs_gc_sec":$gcJson,"peak_task_mb":${peakMax / 1048576},"spill_mb":${spillMax / 1048576}$memo}"""
+            val loadJson = loads.map(s => f"$s%.2f").mkString("[", ",", "]")
+            f""""$name":{"sec":${runs.min}%.3f,"sec_max":${runs.max}%.3f,"runs_sec":$runsJson,"runs_gc_sec":$gcJson,"runs_load_1m":$loadJson,"peak_task_mb":${peakMax / 1048576},"spill_mb":${spillMax / 1048576}$memo}"""
           }.mkString(",") + persistedBm25Row(sf1Dir, gcMillis _,
             () => (peak, spill), () => { peak = 0L; spill = 0L })
         } finally spark.sparkContext.removeSparkListener(listener)
@@ -413,6 +454,7 @@ object Bench {
             var peakMax = 0L
             var spillMax = 0L
             val gcSecs = scala.collection.mutable.ArrayBuffer.empty[Double]
+            val loads = scala.collection.mutable.ArrayBuffer.empty[Double]
             val runs = (1 to 2).map { _ =>
               peak = 0L; spill = 0L
               val gc0 = gcMillis()
@@ -421,6 +463,7 @@ object Bench {
                 .write.format("noop").mode("overwrite").save()
               val sec = (System.nanoTime() - t0) / 1e9
               gcSecs += (gcMillis() - gc0) / 1e3
+              loads += loadAvg1m()
               Thread.sleep(500)
               peakMax = math.max(peakMax, peak)
               spillMax = math.max(spillMax, spill)
@@ -429,7 +472,8 @@ object Bench {
             }
             val runsJson = runs.map(s => f"$s%.3f").mkString("[", ",", "]")
             val gcJson = gcSecs.map(s => f"$s%.3f").mkString("[", ",", "]")
-            f""""$name":{"sec":${runs.min}%.3f,"sec_max":${runs.max}%.3f,"runs_sec":$runsJson,"runs_gc_sec":$gcJson,"peak_task_mb":${peakMax / 1048576},"spill_mb":${spillMax / 1048576}}"""
+            val loadJson = loads.map(s => f"$s%.2f").mkString("[", ",", "]")
+            f""""$name":{"sec":${runs.min}%.3f,"sec_max":${runs.max}%.3f,"runs_sec":$runsJson,"runs_gc_sec":$gcJson,"runs_load_1m":$loadJson,"peak_task_mb":${peakMax / 1048576},"spill_mb":${spillMax / 1048576}}"""
           }.mkString(",")
         } finally spark.sparkContext.removeSparkListener(listener)
         f"""{"dir":"$sf10Dir","timing":"best_of_2","route_stats":{"n_docs":${rs.nDocs},"dup_ratio":${rs.dupRatio}%.4f,"use_routed":${rs.useRouted()},"sec":$rsSec%.3f},"queries":{$rowsJson}}"""
@@ -591,12 +635,29 @@ object Bench {
     val duckQs = duck.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val duckTotal = duck.valuesIterator.filter(_ >= 0).sum
+    // r15 verdict ask #5: a DuckDB twin that fails or exceeds its cap
+    // reports -1 and silently vanished from duckdb_total_sec while its
+    // Spark seconds still counted — the headline ratio's denominator
+    // quietly lost queries. Surface the exclusions, and report both
+    // totals over the INTERSECTION (queries with a valid number on both
+    // sides) so the comparable ratio is first-class in the artifact.
+    val duckExcluded = duck.collect { case (n, s) if s < 0 => n }.toSeq.sorted
+    val intersect = results.collect {
+      case (n, s, false) if duck.get(n).exists(_ >= 0) => (s, duck(n))
+    }
+    val sparkIntersectTotal = intersect.map(_._1).sum
+    val duckIntersectTotal = intersect.map(_._2).sum
+    val duckExcludedJson =
+      duckExcluded.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","timing":"best_of_3","queries":$qs,"failed":$failedList,""" +
         s""""queries_duckdb":$duckQs,"duckdb_total_sec":$duckTotal,""" +
+        s""""duckdb_excluded":$duckExcludedJson,""" +
+        s""""intersection":{"n":${intersect.length},"spark_sec":$sparkIntersectTotal,"duckdb_sec":$duckIntersectTotal},""" +
         s""""scan_bp_per_sec":$bpPerSec,"scan_sec":$scanSec,"scan_timing":"best_of_3",""" +
         s""""skew_join_skewed_sec":$skewSec,"skew_join_uniform_sec":$unifSec,""" +
-        s""""sf1_envelope":$sf1Json,"sf10_envelope":$sf10Json,"pretrain":$pretrainJson,"sf":"$sfDir"}"""
+        s""""sf1_envelope":$sf1Json,"sf10_envelope":$sf10Json,"pretrain":$pretrainJson,""" +
+        s""""env":${envJson()},"sf":"$sfDir"}"""
     println(line)
     // the driver's BENCH_r*.json tail-capture truncates the per-query map;
     // the full line also lands in a file so nothing is lost per round
