@@ -27,6 +27,13 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // 20× the default bus queue (10k events): under concurrent host
+      // load the async listener bus sheds events, which silently zeroes
+      // the spill/peak aggregates the envelope rows report — the prime
+      // suspect for the r15 in-round (34 GB spill) vs graded (0) flip.
+      // Headroom plus the dropped-events counter in the env stanza makes
+      // the aggregates trustworthy or visibly not.
+      .config("spark.scheduler.listenerbus.eventqueue.capacity", "200000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -62,7 +69,10 @@ object Bench {
         f""""local_dir":"$localDir","local_dir_free_gb":$localFreeGb,""" +
         f""""gc":"$gcNames","java":"${System.getProperty("java.version")}",""" +
         f""""spark":"${spark.version}","load_1m_start":$benchStartLoad%.2f,""" +
-        f""""load_1m_end":${loadAvg1m()}%.2f,"wall_clock_utc":"${java.time.Instant.now()}"}"""
+        f""""load_1m_end":${loadAvg1m()}%.2f,""" +
+        f""""listener_dropped_events":${org.apache.spark.GraftListenerBridge
+          .droppedEvents(spark.sparkContext)},""" +
+        f""""wall_clock_utc":"${java.time.Instant.now()}"}"""
     }
 
     // warmup: exercise parquet read, shuffle, and codegen paths untimed
@@ -321,8 +331,13 @@ object Bench {
             // be attributed to concurrent host work — the leading suspect
             // for the r15 in-round/graded artifact mismatch
             val loads = scala.collection.mutable.ArrayBuffer.empty[Double]
+            // bus-shed events per run: nonzero means this run's spill/peak
+            // aggregates are undercounts (see the session-builder note)
+            val drops = scala.collection.mutable.ArrayBuffer.empty[Long]
             val runs = (1 to 3).map { _ =>
               peak = 0L; spill = 0L
+              val drop0 = org.apache.spark.GraftListenerBridge
+                .droppedEvents(spark.sparkContext)
               // r12 memo-efficacy row: the encode kernel's per-executor
               // word memo claims Zipf hit-rate ≈ 1; measure it at sf1 so a
               // corpus-shape change that defeats the memo (high-entropy
@@ -341,6 +356,8 @@ object Bench {
               // listener events are queued on a private bus with no flush
               // API; the noop save is synchronous and the bus drains in ms
               Thread.sleep(500)
+              drops += org.apache.spark.GraftListenerBridge
+                .droppedEvents(spark.sparkContext) - drop0
               peakMax = math.max(peakMax, peak)
               spillMax = math.max(spillMax, spill)
               spark.catalog.clearCache(); System.gc()
@@ -354,7 +371,8 @@ object Bench {
             val runsJson = runs.map(s => f"$s%.3f").mkString("[", ",", "]")
             val gcJson = gcSecs.map(s => f"$s%.3f").mkString("[", ",", "]")
             val loadJson = loads.map(s => f"$s%.2f").mkString("[", ",", "]")
-            f""""$name":{"sec":${runs.min}%.3f,"sec_max":${runs.max}%.3f,"runs_sec":$runsJson,"runs_gc_sec":$gcJson,"runs_load_1m":$loadJson,"peak_task_mb":${peakMax / 1048576},"spill_mb":${spillMax / 1048576}$memo}"""
+            val dropJson = drops.mkString("[", ",", "]")
+            f""""$name":{"sec":${runs.min}%.3f,"sec_max":${runs.max}%.3f,"runs_sec":$runsJson,"runs_gc_sec":$gcJson,"runs_load_1m":$loadJson,"runs_dropped_events":$dropJson,"peak_task_mb":${peakMax / 1048576},"spill_mb":${spillMax / 1048576}$memo}"""
           }.mkString(",") + persistedBm25Row(sf1Dir, gcMillis _,
             () => (peak, spill), () => { peak = 0L; spill = 0L })
         } finally spark.sparkContext.removeSparkListener(listener)
@@ -455,8 +473,11 @@ object Bench {
             var spillMax = 0L
             val gcSecs = scala.collection.mutable.ArrayBuffer.empty[Double]
             val loads = scala.collection.mutable.ArrayBuffer.empty[Double]
+            val drops = scala.collection.mutable.ArrayBuffer.empty[Long]
             val runs = (1 to 2).map { _ =>
               peak = 0L; spill = 0L
+              val drop0 = org.apache.spark.GraftListenerBridge
+                .droppedEvents(spark.sparkContext)
               val gc0 = gcMillis()
               val t0 = System.nanoTime()
               SparkEntry.queries(name)(spark, sf10Dir)
@@ -465,6 +486,8 @@ object Bench {
               gcSecs += (gcMillis() - gc0) / 1e3
               loads += loadAvg1m()
               Thread.sleep(500)
+              drops += org.apache.spark.GraftListenerBridge
+                .droppedEvents(spark.sparkContext) - drop0
               peakMax = math.max(peakMax, peak)
               spillMax = math.max(spillMax, spill)
               spark.catalog.clearCache(); System.gc()
@@ -473,7 +496,8 @@ object Bench {
             val runsJson = runs.map(s => f"$s%.3f").mkString("[", ",", "]")
             val gcJson = gcSecs.map(s => f"$s%.3f").mkString("[", ",", "]")
             val loadJson = loads.map(s => f"$s%.2f").mkString("[", ",", "]")
-            f""""$name":{"sec":${runs.min}%.3f,"sec_max":${runs.max}%.3f,"runs_sec":$runsJson,"runs_gc_sec":$gcJson,"runs_load_1m":$loadJson,"peak_task_mb":${peakMax / 1048576},"spill_mb":${spillMax / 1048576}}"""
+            val dropJson = drops.mkString("[", ",", "]")
+            f""""$name":{"sec":${runs.min}%.3f,"sec_max":${runs.max}%.3f,"runs_sec":$runsJson,"runs_gc_sec":$gcJson,"runs_load_1m":$loadJson,"runs_dropped_events":$dropJson,"peak_task_mb":${peakMax / 1048576},"spill_mb":${spillMax / 1048576}}"""
           }.mkString(",")
         } finally spark.sparkContext.removeSparkListener(listener)
         f"""{"dir":"$sf10Dir","timing":"best_of_2","route_stats":{"n_docs":${rs.nDocs},"dup_ratio":${rs.dupRatio}%.4f,"use_routed":${rs.useRouted()},"sec":$rsSec%.3f},"queries":{$rowsJson}}"""

@@ -288,7 +288,15 @@ object Dedup {
     val tagged = gridTagged(postings, "s", "doc_id",
       hotKeys(postings, "s", "doc_id", cap, sampleMod))
     val capL = cap
-    tagged
+    // the candidate stream carries BARE (d1, d2): per-doc sizes are
+    // functional on the id, so shipping n1/n2 through the Σc² candidate
+    // exchange+aggregate doubled its row width for no information — at
+    // sf1 that aggregate spills ~34 GB/run (the exact tier's entire
+    // variance story, r16); halving the row is the one lever that
+    // shrinks it without touching the exact semantics. Sizes re-attach
+    // AFTER the count via two broadcast joins against the doc-count-sized
+    // (never candidate-sized) size dim.
+    val counted = tagged
       .select(col("s"), col("gci"), col("gcj"), col("gblk"),
         col("doc_id"), col("n"), col("is_new"))
       .as[(Long, Int, Int, Int, Long, Long, Boolean)]
@@ -300,7 +308,7 @@ object Dedup {
           requireBounded(members.length, capL)
           java.util.Arrays.sort(members,
             Ordering.by[(Long, Long, Boolean), Long](_._1))
-          incrementalPairs(members)
+          incrementalPairs(members).map(p => (p._1, p._3))
         } else {
           val aB = Array.newBuilder[(Long, Long, Boolean)]
           val bB = Array.newBuilder[(Long, Long, Boolean)]
@@ -310,11 +318,16 @@ object Dedup {
             m += 1
           }
           requireBounded(m, capL)
-          crossPairs(aB.result(), bB.result())
+          crossPairs(aB.result(), bB.result()).map(p => (p._1, p._3))
         }
       }
-      .toDF("d1", "n1", "d2", "n2")
-      .groupBy("d1", "d2", "n1", "n2").agg(count(lit(1)).as("inter"))
+      .toDF("d1", "d2")
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+    val sizes = hashed.select(col("doc_id"), col("n").cast("long").as("n"))
+    counted
+      .join(broadcast(sizes.select(col("doc_id").as("d1"), col("n").as("n1"))), "d1")
+      .join(broadcast(sizes.select(col("doc_id").as("d2"), col("n").as("n2"))), "d2")
+      .select("d1", "d2", "n1", "n2", "inter")
   }
 
   /** The shared Jaccard threshold tail: threshold on the RAW ratio (same

@@ -1,0 +1,57 @@
+package graft.text
+
+/** Dev-only probe: the dup-heavy 10× bracket (r15 verdict ask #3) — the
+  * auto-router's decision and the exact/routed arms on a corpus where
+  * dedup actually has work (dup_ratio ~0.8), plus the 10× ANN point.
+  * Bench-envelope measurement shape.
+  */
+object Sf10DupProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[32]").config("spark.sql.shuffle.partitions", 32)
+      .config("spark.scheduler.listenerbus.eventqueue.capacity", "200000")
+      .appName("sf10dup").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF10DUP_DIR", "/tmp/sf10dup")
+    @volatile var spill = 0L
+    @volatile var peak = 0L
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) {
+          spill += m.memoryBytesSpilled + m.diskBytesSpilled
+          peak = math.max(peak, m.peakExecutionMemory)
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    def gcMillis(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+    }
+    val t0r = System.nanoTime()
+    val rs = Dedup.routeStats(graft.Tables.documents(spark, d), "text")
+    println(f"ROUTE n_docs=${rs.nDocs} dup_ratio=${rs.dupRatio}%.4f " +
+      f"use_routed=${rs.useRouted()} sec=${(System.nanoTime() - t0r) / 1e9}%.2f")
+    val names = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+      .map(_.split(",").toSeq)
+      .getOrElse(Seq("dd_canonical_auto", "dd_canonical_routed",
+        "dd_canonical", "ann_hnsw_topk"))
+    for (name <- names; run <- 1 to 2) {
+      spill = 0L; peak = 0L
+      val gc0 = gcMillis()
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries(name)(spark, d)
+        .write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val gc = (gcMillis() - gc0) / 1e3
+      Thread.sleep(500)
+      println(f"RESULT $name run=$run sec=$sec%.2f gc_sec=$gc%.2f " +
+        f"spill_mb=${spill / 1048576} peak_mb=${peak / 1048576}")
+      spark.catalog.clearCache(); System.gc()
+    }
+    spark.stop()
+  }
+}

@@ -116,6 +116,33 @@ def gen_sf10(out):
           f"{n_ord} orders, {len(l_ok)} lineitems")
 
 
+def gen_sf10dup(out):
+    """r16 (verdict ask #3): the sf10 corpus's dup_ratio is 0.0, so the
+    auto-router's exact arm and the dup-heavy regime were unexercised at
+    10x. This variant is the opposite bracket: 1000 identical classes x
+    400 docs + 100k uniques (500k docs, dup_ratio ~0.8), plus 200k x 64
+    embeddings (10x sf1's 20k) so one ANN family gets a true 10x point.
+    Documents + embeddings only: the relational tables' 10x story lives in
+    the plain sf10 corpus.
+    """
+    rng = np.random.default_rng(46)
+    classes = [doc_text(rng) for _ in range(1000)]
+    texts = [t for t in classes for _ in range(400)]
+    texts += [doc_text(rng) for _ in range(100_000)]
+    df = docs_frame(texts, 0)
+    df.to_parquet(f"{out}/documents.parquet", index=False)
+    erng = np.random.default_rng(47)
+    n_emb, dim = 200_000, 64
+    emb = erng.standard_normal((n_emb, dim)).astype(np.float32)
+    pd.DataFrame({
+        "vec_id": np.arange(n_emb, dtype=np.int64),
+        "embedding": list(emb),
+        "label": erng.integers(0, 10, size=n_emb).astype(np.int32),
+    }).to_parquet(f"{out}/embeddings.parquet", index=False)
+    print(f"sf10dup -> {out}: {len(df)} docs (1000x400 identical + 100k "
+          f"uniques), {n_emb}x{dim} embeddings")
+
+
 def gen_sf1dup(out):
     rng = np.random.default_rng(44)
     classes = [doc_text(rng) for _ in range(100)]
@@ -130,4 +157,5 @@ if __name__ == "__main__":
     kind, out = sys.argv[1], sys.argv[2]
     import os
     os.makedirs(out, exist_ok=True)
-    {"sf1": gen_sf1, "sf10": gen_sf10, "sf1dup": gen_sf1dup}[kind](out)
+    {"sf1": gen_sf1, "sf10": gen_sf10, "sf1dup": gen_sf1dup,
+     "sf10dup": gen_sf10dup}[kind](out)
