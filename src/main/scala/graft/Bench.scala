@@ -503,6 +503,118 @@ object Bench {
         f"""{"dir":"$sf10Dir","timing":"best_of_2","route_stats":{"n_docs":${rs.nDocs},"dup_ratio":${rs.dupRatio}%.4f,"use_routed":${rs.useRouted()},"sec":$rsSec%.3f},"queries":{$rowsJson}}"""
       }.getOrElse("{}")
 
+    // Dup-heavy 10x envelope (r16, verdict ask #3): the plain sf10
+    // corpus's dup_ratio is 0.0, so the router's decision there is
+    // trivial and the dup-heavy regime never ran at 10x. This bracket is
+    // the opposite: 500k docs at dup_ratio ~0.78 (1000 planted classes x
+    // 400), 200k x 64 embeddings. Rows: the router's decision + the
+    // auto/routed arms + the EXACT arm on a documented deterministic 10%
+    // sample (doc_id % 10 == 0) — the full exact arm OOMs an 8 GB heap
+    // at this bracket (~80M candidate pairs from the planted classes
+    // alone), which is the router's reason to exist; the sample records
+    // the arm's cost shape (it still spills ~30 GB at 50k docs) without
+    // pretending production runs it. Plus the 10x ANN point (production
+    // hnswTopK — distributed shard graphs, NOT the gate's driver-side
+    // oracle dump, which is capped at 100k rows by design) and
+    // ir_batch_bm25 at 500k docs. Same optionality/skip rules as sf10.
+    val sf10dupJson: String =
+      if (sys.env.contains("SPARK_GRAFT_SKIP_SF10") ||
+          sys.env.contains("SPARK_GRAFT_SKIP_SF1") || only.isDefined) "{}"
+      else scala.util.Try {
+        val dupDir = sys.env.getOrElse("SPARK_GRAFT_SF10DUP_DIR", "/tmp/sf10dup")
+        if (!java.nio.file.Files.exists(
+              java.nio.file.Paths.get(dupDir, "documents.parquet")) ||
+            !java.nio.file.Files.exists(
+              java.nio.file.Paths.get(dupDir, "embeddings.parquet"))) {
+          java.nio.file.Files.createDirectories(
+            java.nio.file.Paths.get(dupDir))
+          val p = new ProcessBuilder(
+            "python3", "tools/gen_scale_corpus.py", "sf10dup", dupDir)
+            .redirectError(ProcessBuilder.Redirect.DISCARD)
+            .redirectOutput(ProcessBuilder.Redirect.DISCARD)
+            .start()
+          require(p.waitFor(30, java.util.concurrent.TimeUnit.MINUTES) &&
+            p.exitValue() == 0, "gen_scale_corpus.py sf10dup failed")
+        }
+        @volatile var peak = 0L
+        @volatile var spill = 0L
+        val listener = new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+            val m = t.taskMetrics
+            if (m != null) {
+              peak = math.max(peak, m.peakExecutionMemory)
+              spill += m.memoryBytesSpilled + m.diskBytesSpilled
+            }
+          }
+        }
+        def gcMillis(): Long = {
+          import scala.jdk.CollectionConverters._
+          java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+            .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+        }
+        val docs = Tables.documents(spark, dupDir)
+        val rs0 = System.nanoTime()
+        val rs = graft.text.Dedup.routeStats(docs, "text")
+        val rsSec = (System.nanoTime() - rs0) / 1e9
+        import org.apache.spark.sql.functions.{broadcast, col, length}
+        val rows: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+          "dd_canonical_auto" ->
+            (() => SparkEntry.queries("dd_canonical_auto")(spark, dupDir)),
+          "dd_canonical_routed" ->
+            (() => SparkEntry.queries("dd_canonical_routed")(spark, dupDir)),
+          "dd_canonical_exact_sample10" -> { () =>
+            val sample = Tables.documents(spark, dupDir)
+              .where(col("doc_id") % 10 === 0)
+            val comps = graft.text.Dedup.connectedComponents(
+              graft.text.Dedup.pairTable(sample, "doc_id", "text", 0.5))
+            sample.join(broadcast(
+                comps.where(col("doc_id") =!= col("component"))
+                  .select(col("doc_id"))), Seq("doc_id"), "left_anti")
+              .select(col("doc_id"), length(col("text")).as("text_len"))
+              .orderBy("doc_id")
+          },
+          "ann_hnsw_prod" -> (() => graft.ann.Ann.hnswTopK(
+            Tables.embeddings(spark, dupDir), "vec_id", "embedding",
+            col("vec_id") < 20, k = 5)),
+          "ir_batch_bm25" ->
+            (() => SparkEntry.queries("ir_batch_bm25")(spark, dupDir)))
+        spark.sparkContext.addSparkListener(listener)
+        val rowsJson = try {
+          rows.map { case (name, mk) =>
+            var peakMax = 0L
+            var spillMax = 0L
+            val gcSecs = scala.collection.mutable.ArrayBuffer.empty[Double]
+            val loads = scala.collection.mutable.ArrayBuffer.empty[Double]
+            val drops = scala.collection.mutable.ArrayBuffer.empty[Long]
+            val runs = (1 to 2).map { _ =>
+              peak = 0L; spill = 0L
+              val drop0 = org.apache.spark.GraftListenerBridge
+                .droppedEvents(spark.sparkContext)
+              val gc0 = gcMillis()
+              val t0 = System.nanoTime()
+              mk().write.format("noop").mode("overwrite").save()
+              val sec = (System.nanoTime() - t0) / 1e9
+              gcSecs += (gcMillis() - gc0) / 1e3
+              loads += loadAvg1m()
+              Thread.sleep(500)
+              drops += org.apache.spark.GraftListenerBridge
+                .droppedEvents(spark.sparkContext) - drop0
+              peakMax = math.max(peakMax, peak)
+              spillMax = math.max(spillMax, spill)
+              spark.catalog.clearCache(); System.gc()
+              sec
+            }
+            val runsJson = runs.map(s => f"$s%.3f").mkString("[", ",", "]")
+            val gcJson = gcSecs.map(s => f"$s%.3f").mkString("[", ",", "]")
+            val loadJson = loads.map(s => f"$s%.2f").mkString("[", ",", "]")
+            val dropJson = drops.mkString("[", ",", "]")
+            f""""$name":{"sec":${runs.min}%.3f,"sec_max":${runs.max}%.3f,"runs_sec":$runsJson,"runs_gc_sec":$gcJson,"runs_load_1m":$loadJson,"runs_dropped_events":$dropJson,"peak_task_mb":${peakMax / 1048576},"spill_mb":${spillMax / 1048576}}"""
+          }.mkString(",")
+        } finally spark.sparkContext.removeSparkListener(listener)
+        f"""{"dir":"$dupDir","timing":"best_of_2","route_stats":{"n_docs":${rs.nDocs},"dup_ratio":${rs.dupRatio}%.4f,"use_routed":${rs.useRouted()},"sec":$rsSec%.3f},"exact_full_arm":"OOM at 8g heap (adjudicated: ~80M candidate pairs from planted classes; router cutover protects it)","queries":{$rowsJson}}"""
+      }.getOrElse("{}")
+
     // End-to-end pretrain composition (r12, verdict ask #6): the real
     // user surface (Main pretrain — quality gate → dedup → PII → BPE →
     // packing) as a graded bench row at the bench SF: wall + per-stage
@@ -680,7 +792,7 @@ object Bench {
         s""""intersection":{"n":${intersect.length},"spark_sec":$sparkIntersectTotal,"duckdb_sec":$duckIntersectTotal},""" +
         s""""scan_bp_per_sec":$bpPerSec,"scan_sec":$scanSec,"scan_timing":"best_of_3",""" +
         s""""skew_join_skewed_sec":$skewSec,"skew_join_uniform_sec":$unifSec,""" +
-        s""""sf1_envelope":$sf1Json,"sf10_envelope":$sf10Json,"pretrain":$pretrainJson,""" +
+        s""""sf1_envelope":$sf1Json,"sf10_envelope":$sf10Json,"sf10dup_envelope":$sf10dupJson,"pretrain":$pretrainJson,""" +
         s""""env":${envJson()},"sf":"$sfDir"}"""
     println(line)
     // the driver's BENCH_r*.json tail-capture truncates the per-query map;

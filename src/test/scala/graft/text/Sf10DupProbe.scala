@@ -35,15 +35,43 @@ object Sf10DupProbe {
     val rs = Dedup.routeStats(graft.Tables.documents(spark, d), "text")
     println(f"ROUTE n_docs=${rs.nDocs} dup_ratio=${rs.dupRatio}%.4f " +
       f"use_routed=${rs.useRouted()} sec=${(System.nanoTime() - t0r) / 1e9}%.2f")
+    // exact_sample: the exact all-pairs arm on a DOCUMENTED deterministic
+    // 10% sample (doc_id % 10 == 0 — 40 per planted class + 10k uniques).
+    // The full exact arm OOMs an 8 GB heap at this bracket (~80M
+    // candidate pairs from the planted classes alone), which is the
+    // router's reason to exist; the sample records the arm's cost shape
+    // without pretending production would run it. hnsw_prod: the
+    // distributed production search (shard graphs in tasks), NOT the gate
+    // query, whose driver-side oracle dump is capped at 100k rows by
+    // design.
+    def custom(name: String): Option[org.apache.spark.sql.DataFrame] =
+      name match {
+        case "dd_canonical_exact_sample" =>
+          val docs = graft.Tables.documents(spark, d)
+            .where(org.apache.spark.sql.functions.col("doc_id") % 10 === 0)
+          val comps = Dedup.connectedComponents(
+            Dedup.pairTable(docs, "doc_id", "text", 0.5))
+          import org.apache.spark.sql.functions._
+          Some(docs.join(broadcast(
+              comps.where(col("doc_id") =!= col("component"))
+                .select(col("doc_id"))), Seq("doc_id"), "left_anti")
+            .select(col("doc_id"), length(col("text")).as("text_len"))
+            .orderBy("doc_id"))
+        case "ann_hnsw_prod" =>
+          import org.apache.spark.sql.functions._
+          Some(graft.ann.Ann.hnswTopK(graft.Tables.embeddings(spark, d),
+            "vec_id", "embedding", col("vec_id") < 20, k = 5))
+        case _ => None
+      }
     val names = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
       .map(_.split(",").toSeq)
       .getOrElse(Seq("dd_canonical_auto", "dd_canonical_routed",
-        "dd_canonical", "ann_hnsw_topk"))
+        "dd_canonical_exact_sample", "ann_hnsw_prod", "ir_batch_bm25"))
     for (name <- names; run <- 1 to 2) {
       spill = 0L; peak = 0L
       val gc0 = gcMillis()
       val t0 = System.nanoTime()
-      graft.SparkEntry.queries(name)(spark, d)
+      custom(name).getOrElse(graft.SparkEntry.queries(name)(spark, d))
         .write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9
       val gc = (gcMillis() - gc0) / 1e3
