@@ -29,6 +29,12 @@ object StreamingStateProfileProbe {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
 
+    // rows accumulate into the committed STREAMING.json artifact (r15
+    // verdict ask #7): the decomposition table plus the stateless ceiling,
+    // so a regression in either is a visible artifact diff, not a lost
+    // probe printout
+    val artifact = scala.collection.mutable.LinkedHashMap.empty[String, String]
+
     def report(name: String, q: org.apache.spark.sql.streaming.StreamingQuery,
         rows: Long, wallSec: Double): Unit = {
       val progs = q.recentProgress.filter(_.numInputRows > 0)
@@ -46,6 +52,14 @@ object StreamingStateProfileProbe {
         f"addBatch=${addBatch / 1e3}%6.2fs state[upd=${upd / 1e3}%5.2fs " +
         f"rem=${rem / 1e3}%5.2fs commit=${com / 1e3}%5.2fs] " +
         f"other=${(wallSec * 1e3 - addBatch) / 1e3}%6.2fs maxStateRows=$maxState%6d")
+      // state[...] sums across parallel state-store partitions, so the
+      // components can exceed wall; ratios, not absolute seconds, are the
+      // signal
+      artifact(name) =
+        f"""{"batches":${progs.length},"rows":$rows,"wall_sec":$wallSec%.2f,""" +
+          f""""rate_per_sec":${(rows / wallSec).toLong},"addbatch_sec":${addBatch / 1e3}%.2f,""" +
+          f""""state_upd_sec":${upd / 1e3}%.2f,"state_rem_sec":${rem / 1e3}%.2f,""" +
+          f""""state_commit_sec":${com / 1e3}%.2f,"max_state_rows":$maxState}"""
     }
 
     // --- sessionize at the committed benchmark shape, two batch sizes ---
@@ -91,6 +105,60 @@ object StreamingStateProfileProbe {
       report("minhashPairs/20 batches", q, nDocs, wall)
       q.stop()
     }
+
+    // --- the STATELESS ceiling at the same micro-batch shape ------------
+    // strip_boilerplate is the projection-path twin (chunk hashing +
+    // membership rewrite, no state store); its rate bounds what any
+    // stateful twin could reach if state cost went to zero.
+    val statelessRate: Double = {
+      val n = 100000
+      val rnd = new scala.util.Random(23)
+      val header = "home about contact login search terms privacy cookie"
+      val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+      val docs = Array.tabulate(n) { i =>
+        val body = Seq.fill(20 + rnd.nextInt(60))(vocab(rnd.nextInt(vocab.size)))
+        val t = if (i % 3 == 0) (header +: body).mkString(" ") else body.mkString(" ")
+        (i.toLong, s"src${i % 8}", t)
+      }
+      val hot = graft.text.TextOps.boilerplateHotSet(
+        docs.take(5000).toSeq.toDF("doc_id", "source", "text"))
+      val input = MemoryStream[(Long, String, String)]
+      val q = StreamingOps.streamingStripBoilerplate(
+          input.toDF().toDF("doc_id", "source", "text"), hot)
+        .writeStream.format("noop").outputMode(OutputMode.Append()).start()
+      val t0 = System.nanoTime()
+      docs.grouped(n / 10).foreach { b =>
+        input.addData(b.toSeq); q.processAllAvailable()
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      println(f"stateless ceiling (strip_boilerplate) rate=${n / sec}%.0f docs/s")
+      artifact("stateless_strip_boilerplate") =
+        f"""{"batches":10,"rows":$n,"wall_sec":$sec%.2f,"rate_per_sec":${(n / sec).toLong}}"""
+      n / sec
+    }
+
+    // Tripwires — structural (machine-speed-free) dominance, plus a
+    // generous absolute floor under the 22.6k docs/s committed in r15: a
+    // config or code change that drags the stateless projection path
+    // under 8k docs/s (or under the stateful sessionize rate) is a
+    // defect, not noise.
+    val sessRate = {
+      val row = artifact("sessionize/20 batches")
+      "\"rate_per_sec\":(\\d+)".r.findFirstMatchIn(row).get.group(1).toDouble
+    }
+    require(statelessRate >= 8000,
+      f"stateless ceiling collapsed: $statelessRate%.0f docs/s < 8000 floor")
+    require(statelessRate > sessRate,
+      f"stateless ceiling ($statelessRate%.0f/s) must dominate stateful " +
+        f"sessionize ($sessRate%.0f/s) — state cost cannot be negative")
+
+    val json = artifact.map { case (k, v) => s""""$k": $v""" }
+      .mkString("{\n  ", ",\n  ", ",\n  ")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("STREAMING.json"),
+      json + s""""note": "state[upd/rem/commit] sum across state-store partitions and can exceed wall; ratios are the signal. Written by StreamingStateProfileProbe; tripwires: stateless >= 8k docs/s and stateless > stateful sessionize."\n}\n""")
+    println("STREAMING.json written")
     spark.stop()
   }
 }
