@@ -1,0 +1,52 @@
+package graft.ann
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** r15 verdict ask #6 (preset/gate split): the ANN gates pin PEDAGOGICAL
+  * configs whose embedded-literal oracles (hyperplane VALUES rows, trained
+  * centroid/PQ/HNSW artifacts) were derived AT those configs, while the
+  * shipped CLI defaults are the r15-measured recall presets (lsh 4×16,
+  * mp-lsh 6×16, ivf nProbe 8). A change to a shipped DEFAULT must never
+  * silently shift a gate's result — the gate lambdas must pass every
+  * preset-tunable parameter explicitly. This spec enforces that
+  * BEHAVIORALLY: each gate's output must equal a call with the gate
+  * config spelled out. If someone drops the explicit args from a gate
+  * lambda (so it starts tracking the defaults) and the defaults move,
+  * these comparisons break loudly instead of the oracle drifting.
+  */
+class AnnGateConfigSpec extends SparkSpec {
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq.sorted
+
+  test("ann gate outputs equal their explicitly-pinned configs") {
+    val d = sf0001
+    val emb = graft.Tables.embeddings(spark, d)
+
+    // lsh gate pins 8 planes × 8 tables (shipped default: 4×16)
+    assert(rows(graft.SparkEntry.queries("ann_lsh_topk")(spark, d)) ==
+      rows(Ann.lshTopK(emb, "vec_id", "embedding",
+        col("vec_id") < 20, k = 5, dim = 64, numPlanes = 8, tables = 8)))
+
+    // multi-probe gate pins 8×8 (shipped default: 6×16)
+    assert(rows(graft.SparkEntry.queries("ann_lsh_mp_topk")(spark, d)) ==
+      rows(Ann.lshMultiProbeTopK(emb, "vec_id", "embedding",
+        col("vec_id") < 20, k = 5, dim = 64, numPlanes = 8, tables = 8)))
+
+    // ivf gate pins nProbe=4 over the 16-cell/2-iter/4096-cap trainer
+    // (shipped default: nProbe=8)
+    val cents = Ann.trainIvfCentroids(emb, "vec_id", "embedding",
+      numCells = 16, lloydIters = 2, trainCap = 4096)
+    assert(rows(graft.SparkEntry.queries("ann_ivf_topk")(spark, d)) ==
+      rows(Ann.ivfTopKWithCentroids(emb, "vec_id", "embedding",
+        col("vec_id") < 20, k = 5, nProbe = 4, cents)))
+
+    // ivfpq gate pins nProbe=4, candidateFactor=8 on the default trainer
+    Ann.trainIvfPq(emb, "vec_id", "embedding").foreach { model =>
+      assert(rows(graft.SparkEntry.queries("ann_ivfpq_topk")(spark, d)) ==
+        rows(Ann.ivfPqTopKWithModel(emb, "vec_id", "embedding",
+          col("vec_id") < 20, k = 5, nProbe = 4, candidateFactor = 8, model)))
+    }
+  }
+}
