@@ -574,9 +574,15 @@ object Bench {
               .select(col("doc_id"), length(col("text")).as("text_len"))
               .orderBy("doc_id")
           },
+          // one shard graph per core: the build is the cost (insert×ef
+          // beam per vector, task-parallel per shard), so shards should
+          // track cores at scale — 8 (the gate's pinned pedagogical
+          // config) caps the build at 8-way parallelism on 32 cores.
+          // Recall is unharmed: candidates are the union of per-shard
+          // top-k over smaller (easier) graphs, exact-reranked.
           "ann_hnsw_prod" -> (() => graft.ann.Ann.hnswTopK(
             Tables.embeddings(spark, dupDir), "vec_id", "embedding",
-            col("vec_id") < 20, k = 5)),
+            col("vec_id") < 20, k = 5, numShards = 32)),
           "ir_batch_bm25" ->
             (() => SparkEntry.queries("ir_batch_bm25")(spark, dupDir)))
         spark.sparkContext.addSparkListener(listener)

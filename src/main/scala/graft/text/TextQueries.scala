@@ -1284,7 +1284,12 @@ object TextQueries {
       // dir mid-session refreshes the dump instead of replaying a stale
       // one against a fresh probe (r15 ADVICE).
       hnswModel.set(hnswDumpFor(s, d, emb))
-      Ann.hnswTopK(emb, "vec_id", "embedding", col("vec_id") < 20, k = 5)
+      // gate config EXPLICIT (AnnGateConfigSpec rule): the oracle embeds
+      // the shard graphs trained at exactly these values; a default change
+      // (e.g. shard count scaled to cores for build parallelism, as the
+      // sf10dup envelope does) must never shift this result
+      Ann.hnswTopK(emb, "vec_id", "embedding", col("vec_id") < 20, k = 5,
+        numShards = 8, m = 8, ef = 64)
     },
 
     // ---- multimodal plumbing --------------------------------------------

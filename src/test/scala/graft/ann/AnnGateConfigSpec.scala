@@ -48,5 +48,12 @@ class AnnGateConfigSpec extends SparkSpec {
         rows(Ann.ivfPqTopKWithModel(emb, "vec_id", "embedding",
           col("vec_id") < 20, k = 5, nProbe = 4, candidateFactor = 8, model)))
     }
+
+    // hnsw gate pins 8 shards / m=8 / ef=64 — the embedded oracle dump is
+    // trained at exactly this shard count (shard assignment changes the
+    // graphs), while scale paths may raise shards for build parallelism
+    assert(rows(graft.SparkEntry.queries("ann_hnsw_topk")(spark, d)) ==
+      rows(Ann.hnswTopK(emb, "vec_id", "embedding",
+        col("vec_id") < 20, k = 5, numShards = 8, m = 8, ef = 64)))
   }
 }

@@ -60,7 +60,8 @@ object Sf10DupProbe {
         case "ann_hnsw_prod" =>
           import org.apache.spark.sql.functions._
           Some(graft.ann.Ann.hnswTopK(graft.Tables.embeddings(spark, d),
-            "vec_id", "embedding", col("vec_id") < 20, k = 5))
+            "vec_id", "embedding", col("vec_id") < 20, k = 5,
+            numShards = 32))
         case _ => None
       }
     val names = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
