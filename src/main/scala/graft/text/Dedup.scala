@@ -276,9 +276,10 @@ object Dedup {
     * (d1, d2) co-occurrences map-side-combined. `isNew = None` treats
     * every doc as new (all pairs emitted).
     */
-  private def jaccardPairRows(
+  private[text] def jaccardPairRows(
       hashed: DataFrame, isNew: Option[Column],
-      cap: Int, sampleMod: Int): DataFrame = {
+      cap: Int, sampleMod: Int,
+      sizeDimCap: Int = SizeDimBroadcastCap): DataFrame = {
     val spark = hashed.sparkSession
     import spark.implicits._
     val postings = hashed.select(
@@ -288,15 +289,7 @@ object Dedup {
     val tagged = gridTagged(postings, "s", "doc_id",
       hotKeys(postings, "s", "doc_id", cap, sampleMod))
     val capL = cap
-    // the candidate stream carries BARE (d1, d2): per-doc sizes are
-    // functional on the id, so shipping n1/n2 through the Σc² candidate
-    // exchange+aggregate doubled its row width for no information — at
-    // sf1 that aggregate spills ~34 GB/run (the exact tier's entire
-    // variance story, r16); halving the row is the one lever that
-    // shrinks it without touching the exact semantics. Sizes re-attach
-    // AFTER the count via two broadcast joins against the doc-count-sized
-    // (never candidate-sized) size dim.
-    val counted = tagged
+    val emitted = tagged
       .select(col("s"), col("gci"), col("gcj"), col("gblk"),
         col("doc_id"), col("n"), col("is_new"))
       .as[(Long, Int, Int, Int, Long, Long, Boolean)]
@@ -308,7 +301,7 @@ object Dedup {
           requireBounded(members.length, capL)
           java.util.Arrays.sort(members,
             Ordering.by[(Long, Long, Boolean), Long](_._1))
-          incrementalPairs(members).map(p => (p._1, p._3))
+          incrementalPairs(members)
         } else {
           val aB = Array.newBuilder[(Long, Long, Boolean)]
           val bB = Array.newBuilder[(Long, Long, Boolean)]
@@ -318,17 +311,45 @@ object Dedup {
             m += 1
           }
           requireBounded(m, capL)
-          crossPairs(aB.result(), bB.result()).map(p => (p._1, p._3))
+          crossPairs(aB.result(), bB.result())
         }
       }
-      .toDF("d1", "d2")
-      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
-    val sizes = hashed.select(col("doc_id"), col("n").cast("long").as("n"))
-    counted
-      .join(broadcast(sizes.select(col("doc_id").as("d1"), col("n").as("n1"))), "d1")
-      .join(broadcast(sizes.select(col("doc_id").as("d2"), col("n").as("n2"))), "d2")
-      .select("d1", "d2", "n1", "n2", "inter")
+      .toDF("d1", "n1", "d2", "n2")
+    // SLIM regime (r16): the candidate exchange+aggregate carries BARE
+    // (d1, d2) — per-doc sizes are functional on the id, so shipping
+    // n1/n2 through the Σc² candidate stream doubled its row width for
+    // no information (at sf1 that aggregate spills ~34 GB/run; slimming
+    // cut it to ~28.5). Sizes re-attach AFTER the count via two
+    // broadcast joins against the doc-count-sized dim. A broadcast dim
+    // only works while the CORPUS is broadcastable, so the regime is
+    // gated on a capped early-exit count (CollectLimit — never a full
+    // scan past the cap): past `sizeDimBroadcastCap` docs the WIDE
+    // regime ships n1/n2 inline with each pair — a wider exchange, but
+    // zero driver/executor dim residency at any corpus size (a 20B-doc
+    // corpus must never be collected as a broadcast table). Same router
+    // idiom as the dedup exact/routed cutover; the two regimes are
+    // output-identical (spec-asserted).
+    val slim = hashed.select("doc_id")
+      .limit(sizeDimCap + 1).count() <= sizeDimCap
+    if (slim) {
+      val counted = emitted.select("d1", "d2")
+        .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+      val sizes = hashed.select(col("doc_id"), col("n").cast("long").as("n"))
+      counted
+        .join(broadcast(sizes.select(col("doc_id").as("d1"), col("n").as("n1"))), "d1")
+        .join(broadcast(sizes.select(col("doc_id").as("d2"), col("n").as("n2"))), "d2")
+        .select("d1", "d2", "n1", "n2", "inter")
+    } else {
+      emitted.groupBy("d1", "d2", "n1", "n2").agg(count(lit(1)).as("inter"))
+        .select("d1", "d2", "n1", "n2", "inter")
+    }
   }
+
+  /** Doc-count bound for the slim pair regime's broadcast size dim
+    * (~8M × 24 B ≈ 200 MB broadcast worst case on an 8 GB heap); above
+    * it [[jaccardPairRows]] carries sizes inline.
+    */
+  private[text] val SizeDimBroadcastCap: Int = 8000000
 
   /** The shared Jaccard threshold tail: threshold on the RAW ratio (same
     * predicate as the oracle), then tie-proof floor-form 6dp rounding for

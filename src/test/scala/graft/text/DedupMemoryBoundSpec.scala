@@ -150,6 +150,38 @@ class DedupMemoryBoundSpec extends SparkSpec {
       "incremental fixture must drop old×old pairs")
   }
 
+  test("jaccardPairRows: slim (broadcast size dim) and wide (inline-carry) " +
+    "regimes are output-identical") {
+    // r16: the slim regime halves the Σc² candidate exchange's row width
+    // and re-attaches sizes via a broadcast dim — valid only while the
+    // CORPUS is broadcastable, so past SizeDimBroadcastCap docs the wide
+    // regime ships n1/n2 inline (a 20B-doc corpus must never become a
+    // broadcast table). Both regimes must agree bit-for-bit; sizeDimCap=0
+    // forces wide on any input.
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    val vocab = Vector("ant", "bee", "cat", "dog", "elk", "fox", "gnu")
+    def doc(): String = Seq.fill(10)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val base = Seq.tabulate(90)(_ => doc())
+    val texts = base.updated(3, base(2)).updated(40, base(39) + " ant")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val hashed = Dedup.hashedShingleDocs(df, "doc_id", "text")
+    def rows(sizeCap: Int) = Dedup.jaccardPairRows(hashed, None,
+        cap = Dedup.DefaultGroupCap, sampleMod = Dedup.DefaultSampleMod,
+        sizeDimCap = sizeCap)
+      .collect().map(_.toString).sorted.toSeq
+    val slim = rows(8000000)
+    val wide = rows(0)
+    assert(slim.nonEmpty, "fixture must produce candidate pairs")
+    assert(slim === wide)
+    // incremental variant crosses the same fork
+    def incRows(sizeCap: Int) = Dedup.jaccardPairRows(hashed,
+        Some(col("doc_id") >= 45), cap = Dedup.DefaultGroupCap,
+        sampleMod = Dedup.DefaultSampleMod, sizeDimCap = sizeCap)
+      .collect().map(_.toString).sorted.toSeq
+    assert(incRows(8000000) === incRows(0))
+  }
+
   test("jaccardComponents: digest-collapsed path equals pair-graph components") {
     import spark.implicits._
     val rnd = new scala.util.Random(31)
