@@ -68,7 +68,30 @@ object Sf10DupProbe {
       .map(_.split(",").toSeq)
       .getOrElse(Seq("dd_canonical_auto", "dd_canonical_routed",
         "dd_canonical_exact_sample", "ann_hnsw_prod", "ir_batch_bm25"))
-    for (name <- names; run <- 1 to 2) {
+    // recall@5 of the shard-count lever at the 200k bracket: the r16
+    // envelope raised ann_hnsw_prod from the gate's 8 shards to one per
+    // core (32) for build parallelism, claiming recall is unharmed
+    // (candidates are the union of per-shard top-k over smaller graphs,
+    // exact-reranked). Measure it instead of asserting it.
+    if (sys.env.get("SPARK_GRAFT_PROBE_ONLY").forall(_.contains("recall"))) {
+      import org.apache.spark.sql.functions._
+      val emb = graft.Tables.embeddings(spark, d)
+      def top5(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+        df.select("query_id", "neighbor_id").collect()
+          .groupBy(_.getLong(0)).map { case (q, rs) =>
+            q -> rs.map(_.getLong(1)).toSet }
+      val truth = top5(graft.ann.Ann.cosineTopK(
+        emb, "vec_id", "embedding", col("vec_id") < 20, k = 5))
+      for (shards <- Seq(8, 32)) {
+        val got = top5(graft.ann.Ann.hnswTopK(emb, "vec_id", "embedding",
+          col("vec_id") < 20, k = 5, numShards = shards))
+        val recall = truth.map { case (q, t) =>
+          got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+        }.sum / truth.size
+        println(f"RECALL hnsw shards=$shards recall_at_5=$recall%.3f queries=${truth.size}")
+      }
+    }
+    for (name <- names if name != "recall"; run <- 1 to 2) {
       spill = 0L; peak = 0L
       val gc0 = gcMillis()
       val t0 = System.nanoTime()
