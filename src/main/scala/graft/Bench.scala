@@ -20,6 +20,51 @@ import org.apache.spark.sql.SparkSession
   * runs so no run reads another's persisted results.
   */
 object Bench {
+  /** Crash-safe scale-corpus generation (r16 ADVICE): the generator writes
+    * into a fresh temp dir on the SAME filesystem that is renamed into
+    * place only on exit code 0, so a timeout or kill mid-write can never
+    * leave a partial parquet that the next run's existence check mistakes
+    * for a complete corpus; the process itself is destroyed on timeout
+    * instead of being orphaned behind the bench, and both failure shapes
+    * throw with a named cause instead of dissolving into the caller's
+    * empty-envelope Try. No-op when every `required` file already exists.
+    */
+  private[graft] def ensureScaleCorpus(
+      scale: String, dir: String, timeoutMin: Long,
+      required: Seq[String]): Unit = {
+    val root = java.nio.file.Paths.get(dir)
+    if (required.forall(f => java.nio.file.Files.exists(root.resolve(f))))
+      return
+    val parent = root.toAbsolutePath.getParent
+    java.nio.file.Files.createDirectories(parent)
+    def rmTree(p: java.nio.file.Path): Unit =
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        val w = java.nio.file.Files.walk(p)
+        try w.iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+        finally w.close()
+      }
+    val tmp = java.nio.file.Files.createTempDirectory(parent, s".gen_$scale")
+    try {
+      val p = new ProcessBuilder(
+        "python3", "tools/gen_scale_corpus.py", scale, tmp.toString)
+        .redirectError(ProcessBuilder.Redirect.DISCARD)
+        .redirectOutput(ProcessBuilder.Redirect.DISCARD)
+        .start()
+      val done = p.waitFor(timeoutMin, java.util.concurrent.TimeUnit.MINUTES)
+      if (!done) {
+        p.destroyForcibly().waitFor()
+        throw new IllegalStateException(s"gen_scale_corpus.py $scale timed " +
+          s"out after $timeoutMin min (process destroyed)")
+      }
+      require(p.exitValue() == 0,
+        s"gen_scale_corpus.py $scale failed (exit ${p.exitValue()})")
+      rmTree(root) // a partial prior dir must not shadow the fresh corpus
+      java.nio.file.Files.move(tmp, root)
+    } finally rmTree(tmp) // no-op after a successful move
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -254,19 +299,8 @@ object Bench {
       if (sys.env.contains("SPARK_GRAFT_SKIP_SF1") || only.isDefined) "{}"
       else scala.util.Try {
         val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/sf1")
-        if (!java.nio.file.Files.exists(
-              java.nio.file.Paths.get(sf1Dir, "documents.parquet")) ||
-            !java.nio.file.Files.exists(
-              java.nio.file.Paths.get(sf1Dir, "orders.parquet"))) {
-          java.nio.file.Files.createDirectories(java.nio.file.Paths.get(sf1Dir))
-          val p = new ProcessBuilder(
-            "python3", "tools/gen_scale_corpus.py", "sf1", sf1Dir)
-            .redirectError(ProcessBuilder.Redirect.DISCARD)
-            .redirectOutput(ProcessBuilder.Redirect.DISCARD)
-            .start()
-          require(p.waitFor(10, java.util.concurrent.TimeUnit.MINUTES) &&
-            p.exitValue() == 0, "gen_scale_corpus.py failed")
-        }
+        ensureScaleCorpus("sf1", sf1Dir, 10,
+          Seq("documents.parquet", "orders.parquet"))
         @volatile var peak = 0L
         @volatile var spill = 0L
         val listener = new org.apache.spark.scheduler.SparkListener {
@@ -424,20 +458,8 @@ object Bench {
           sys.env.contains("SPARK_GRAFT_SKIP_SF1") || only.isDefined) "{}"
       else scala.util.Try {
         val sf10Dir = sys.env.getOrElse("SPARK_GRAFT_SF10_DIR", "/tmp/sf10")
-        if (!java.nio.file.Files.exists(
-              java.nio.file.Paths.get(sf10Dir, "documents.parquet")) ||
-            !java.nio.file.Files.exists(
-              java.nio.file.Paths.get(sf10Dir, "orders.parquet"))) {
-          java.nio.file.Files.createDirectories(
-            java.nio.file.Paths.get(sf10Dir))
-          val p = new ProcessBuilder(
-            "python3", "tools/gen_scale_corpus.py", "sf10", sf10Dir)
-            .redirectError(ProcessBuilder.Redirect.DISCARD)
-            .redirectOutput(ProcessBuilder.Redirect.DISCARD)
-            .start()
-          require(p.waitFor(30, java.util.concurrent.TimeUnit.MINUTES) &&
-            p.exitValue() == 0, "gen_scale_corpus.py sf10 failed")
-        }
+        ensureScaleCorpus("sf10", sf10Dir, 30,
+          Seq("documents.parquet", "orders.parquet"))
         @volatile var peak = 0L
         @volatile var spill = 0L
         val listener = new org.apache.spark.scheduler.SparkListener {
@@ -522,20 +544,8 @@ object Bench {
           sys.env.contains("SPARK_GRAFT_SKIP_SF1") || only.isDefined) "{}"
       else scala.util.Try {
         val dupDir = sys.env.getOrElse("SPARK_GRAFT_SF10DUP_DIR", "/tmp/sf10dup")
-        if (!java.nio.file.Files.exists(
-              java.nio.file.Paths.get(dupDir, "documents.parquet")) ||
-            !java.nio.file.Files.exists(
-              java.nio.file.Paths.get(dupDir, "embeddings.parquet"))) {
-          java.nio.file.Files.createDirectories(
-            java.nio.file.Paths.get(dupDir))
-          val p = new ProcessBuilder(
-            "python3", "tools/gen_scale_corpus.py", "sf10dup", dupDir)
-            .redirectError(ProcessBuilder.Redirect.DISCARD)
-            .redirectOutput(ProcessBuilder.Redirect.DISCARD)
-            .start()
-          require(p.waitFor(30, java.util.concurrent.TimeUnit.MINUTES) &&
-            p.exitValue() == 0, "gen_scale_corpus.py sf10dup failed")
-        }
+        ensureScaleCorpus("sf10dup", dupDir, 30,
+          Seq("documents.parquet", "embeddings.parquet"))
         @volatile var peak = 0L
         @volatile var spill = 0L
         val listener = new org.apache.spark.scheduler.SparkListener {

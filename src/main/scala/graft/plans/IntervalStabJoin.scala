@@ -388,7 +388,8 @@ case class IntervalStabJoinExec(
     * went to GC (r15 verdict watch item).
     */
   private def mustCopyBeforeShuffle(numParts: Int): Boolean =
-    IntervalStabJoinExec.mustCopyBeforeShuffle(sparkContext.getConf, numParts)
+    IntervalStabJoinExec.mustCopyBeforeShuffle(sparkContext.getConf, numParts,
+      org.apache.spark.serializer.GraftSerializerBridge.sortShuffleManagerActive)
 
   private def toLong(v: Any): Long = v match {
     case l: Long => l
@@ -628,9 +629,18 @@ object IntervalStabJoinExec {
   /** The copy decision, static so the regimes are unit-testable: copy only
     * when neither stream-through writer applies (see the instance method's
     * scaladoc for the writer-selection reasoning).
+    *
+    * `sortBasedShuffleOn` mirrors `needToCopyObjectsBeforeShuffle`'s first
+    * branch (r16 ADVICE): every stream-through argument below is a property
+    * of Spark's built-in `SortShuffleManager` writers. A pluggable manager
+    * (`spark.shuffle.manager` → Celeborn, Uniffle, …) may buffer
+    * DESERIALIZED records, so handing it the reused projection buffer
+    * would silently corrupt join output — copy unconditionally there.
     */
   private[plans] def mustCopyBeforeShuffle(
-      conf: org.apache.spark.SparkConf, numParts: Int): Boolean = {
+      conf: org.apache.spark.SparkConf, numParts: Int,
+      sortBasedShuffleOn: Boolean): Boolean = {
+    if (!sortBasedShuffleOn) return true
     val bypass = conf.getInt("spark.shuffle.sort.bypassMergeThreshold", 200)
     if (numParts <= bypass) false
     else {

@@ -1740,11 +1740,21 @@ object TextQueries {
     * `absent:` constant, silently re-enabling the stale-dump replay this
     * key exists to prevent (r15 ADVICE). None tells the caller "do not
     * memoize". `file:` URIs are local and are stripped to their path.
+    *
+    * Scheme detection is java.net.URI, not a `://` regex (r16 ADVICE):
+    * Hadoop's `Path.toString` emits SINGLE-slash URIs (`hdfs:/nn/p`,
+    * `file:/tmp/x`) that a `://` match classified as local paths — a
+    * remote one then resolved to a nonexistent local file and hashed to
+    * the constant `absent:` print, re-enabling the replay again. A string
+    * URI cannot parse (bare paths with spaces etc.) cannot carry a
+    * scheme, so it is local by construction.
     */
   private[graft] def embeddingsFingerprint(d: String): Option[String] = {
-    val scheme = "^([A-Za-z][A-Za-z0-9+.\\-]*)://".r
-    val local = scheme.findFirstMatchIn(d) match {
-      case Some(m) if m.group(1).equalsIgnoreCase("file") => d.substring(m.end)
+    val local = scala.util.Try(new java.net.URI(d)).toOption match {
+      case Some(u) if u.getScheme == null => d
+      case Some(u) if u.getScheme.equalsIgnoreCase("file") =>
+        // opaque file:rel has no path component -> cannot resolve -> no memo
+        if (u.getPath == null || u.getPath.isEmpty) return None else u.getPath
       case Some(_) => return None
       case None => d
     }

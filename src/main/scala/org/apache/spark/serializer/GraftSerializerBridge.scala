@@ -11,4 +11,16 @@ package org.apache.spark.serializer
 object GraftSerializerBridge {
   def supportsRelocation(s: Serializer): Boolean =
     s.supportsRelocationOfSerializedObjects
+
+  /** Whether the ACTIVE shuffle manager is Spark's built-in sort-based one.
+    * `ShuffleExchangeExec.needToCopyObjectsBeforeShuffle` copies
+    * unconditionally when it is not (a pluggable manager — Celeborn,
+    * Uniffle, … — may buffer deserialized records), and the stab join's
+    * copy-elision must mirror that rule exactly (r16 ADVICE): both the
+    * `ShuffleManager` trait and `SparkEnv.shuffleManager` are
+    * `private[spark]`, hence this bridge.
+    */
+  def sortShuffleManagerActive: Boolean =
+    org.apache.spark.SparkEnv.get.shuffleManager
+      .isInstanceOf[org.apache.spark.shuffle.sort.SortShuffleManager]
 }

@@ -268,19 +268,30 @@ class IntervalStabJoinSpec extends SparkSpec with BeforeAndAfterAll {
     // differential tests in this suite run copy-free through the bypass
     // regime; this pins the decision table itself.
     val conf = new org.apache.spark.SparkConf()
-    assert(!IntervalStabJoinExec.mustCopyBeforeShuffle(conf, 32))
-    assert(!IntervalStabJoinExec.mustCopyBeforeShuffle(conf, 200))
+    assert(!IntervalStabJoinExec.mustCopyBeforeShuffle(conf, 32, true))
+    assert(!IntervalStabJoinExec.mustCopyBeforeShuffle(conf, 200, true))
     // above bypass: default Kryo relocates -> serialized writer -> no copy
-    assert(!IntervalStabJoinExec.mustCopyBeforeShuffle(conf, 201))
-    assert(!IntervalStabJoinExec.mustCopyBeforeShuffle(conf, 16384))
+    assert(!IntervalStabJoinExec.mustCopyBeforeShuffle(conf, 201, true))
+    assert(!IntervalStabJoinExec.mustCopyBeforeShuffle(conf, 16384, true))
     // past the serialized-mode partition limit nothing streams -> copy
-    assert(IntervalStabJoinExec.mustCopyBeforeShuffle(conf, (1 << 24) + 1))
+    assert(IntervalStabJoinExec.mustCopyBeforeShuffle(conf, (1 << 24) + 1, true))
     // a conf that shrinks the bypass threshold moves the boundary
     val tight = new org.apache.spark.SparkConf()
       .set("spark.shuffle.sort.bypassMergeThreshold", "1")
-    assert(!IntervalStabJoinExec.mustCopyBeforeShuffle(tight, 1))
-    assert(!IntervalStabJoinExec.mustCopyBeforeShuffle(tight, 2),
+    assert(!IntervalStabJoinExec.mustCopyBeforeShuffle(tight, 1, true))
+    assert(!IntervalStabJoinExec.mustCopyBeforeShuffle(tight, 2, true),
       "Kryo relocation keeps the serialized writer available above bypass")
+    // r16 ADVICE: a pluggable (non-sort-based) shuffle manager may buffer
+    // deserialized records, so EVERY regime must copy there — including
+    // the partition counts that would stream through under the built-in
+    // manager.
+    assert(IntervalStabJoinExec.mustCopyBeforeShuffle(conf, 32, false))
+    assert(IntervalStabJoinExec.mustCopyBeforeShuffle(conf, 201, false))
+    assert(IntervalStabJoinExec.mustCopyBeforeShuffle(tight, 1, false))
+    // and the live session (built-in manager) must report sort-based
+    assert(org.apache.spark.serializer.GraftSerializerBridge
+      .sortShuffleManagerActive,
+      "local[*] sessions run Spark's built-in SortShuffleManager")
   }
 
   test("equi-join predicates are left to Catalyst") {

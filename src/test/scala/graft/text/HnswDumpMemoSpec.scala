@@ -68,11 +68,20 @@ class HnswDumpMemoSpec extends SparkSpec {
     // silently replayed stale dumps. Now: None -> caller skips the memo.
     assert(TextQueries.embeddingsFingerprint("hdfs://nn:8020/warehouse/sf1").isEmpty)
     assert(TextQueries.embeddingsFingerprint("s3a://bucket/prefix").isEmpty)
+    // r16 ADVICE: Hadoop Path.toString emits SINGLE-slash URIs; the old
+    // '://' regex classified these as local and hashed remote state to the
+    // 'absent:' constant again
+    assert(TextQueries.embeddingsFingerprint("hdfs:/nn/warehouse/sf1").isEmpty)
+    assert(TextQueries.embeddingsFingerprint("s3a:/bucket/prefix").isEmpty)
+    // opaque file:rel has no resolvable path -> no memo rather than a guess
+    assert(TextQueries.embeddingsFingerprint("file:relative/x").isEmpty)
     // file: IS local — strip the scheme and fingerprint the path
     val dir = java.nio.file.Files.createTempDirectory("hnsw_memo_file").toString
     writeEmbeddings(dir, seed = 7)
     val viaUri = TextQueries.embeddingsFingerprint(s"file://$dir")
     assert(viaUri.isDefined && viaUri == TextQueries.embeddingsFingerprint(dir))
+    // the single-slash form Hadoop Path.toString actually emits (r16 ADVICE)
+    assert(TextQueries.embeddingsFingerprint(s"file:$dir") == viaUri)
   }
 
   test("in-place rewrite with identical sizes and mtimes still changes the print") {
