@@ -322,30 +322,40 @@ object Dedup {
     // cut it to ~28.5). Sizes re-attach AFTER the count via two
     // broadcast joins against the doc-count-sized dim. A broadcast dim
     // only works while the CORPUS is broadcastable, so the regime is
-    // gated on a capped early-exit collect (CollectLimit — never a full
-    // scan past the cap): past `sizeDimBroadcastCap` docs the WIDE
+    // gated on a capped early-exit count (never a full scan past the
+    // cap): past `sizeDimBroadcastCap` docs the WIDE
     // regime ships n1/n2 inline with each pair — a wider exchange, but
     // zero driver/executor dim residency at any corpus size (a 20B-doc
     // corpus must never be collected as a broadcast table). Same router
     // idiom as the dedup exact/routed cutover; the two regimes are
     // output-identical (spec-asserted).
     //
-    // ONE capped collect supplies the gate AND the dim (r16 ADVICE +
-    // verdict ask #3): the old shape ran the HashedShingles lineage up
-    // to three extra times per call — the gate's count() plus one
-    // distributed scan per broadcast dim (their differing aliases defeat
-    // ReuseExchange) — and each dim build was its own job launch, the
-    // measured ~0.1–0.2 s sf0.1 exact-family floor regression. Collected
-    // once, the dim becomes a LocalRelation: BroadcastExchange over a
-    // LocalTableScan builds its hash relation from the driver rows with
-    // ZERO jobs and zero lineage re-execution, and the driver residency
-    // is the SAME rows BroadcastExchange's executeCollect would have
-    // pulled anyway — once, instead of twice.
-    val sizeRows = hashed
-      .select(col("doc_id"), col("n").cast("long").as("n"))
-      .limit(sizeDimCap + 1).as[(Long, Long)].collect()
-    val slim = sizeRows.length <= sizeDimCap
+    // The dim is collected ONCE and rebuilt as a LocalRelation (r16
+    // ADVICE + verdict ask #3): the old shape ran the size-bearing
+    // lineage once per broadcast dim (their differing aliases defeat
+    // ReuseExchange), each build its own job launch — the measured
+    // ~0.1–0.2 s sf0.1 exact-family floor regression. BroadcastExchange
+    // over a LocalTableScan builds its hash relation from the driver
+    // rows with ZERO jobs, and the driver residency is the SAME rows
+    // BroadcastExchange's executeCollect would have pulled anyway —
+    // once, instead of twice. Two deliberate shapes here, both
+    // A/B-measured at sf0.1 (r17): the GATE keeps the doc_id-only
+    // limit+count (column pruning drops the shingle computation from
+    // its scan — `n` would force it — so it stays cheap at any corpus
+    // size), and the collect is UNLIMITED — `limit(cap).collect()`
+    // plans as CollectLimit/executeTake, whose sequential 1→4→16…
+    // partition ramp recomputes the shingle lineage near-serially
+    // (~0.3 s slower), and a fused RDD probe (per-partition counts +
+    // budget-bounded rows in one job) re-plans the lineage through a
+    // non-codegen DeserializeToObject pass (~0.2–0.35 s slower). The
+    // gate passing bounds the unlimited collect at `sizeDimCap` rows by
+    // construction.
+    val slim = hashed.select("doc_id")
+      .limit(sizeDimCap + 1).count() <= sizeDimCap
     if (slim) {
+      val sizeRows = hashed
+        .select(col("doc_id"), col("n").cast("long").as("n"))
+        .as[(Long, Long)].collect()
       val counted = emitted.select("d1", "d2")
         .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
       val sizes = spark.createDataset(

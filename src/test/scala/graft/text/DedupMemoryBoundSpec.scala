@@ -182,6 +182,41 @@ class DedupMemoryBoundSpec extends SparkSpec {
     assert(incRows(8000000) === incRows(0))
   }
 
+  test("jaccardPairRows: the regime fork is observable in the plan — slim " +
+    "plants the collected dim as a LocalRelation, wide plants none") {
+    // r17: the slim dim is collected once and rebuilt as a LocalRelation
+    // (BroadcastExchange over LocalTableScan = zero dim-build jobs); the
+    // wide regime must never hold ANY driver-side relation. Guards the
+    // r16 ADVICE fix (single collect, no per-dim lineage re-execution)
+    // against a regression back to distributed dim builds.
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val vocab = Vector("oak", "elm", "fir", "ash", "yew", "box")
+    def doc(): String = Seq.fill(10)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val base = Seq.tabulate(90)(_ => doc())
+    val texts = base.updated(7, base(6))
+    // parquet round-trip: a Seq.toDF source is itself a LocalRelation,
+    // which would defeat the regime probe below — a file scan keeps the
+    // collected size dim as the plan's ONLY possible LocalRelation
+    val pq = java.nio.file.Files.createTempDirectory("skewdim").toString + "/docs"
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(pq)
+    val df = spark.read.parquet(pq)
+    val hashed = Dedup.hashedShingleDocs(df, "doc_id", "text")
+    def run(sizeCap: Int) =
+      Dedup.jaccardPairRows(hashed, None, cap = Dedup.DefaultGroupCap,
+        sampleMod = Dedup.DefaultSampleMod, sizeDimCap = sizeCap)
+    val slim = run(8000000)
+    assert(slim.queryExecution.optimizedPlan.toString.contains("LocalRelation"),
+      "an under-cap corpus must take the broadcast-dim slim regime (collected dim)")
+    val wide = run(0)
+    assert(!wide.queryExecution.optimizedPlan.toString.contains("LocalRelation"),
+      "the wide regime must carry sizes inline — no driver-side relation at any size")
+    val a = slim.collect().map(_.toString).sorted.toSeq
+    val b = wide.collect().map(_.toString).sorted.toSeq
+    assert(a.nonEmpty && a === b)
+  }
+
   test("jaccardComponents: digest-collapsed path equals pair-graph components") {
     import spark.implicits._
     val rnd = new scala.util.Random(31)
