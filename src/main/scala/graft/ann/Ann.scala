@@ -512,13 +512,18 @@ object Ann {
     * the previous all-corpus distributed-Lloyd formulation.) Recall vs
     * [[cosineTopK]] is asserted in tests.
     *
-    * SHIPPED DEFAULT (r15, AnnPresetTuneProbe): `nProbe=8` of 16 cells —
-    * measured recall@5 0.84/0.84 at sf0.01/sf0.1 (the pedagogical
-    * nProbe=4 gate config measures 0.61/0.58); nProbe=12 buys 0.93 at
-    * 3/4 of the corpus probed. The probe fraction nProbe/numCells is the
-    * compute dial: at larger corpora raise numCells with nProbe
-    * (32/16 measured 0.85-0.86 at the same 0.5 fraction). Tripwired in
-    * AnnRecallSpec; both configs recorded in RECALL.json.
+    * SHIPPED DEFAULT (r17, RecallFrontierProbe at the 10× bracket —
+    * 200k×64 i.i.d.-Gaussian vectors, the structureless ANN worst case):
+    * `nProbe=32` of 64 cells — recall@5 0.944 at LOWER wall than the old
+    * r15 16/8 preset (9.9 s vs 11.1 s: same 0.5 probe fraction, but 4×
+    * more cells make each probed cell 4× cheaper to scan while the
+    * bounded trainer cost is unchanged). The frontier around it:
+    * 64/16 → 0.744 @ 7.1 s, 64/48 → 0.996 @ 15.4 s, old 16/8 → 0.820,
+    * 16/12 → 0.976 @ 14.3 s. The probe fraction nProbe/numCells is the
+    * compute dial — on structureless data recall tracks it (plus a small
+    * quantizer bonus), which is WHY the default sits at 0.5. Tripwired
+    * in AnnRecallSpec; configs recorded in RECALL.json (+ the sf10dup
+    * section for the 10× bracket).
     */
   def ivfTopK(
       embeddings: DataFrame,
@@ -526,8 +531,8 @@ object Ann {
       vecCol: String,
       queryPred: Column,
       k: Int,
-      numCells: Int = 16,
-      nProbe: Int = 8,
+      numCells: Int = 64,
+      nProbe: Int = 32,
       lloydIters: Int = 2,
       trainCap: Int = 4096): DataFrame =
     ivfTopKWithCentroids(embeddings, idCol, vecCol, queryPred, k, nProbe,
@@ -1143,6 +1148,17 @@ object Ann {
     * set — enforced by `maxQueries` (fail-fast, no partial work). For
     * large query sets use [[ivfTopK]]/[[ivfPqTopK]], whose probes stay
     * distributed.
+    *
+    * SHIPPED DEFAULT (r17, RecallFrontierProbe at the 10× bracket —
+    * 200k×64 i.i.d.-Gaussian vectors): `m=16, ef=128` — recall@5 1.000
+    * at 32 shards (13.8 s build+search) vs the old m=8/ef=64's 0.804
+    * (9.7 s); m=8/ef=128 reads 0.956, m=16/ef=192 also 1.000 at 21.1 s
+    * (past the knee). Beam width and graph degree, not shard count, are
+    * the recall levers — 8 shards at m=16/ef=192 measured 0.968 but
+    * 72 s, build parallelism capped at 8 of 32 cores — so shards should
+    * track cores (build cost) while m/ef carry quality. The gate pins
+    * the pedagogical 8/8/64 config explicitly (AnnGateConfigSpec); the
+    * 10× rows + floors live in RECALL.json's sf10dup section.
     */
   def hnswTopK(
       embeddings: DataFrame,
@@ -1151,8 +1167,8 @@ object Ann {
       queryPred: Column,
       k: Int,
       numShards: Int = 8,
-      m: Int = 8,
-      ef: Int = 64,
+      m: Int = 16,
+      ef: Int = 128,
       maxQueries: Int = 4096): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
@@ -1302,26 +1318,32 @@ object Ann {
   }
 
   /** Multi-probe LSH top-k (Lv et al., VLDB'07): each query probes its own
-    * bucket PLUS every Hamming-distance-1 bucket per table — a candidate is
-    * any corpus vector whose per-table signature differs from the query's
-    * in at most one bit. Equivalent recall to running ~numPlanes× more
-    * tables, at the cost of fanning out the QUERY side only: the corpus
-    * index stays exactly [[lshTopK]]'s `tables` cells per vector (the
-    * 100 TB asymmetry — corpus cells dominate storage and shuffle, queries
-    * are the small side), while each query emits `(1+numPlanes)×tables`
-    * probe cells. Candidates strictly contain [[lshTopK]]'s (the flip set
-    * includes the identity probe), so recall can only go up — measured per
-    * round in RECALL.json; output pinned by a full hash oracle whose
-    * candidate rule is `bit_count(xor(sig_q, sig_n)) <= 1` per table over
+    * bucket PLUS every bucket within Hamming distance `probeBits` per
+    * table — a candidate is any corpus vector whose per-table signature
+    * differs from the query's in at most `probeBits` bits. Equivalent
+    * recall to running many more tables, at the cost of fanning out the
+    * QUERY side only: the corpus index stays exactly [[lshTopK]]'s
+    * `tables` cells per vector (the 100 TB asymmetry — corpus cells
+    * dominate storage and shuffle, queries are the small side), while
+    * each query emits `(1+numPlanes[+C(numPlanes,2)])×tables` probe
+    * cells. Candidates strictly contain [[lshTopK]]'s (the flip set
+    * includes the identity probe) and grow monotonically with
+    * `probeBits`, so recall can only go up — measured per round in
+    * RECALL.json; output pinned by a full hash oracle whose candidate
+    * rule is `bit_count(xor(sig_q, sig_n)) <= probeBits` per table over
     * the same literal-embedded plane matrix.
     *
-    * SHIPPED DEFAULT (r15, AnnPresetTuneProbe): `numPlanes=6, tables=16`
-    * — measured recall@5 0.69/0.84 at sf0.01/sf0.1 on the near-random
-    * gate corpus at a ~3.1% candidate fraction (sf0.1) — the probing,
-    * not coarser buckets, buys the recall, so the index cells stay
-    * 6-bit-selective (the scale-friendly trade; the pedagogical 8×8
-    * gate config measures 0.39/0.46). Tripwired in AnnRecallSpec; both
-    * configs recorded in RECALL.json.
+    * SHIPPED DEFAULT (r17, RecallFrontierProbe at the 10× bracket):
+    * `numPlanes=6, tables=16, probeBits=2` — recall@5 ≥0.9 on 200k×64
+    * i.i.d.-Gaussian vectors with the CORPUS INDEX UNCHANGED from the
+    * r15 6×16 preset (which reads 0.868 at 10× with 1-bit probes; its
+    * sf0.01/sf0.1 rows were 0.69/0.84). The 2-bit flip set triples the
+    * query-side fan-out (22 probes/table vs 7) — the scale-correct
+    * lever, since the alternative ≥0.9 configs grow the corpus index:
+    * 6×32 1-bit → 0.924 and 5×32 → 0.964 but at 2× the corpus cells.
+    * The pedagogical 8×8×1-bit gate config is pinned explicitly
+    * (AnnGateConfigSpec). Tripwired in AnnRecallSpec; 10× rows in
+    * RECALL.json's sf10dup section.
     */
   def lshMultiProbeTopK(
       embeddings: DataFrame,
@@ -1331,7 +1353,12 @@ object Ann {
       k: Int,
       dim: Int,
       numPlanes: Int = 6,
-      tables: Int = 16): DataFrame = {
+      tables: Int = 16,
+      probeBits: Int = 2): DataFrame = {
+    require(probeBits == 1 || probeBits == 2,
+      s"probeBits must be 1 or 2, got $probeBits — the flip-set size is " +
+        "C(numPlanes,<=probeBits); past 2 bits you are probing most of the " +
+        "table and should lower numPlanes or use ivfTopK instead")
     val sigs = array((0 until tables).map { t =>
       struct(lit(t).as("t"),
         hyperplaneSignature(col(vecCol), dim, numPlanes, t * numPlanes).as("sig"))
@@ -1339,14 +1366,23 @@ object Ann {
     val corpusCells = embeddings
       .select(col(idCol).as("neighbor_id"), explode(sigs).as("cell"))
       .select(col("neighbor_id"), col("cell.t").as("t"), col("cell.sig").as("sig"))
-    // query probes: the signature itself plus each of its 1-bit flips —
-    // computed AFTER the per-table explode so the signature expression
-    // runs once per (query, table), not once per probe
+    // query probes: the signature itself plus each of its <=probeBits-bit
+    // flips — computed AFTER the per-table explode so the signature
+    // expression runs once per (query, table), not once per probe
+    val flipMasks: Seq[Long] = {
+      val one = (0 until numPlanes).map(p => 1L << p)
+      val two =
+        if (probeBits < 2) Seq.empty
+        else for {
+          i <- 0 until numPlanes; j <- (i + 1) until numPlanes
+        } yield (1L << i) | (1L << j)
+      0L +: (one ++ two)
+    }
     val queryCells = embeddings.where(queryPred)
       .select(col(idCol).as("query_id"), explode(sigs).as("cell"))
       .select(col("query_id"), col("cell.t").as("t"), explode(array(
-        col("cell.sig") +:
-          (0 until numPlanes).map(p => col("cell.sig").bitwiseXOR(lit(1L << p))): _*))
+        flipMasks.map(mk =>
+          if (mk == 0L) col("cell.sig") else col("cell.sig").bitwiseXOR(lit(mk))): _*))
         .as("sig"))
     val candidates = queryCells
       .join(corpusCells, Seq("t", "sig"))

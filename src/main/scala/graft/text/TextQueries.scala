@@ -1183,7 +1183,8 @@ object TextQueries {
     // recorded per round in RECALL.json; same literal-plane full oracle
     "ann_lsh_mp_topk" -> { (s, d) =>
       Ann.lshMultiProbeTopK(Tables.embeddings(s, d), "vec_id", "embedding",
-        col("vec_id") < 20, k = 5, dim = 64, numPlanes = 8, tables = 8)
+        col("vec_id") < 20, k = 5, dim = 64, numPlanes = 8, tables = 8,
+        probeBits = 1)
     },
 
     // IVF has a FULL hash oracle despite its DATA-DEPENDENT coarse
@@ -1214,7 +1215,11 @@ object TextQueries {
     "cur_diverse" -> { (s, d) =>
       import s.implicits._
       val emb = Tables.embeddings(s, d)
-      val cents = Ann.trainIvfCentroids(emb, "vec_id", "embedding")
+      // gate config EXPLICIT (AnnGateConfigSpec rule): this previously
+      // inherited the trainer defaults; pinned so a shipped-preset move
+      // (like r17's ivfTopK 16/8 → 64/32) can never shift this oracle
+      val cents = Ann.trainIvfCentroids(emb, "vec_id", "embedding",
+        numCells = 16, lloydIters = 2, trainCap = 4096)
       ivfTrainedCentroids.set(cents)
       val cells = Ann.assignCells(emb, "vec_id", "embedding", cents)
         .select(col("id").as("doc_id"), col("cell"))

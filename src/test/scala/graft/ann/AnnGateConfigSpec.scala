@@ -29,10 +29,13 @@ class AnnGateConfigSpec extends SparkSpec {
       rows(Ann.lshTopK(emb, "vec_id", "embedding",
         col("vec_id") < 20, k = 5, dim = 64, numPlanes = 8, tables = 8)))
 
-    // multi-probe gate pins 8×8 (shipped default: 6×16)
+    // multi-probe gate pins 8×8 with 1-BIT probes (shipped default:
+    // 6×16×2-bit since r17 — the oracle's candidate rule is
+    // bit_count(xor) <= 1, so probeBits is gate-pinned too)
     assert(rows(graft.SparkEntry.queries("ann_lsh_mp_topk")(spark, d)) ==
       rows(Ann.lshMultiProbeTopK(emb, "vec_id", "embedding",
-        col("vec_id") < 20, k = 5, dim = 64, numPlanes = 8, tables = 8)))
+        col("vec_id") < 20, k = 5, dim = 64, numPlanes = 8, tables = 8,
+        probeBits = 1)))
 
     // ivf gate pins nProbe=4 over the 16-cell/2-iter/4096-cap trainer
     // (shipped default: nProbe=8)

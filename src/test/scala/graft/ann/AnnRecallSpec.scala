@@ -103,6 +103,10 @@ class AnnRecallSpec extends SparkSpec {
       def shippedPairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
         df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
       import org.apache.spark.sql.functions.col
+      // r17 floors track the RecallFrontierProbe preset refresh (mp-lsh
+      // 6×16×2-bit measured 0.92/0.97, ivf 64/32 measured 0.95/0.92,
+      // hnsw m=16/ef=128 measured 1.00/1.00 here) — floors sit just
+      // under the measurements, as before
       val moreShipped = Seq(
         ("ann_lsh_topk_shipped_default",
           shippedPairs(graft.ann.Ann.lshTopK(emb, "vec_id", "embedding",
@@ -111,11 +115,15 @@ class AnnRecallSpec extends SparkSpec {
         ("ann_lsh_mp_topk_shipped_default",
           shippedPairs(graft.ann.Ann.lshMultiProbeTopK(emb, "vec_id",
             "embedding", col("vec_id") < 20, k = 5, dim = 64)),
-          if (label == "sf0.01") 0.60 else 0.75),
+          if (label == "sf0.01") 0.85 else 0.90),
         ("ann_ivf_topk_shipped_default",
           shippedPairs(graft.ann.Ann.ivfTopK(emb, "vec_id", "embedding",
             col("vec_id") < 20, k = 5)),
-          0.75)
+          0.88),
+        ("ann_hnsw_topk_shipped_default",
+          shippedPairs(graft.ann.Ann.hnswTopK(emb, "vec_id", "embedding",
+            col("vec_id") < 20, k = 5)),
+          0.95)
       ).map { case (name, pairsGot, floor) =>
         val r = (brute intersect pairsGot).size.toDouble / brute.size
         assert(r >= floor, s"$name recall $r below floor $floor at $label")
@@ -138,12 +146,47 @@ class AnnRecallSpec extends SparkSpec {
          |$json
          |    }""".stripMargin
     }
+    // r17 (verdict ask #1): the 10× bracket rows ride in from the
+    // committed RECALL_SF10DUP.json fragment (measured by
+    // RecallFrontierProbe on the 200k×64 corpus, which the suite cannot
+    // regenerate cheaply) — merged here so RECALL.json stays the single
+    // recall artifact, with the fragment's floors RE-CHECKED against its
+    // recorded values every suite run: an accidental edit that drops a
+    // shipped default below its floor fails here, and a code change that
+    // drops the MEASURED recall fails in the probe's own floor asserts.
+    val sf10Section = {
+      val fragPath = java.nio.file.Paths.get("RECALL_SF10DUP.json")
+      if (!java.nio.file.Files.exists(fragPath)) ""
+      else {
+        val frag = java.nio.file.Files.readString(fragPath)
+        val row = ("\"([a-z0-9_]+)\":\\s*\\{\"recall_vs_brute\":\\s*([0-9.]+)," +
+          "\\s*\"wall_sec\":\\s*([0-9.]+),\\s*\"config\":\\s*\"([^\"]+)\"," +
+          "[^}]*\"floor\":\\s*([0-9.]+)\\}").r
+        val rows = row.findAllMatchIn(frag).map(m =>
+          (m.group(1), m.group(2).toDouble, m.group(4), m.group(5).toDouble)).toSeq
+        assert(rows.size >= 3,
+          "RECALL_SF10DUP.json present but shipped-default rows failed to parse")
+        rows.foreach { case (name, recall, _, floor) =>
+          assert(recall >= floor,
+            s"committed sf10dup row $name records recall $recall below its " +
+              s"own floor $floor — rerun RecallFrontierProbe; do not edit " +
+              "the fragment by hand")
+        }
+        val json = rows.map { case (name, recall, config, _) =>
+          f"""      "$name": {"recall_vs_brute": $recall%.4f, "config": "$config"}"""
+        }.mkString(",\n")
+        s""",
+           |    "sf10dup (200k x 64, RECALL_SF10DUP.json)": {
+           |$json
+           |    }""".stripMargin
+      }
+    }
     val content =
       s"""{
          |  "truth": "ann_cosine_topk (exact brute-force top-k)",
          |  "metric": "recall@k over (query_id, neighbor_id) pairs",
          |  "by_sf": {
-         |${sections.mkString(",\n")}
+         |${sections.mkString(",\n")}$sf10Section
          |  }
          |}
          |""".stripMargin

@@ -1,0 +1,106 @@
+package graft.ann
+
+import org.apache.spark.sql.functions._
+
+/** Dev-only probe (r17 verdict ask #1): the recall@5 / wall-time frontier
+  * of every ANN family's tunable levers at the 10× bracket (the 200k×64
+  * i.i.d.-Gaussian embeddings of /tmp/sf10dup — the documented ANN worst
+  * case: no cluster structure, so hashing/quantization candidate rules
+  * degrade toward "recall ≈ fraction of corpus scanned", while graph
+  * search must rely entirely on beam width).
+  *
+  * Output: one `FRONTIER family=… config=… recall_at_5=… wall_sec=…` line
+  * per arm, against a brute-force truth of `nQueries` queries. The chosen
+  * shipped configs + floors are committed to RECALL_SF10DUP.json (written
+  * by hand from this probe's output — the probe itself never writes, so a
+  * loaded-box run can't silently degrade the committed artifact) and
+  * tripwired in AnnRecallSpec.
+  *
+  * Env: SPARK_GRAFT_SF10DUP_DIR (default /tmp/sf10dup),
+  * SPARK_GRAFT_PROBE_ONLY=hnsw,ivf,mplsh narrows the families.
+  */
+object RecallFrontierProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[32]").config("spark.sql.shuffle.partitions", 32)
+      .appName("recall-frontier").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF10DUP_DIR", "/tmp/sf10dup")
+    val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+      .map(_.split(",").toSet).getOrElse(Set("hnsw", "ivf", "mplsh"))
+    val nQueries = 50
+    val emb = graft.Tables.embeddings(spark, d)
+    val pred = col("vec_id") < nQueries
+
+    def pairs(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+
+    val t0 = System.nanoTime()
+    val truth = pairs(Ann.cosineTopK(emb, "vec_id", "embedding", pred, k = 5))
+    println(f"TRUTH brute queries=${truth.size} wall_sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+
+    // floors for the r17 SHIPPED DEFAULTS (RECALL_SF10DUP.json) — the
+    // probe is the executable tripwire: re-running it on a changed index
+    // fails loud if a shipped config drops below its committed floor
+    val shippedFloors = Map(
+      "shards=32,m=16,ef=128" -> 0.95,
+      "cells=64,nProbe=32" -> 0.90,
+      "planes=6,tables=16,probeBits=2" -> 0.90)
+
+    def arm(family: String, config: String)(
+        run: => org.apache.spark.sql.DataFrame): Unit = {
+      val t = System.nanoTime()
+      val got = pairs(run)
+      val wall = (System.nanoTime() - t) / 1e9
+      val recall = truth.map { case (q, ts) =>
+        got.getOrElse(q, Set.empty).intersect(ts).size.toDouble / ts.size
+      }.sum / truth.size
+      println(f"FRONTIER family=$family config=$config " +
+        f"recall_at_5=$recall%.3f wall_sec=$wall%.2f")
+      shippedFloors.get(config).foreach { floor =>
+        require(recall >= floor,
+          f"shipped default $family $config recall $recall%.3f fell below " +
+            f"its committed floor $floor (RECALL_SF10DUP.json)")
+      }
+    }
+
+    if (only("hnsw"))
+      for ((shards, m, ef) <- Seq(
+          (32, 8, 64),   // r16 prod envelope config (measured 0.81 @ 20q)
+          (32, 8, 128),
+          (32, 8, 192),
+          (32, 16, 128),
+          (32, 16, 192),
+          (8, 16, 192)))
+        arm("hnsw", s"shards=$shards,m=$m,ef=$ef")(
+          Ann.hnswTopK(emb, "vec_id", "embedding", pred, k = 5,
+            numShards = shards, m = m, ef = ef))
+
+    if (only("ivf"))
+      for ((cells, nProbe) <- Seq(
+          (16, 8),   // shipped default (fraction ~0.50)
+          (16, 12),  // fraction ~0.75
+          (64, 16),  // fraction ~0.25
+          (64, 32),  // fraction ~0.50
+          (64, 48))) // fraction ~0.75
+        arm("ivf", s"cells=$cells,nProbe=$nProbe")(
+          Ann.ivfTopK(emb, "vec_id", "embedding", pred, k = 5,
+            numCells = cells, nProbe = nProbe))
+
+    if (only("mplsh"))
+      for ((planes, tables, bits) <- Seq(
+          (6, 16, 1),  // r15 shipped default (1-bit probes)
+          (6, 32, 1),
+          (5, 32, 1),
+          (4, 32, 1),
+          (6, 16, 2),  // r17 shipped default: 2-bit probes, corpus index unchanged
+          (8, 16, 2)))
+        arm("mplsh", s"planes=$planes,tables=$tables,probeBits=$bits")(
+          Ann.lshMultiProbeTopK(emb, "vec_id", "embedding", pred, k = 5,
+            dim = 64, numPlanes = planes, tables = tables, probeBits = bits))
+
+    spark.stop()
+  }
+}
