@@ -146,22 +146,35 @@ case class HashShingleArray(child: Expression) extends UnaryExpression {
 }
 
 object HashShingleArray {
-  def compute(arr: org.apache.spark.sql.catalyst.util.ArrayData): UnsafeArrayData = {
-    val n = arr.numElements()
-    val out = new Array[Long](n)
-    var i = 0
-    while (i < n) {
-      val s = arr.getUTF8String(i).toString
-      var h1 = 0L; var h2 = 0L; var j = 0
-      while (j < s.length) {
-        val c = s.charAt(j).toLong
-        h1 = (h1 * 31 + c) % HashPrime
-        h2 = (h2 * 131 + c) % HashPrime
-        j += 1
-      }
-      out(i) = h1 * HashPrime + h2
-      i += 1
+  /** The library's 60-bit shingle hash of ONE shingle string — the packed
+    * base-31/base-131 mod-(1e9+7) folds every hashed-shingle surface
+    * (batch `hs` columns, their DuckDB oracle twins, and the streaming
+    * minhash twin's compact state) shares. One implementation so the
+    * representations can never drift.
+    */
+  def hashOne(s: String): Long = {
+    var h1 = 0L; var h2 = 0L; var j = 0
+    while (j < s.length) {
+      val c = s.charAt(j).toLong
+      h1 = (h1 * 31 + c) % HashPrime
+      h2 = (h2 * 131 + c) % HashPrime
+      j += 1
     }
+    h1 * HashPrime + h2
+  }
+
+  /** Sorted distinct [[hashOne]] values of a shingle collection — the
+    * Scala-side twin of [[compute]] for callers that hold plain strings
+    * (the streaming minhash twin's per-doc state payload).
+    */
+  def hashDistinctSorted(sh: Seq[String]): Array[Long] = {
+    val out = new Array[Long](sh.length)
+    var i = 0
+    sh.foreach { s => out(i) = hashOne(s); i += 1 }
+    sortDistinctInPlace(out)
+  }
+
+  private def sortDistinctInPlace(out: Array[Long]): Array[Long] = {
     java.util.Arrays.sort(out)
     var m = 0
     var r = 0
@@ -169,7 +182,32 @@ object HashShingleArray {
       if (r == 0 || out(r) != out(r - 1)) { out(m) = out(r); m += 1 }
       r += 1
     }
-    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(out, m))
+    java.util.Arrays.copyOf(out, m)
+  }
+
+  /** Intersection cardinality of two sorted-distinct long arrays (the
+    * [[SortedLongIntersectCount]] merge, over primitive arrays for
+    * driver/state-side callers).
+    */
+  def sortedIntersectCount(a: Array[Long], b: Array[Long]): Long = {
+    var i = 0; var j = 0; var c = 0L
+    while (i < a.length && j < b.length) {
+      if (a(i) < b(j)) i += 1
+      else if (a(i) > b(j)) j += 1
+      else { c += 1L; i += 1; j += 1 }
+    }
+    c
+  }
+
+  def compute(arr: org.apache.spark.sql.catalyst.util.ArrayData): UnsafeArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = hashOne(arr.getUTF8String(i).toString)
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(sortDistinctInPlace(out))
   }
 }
 

@@ -353,7 +353,20 @@ object StreamingOps {
     * `getCurrentWatermarkMs` / arm event-time timeouts.
     */
   final case class SigCell(cell: Long, doc: SigDoc, ets: java.sql.Timestamp)
-  final case class ShingleCell(bucket: String, doc: ShingledDoc, ets: java.sql.Timestamp)
+  /** The minhash twin's banded-cell carrier: COMPACT — the doc rides as
+    * its sorted-distinct 60-bit shingle hashes ([[graft.functions
+    * .HashShingleArray.hashDistinctSorted]]), computed once per doc
+    * before the ×bands explode, never as the raw shingle strings. The
+    * strings would otherwise be serialized `bands` times into the
+    * shuffle and then rewritten whole into every touched cell's state
+    * entry each batch — the r16 STREAMING.json decomposition measured
+    * that layout at upd 26.9 s / commit 8.8 s against 8.0 s of addBatch
+    * (1.2k docs/s); hashes cut the state value bytes ~4× and the verify
+    * to a primitive sorted merge.
+    */
+  final case class ShingleCell(
+      bucket: String, docId: Long, hs: Array[Long], tsMs: Long,
+      ets: java.sql.Timestamp)
 
   private def watermarked[T: org.apache.spark.sql.Encoder](
       exploded: Dataset[T], delay: Option[String]): Dataset[T] =
@@ -592,7 +605,7 @@ object StreamingOps {
 
   final case class ShingledDoc(docId: Long, shingles: Seq[String], tsMs: Long)
   final case class MinhashCellState(
-      members: List[(Long, Seq[String], Long)]) // (docId, shingles, tsMs)
+      members: List[(Long, Array[Long], Long)]) // (docId, sorted hs, tsMs)
   final case class JaccardPair(d1: Long, d2: Long, inter: Long, j: Double)
 
   /** Streaming MinHash-LSH near-dup: the streaming twin of the batch
@@ -603,11 +616,18 @@ object StreamingOps {
     * batch column), explodes into its `bands` band-bucket cells, and the
     * per-cell `flatMapGroupsWithState` emits an exact-Jaccard-verified
     * [[JaccardPair]] the moment a new arrival lands in a cell with a
-    * member above `threshold` — same verification arithmetic (distinct
-    * shingle intersection, floor-form 6dp rounding) as the batch, so the
-    * distinct-ed stream output equals the batch pair set whenever banding
-    * catches every true pair (P[miss] = (1−J^r)^b, the batch operator's
-    * own guarantee).
+    * member above `threshold`. Verification runs on the library's 60-bit
+    * HASHED-shingle representation (r17 state format — the same `hs` the
+    * batch exact tier computes; raw shingle strings were previously
+    * serialized ×bands into the shuffle and rewritten whole into every
+    * touched cell's state each batch, the r16 STREAMING.json bottleneck):
+    * sorted-merge intersection + floor-form 6dp rounding, equal to the
+    * batch's distinct-string arithmetic absent a 60-bit hash collision
+    * (P ≈ n²/2^61 per pair), so the distinct-ed stream output equals the
+    * batch pair set whenever banding catches every true pair
+    * (P[miss] = (1−J^r)^b, the batch operator's own guarantee). The r17
+    * state/carrier schema is NOT checkpoint-compatible with earlier
+    * rounds' — restart streams from fresh checkpoints on upgrade.
     *
     * State is BOUNDED exactly as in the simhash twin: members older than
     * `retentionMs` behind the cell's newest arrival are evicted per batch
@@ -651,9 +671,18 @@ object StreamingOps {
         if (d.shingles.isEmpty) Seq.empty
         else {
           val sig = graft.text.Dedup.minhashSigOf(d.shingles, numHashes)
+          // hashed ONCE per doc, shared by all `bands` cell copies: the
+          // state payload is the library's 60-bit hashed-shingle
+          // representation (the batch exact tier's `hs`), so |A|, |B|,
+          // and inter below are Jaccard over hash SETS — equal to the
+          // batch string-set arithmetic absent a 60-bit collision
+          // (P ≈ n²/2^61 per pair; the parity spec pins equality on
+          // real corpora)
+          val hs = graft.functions.HashShingleArray.hashDistinctSorted(d.shingles)
           (0 until bands).map { b =>
             val bucket = (b +: (0 until r).map(i => sig(b * r + i))).mkString("_")
-            ShingleCell(bucket, d, new java.sql.Timestamp(d.tsMs))
+            ShingleCell(bucket, d.docId, hs, d.tsMs,
+              new java.sql.Timestamp(d.tsMs))
           }
         }
       },
@@ -663,19 +692,20 @@ object StreamingOps {
         OutputMode.Append(), timeout) {
         (_: String, it: Iterator[ShingleCell],
          state: GroupState[MinhashCellState]) =>
-          cellSweep[ShingleCell, (Long, Seq[String], Long), MinhashCellState, JaccardPair](
+          cellSweep[ShingleCell, (Long, Array[Long], Long), MinhashCellState, JaccardPair](
             it, state, eventTime, retentionMs, maxCellMembers,
-            c => (c.doc.docId, c.doc.shingles, c.doc.tsMs),
+            c => (c.docId, c.hs, c.tsMs),
             _._3,
             m => (m._3, m._1),
             _.members,
             MinhashCellState(_),
             (d, members) => {
-              val newSet = d._2.toSet
-              members.iterator.flatMap { case (id, sh, _) =>
+              val ha = d._2
+              members.iterator.flatMap { case (id, hb, _) =>
                 if (id != d._1) {
-                  val inter = sh.count(newSet.contains).toLong
-                  val union = sh.size + d._2.size - inter
+                  val inter =
+                    graft.functions.HashShingleArray.sortedIntersectCount(ha, hb)
+                  val union = ha.length + hb.length - inter
                   if (union > 0) {
                     val jraw = inter.toDouble / union
                     if (jraw >= threshold) {

