@@ -446,6 +446,66 @@ object Bench {
         s"""{"dir":"$sf1Dir","timing":"best_of_3","queries":{$rowsJson}$pretrainSf1}"""
       }.getOrElse("{}")
 
+    // ONE measurement loop for every scale envelope (r17 — the sf10,
+    // sf10dup, and new sf100 blocks previously carried three identical
+    // copies of the listener + per-run instrument machinery): nRuns
+    // noop-writes per row with per-run wall/GC/load/dropped-events and
+    // max peak/spill, listener added and removed around the family.
+    def envelopeRows(
+        rows: Seq[(String, () => org.apache.spark.sql.DataFrame)],
+        nRuns: Int): String = {
+      @volatile var peak = 0L
+      @volatile var spill = 0L
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = t.taskMetrics
+          if (m != null) {
+            peak = math.max(peak, m.peakExecutionMemory)
+            spill += m.memoryBytesSpilled + m.diskBytesSpilled
+          }
+        }
+      }
+      def gcMillis(): Long = {
+        import scala.jdk.CollectionConverters._
+        java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+          .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        rows.map { case (name, mk) =>
+          var peakMax = 0L
+          var spillMax = 0L
+          val gcSecs = scala.collection.mutable.ArrayBuffer.empty[Double]
+          val loads = scala.collection.mutable.ArrayBuffer.empty[Double]
+          val drops = scala.collection.mutable.ArrayBuffer.empty[Long]
+          val runs = (1 to nRuns).map { _ =>
+            peak = 0L; spill = 0L
+            val drop0 = org.apache.spark.GraftListenerBridge
+              .droppedEvents(spark.sparkContext)
+            val gc0 = gcMillis()
+            val t0 = System.nanoTime()
+            mk().write.format("noop").mode("overwrite").save()
+            val sec = (System.nanoTime() - t0) / 1e9
+            gcSecs += (gcMillis() - gc0) / 1e3
+            loads += loadAvg1m()
+            Thread.sleep(500)
+            drops += org.apache.spark.GraftListenerBridge
+              .droppedEvents(spark.sparkContext) - drop0
+            peakMax = math.max(peakMax, peak)
+            spillMax = math.max(spillMax, spill)
+            spark.catalog.clearCache(); System.gc()
+            sec
+          }
+          val runsJson = runs.map(s => f"$s%.3f").mkString("[", ",", "]")
+          val gcJson = gcSecs.map(s => f"$s%.3f").mkString("[", ",", "]")
+          val loadJson = loads.map(s => f"$s%.2f").mkString("[", ",", "]")
+          val dropJson = drops.mkString("[", ",", "]")
+          f""""$name":{"sec":${runs.min}%.3f,"sec_max":${runs.max}%.3f,"runs_sec":$runsJson,"runs_gc_sec":$gcJson,"runs_load_1m":$loadJson,"runs_dropped_events":$dropJson,"peak_task_mb":${peakMax / 1048576},"spill_mb":${spillMax / 1048576}}"""
+        }.mkString(",")
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+
     // sf10 scale envelope (r15, verdict ask #4): one decade PAST the sf1
     // trend line for the families whose 100 TB story leans on structure —
     // the three-stage routed dedup, the auto-router's decision at scale,
@@ -460,23 +520,6 @@ object Bench {
         val sf10Dir = sys.env.getOrElse("SPARK_GRAFT_SF10_DIR", "/tmp/sf10")
         ensureScaleCorpus("sf10", sf10Dir, 30,
           Seq("documents.parquet", "orders.parquet"))
-        @volatile var peak = 0L
-        @volatile var spill = 0L
-        val listener = new org.apache.spark.scheduler.SparkListener {
-          override def onTaskEnd(
-              t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-            val m = t.taskMetrics
-            if (m != null) {
-              peak = math.max(peak, m.peakExecutionMemory)
-              spill += m.memoryBytesSpilled + m.diskBytesSpilled
-            }
-          }
-        }
-        def gcMillis(): Long = {
-          import scala.jdk.CollectionConverters._
-          java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
-            .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
-        }
         // the router's own decision at this scale, measured: one stats
         // pass over 505k docs; must say ROUTED (size alone crosses the
         // cutover) — recorded so the 100 TB claim carries the decision,
@@ -485,43 +528,13 @@ object Bench {
         val rs0 = System.nanoTime()
         val rs = graft.text.Dedup.routeStats(docs, "text")
         val rsSec = (System.nanoTime() - rs0) / 1e9
-        spark.sparkContext.addSparkListener(listener)
         val family = Seq(
           "dd_canonical_routed", "dd_components_routed", "dd_canonical_auto",
           "j1_range_join", "j8_range_classify")
-        val rowsJson = try {
-          family.map { name =>
-            var peakMax = 0L
-            var spillMax = 0L
-            val gcSecs = scala.collection.mutable.ArrayBuffer.empty[Double]
-            val loads = scala.collection.mutable.ArrayBuffer.empty[Double]
-            val drops = scala.collection.mutable.ArrayBuffer.empty[Long]
-            val runs = (1 to 2).map { _ =>
-              peak = 0L; spill = 0L
-              val drop0 = org.apache.spark.GraftListenerBridge
-                .droppedEvents(spark.sparkContext)
-              val gc0 = gcMillis()
-              val t0 = System.nanoTime()
-              SparkEntry.queries(name)(spark, sf10Dir)
-                .write.format("noop").mode("overwrite").save()
-              val sec = (System.nanoTime() - t0) / 1e9
-              gcSecs += (gcMillis() - gc0) / 1e3
-              loads += loadAvg1m()
-              Thread.sleep(500)
-              drops += org.apache.spark.GraftListenerBridge
-                .droppedEvents(spark.sparkContext) - drop0
-              peakMax = math.max(peakMax, peak)
-              spillMax = math.max(spillMax, spill)
-              spark.catalog.clearCache(); System.gc()
-              sec
-            }
-            val runsJson = runs.map(s => f"$s%.3f").mkString("[", ",", "]")
-            val gcJson = gcSecs.map(s => f"$s%.3f").mkString("[", ",", "]")
-            val loadJson = loads.map(s => f"$s%.2f").mkString("[", ",", "]")
-            val dropJson = drops.mkString("[", ",", "]")
-            f""""$name":{"sec":${runs.min}%.3f,"sec_max":${runs.max}%.3f,"runs_sec":$runsJson,"runs_gc_sec":$gcJson,"runs_load_1m":$loadJson,"runs_dropped_events":$dropJson,"peak_task_mb":${peakMax / 1048576},"spill_mb":${spillMax / 1048576}}"""
-          }.mkString(",")
-        } finally spark.sparkContext.removeSparkListener(listener)
+        val rowsJson = envelopeRows(
+          family.map(name =>
+            name -> (() => SparkEntry.queries(name)(spark, sf10Dir))),
+          nRuns = 2)
         f"""{"dir":"$sf10Dir","timing":"best_of_2","route_stats":{"n_docs":${rs.nDocs},"dup_ratio":${rs.dupRatio}%.4f,"use_routed":${rs.useRouted()},"sec":$rsSec%.3f},"queries":{$rowsJson}}"""
       }.getOrElse("{}")
 
@@ -546,23 +559,6 @@ object Bench {
         val dupDir = sys.env.getOrElse("SPARK_GRAFT_SF10DUP_DIR", "/tmp/sf10dup")
         ensureScaleCorpus("sf10dup", dupDir, 30,
           Seq("documents.parquet", "embeddings.parquet"))
-        @volatile var peak = 0L
-        @volatile var spill = 0L
-        val listener = new org.apache.spark.scheduler.SparkListener {
-          override def onTaskEnd(
-              t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-            val m = t.taskMetrics
-            if (m != null) {
-              peak = math.max(peak, m.peakExecutionMemory)
-              spill += m.memoryBytesSpilled + m.diskBytesSpilled
-            }
-          }
-        }
-        def gcMillis(): Long = {
-          import scala.jdk.CollectionConverters._
-          java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
-            .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
-        }
         val docs = Tables.documents(spark, dupDir)
         val rs0 = System.nanoTime()
         val rs = graft.text.Dedup.routeStats(docs, "text")
@@ -588,47 +584,50 @@ object Bench {
           // beam per vector, task-parallel per shard), so shards should
           // track cores at scale — 8 (the gate's pinned pedagogical
           // config) caps the build at 8-way parallelism on 32 cores.
-          // Recall is unharmed: candidates are the union of per-shard
-          // top-k over smaller (easier) graphs, exact-reranked.
+          // Recall measured (RECALL_SF10DUP.json): 1.000 at the r17
+          // m=16/ef=128 shipped defaults this call inherits.
           "ann_hnsw_prod" -> (() => graft.ann.Ann.hnswTopK(
             Tables.embeddings(spark, dupDir), "vec_id", "embedding",
             col("vec_id") < 20, k = 5, numShards = 32)),
           "ir_batch_bm25" ->
             (() => SparkEntry.queries("ir_batch_bm25")(spark, dupDir)))
-        spark.sparkContext.addSparkListener(listener)
-        val rowsJson = try {
-          rows.map { case (name, mk) =>
-            var peakMax = 0L
-            var spillMax = 0L
-            val gcSecs = scala.collection.mutable.ArrayBuffer.empty[Double]
-            val loads = scala.collection.mutable.ArrayBuffer.empty[Double]
-            val drops = scala.collection.mutable.ArrayBuffer.empty[Long]
-            val runs = (1 to 2).map { _ =>
-              peak = 0L; spill = 0L
-              val drop0 = org.apache.spark.GraftListenerBridge
-                .droppedEvents(spark.sparkContext)
-              val gc0 = gcMillis()
-              val t0 = System.nanoTime()
-              mk().write.format("noop").mode("overwrite").save()
-              val sec = (System.nanoTime() - t0) / 1e9
-              gcSecs += (gcMillis() - gc0) / 1e3
-              loads += loadAvg1m()
-              Thread.sleep(500)
-              drops += org.apache.spark.GraftListenerBridge
-                .droppedEvents(spark.sparkContext) - drop0
-              peakMax = math.max(peakMax, peak)
-              spillMax = math.max(spillMax, spill)
-              spark.catalog.clearCache(); System.gc()
-              sec
-            }
-            val runsJson = runs.map(s => f"$s%.3f").mkString("[", ",", "]")
-            val gcJson = gcSecs.map(s => f"$s%.3f").mkString("[", ",", "]")
-            val loadJson = loads.map(s => f"$s%.2f").mkString("[", ",", "]")
-            val dropJson = drops.mkString("[", ",", "]")
-            f""""$name":{"sec":${runs.min}%.3f,"sec_max":${runs.max}%.3f,"runs_sec":$runsJson,"runs_gc_sec":$gcJson,"runs_load_1m":$loadJson,"runs_dropped_events":$dropJson,"peak_task_mb":${peakMax / 1048576},"spill_mb":${spillMax / 1048576}}"""
-          }.mkString(",")
-        } finally spark.sparkContext.removeSparkListener(listener)
+        val rowsJson = envelopeRows(rows, nRuns = 2)
         f"""{"dir":"$dupDir","timing":"best_of_2","route_stats":{"n_docs":${rs.nDocs},"dup_ratio":${rs.dupRatio}%.4f,"use_routed":${rs.useRouted()},"sec":$rsSec%.3f},"exact_full_arm":"OOM at 8g heap (adjudicated: ~80M candidate pairs from planted classes; router cutover protects it)","queries":{$rowsJson}}"""
+      }.getOrElse("{}")
+
+    // 100× bracket (r17, verdict ask #2): 5M docs at dup_ratio ~0.8
+    // (10k planted classes × 400 + 1M uniques) + 2M×64 embeddings — one
+    // decade past sf10dup for the three production arms whose 100 TB
+    // story this library leans on: the routed dedup (router decision
+    // recorded at 5M docs), the distributed HNSW search, and batch BM25.
+    // Single run per arm (an envelope, not a timing race — each arm is
+    // minutes), same per-run instruments. Strictly optional, same skip
+    // rules, plus SPARK_GRAFT_SKIP_SF100=1 on its own.
+    val sf100Json: String =
+      if (sys.env.contains("SPARK_GRAFT_SKIP_SF100") ||
+          sys.env.contains("SPARK_GRAFT_SKIP_SF10") ||
+          sys.env.contains("SPARK_GRAFT_SKIP_SF1") || only.isDefined) "{}"
+      else scala.util.Try {
+        val dir = sys.env.getOrElse("SPARK_GRAFT_SF100_DIR", "/tmp/sf100")
+        ensureScaleCorpus("sf100", dir, 30,
+          Seq("documents.parquet", "embeddings.parquet"))
+        val docs = Tables.documents(spark, dir)
+        val rs0 = System.nanoTime()
+        val rs = graft.text.Dedup.routeStats(docs, "text")
+        val rsSec = (System.nanoTime() - rs0) / 1e9
+        import org.apache.spark.sql.functions.col
+        val rows: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+          "dd_canonical_auto" ->
+            (() => SparkEntry.queries("dd_canonical_auto")(spark, dir)),
+          "dd_canonical_routed" ->
+            (() => SparkEntry.queries("dd_canonical_routed")(spark, dir)),
+          "ann_hnsw_prod" -> (() => graft.ann.Ann.hnswTopK(
+            Tables.embeddings(spark, dir), "vec_id", "embedding",
+            col("vec_id") < 20, k = 5, numShards = 32)),
+          "ir_batch_bm25" ->
+            (() => SparkEntry.queries("ir_batch_bm25")(spark, dir)))
+        val rowsJson = envelopeRows(rows, nRuns = 1)
+        f"""{"dir":"$dir","timing":"best_of_1","route_stats":{"n_docs":${rs.nDocs},"dup_ratio":${rs.dupRatio}%.4f,"use_routed":${rs.useRouted()},"sec":$rsSec%.3f},"queries":{$rowsJson}}"""
       }.getOrElse("{}")
 
     // End-to-end pretrain composition (r12, verdict ask #6): the real
@@ -808,7 +807,7 @@ object Bench {
         s""""intersection":{"n":${intersect.length},"spark_sec":$sparkIntersectTotal,"duckdb_sec":$duckIntersectTotal},""" +
         s""""scan_bp_per_sec":$bpPerSec,"scan_sec":$scanSec,"scan_timing":"best_of_3",""" +
         s""""skew_join_skewed_sec":$skewSec,"skew_join_uniform_sec":$unifSec,""" +
-        s""""sf1_envelope":$sf1Json,"sf10_envelope":$sf10Json,"sf10dup_envelope":$sf10dupJson,"pretrain":$pretrainJson,""" +
+        s""""sf1_envelope":$sf1Json,"sf10_envelope":$sf10Json,"sf10dup_envelope":$sf10dupJson,"sf100_envelope":$sf100Json,"pretrain":$pretrainJson,""" +
         s""""env":${envJson()},"sf":"$sfDir"}"""
     println(line)
     // the driver's BENCH_r*.json tail-capture truncates the per-query map;

@@ -444,6 +444,15 @@ case class IntervalStabJoinExec(
     // memory per core.
     val capRows = conf.getConfString(
       "spark.graft.stabJoin.maxRowsPerPartition", "262144").toLong
+    // the rows cap can't see ROW WIDTH (r17 ADVICE sweep): 256k rows of
+    // 40 B keys+ids is ~10 MB, but 256k rows dragging a document-sized
+    // payload column through the join is gigabytes — a silent executor
+    // OOM. The byte budget fails LOUD during buffering instead (same
+    // contract as requireBounded on the dedup side); the message names
+    // the fix (prune payload columns before the join, or raise the
+    // budget on bigger executors).
+    val capBytes = conf.getConfString(
+      "spark.graft.stabJoin.maxBytesPerPartition", s"${256L << 20}").toLong
     val rp = SkewAwareRangePartitioner.fromKeys(keysOnly, numParts,
       maxRowsPerPartition = capRows)
     val n = math.max(1, rp.numPartitions)
@@ -513,6 +522,15 @@ case class IntervalStabJoinExec(
       // partitioner's rows-per-partition cap bounds these buffers; the
       // join output is order-insensitive among equal keys, so the
       // unstable in-place sort preserves the result set exactly.
+      var bufBytes = 0L
+      def tallyBytes(row: UnsafeRow): Unit = {
+        bufBytes += row.getSizeInBytes
+        if (bufBytes > capBytes) throw new IllegalStateException(
+          s"stab-join sweep buffer exceeds $capBytes bytes in one task " +
+            "(spark.graft.stabJoin.maxBytesPerPartition): the rows cap " +
+            "bounds COUNT but these rows are wide — prune payload columns " +
+            "before the join, or raise the budget on larger executors")
+      }
       var pKeys = new Array[Long](1024)
       var pRows = new Array[UnsafeRow](1024)
       var pn = 0
@@ -522,6 +540,7 @@ case class IntervalStabJoinExec(
           pKeys = java.util.Arrays.copyOf(pKeys, pn << 1)
           pRows = java.util.Arrays.copyOf(pRows, pn << 1)
         }
+        tallyBytes(row)
         pKeys(pn) = toLong(boundPoint.eval(row)); pRows(pn) = row; pn += 1
       }
       var iLo = new Array[Long](1024)
@@ -535,6 +554,7 @@ case class IntervalStabJoinExec(
           iHi = java.util.Arrays.copyOf(iHi, in << 1)
           iRows = java.util.Arrays.copyOf(iRows, in << 1)
         }
+        tallyBytes(row)
         iLo(in) = toLong(boundLo.eval(row)); iHi(in) = toLong(boundHi.eval(row))
         iRows(in) = row; in += 1
       }

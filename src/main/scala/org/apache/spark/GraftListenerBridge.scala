@@ -15,4 +15,14 @@ object GraftListenerBridge {
       case (name, c) if name.endsWith("numDroppedEvents") => c.getCount
     }.sum
   }
+
+  /** Registered counter names of the live bus — the name-drift tripwire's
+    * surface (GraftListenerBridgeSpec): if a Spark upgrade renames
+    * `numDroppedEvents`, [[droppedEvents]] would silently return 0
+    * forever and every spill row would read as trustworthy.
+    */
+  def registeredCounterNames(sc: SparkContext): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    sc.listenerBus.metrics.metricRegistry.getCounters.asScala.keys.toSeq
+  }
 }

@@ -294,6 +294,62 @@ class IntervalStabJoinSpec extends SparkSpec with BeforeAndAfterAll {
       "local[*] sessions run Spark's built-in SortShuffleManager")
   }
 
+  test("sweep buffer byte budget fails LOUD on wide rows (rows cap can't see width)") {
+    // r17 ADVICE sweep: maxRowsPerPartition bounds COUNT; a payload
+    // column riding through the join multiplies resident bytes without
+    // moving the row count. The byte budget converts that silent
+    // executor OOM into a named failure during buffering.
+    import spark.implicits._
+    val pts = (0 until 200).map(i =>
+      (i, (i % 50).toLong, "x" * 4096)).toDF("pt_id", "p", "payload")
+    val ivs = (0 until 20).map(i =>
+      (i, (i * 2).toLong, (i * 2 + 10).toLong)).toDF("iv_id", "s", "e")
+    def run(): Long = withoutBroadcast {
+      // sum over the payload AFTER the join: column pruning must NOT drop
+      // the wide column (a count() would), or the buffered rows are slim
+      // and the budget never binds
+      pts.join(ivs, col("p") >= col("s") && col("p") <= col("e"))
+        .agg(sum(length(col("payload")))).collect()(0).getLong(0)
+    }
+    val key = "spark.graft.stabJoin.maxBytesPerPartition"
+    spark.conf.set(key, "8192") // ~2 wide rows
+    try {
+      val e = intercept[org.apache.spark.SparkException](run())
+      assert(e.getMessage.contains("maxBytesPerPartition") ||
+        Option(e.getCause).exists(_.getMessage.contains("maxBytesPerPartition")),
+        s"expected the byte-budget failure, got: ${e.getMessage}")
+    } finally spark.conf.unset(key)
+    assert(run() > 0, "default budget must pass the same join")
+  }
+
+  test("copy rule tracks Spark's own needToCopyObjectsBeforeShuffle (drift tripwire)") {
+    // r17 ADVICE sweep: mustCopyBeforeShuffle mirrors an INTERNAL Spark
+    // contract (ShuffleExchangeExec.needToCopyObjectsBeforeShuffle) that
+    // a Spark upgrade can silently change — and a drifted copy rule
+    // corrupts join output, it doesn't crash. Cross-check our rule
+    // against the real method via reflection in the LIVE session (same
+    // SparkEnv, same conf) across the regime boundaries. If the method
+    // moves or its signature changes, this fails with NoSuchMethod —
+    // the loud signal to re-verify the mirrored table.
+    val seeObj = Class.forName(
+      "org.apache.spark.sql.execution.exchange.ShuffleExchangeExec$")
+    val module = seeObj.getField("MODULE$").get(null)
+    val meth = seeObj.getDeclaredMethod("needToCopyObjectsBeforeShuffle",
+      classOf[org.apache.spark.Partitioner])
+    meth.setAccessible(true)
+    def sparkRule(n: Int): Boolean =
+      meth.invoke(module, new org.apache.spark.HashPartitioner(n))
+        .asInstanceOf[Boolean]
+    val liveConf = spark.sparkContext.getConf
+    val sortBased = org.apache.spark.serializer.GraftSerializerBridge
+      .sortShuffleManagerActive
+    for (n <- Seq(1, 32, 200, 201, 16384, 1 << 24, (1 << 24) + 1))
+      assert(
+        IntervalStabJoinExec.mustCopyBeforeShuffle(liveConf, n, sortBased) ==
+          sparkRule(n),
+        s"copy rule drifted from Spark's at numParts=$n")
+  }
+
   test("equi-join predicates are left to Catalyst") {
     val (pts, ivs) = randomData(6, 50, 30, 10)
     val plan = pts.join(ivs,

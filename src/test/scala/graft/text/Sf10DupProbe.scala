@@ -40,7 +40,18 @@ object Sf10DupProbe {
     // The full exact arm OOMs an 8 GB heap at this bracket (~80M
     // candidate pairs from the planted classes alone), which is the
     // router's reason to exist; the sample records the arm's cost shape
-    // without pretending production would run it. hnsw_prod: the
+    // without pretending production would run it. SAMPLING BIAS, stated
+    // (r17 ADVICE sweep): the generator lays classes out as CONSECUTIVE
+    // id blocks of 400, so doc_id%10 keeps exactly 40 members of EVERY
+    // class — class count survives intact while per-class quadratic pair
+    // work shrinks 100× (pairs need both ends ≡0 mod 10). The sample
+    // therefore measures the arm's cost SHAPE (Σc² over uniformly
+    // shrunken classes), not a 10% cost: scale its pair volume by ~100,
+    // not 10, to estimate the full arm — which is how the OOM
+    // adjudication reads it. A generator change to interleaved class
+    // ids would keep this property (mod and block structure commute
+    // here only because every class has 400 ≡ 0 mod 10 members).
+    // hnsw_prod: the
     // distributed production search (shard graphs in tasks), NOT the gate
     // query, whose driver-side oracle dump is capped at 100k rows by
     // design.
@@ -62,6 +73,18 @@ object Sf10DupProbe {
           Some(graft.ann.Ann.hnswTopK(graft.Tables.embeddings(spark, d),
             "vec_id", "embedding", col("vec_id") < 20, k = 5,
             numShards = 32))
+        // the corpus-adaptive shard arm (r17, sf100): HNSW insert cost
+        // grows with GRAPH size, so fixed shards make the build
+        // superlinear in corpus — more shards keep per-shard graphs
+        // small (build ~linear, recall UP per the r16 shard finding) at
+        // the price of per-query fan-out across every shard, the trade
+        // that caps how far this lever stretches (a 20B-vector corpus
+        // needs a shard-routing layer, not more brute fan-out).
+        case "ann_hnsw_prod128" =>
+          import org.apache.spark.sql.functions._
+          Some(graft.ann.Ann.hnswTopK(graft.Tables.embeddings(spark, d),
+            "vec_id", "embedding", col("vec_id") < 20, k = 5,
+            numShards = 128))
         case _ => None
       }
     val names = sys.env.get("SPARK_GRAFT_PROBE_ONLY")

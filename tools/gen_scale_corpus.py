@@ -143,6 +143,31 @@ def gen_sf10dup(out):
           f"uniques), {n_emb}x{dim} embeddings")
 
 
+def gen_sf100(out):
+    """r17 (verdict ask #2): the 100x bracket - 5M docs at dup_ratio ~0.8
+    (10k planted classes x 400 + 1M uniques) + 2M x 64 embeddings (10x
+    sf10dup's 200k), for the routed dedup / production ANN / batch BM25
+    arms. Same shape as sf10dup, one decade up; relational tables stay
+    in sf10 (their 100x story is the interval join's, measured there).
+    """
+    rng = np.random.default_rng(48)
+    classes = [doc_text(rng) for _ in range(10_000)]
+    texts = [t for t in classes for _ in range(400)]
+    texts += [doc_text(rng) for _ in range(1_000_000)]
+    df = docs_frame(texts, 0)
+    df.to_parquet(f"{out}/documents.parquet", index=False)
+    erng = np.random.default_rng(49)
+    n_emb, dim = 2_000_000, 64
+    emb = erng.standard_normal((n_emb, dim)).astype(np.float32)
+    pd.DataFrame({
+        "vec_id": np.arange(n_emb, dtype=np.int64),
+        "embedding": list(emb),
+        "label": erng.integers(0, 10, size=n_emb).astype(np.int32),
+    }).to_parquet(f"{out}/embeddings.parquet", index=False)
+    print(f"sf100 -> {out}: {len(df)} docs (10000x400 identical + 1M "
+          f"uniques), {n_emb}x{dim} embeddings")
+
+
 def gen_sf1dup(out):
     rng = np.random.default_rng(44)
     classes = [doc_text(rng) for _ in range(100)]
@@ -158,4 +183,4 @@ if __name__ == "__main__":
     import os
     os.makedirs(out, exist_ok=True)
     {"sf1": gen_sf1, "sf10": gen_sf10, "sf1dup": gen_sf1dup,
-     "sf10dup": gen_sf10dup}[kind](out)
+     "sf10dup": gen_sf10dup, "sf100": gen_sf100}[kind](out)
