@@ -580,15 +580,16 @@ object Bench {
               .select(col("doc_id"), length(col("text")).as("text_len"))
               .orderBy("doc_id")
           },
-          // one shard graph per core: the build is the cost (insert×ef
-          // beam per vector, task-parallel per shard), so shards should
-          // track cores at scale — 8 (the gate's pinned pedagogical
-          // config) caps the build at 8-way parallelism on 32 cores.
-          // Recall measured (RECALL_SF10DUP.json): 1.000 at the r17
-          // m=16/ef=128 shipped defaults this call inherits.
+          // corpus-adaptive shards (Ann.hnswShardsFor — resolves to 32
+          // here: cores dominate at 200k rows, unchanged from r16 for
+          // round-over-round comparability). Recall measured
+          // (RECALL_SF10DUP.json): 1.000 at the r17 m=16/ef=128 shipped
+          // defaults this call inherits.
           "ann_hnsw_prod" -> (() => graft.ann.Ann.hnswTopK(
             Tables.embeddings(spark, dupDir), "vec_id", "embedding",
-            col("vec_id") < 20, k = 5, numShards = 32)),
+            col("vec_id") < 20, k = 5,
+            numShards = graft.ann.Ann.hnswShardsFor(
+              Tables.embeddings(spark, dupDir).count(), 32))),
           "ir_batch_bm25" ->
             (() => SparkEntry.queries("ir_batch_bm25")(spark, dupDir)))
         val rowsJson = envelopeRows(rows, nRuns = 2)
@@ -621,9 +622,14 @@ object Bench {
             (() => SparkEntry.queries("dd_canonical_auto")(spark, dir)),
           "dd_canonical_routed" ->
             (() => SparkEntry.queries("dd_canonical_routed")(spark, dir)),
+          // corpus-adaptive shards (123 at 2M rows): fixed 32 shards
+          // measured 332 s here — the superlinear-build break the shard
+          // lever exists for (146 s at 128; see Ann.hnswShardsFor)
           "ann_hnsw_prod" -> (() => graft.ann.Ann.hnswTopK(
             Tables.embeddings(spark, dir), "vec_id", "embedding",
-            col("vec_id") < 20, k = 5, numShards = 32)),
+            col("vec_id") < 20, k = 5,
+            numShards = graft.ann.Ann.hnswShardsFor(
+              Tables.embeddings(spark, dir).count(), 32))),
           "ir_batch_bm25" ->
             (() => SparkEntry.queries("ir_batch_bm25")(spark, dir)))
         val rowsJson = envelopeRows(rows, nRuns = 1)

@@ -1211,6 +1211,25 @@ object Ann {
   private def hnswShardOf(id: Long, numShards: Int): Int =
     (((id % numShards) + numShards) % numShards).toInt
 
+  /** Corpus-adaptive shard count for [[hnswTopK]] (r17, measured at the
+    * sf100 bracket): insert cost grows with GRAPH size, so a fixed shard
+    * count makes the build superlinear in corpus — 2M×64 vectors took
+    * 332 s at 32 shards vs 146 s at 128 (and recall is monotone in shard
+    * count: candidates are the union of per-shard top-k, measured
+    * 0.56→0.81 for 8→32 at the 10× bracket). Keep shards ≥ cores (build
+    * parallelism) and per-shard rows near `targetShardRows`. The 1024
+    * cap is the honest limit of this lever: every query beam-searches
+    * EVERY shard, so fan-out grows linearly with shards — past it a
+    * corpus needs a shard-routing layer (e.g. IVF over shard centroids),
+    * not more brute fan-out.
+    */
+  def hnswShardsFor(
+      corpusRows: Long, cores: Int, targetShardRows: Int = 16384): Int = {
+    require(corpusRows >= 0 && cores > 0 && targetShardRows > 0)
+    val byRows = (corpusRows + targetShardRows - 1) / targetShardRows
+    math.min(1024L, math.max(cores.toLong, byRows)).toInt
+  }
+
   /** Shared by the in-task probe and the oracle dump: ascending-id
     * insertion makes the graph a pure function of the shard's rows.
     */

@@ -74,4 +74,19 @@ class HnswDegenerateSpec extends SparkSpec {
     assert(out.columns.toSeq ==
       Seq("query_id", "rank", "neighbor_id", "score"))
   }
+
+  test("hnswShardsFor: cores floor, row-target growth, fan-out cap") {
+    // the corpus-adaptive shard rule (r17 sf100 finding): cores dominate
+    // small corpora (sf10dup's 200k rows stay at 32 — round-over-round
+    // comparability), the row target drives big ones (2M → 123), and the
+    // 1024 cap marks where brute query fan-out must yield to a routing
+    // layer
+    assert(Ann.hnswShardsFor(0L, 32) == 32)
+    assert(Ann.hnswShardsFor(200000L, 32) == 32)
+    assert(Ann.hnswShardsFor(2000000L, 32) == 123)
+    assert(Ann.hnswShardsFor(123L * 16384L, 32) == 123)
+    assert(Ann.hnswShardsFor(123L * 16384L + 1L, 32) == 124)
+    assert(Ann.hnswShardsFor(Long.MaxValue / 4, 32) == 1024)
+    assert(Ann.hnswShardsFor(1L, 8) == 8)
+  }
 }
