@@ -474,9 +474,13 @@ object Main {
         println(s"[search] terms=${terms.mkString(",")} hits=${hits.length}")
 
       // vector similarity search over the embeddings table — every ANN
-      // family at its SHIPPED-DEFAULT preset (r15: the measured
-      // recall/cost presets recorded in RECALL.json; pass no knobs, get
-      // the recommended config). --method picks the index family.
+      // family at its SHIPPED-DEFAULT preset (r17: measured ≥0.9
+      // recall@5 at the 10× bracket for hnsw/ivf/mp-lsh — frontier in
+      // RECALL_SF10DUP.json, per-SF rows in RECALL.json; pass no knobs,
+      // get the recommended config). --method picks the index family;
+      // hnsw callers at scale should also pass Ann.hnswShardsFor's
+      // shard count (this CLI's corpora are small enough for the
+      // default).
       case "ann-search" =>
         val spark = session()
         val dir = req("data")
