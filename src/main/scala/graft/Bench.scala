@@ -79,6 +79,19 @@ object Bench {
       // Headroom plus the dropped-events counter in the env stanza makes
       // the aggregates trustworthy or visibly not.
       .config("spark.scheduler.listenerbus.eventqueue.capacity", "200000")
+      // r17: the SQL status store retains 1000 executions by default —
+      // each holding the full plan graph, and this suite's dedup plans
+      // are megabytes (the log's "Truncated the string representation"
+      // warnings). 111 gate queries × best-of-3 plus four scale
+      // envelopes accumulated gigabytes of retained plans and OOM'd the
+      // 8 GB bench JVM (SparkUncaughtExceptionHandler exit 52 — an
+      // executor-thread OOM in local mode kills the JVM, no Try saves
+      // it) once the sf100 arms' plans joined. The bench reads nothing
+      // from the status store; keep only a handful.
+      .config("spark.sql.ui.retainedExecutions", "8")
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "100")
+      .config("spark.ui.retainedTasks", "1000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
