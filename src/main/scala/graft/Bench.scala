@@ -603,6 +603,14 @@ object Bench {
             col("vec_id") < 20, k = 5,
             numShards = graft.ann.Ann.hnswShardsFor(
               Tables.embeddings(spark, dupDir).count(), 32))),
+          // routed arm (r17.5) at the shipped default (64 cells, probe 32
+          // — the 0.5 fraction that holds >=0.9 recall on this
+          // structureless corpus, RECALL_SF10DUP.json routed section):
+          // only routed cells shuffle + build, so the arm measures the
+          // query-driven economics next to the full-fan-out row above
+          "ann_hnsw_routed_prod" -> (() => graft.ann.Ann.hnswRoutedTopK(
+            Tables.embeddings(spark, dupDir), "vec_id", "embedding",
+            col("vec_id") < 20, k = 5)),
           "ir_batch_bm25" ->
             (() => SparkEntry.queries("ir_batch_bm25")(spark, dupDir)))
         val rowsJson = envelopeRows(rows, nRuns = 2)
@@ -643,6 +651,16 @@ object Bench {
             col("vec_id") < 20, k = 5,
             numShards = graft.ann.Ann.hnswShardsFor(
               Tables.embeddings(spark, dir).count(), 32))),
+          // routed arm (r17.5) sized to the bracket: 128 cells (~16k-row
+          // sub-shards at 2M vectors, matching hnswShardsFor's target) at
+          // the structureless-safe 0.5 probe fraction — half the corpus
+          // never shuffles or builds, the per-query fan-out is 64 cells
+          // instead of every shard, and recall keeps the >=0.9
+          // structureless bound (the clustered-corpus arm in
+          // RECALL_SF10DUP.json is where smaller fractions get justified)
+          "ann_hnsw_routed_prod" -> (() => graft.ann.Ann.hnswRoutedTopK(
+            Tables.embeddings(spark, dir), "vec_id", "embedding",
+            col("vec_id") < 20, k = 5, numCells = 128, nProbeCells = 64)),
           "ir_batch_bm25" ->
             (() => SparkEntry.queries("ir_batch_bm25")(spark, dir)))
         val rowsJson = envelopeRows(rows, nRuns = 1)

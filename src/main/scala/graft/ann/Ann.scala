@@ -1287,6 +1287,255 @@ object Ann {
       .map { case (shard, rows) => buildShardGraph(rows, m, ef).dump(shard) }
   }
 
+  /** splitmix64 finalizer (Steele/Lea/Flood, public domain) — spreads the
+    * id before the sub-shard modulo so congruent id blocks (planted
+    * duplicate classes are consecutive ids) don't land one residue.
+    * Deterministic, shared by the production grouping and the oracle dump.
+    */
+  private def mix64(id: Long): Long = {
+    var z = id + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** (cell, subShard) → the Long grouping key for routed HNSW shards.
+    * Sub-shard factors are capped at 2^20 (a cell would need >64 G rows
+    * at the default 65536-row target to exceed it). */
+  private def routedShardKey(cell: Int, sub: Int): Long =
+    (cell.toLong << 20) | sub.toLong
+
+  /** Sub-shard of `id` within a cell of `factor` sub-shards: hash-spread
+    * (expectation-balanced; the build task fail-fasts if a shard still
+    * exceeds 8× the target, see [[hnswRoutedTopK]]). */
+  private def routedSubOf(id: Long, factor: Int): Int =
+    (((mix64(id) % factor) + factor) % factor).toInt
+
+  /** Per-query top `nProbeCells` routing cells by centroid dot — the IVF
+    * probe rule (dot DESC, ties toward the lower cell), shared by the
+    * production router and the dump so the two can never drift. */
+  private def routeCells(
+      vn: Array[Double], cents: Array[Array[Double]], nProbeCells: Int): Array[Int] = {
+    val scored = Array.tabulate(cents.length) { c =>
+      val ct = cents(c)
+      var dot = 0.0; var i = 0
+      while (i < ct.length) { dot += vn(i) * ct(i); i += 1 }
+      (c, dot)
+    }
+    scored.sortBy { case (c, dot) => (-dot, c) }.take(nProbeCells).map(_._1)
+  }
+
+  /** ROUTED sharded HNSW — the scale path past [[hnswShardsFor]]'s 1024
+    * fan-out cap: instead of every query beam-searching every shard,
+    * shards are SEMANTIC (one per IVF-trained centroid cell, the same
+    * bounded deterministic trainer as [[ivfTopK]]) and each query visits
+    * only its `nProbeCells` nearest cells. Per-query cost is then
+    * nProbeCells × sub-shards-per-cell regardless of corpus size, which
+    * is what removes the cap: cells can grow with the corpus while the
+    * probed fraction stays fixed.
+    *
+    * Cells are data-sized, so a hot cell is SUB-SHARDED back to
+    * `maxShardRows`-target graphs: factor = ceil(cellRows / maxShardRows),
+    * membership by hash-spread id (deterministic; planted-class id blocks
+    * spread evenly). That keeps the per-task build memory bound — the
+    * invariant that survives executor-count changes — independent of the
+    * centroid balance, with a loud fail at 8× the target if the spread
+    * itself degenerates (byte-bound discipline of the stab join applied
+    * here to rows).
+    *
+    * Query-driven economics: only ROUTED cells are shuffled and built
+    * (the corpus filter drops unrouted cells before the exchange), so a
+    * transient probe pays nProbeCells/numCells of the corpus, not all of
+    * it. A standing index that serves many query batches should persist
+    * the assigned corpus and raise nProbeCells instead of rebuilding.
+    *
+    * Determinism end-to-end (trainer, assignment, hash-spread, graph
+    * build, routing ties) is what lets [[hnswRoutedIndexDump]] rebuild the
+    * exact artifact driver-side for the gate's DuckDB oracle, which
+    * re-derives the ROUTING (centroid literals, the IVF probe rule) as
+    * well as every search decision. Same query contract as [[hnswTopK]]:
+    * the query set is collected and broadcast, `maxQueries` fail-fast.
+    *
+    * SHIPPED DEFAULT (r17.5, RecallFrontierProbe `routed` family at the
+    * 10× bracket): `numCells=64, nProbeCells=32, m=16, ef=128`. On
+    * STRUCTURELESS data (i.i.d. Gaussian — the ANN worst case) routing
+    * recall is information-theoretically bounded by the probed fraction
+    * (true neighbors are uniform over cells): measured 0.944 at 32/64,
+    * 0.744 at 16/64, 0.544 at 8/64 — so the safe default probes half.
+    * On CLUSTERED corpora (the production case; the probe's planted-
+    * cluster arm) small fractions retain recall, and THAT is where the
+    * routing win lives: drop nProbeCells toward 4-8 when the corpus has
+    * real structure, keep ≥ numCells/2 when it may not. Assignment cost
+    * is linear in numCells (one dot per cell per vector) — past ~10k
+    * cells, train a second quantizer level over the centroids instead of
+    * widening this one.
+    */
+  def hnswRoutedTopK(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryPred: Column,
+      k: Int,
+      numCells: Int = 64,
+      nProbeCells: Int = 32,
+      m: Int = 16,
+      ef: Int = 128,
+      maxShardRows: Int = 65536,
+      maxQueries: Int = 4096,
+      lloydIters: Int = 2,
+      trainCap: Int = 4096): DataFrame = {
+    require(numCells > 0 && nProbeCells > 0 && maxShardRows > 0)
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+
+    val cents = trainIvfCentroids(
+      embeddings, idCol, vecCol, numCells, lloydIters, trainCap)
+    hnswRoutedTopKWithCentroids(embeddings, idCol, vecCol, queryPred, k,
+      nProbeCells, m, ef, maxShardRows, maxQueries, cents)
+  }
+
+  /** [[hnswRoutedTopK]] against an already-trained centroid matrix (the
+    * [[ivfTopKWithCentroids]] seam — callers who persist the quantizer
+    * probe without retraining; the gate's oracle builder holds it). */
+  def hnswRoutedTopKWithCentroids(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryPred: Column,
+      k: Int,
+      nProbeCells: Int,
+      m: Int,
+      ef: Int,
+      maxShardRows: Int,
+      maxQueries: Int,
+      cents: Array[Array[Double]]): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+
+    def prep(df: DataFrame) =
+      ivfPrep(df, idCol, vecCol).map { case (id, _, _, vn) => (id, vn) }
+
+    // same collected-query contract as hnswTopK (zero-norm vectors kept:
+    // they rank nowhere after exactRerank's nrm > 0 guard, as there)
+    val overCap = prep(embeddings.where(queryPred)).take(maxQueries + 1)
+    require(overCap.length <= maxQueries,
+      s"hnswRoutedTopK: queryPred matched more than maxQueries=$maxQueries " +
+        "rows; the routed probe broadcasts the full query set — narrow the " +
+        "predicate, chunk the queries, or raise maxQueries deliberately.")
+    val queries = overCap.sortBy(_._1)
+
+    // driver-side routing: queries ≤ maxQueries × numCells dots, bounded
+    val routes: Map[Int, Array[Int]] = queries.zipWithIndex
+      .flatMap { case ((_, qv), qi) =>
+        routeCells(qv, cents, nProbeCells).map(c => (c, qi))
+      }
+      .groupBy(_._1).map { case (c, qs) => c -> qs.map(_._2).sorted }
+    val routedCells: Set[Int] = routes.keySet
+
+    val centsB = spark.sparkContext.broadcast(cents)
+    val routedCellsB = spark.sparkContext.broadcast(routedCells)
+    // only routed cells cross the exchange: a transient probe never pays
+    // for cells no query visits
+    val assigned = prep(embeddings)
+      .map { case (id, vn) => (nearestCell(vn, centsB.value), id, vn) }
+      .filter { case (cell, _, _) => routedCellsB.value.contains(cell) }
+
+    // cell sizes → sub-shard factors (≤ numCells rows collected); a cell's
+    // count is unaffected by dropping OTHER cells, so the dump (which
+    // counts the full corpus) derives identical factors for routed cells
+    val cellCounts: Map[Int, Long] = assigned
+      .groupByKey { case (cell, _, _) => cell }.count().collect().toMap
+    val subFactors: Map[Int, Int] = cellCounts.map { case (c, n) =>
+      c -> math.max(1L, (n + maxShardRows - 1) / maxShardRows).toInt
+    }
+    require(subFactors.values.forall(_ < (1 << 20)),
+      "hnswRoutedTopK: a cell needs >=2^20 sub-shards — raise maxShardRows")
+    val subFactorsB = spark.sparkContext.broadcast(subFactors)
+    val queriesB = spark.sparkContext.broadcast(queries)
+    val routesB = spark.sparkContext.broadcast(routes)
+    val kk = k; val mm = m; val eff = ef; val cap = maxShardRows
+
+    val candidates = assigned
+      .groupByKey { case (cell, id, _) =>
+        routedShardKey(cell, routedSubOf(id, subFactorsB.value(cell)))
+      }
+      .flatMapGroups { (key, it) =>
+        val cell = (key >>> 20).toInt
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
+        it.foreach { case (_, id, vn) =>
+          buf += ((id, vn))
+          require(buf.length <= 8L * cap,
+            s"hnswRoutedTopK: sub-shard for cell $cell exceeds 8x " +
+              s"maxShardRows=$cap — the hash spread degenerated (adversarial " +
+              "ids?); raise maxShardRows or investigate the id space")
+        }
+        val g = buildShardGraph(buf.toArray, mm, eff)
+        val qs = routesB.value(cell) // key exists: corpus filtered to routed cells
+        qs.iterator.flatMap { qi =>
+          val (qid, qv) = queriesB.value(qi)
+          g.search(qv, qid, kk, eff).iterator.map { case (nid, _) => (qid, nid) }
+        }
+      }
+      .toDF("query_id", "neighbor_id")
+
+    exactRerank(candidates, embeddings, idCol, vecCol, k)
+  }
+
+  /** The routed-HNSW trained artifact: routing centroids + one dump per
+    * (cell, sub-shard) graph, densely indexed — what the gate's oracle
+    * embeds as literals. `shardCells(i)` is the cell of `dumps(i)`. */
+  final case class HnswRoutedDump(
+      cents: Array[Array[Double]],
+      shardCells: Array[Int],
+      dumps: Array[HnswShardDump])
+
+  /** Driver-side rebuild of [[hnswRoutedTopK]]'s exact artifact (the
+    * [[hnswIndexDump]] contract applied to the routed layout): trains the
+    * same centroids, assigns the collected corpus with the same
+    * arithmetic, derives the same sub-shard factors from FULL cell counts
+    * (identical to the production values — a cell's count doesn't depend
+    * on other cells), and builds every cell's graphs so the artifact is
+    * query-independent; the oracle's routing CTE decides which graphs a
+    * query walks. ORACLE-DUMP HELPER ONLY — fail-fast above `maxRows`.
+    */
+  def hnswRoutedIndexDump(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numCells: Int = 8,
+      m: Int = 8,
+      ef: Int = 64,
+      maxShardRows: Int = 64,
+      lloydIters: Int = 2,
+      trainCap: Int = 4096,
+      maxRows: Int = 100000): HnswRoutedDump = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val cents = trainIvfCentroids(
+      embeddings, idCol, vecCol, numCells, lloydIters, trainCap)
+    val over = ivfPrep(embeddings, idCol, vecCol)
+      .map { case (id, _, _, vn) => (id, vn) }
+      .take(maxRows + 1)
+    require(over.length <= maxRows,
+      s"hnswRoutedIndexDump: corpus exceeds maxRows=$maxRows rows; this " +
+        "helper rebuilds the routed shard graphs on the driver for the " +
+        "oracle dump and is not a production probe.")
+    val byCell = over.groupBy { case (_, vn) => nearestCell(vn, cents) }
+    val shards = byCell.toArray.sortBy(_._1).flatMap { case (cell, rows) =>
+      val factor =
+        math.max(1L, (rows.length.toLong + maxShardRows - 1) / maxShardRows).toInt
+      rows.groupBy { case (id, _) => routedSubOf(id, factor) }
+        .toArray.sortBy(_._1)
+        .map { case (_, subRows) => (cell, subRows) }
+    }
+    HnswRoutedDump(
+      cents,
+      shards.map(_._1),
+      shards.zipWithIndex.map { case ((_, rows), i) =>
+        buildShardGraph(rows, m, ef).dump(i)
+      })
+  }
+
   /** LSH-bucketed approximate top-k with OR-amplification: `tables`
     * independent hash tables of `numPlanes` bits each; a corpus vector is a
     * candidate if it collides with the query in ANY table (the classic

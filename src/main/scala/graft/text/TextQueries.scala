@@ -1297,6 +1297,23 @@ object TextQueries {
         numShards = 8, m = 8, ef = 64)
     },
 
+    // ROUTED HNSW (r17): the scale path past the 1024-shard fan-out cap —
+    // shards are semantic (one per IVF-trained cell, hot cells hash-spread
+    // into sub-shards) and each query walks only its nProbeCells nearest
+    // cells. FULL hash oracle: centroids AND shard graphs are the trained
+    // artifact; DuckDB re-derives routing (the IVF probe rule over
+    // centroid literals) plus every search decision. Gate config
+    // pedagogical and EXPLICIT (AnnGateConfigSpec): 8 cells / probe 4 /
+    // m=8 / ef=64 / 64-row sub-shard target (small enough that sub-
+    // sharding actually fires on the 500-row gate corpus).
+    "ann_hnsw_routed" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      hnswRoutedModel.set(hnswRoutedDumpFor(s, d, emb))
+      Ann.hnswRoutedTopK(emb, "vec_id", "embedding", col("vec_id") < 20,
+        k = 5, numCells = 8, nProbeCells = 4, m = 8, ef = 64,
+        maxShardRows = 64, lloydIters = 2, trainCap = 4096)
+    },
+
     // ---- multimodal plumbing --------------------------------------------
     // (the r8-era stub-tier gate queries — mm_payload_stats /
     // mm_frame_sample / mm_phash_neardup, which fingerprinted the TEXT
@@ -1719,6 +1736,12 @@ object TextQueries {
   private[graft] val hnswModel =
     new java.util.concurrent.atomic.AtomicReference[Array[Ann.HnswShardDump]]()
 
+  /** The routed-HNSW artifact (centroids + cell-sharded graphs) rebuilt by
+    * the last `ann_hnsw_routed` run in this JVM (same life-cycle).
+    */
+  private[graft] val hnswRoutedModel =
+    new java.util.concurrent.atomic.AtomicReference[Ann.HnswRoutedDump]()
+
   /** Cache of the oracle dump keyed by (dir, content fingerprint) — see
     * the gate comment. The fingerprint (file listing + sizes + mtimes of
     * the embeddings parquet, one cheap driver-side directory walk) makes
@@ -1815,10 +1838,33 @@ object TextQueries {
     dump
   }
 
+  /** [[hnswDumpFor]] for the routed artifact — same content-fingerprint
+    * memo discipline, a separate map because the value types differ.
+    */
+  private val hnswRoutedDumpMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Ann.HnswRoutedDump]
+
+  private[graft] def hnswRoutedDumpFor(s: org.apache.spark.sql.SparkSession,
+      d: String, emb: DataFrame): Ann.HnswRoutedDump = {
+    def build() = Ann.hnswRoutedIndexDump(emb, "vec_id", "embedding")
+    val fp = embeddingsFingerprint(d) match {
+      case None => return build()
+      case Some(f) => f
+    }
+    val dump = hnswRoutedDumpMemo.getOrElseUpdate((d, fp), build())
+    hnswRoutedDumpMemo.keys.foreach { case k @ (kd, kfp) =>
+      if (kd == d && kfp != fp) hnswRoutedDumpMemo.remove(k)
+    }
+    dump
+  }
+
   /** Drop every memoized HNSW oracle dump (test/maintenance hook — the
     * boilerplate-memo release discipline applied here).
     */
-  private[graft] def clearHnswDumps(): Unit = hnswDumpMemo.clear()
+  private[graft] def clearHnswDumps(): Unit = {
+    hnswDumpMemo.clear()
+    hnswRoutedDumpMemo.clear()
+  }
 
   /** The BPE state trained by the last `tx_bpe_encode` build in this JVM —
     * same life-cycle as [[ivfTrainedCentroids]] (Verify runs queries before
@@ -2087,6 +2133,74 @@ object TextQueries {
     */
   private def hnswOracle(
       model: Array[Ann.HnswShardDump], dim: Int, k: Int, ef: Int): String = {
+    val entryRows = model.collect {
+      case d if d.entryId >= 0 => s"(${d.shard},${d.entryId},${d.entryLevel})"
+    }
+    val entryVals =
+      (if (entryRows.isEmpty) Array("(-1,-1,0)") else entryRows).mkString(",")
+    hnswSearchSql(model, dim, k, ef,
+      extraCtes = "",
+      entriesCte = s"""entries AS (SELECT sh::INTEGER AS shard, e::BIGINT AS ep,
+                           el::INTEGER AS eplvl
+                    FROM (VALUES $entryVals) t(sh, e, el))""",
+      walkSeed = """SELECT q.qid, e.shard, e.eplvl, e.ep, -d.s
+          FROM q CROSS JOIN entries e
+          JOIN qd d ON d.qid = q.qid AND d.node = e.ep""")
+  }
+
+  /** Routed-HNSW oracle: [[hnswOracle]]'s embedded-graph search with the
+    * ROUTING independently re-derived too — the centroid matrix rides as
+    * literals (the [[ivfAssignCte]] seam) and a routing CTE applies the
+    * IVF probe rule (dot over normalized queries DESC, ties toward the
+    * lower cell, top nProbeCells); the walk then seeds one descent per
+    * (query, entry point of a routed cell's sub-shard) instead of the
+    * full `q CROSS JOIN entries` fan-out. Graph membership (which ids
+    * landed in which sub-shard) is part of the trained artifact, exactly
+    * like adjacency — the oracle re-derives every DECISION (routing,
+    * descent, beam, re-rank) from raw vectors + artifact literals.
+    */
+  private def hnswRoutedOracle(
+      model: Ann.HnswRoutedDump, dim: Int, k: Int, ef: Int,
+      nProbeCells: Int): String = {
+    val centsValues = model.cents.zipWithIndex.map { case (w, c) =>
+      s"($c,[${w.map(_.toString).mkString(",")}])"
+    }.mkString(",")
+    val entryRows = model.dumps.zip(model.shardCells).collect {
+      case (d, cell) if d.entryId >= 0 =>
+        s"(${d.shard},$cell,${d.entryId},${d.entryLevel})"
+    }
+    val entryVals =
+      (if (entryRows.isEmpty) Array("(-1,-1,-1,0)") else entryRows).mkString(",")
+    hnswSearchSql(model.dumps, dim, k, ef,
+      extraCtes = s"""rcents(cell, w) AS (VALUES $centsValues),
+        rscore AS (SELECT q.qid, c.cell,
+                     list_reduce(list_prepend(0.0::DOUBLE,
+                       list_transform(generate_series(1, $dim),
+                         i -> q.qv[i] * c.w[i])), (x, y) -> x + y) AS dt
+                   FROM q CROSS JOIN rcents c),
+        routed AS (SELECT qid, cell FROM (SELECT qid, cell,
+                     ROW_NUMBER() OVER (PARTITION BY qid
+                       ORDER BY dt DESC, cell) AS r
+                   FROM rscore) WHERE r <= $nProbeCells),""",
+      entriesCte = s"""entries AS (SELECT sh::INTEGER AS shard, cl::INTEGER AS cell,
+                           e::BIGINT AS ep, el::INTEGER AS eplvl
+                    FROM (VALUES $entryVals) t(sh, cl, e, el))""",
+      walkSeed = """SELECT q.qid, e.shard, e.eplvl, e.ep, -d.s
+          FROM q JOIN routed r ON r.qid = q.qid
+          JOIN entries e ON e.cell = r.cell
+          JOIN qd d ON d.qid = q.qid AND d.node = e.ep""")
+  }
+
+  /** The shared HNSW search re-derivation (see [[hnswOracle]]'s proof
+    * sketch): normalization, the (query, node) dot matrix, greedy descent,
+    * the ef-bounded batch beam, per-shard top-k, exact re-rank. Callers
+    * supply the entry-point relation and the walk seed (full fan-out vs
+    * routed), plus any CTEs those need — ONE copy of the recursive search
+    * so the beam semantics cannot drift between the two gates.
+    */
+  private def hnswSearchSql(
+      model: Array[Ann.HnswShardDump], dim: Int, k: Int, ef: Int,
+      extraCtes: String, entriesCte: String, walkSeed: String): String = {
     val stp = "STRUCT(negs DOUBLE, id BIGINT)[]"
     // degenerate dumps (empty corpus, or 1-node shards with no links) must
     // still yield WELL-FORMED SQL: a sentinel row that joins nothing
@@ -2098,18 +2212,11 @@ object TextQueries {
     })
     val adjVals =
       (if (adjRows.isEmpty) Array("(-1,0,[-1])") else adjRows).mkString(",")
-    val entryRows = model.collect {
-      case d if d.entryId >= 0 => s"(${d.shard},${d.entryId},${d.entryLevel})"
-    }
-    val entryVals =
-      (if (entryRows.isEmpty) Array("(-1,-1,0)") else entryRows).mkString(",")
     s"""WITH RECURSIVE
         adjl AS (SELECT n::BIGINT AS node, l::INTEGER AS lvl,
                         list_transform(ns, z -> z::BIGINT) AS nbrs
                  FROM (VALUES $adjVals) t(n, l, ns)),
-        entries AS (SELECT sh::INTEGER AS shard, e::BIGINT AS ep,
-                           el::INTEGER AS eplvl
-                    FROM (VALUES $entryVals) t(sh, e, el)),
+        $entriesCte,
         vn AS (SELECT id, CASE WHEN nn = 0 THEN v
                                ELSE list_transform(v, x -> x / nn) END AS vn
                FROM (SELECT id, v, SQRT(list_reduce(list_prepend(0.0::DOUBLE,
@@ -2119,6 +2226,7 @@ object TextQueries {
                              list_transform(embedding, x -> x::DOUBLE) AS v
                            FROM embeddings))),
         q AS (SELECT id AS qid, vn AS qv FROM vn WHERE id < 20),
+        $extraCtes
         qd AS (SELECT q.qid, c.id AS node,
                  list_reduce(list_prepend(0.0::DOUBLE,
                    list_transform(generate_series(1, $dim),
@@ -2133,9 +2241,7 @@ object TextQueries {
                  FROM adjx x JOIN qd d ON d.node = x.nbr
                  GROUP BY x.node, x.lvl, d.qid),
         walk(qid, shard, lvl, cur, curnegs) AS (
-          SELECT q.qid, e.shard, e.eplvl, e.ep, -d.s
-          FROM q CROSS JOIN entries e
-          JOIN qd d ON d.qid = q.qid AND d.node = e.ep
+          $walkSeed
           UNION ALL
           SELECT qid, shard,
                  CASE WHEN best.id = cur THEN lvl - 1 ELSE lvl END,
@@ -2400,11 +2506,17 @@ object TextQueries {
         ("ann_hnsw_topk" -> hnswOracle(model, dim = 64, k = 5, ef = 64))
       case None        => withPq
     }
+    val withHnswRouted = Option(hnswRoutedModel.get()) match {
+      case Some(model) => withHnsw +
+        ("ann_hnsw_routed" -> hnswRoutedOracle(model, dim = 64, k = 5,
+          ef = 64, nProbeCells = 4))
+      case None        => withHnsw
+    }
     val withIvfPairs = Option(ivfPairCents.get()) match {
-      case Some(cents) => withHnsw +
+      case Some(cents) => withHnswRouted +
         ("dd_cosine_neardup_ivf" -> cosinePairsIvfOracle(cents,
           nProbe = 2, threshold = 0.4))
-      case None        => withHnsw
+      case None        => withHnswRouted
     }
     val withIncPairs = Option(ivfIncCents.get()) match {
       case Some(cents) => withIvfPairs +

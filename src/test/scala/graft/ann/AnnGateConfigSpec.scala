@@ -58,5 +58,15 @@ class AnnGateConfigSpec extends SparkSpec {
     assert(rows(graft.SparkEntry.queries("ann_hnsw_topk")(spark, d)) ==
       rows(Ann.hnswTopK(emb, "vec_id", "embedding",
         col("vec_id") < 20, k = 5, numShards = 8, m = 8, ef = 64)))
+
+    // routed-hnsw gate pins 8 cells / probe 4 / m=8 / ef=64 / 64-row
+    // sub-shard target over the 2-iter/4096-cap trainer — the embedded
+    // oracle artifact (centroids + cell graphs) is trained at exactly
+    // these values, while shipped defaults (64 cells, probe 8, m=16,
+    // ef=128, 65536-row target) track the measured presets
+    assert(rows(graft.SparkEntry.queries("ann_hnsw_routed")(spark, d)) ==
+      rows(Ann.hnswRoutedTopK(emb, "vec_id", "embedding",
+        col("vec_id") < 20, k = 5, numCells = 8, nProbeCells = 4, m = 8,
+        ef = 64, maxShardRows = 64, lloydIters = 2, trainCap = 4096)))
   }
 }

@@ -28,7 +28,8 @@ object RecallFrontierProbe {
     import spark.implicits._
     val d = sys.env.getOrElse("SPARK_GRAFT_SF10DUP_DIR", "/tmp/sf10dup")
     val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
-      .map(_.split(",").toSet).getOrElse(Set("hnsw", "ivf", "mplsh"))
+      .map(_.split(",").toSet)
+      .getOrElse(Set("hnsw", "ivf", "mplsh", "routed", "routedclu"))
     val nQueries = 50
     val emb = graft.Tables.embeddings(spark, d)
     val pred = col("vec_id") < nQueries
@@ -47,7 +48,10 @@ object RecallFrontierProbe {
     val shippedFloors = Map(
       "shards=32,m=16,ef=128" -> 0.95,
       "cells=64,nProbe=32" -> 0.90,
-      "planes=6,tables=16,probeBits=2" -> 0.90)
+      "planes=6,tables=16,probeBits=2" -> 0.90,
+      // routed hnsw shipped default (r17.5): the structureless bound is
+      // the probed fraction, so the 0.5-fraction default floors at 0.90
+      "cells=64,probe=32,m=16,ef=128" -> 0.90)
 
     def arm(family: String, config: String)(
         run: => org.apache.spark.sql.DataFrame): Unit = {
@@ -88,6 +92,63 @@ object RecallFrontierProbe {
         arm("ivf", s"cells=$cells,nProbe=$nProbe")(
           Ann.ivfTopK(emb, "vec_id", "embedding", pred, k = 5,
             numCells = cells, nProbe = nProbe))
+
+    // routed HNSW (r17.5): the post-1024-shard path — recall here is
+    // routing recall × graph recall. On THIS corpus (i.i.d. Gaussian,
+    // structureless) routing recall is information-theoretically bounded
+    // by the probed fraction: true neighbors are uniform over cells, so
+    // probe/cells IS the ceiling (same physics as IVF). Measured r17.5:
+    // 0.944 @ 32/64, 0.744 @ 16/64, 0.544 @ 8/64 — the shipped default
+    // probes half. The win routing exists for shows on the CLUSTERED arm
+    // below.
+    if (only("routed"))
+      for ((cells, probe, m, ef) <- Seq(
+          (64, 32, 16, 128),  // shipped default (structureless-safe: 0.5 fraction)
+          (64, 16, 16, 128),
+          (64, 8, 16, 128),
+          (64, 4, 16, 128),
+          (128, 8, 16, 128),
+          (128, 16, 16, 128)))
+        arm("routed", s"cells=$cells,probe=$probe,m=$m,ef=$ef")(
+          Ann.hnswRoutedTopK(emb, "vec_id", "embedding", pred, k = 5,
+            numCells = cells, nProbeCells = probe, m = m, ef = ef))
+
+    // CLUSTERED corpus (the production case routing exists for): 200
+    // planted clusters × 1000 vectors (seeded unit centers + σ=0.25
+    // noise) — a query's true top-5 are in-cluster, clusters land whole
+    // inside cells, so a SMALL probe fraction retains recall where the
+    // structureless bound above would predict ~probe/cells. This is the
+    // measured justification for dropping nProbeCells on real corpora.
+    if (only("routedclu")) {
+      val rng = new scala.util.Random(42)
+      val centers = Array.fill(200)(Array.fill(64)(rng.nextGaussian()))
+        .map { c =>
+          val n = math.sqrt(c.map(x => x * x).sum); c.map(_ / n)
+        }
+      val rows = (0 until 200000).map { i =>
+        val c = centers(i % 200)
+        (i.toLong, c.map(x => (x + 0.25 * rng.nextGaussian()).toFloat))
+      }
+      val cluEmb = spark.sparkContext.parallelize(rows, 32)
+        .toDF("vec_id", "embedding")
+      cluEmb.persist()
+      val cluT0 = System.nanoTime()
+      val cluTruth = pairs(Ann.cosineTopK(cluEmb, "vec_id", "embedding", pred, k = 5))
+      println(f"TRUTH clustered brute queries=${cluTruth.size} wall_sec=${(System.nanoTime() - cluT0) / 1e9}%.2f")
+      for ((cells, probe) <- Seq((64, 4), (64, 8), (64, 32), (128, 8)))
+        {
+          val t = System.nanoTime()
+          val got = pairs(Ann.hnswRoutedTopK(cluEmb, "vec_id", "embedding",
+            pred, k = 5, numCells = cells, nProbeCells = probe, m = 16, ef = 128))
+          val wall = (System.nanoTime() - t) / 1e9
+          val recall = cluTruth.map { case (q, ts) =>
+            got.getOrElse(q, Set.empty).intersect(ts).size.toDouble / ts.size
+          }.sum / cluTruth.size
+          println(f"FRONTIER family=routedclu config=cells=$cells,probe=$probe,m=16,ef=128 " +
+            f"recall_at_5=$recall%.3f wall_sec=$wall%.2f")
+        }
+      cluEmb.unpersist()
+    }
 
     if (only("mplsh"))
       for ((planes, tables, bits) <- Seq(
