@@ -504,8 +504,10 @@ object Main {
             graft.ann.Ann.ivfPqTopK(emb, "vec_id", "embedding", pred, k)
           case "hnsw" =>
             graft.ann.Ann.hnswTopK(emb, "vec_id", "embedding", pred, k)
+          case "hnsw-routed" =>
+            graft.ann.Ann.hnswRoutedTopK(emb, "vec_id", "embedding", pred, k)
           case other => sys.error(
-            s"unknown --method $other (brute|lsh|mplsh|ivf|ivfpq|hnsw)")
+            s"unknown --method $other (brute|lsh|mplsh|ivf|ivfpq|hnsw|hnsw-routed)")
         }).collect()
         hits.foreach { r =>
           println(s"[ann-search] q=${r.get(0)} rank=${r.get(1)} " +
@@ -566,7 +568,7 @@ object Main {
       |          classify [--data sfDir --out dir --min-logit x],
       |          search [--data sfDir --terms a,b,c --k 20],
       |          ann-search [--data sfDir --query-ids 1,2,3 --k 5
-      |                      --method brute|lsh|mplsh|ivf|ivfpq|hnsw],
+      |                      --method brute|lsh|mplsh|ivf|ivfpq|hnsw|hnsw-routed],
       |          pretrain [--data sfDir --out dir --context 2048 --merges 24
       |                    --decontaminate-below id --dedup auto|exact|routed
       |                    --strip-boilerplate]

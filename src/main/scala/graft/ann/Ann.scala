@@ -1311,6 +1311,12 @@ object Ann {
   private def routedSubOf(id: Long, factor: Int): Int =
     (((mix64(id) % factor) + factor) % factor).toInt
 
+  /** Sub-shard factor for a cell of `n` rows: ceil(n / maxShardRows),
+    * min 1 — ONE copy shared by the production grouping and the oracle
+    * dump (the [[routedSubOf]] anti-drift rule applied to the factor). */
+  private def routedSubFactorOf(n: Long, maxShardRows: Int): Int =
+    math.max(1L, (n + maxShardRows - 1) / maxShardRows).toInt
+
   /** Per-query top `nProbeCells` routing cells by centroid dot — the IVF
     * probe rule (dot DESC, ties toward the lower cell), shared by the
     * production router and the dump so the two can never drift. */
@@ -1384,10 +1390,7 @@ object Ann {
       maxQueries: Int = 4096,
       lloydIters: Int = 2,
       trainCap: Int = 4096): DataFrame = {
-    require(numCells > 0 && nProbeCells > 0 && maxShardRows > 0)
-    val spark = embeddings.sparkSession
-    import spark.implicits._
-
+    require(numCells > 0)
     val cents = trainIvfCentroids(
       embeddings, idCol, vecCol, numCells, lloydIters, trainCap)
     hnswRoutedTopKWithCentroids(embeddings, idCol, vecCol, queryPred, k,
@@ -1409,6 +1412,9 @@ object Ann {
       maxShardRows: Int,
       maxQueries: Int,
       cents: Array[Array[Double]]): DataFrame = {
+    require(nProbeCells > 0 && maxShardRows > 0 && maxQueries > 0,
+      "hnswRoutedTopKWithCentroids: nProbeCells, maxShardRows and " +
+        "maxQueries must be positive")
     val spark = embeddings.sparkSession
     import spark.implicits._
 
@@ -1435,7 +1441,14 @@ object Ann {
     val centsB = spark.sparkContext.broadcast(cents)
     val routedCellsB = spark.sparkContext.broadcast(routedCells)
     // only routed cells cross the exchange: a transient probe never pays
-    // for cells no query visits
+    // for cells no query visits. NOT persisted, deliberately: the lineage
+    // runs twice (the counts action below, then the caller's final
+    // action) at the cost of one repeated assignment pass — numCells dots
+    // per row, ~seconds at the sf100 bracket vs the graph builds'
+    // minutes — because a MEMORY_AND_DISK block would leak past the query
+    // in library use with no unpersist hook (the ivfTopKWithCentroids
+    // adjudication). Callers probing one corpus repeatedly should persist
+    // the embeddings themselves.
     val assigned = prep(embeddings)
       .map { case (id, vn) => (nearestCell(vn, centsB.value), id, vn) }
       .filter { case (cell, _, _) => routedCellsB.value.contains(cell) }
@@ -1446,7 +1459,7 @@ object Ann {
     val cellCounts: Map[Int, Long] = assigned
       .groupByKey { case (cell, _, _) => cell }.count().collect().toMap
     val subFactors: Map[Int, Int] = cellCounts.map { case (c, n) =>
-      c -> math.max(1L, (n + maxShardRows - 1) / maxShardRows).toInt
+      c -> routedSubFactorOf(n, maxShardRows)
     }
     require(subFactors.values.forall(_ < (1 << 20)),
       "hnswRoutedTopK: a cell needs >=2^20 sub-shards — raise maxShardRows")
@@ -1522,8 +1535,7 @@ object Ann {
         "oracle dump and is not a production probe.")
     val byCell = over.groupBy { case (_, vn) => nearestCell(vn, cents) }
     val shards = byCell.toArray.sortBy(_._1).flatMap { case (cell, rows) =>
-      val factor =
-        math.max(1L, (rows.length.toLong + maxShardRows - 1) / maxShardRows).toInt
+      val factor = routedSubFactorOf(rows.length.toLong, maxShardRows)
       rows.groupBy { case (id, _) => routedSubOf(id, factor) }
         .toArray.sortBy(_._1)
         .map { case (_, subRows) => (cell, subRows) }

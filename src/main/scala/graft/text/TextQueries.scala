@@ -2059,11 +2059,19 @@ object TextQueries {
     * argmax cell per vector — reused by the IVF probe oracle and the
     * cluster-balanced curation oracle.
     */
-  private def ivfAssignCte(
-      cents: Array[Array[Double]], embWhere: String = ""): String = {
-    val centsValues = cents.zipWithIndex.map { case (w, c) =>
+  /** Centroid matrix → SQL VALUES rows `(cell,[w...])` — ONE copy of the
+    * literal serialization (Double.toString is shortest-round-trip, so
+    * DuckDB parses back the identical bits) shared by every oracle that
+    * embeds a trained quantizer: [[ivfAssignCte]] and [[hnswRoutedOracle]].
+    */
+  private def centroidValuesSql(cents: Array[Array[Double]]): String =
+    cents.zipWithIndex.map { case (w, c) =>
       s"($c,[${w.map(_.toString).mkString(",")}])"
     }.mkString(",")
+
+  private def ivfAssignCte(
+      cents: Array[Array[Double]], embWhere: String = ""): String = {
+    val centsValues = centroidValuesSql(cents)
     val uDotW = """list_reduce(list_prepend(0.0, list_transform(
            generate_series(1, len(u)), i -> u[i] * w[i])), (x, y) -> x + y)"""
     s"""cents(cell, w) AS (VALUES $centsValues),
@@ -2162,9 +2170,7 @@ object TextQueries {
   private def hnswRoutedOracle(
       model: Ann.HnswRoutedDump, dim: Int, k: Int, ef: Int,
       nProbeCells: Int): String = {
-    val centsValues = model.cents.zipWithIndex.map { case (w, c) =>
-      s"($c,[${w.map(_.toString).mkString(",")}])"
-    }.mkString(",")
+    val centsValues = centroidValuesSql(model.cents)
     val entryRows = model.dumps.zip(model.shardCells).collect {
       case (d, cell) if d.entryId >= 0 =>
         s"(${d.shard},$cell,${d.entryId},${d.entryLevel})"

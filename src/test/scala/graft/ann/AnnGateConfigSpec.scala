@@ -62,7 +62,7 @@ class AnnGateConfigSpec extends SparkSpec {
     // routed-hnsw gate pins 8 cells / probe 4 / m=8 / ef=64 / 64-row
     // sub-shard target over the 2-iter/4096-cap trainer — the embedded
     // oracle artifact (centroids + cell graphs) is trained at exactly
-    // these values, while shipped defaults (64 cells, probe 8, m=16,
+    // these values, while shipped defaults (64 cells, probe 32, m=16,
     // ef=128, 65536-row target) track the measured presets
     assert(rows(graft.SparkEntry.queries("ann_hnsw_routed")(spark, d)) ==
       rows(Ann.hnswRoutedTopK(emb, "vec_id", "embedding",

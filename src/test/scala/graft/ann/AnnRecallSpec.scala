@@ -48,12 +48,14 @@ class AnnRecallSpec extends SparkSpec {
       "ann_lsh_mp_topk" -> 0.35, // measured 0.39 — 1-bit probes lift plain LSH's 0.15 by 2.6× on the same index
       "ann_ivf_topk" -> 0.50,
       "ann_hnsw_topk" -> 0.95,
+      "ann_hnsw_routed" -> 0.65, // measured 0.69 — pedagogical 8-cell/probe-4: half the cells probed, the structureless fraction bound + the planted-dup bonus
       "ann_ivfpq_topk" -> 0.45),
     "sf0.1" -> Map(
       "ann_lsh_topk" -> 0.08,
       "ann_lsh_mp_topk" -> 0.38,
       "ann_ivf_topk" -> 0.50,
       "ann_hnsw_topk" -> 0.95,
+      "ann_hnsw_routed" -> 0.70, // measured 0.74
       "ann_ivfpq_topk" -> 0.28))
 
   test("gate-surface recall vs brute force at sf0.01 AND sf0.1; recorded to RECALL.json") {
@@ -123,7 +125,14 @@ class AnnRecallSpec extends SparkSpec {
         ("ann_hnsw_topk_shipped_default",
           shippedPairs(graft.ann.Ann.hnswTopK(emb, "vec_id", "embedding",
             col("vec_id") < 20, k = 5)),
-          0.95)
+          0.95),
+        // routed hnsw shipped default (r17.5): 64 cells / probe 32 — the
+        // structureless-safe 0.5 fraction (RECALL_SF10DUP routed section);
+        // measured 0.95/0.92
+        ("ann_hnsw_routed_shipped_default",
+          shippedPairs(graft.ann.Ann.hnswRoutedTopK(emb, "vec_id",
+            "embedding", col("vec_id") < 20, k = 5)),
+          0.88)
       ).map { case (name, pairsGot, floor) =>
         val r = (brute intersect pairsGot).size.toDouble / brute.size
         assert(r >= floor, s"$name recall $r below floor $floor at $label")

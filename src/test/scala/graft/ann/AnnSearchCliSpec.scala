@@ -20,7 +20,8 @@ class AnnSearchCliSpec extends SparkSpec {
   }
 
   test("every method family answers with k hits per query at the shipped preset") {
-    for (method <- Seq("brute", "lsh", "mplsh", "ivf", "ivfpq", "hnsw")) {
+    for (method <- Seq("brute", "lsh", "mplsh", "ivf", "ivfpq", "hnsw",
+        "hnsw-routed")) {
       val lines = run(method)
       val summary = lines.last
       assert(summary.contains(s"method=$method") && summary.contains("queries=3"),
