@@ -651,13 +651,17 @@ object Bench {
             col("vec_id") < 20, k = 5,
             numShards = graft.ann.Ann.hnswShardsFor(
               Tables.embeddings(spark, dir).count(), 32))),
-          // routed arm (r17.5) sized to the bracket: 128 cells (~16k-row
-          // sub-shards at 2M vectors, matching hnswShardsFor's target) at
-          // the structureless-safe 0.5 probe fraction — half the corpus
-          // never shuffles or builds, the per-query fan-out is 64 cells
-          // instead of every shard, and recall keeps the >=0.9
-          // structureless bound (the clustered-corpus arm in
-          // RECALL_SF10DUP.json is where smaller fractions get justified)
+          // routed arm (r17.5) sized to the bracket: 128 cells at the
+          // structureless-safe 0.5 probe fraction, sub-sharded to the
+          // 16384-row hnswShardsFor target. Measured EXPECTATION: this
+          // arm TRAILS the full-fan-out row here — 20 diverse queries x
+          // 64 probes union ~all cells, so routing pays its trainer +
+          // two assignment passes for no build savings on a
+          // structureless corpus (the fraction-physics adjudication in
+          // RECALL_SF10DUP.json). The arm records that overhead
+          // honestly; routing's wins are the small-batch wall (69 vs
+          // 91 s at 2M clustered, 5 queries) and serving-time per-query
+          // fan-out, both measured in the fragment.
           "ann_hnsw_routed_prod" -> (() => graft.ann.Ann.hnswRoutedTopK(
             Tables.embeddings(spark, dir), "vec_id", "embedding",
             col("vec_id") < 20, k = 5, numCells = 128, nProbeCells = 64)),

@@ -1347,7 +1347,14 @@ object Ann {
     * invariant that survives executor-count changes — independent of the
     * centroid balance, with a loud fail at 8× the target if the spread
     * itself degenerates (byte-bound discipline of the stab join applied
-    * here to rows).
+    * here to rows). The 16384-row default is the r17 superlinear-build
+    * finding applied here: HNSW insert cost grows with graph size, so
+    * k-means cells left whole (an earlier 65536 default) let the big
+    * cells pay superlinear inserts — measured at the 100× bracket as
+    * 299 s vs the balanced full-fan-out build's 180 s; sub-sharding to
+    * the same ~16k rows `hnswShardsFor` targets removes the imbalance
+    * penalty, and recall only rises (candidates are a union of per-shard
+    * top-k).
     *
     * Query-driven economics: only ROUTED cells are shuffled and built
     * (the corpus filter drops unrouted cells before the exchange), so a
@@ -1386,7 +1393,7 @@ object Ann {
       nProbeCells: Int = 32,
       m: Int = 16,
       ef: Int = 128,
-      maxShardRows: Int = 65536,
+      maxShardRows: Int = 16384,
       maxQueries: Int = 4096,
       lloydIters: Int = 2,
       trainCap: Int = 4096): DataFrame = {

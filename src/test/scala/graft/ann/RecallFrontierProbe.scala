@@ -30,7 +30,10 @@ object RecallFrontierProbe {
     val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
       .map(_.split(",").toSet)
       .getOrElse(Set("hnsw", "ivf", "mplsh", "routed", "routedclu"))
-    val nQueries = 50
+    // SPARK_GRAFT_PROBE_QUERIES: the batch-size lever — routing's wall
+    // win depends on the probed-cell UNION staying well under numCells,
+    // so small query batches are where it shows (see routedclu notes)
+    val nQueries = sys.env.getOrElse("SPARK_GRAFT_PROBE_QUERIES", "50").toInt
     val emb = graft.Tables.embeddings(spark, d)
     val pred = col("vec_id") < nQueries
 
@@ -126,12 +129,17 @@ object RecallFrontierProbe {
     // the structureless bound above predicts ~probe/cells. This is the
     // measured justification for dropping nProbeCells on real corpora.
     if (only("routedclu")) {
+      // SPARK_GRAFT_CLU_ROWS scales the clustered corpus (default 200k =
+      // the 10× bracket; 2000000 = the 100× bracket, where the
+      // full-fan-out comparison arm below shows the routing win in WALL,
+      // not just probed fraction)
+      val cluRows = sys.env.getOrElse("SPARK_GRAFT_CLU_ROWS", "200000").toInt
       val rng = new scala.util.Random(42)
       val centers = Array.fill(200)(Array.fill(64)(rng.nextGaussian()))
         .map { c =>
           val n = math.sqrt(c.map(x => x * x).sum); c.map(_ / n)
         }
-      val rows = (0 until 200000).map { i =>
+      val rows = (0 until cluRows).map { i =>
         val c = centers(i % 200)
         (i.toLong, c.map(x => (x + 0.05 * rng.nextGaussian()).toFloat))
       }
@@ -140,11 +148,18 @@ object RecallFrontierProbe {
       cluEmb.persist()
       val cluT0 = System.nanoTime()
       val cluTruth = pairs(Ann.cosineTopK(cluEmb, "vec_id", "embedding", pred, k = 5))
-      println(f"TRUTH clustered brute queries=${cluTruth.size} wall_sec=${(System.nanoTime() - cluT0) / 1e9}%.2f")
+      println(f"TRUTH clustered brute queries=${cluTruth.size} rows=$cluRows wall_sec=${(System.nanoTime() - cluT0) / 1e9}%.2f")
       for ((cells, probe) <- Seq((64, 4), (64, 8), (64, 32), (128, 8)))
         arm("routedclu", s"cells=$cells,probe=$probe,m=16,ef=128", cluTruth)(
           Ann.hnswRoutedTopK(cluEmb, "vec_id", "embedding", pred, k = 5,
             numCells = cells, nProbeCells = probe, m = 16, ef = 128))
+      // the full-fan-out baseline on the SAME clustered corpus: every
+      // query searches every hnswShardsFor shard — what routing replaces
+      arm("routedclu",
+        s"full-fanout,shards=${Ann.hnswShardsFor(cluRows.toLong, 32)},m=16,ef=128",
+        cluTruth)(
+        Ann.hnswTopK(cluEmb, "vec_id", "embedding", pred, k = 5,
+          numShards = Ann.hnswShardsFor(cluRows.toLong, 32)))
       cluEmb.unpersist()
     }
 
