@@ -82,7 +82,7 @@ object Bench {
       // r17: the SQL status store retains 1000 executions by default —
       // each holding the full plan graph, and this suite's dedup plans
       // are megabytes (the log's "Truncated the string representation"
-      // warnings). 111 gate queries × best-of-3 plus four scale
+      // warnings). 112 gate queries × best-of-3 plus four scale
       // envelopes accumulated gigabytes of retained plans and OOM'd the
       // 8 GB bench JVM (SparkUncaughtExceptionHandler exit 52 — an
       // executor-thread OOM in local mode kills the JVM, no Try saves

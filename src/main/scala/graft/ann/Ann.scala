@@ -1300,8 +1300,9 @@ object Ann {
   }
 
   /** (cell, subShard) → the Long grouping key for routed HNSW shards.
-    * Sub-shard factors are capped at 2^20 (a cell would need >64 G rows
-    * at the default 65536-row target to exceed it). */
+    * Sub-shard factors are capped at 2^20 — a single cell would need
+    * ~17 G rows at the default 16384-row target to exceed it
+    * (enforced on the Long in [[routedSubFactorOf]]). */
   private def routedShardKey(cell: Int, sub: Int): Long =
     (cell.toLong << 20) | sub.toLong
 
@@ -1313,9 +1314,17 @@ object Ann {
 
   /** Sub-shard factor for a cell of `n` rows: ceil(n / maxShardRows),
     * min 1 — ONE copy shared by the production grouping and the oracle
-    * dump (the [[routedSubOf]] anti-drift rule applied to the factor). */
-  private def routedSubFactorOf(n: Long, maxShardRows: Int): Int =
-    math.max(1L, (n + maxShardRows - 1) / maxShardRows).toInt
+    * dump (the [[routedSubOf]] anti-drift rule applied to the factor).
+    * The 2^20 key-layout bound is enforced HERE on the Long, before the
+    * narrowing: a post-.toInt check would let an overflowed factor wrap
+    * negative and slip past `< 2^20`. */
+  private def routedSubFactorOf(n: Long, maxShardRows: Int): Int = {
+    val f = math.max(1L, (n + maxShardRows - 1) / maxShardRows)
+    require(f < (1L << 20),
+      s"routed HNSW: a cell of $n rows needs $f sub-shards, past the " +
+        "2^20 key-layout bound — raise maxShardRows")
+    f.toInt
+  }
 
   /** Per-query top `nProbeCells` routing cells by centroid dot — the IVF
     * probe rule (dot DESC, ties toward the lower cell), shared by the
@@ -1466,10 +1475,8 @@ object Ann {
     val cellCounts: Map[Int, Long] = assigned
       .groupByKey { case (cell, _, _) => cell }.count().collect().toMap
     val subFactors: Map[Int, Int] = cellCounts.map { case (c, n) =>
-      c -> routedSubFactorOf(n, maxShardRows)
+      c -> routedSubFactorOf(n, maxShardRows) // 2^20 bound enforced inside
     }
-    require(subFactors.values.forall(_ < (1 << 20)),
-      "hnswRoutedTopK: a cell needs >=2^20 sub-shards — raise maxShardRows")
     val subFactorsB = spark.sparkContext.broadcast(subFactors)
     val queriesB = spark.sparkContext.broadcast(queries)
     val routesB = spark.sparkContext.broadcast(routes)

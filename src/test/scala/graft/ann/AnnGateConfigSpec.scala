@@ -63,7 +63,7 @@ class AnnGateConfigSpec extends SparkSpec {
     // sub-shard target over the 2-iter/4096-cap trainer — the embedded
     // oracle artifact (centroids + cell graphs) is trained at exactly
     // these values, while shipped defaults (64 cells, probe 32, m=16,
-    // ef=128, 65536-row target) track the measured presets
+    // ef=128, 16384-row target) track the measured presets
     assert(rows(graft.SparkEntry.queries("ann_hnsw_routed")(spark, d)) ==
       rows(Ann.hnswRoutedTopK(emb, "vec_id", "embedding",
         col("vec_id") < 20, k = 5, numCells = 8, nProbeCells = 4, m = 8,

@@ -34,20 +34,31 @@ object RecallFrontierProbe {
     // win depends on the probed-cell UNION staying well under numCells,
     // so small query batches are where it shows (see routedclu notes)
     val nQueries = sys.env.getOrElse("SPARK_GRAFT_PROBE_QUERIES", "50").toInt
-    val emb = graft.Tables.embeddings(spark, d)
-    val pred = col("vec_id") < nQueries
 
     def pairs(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
       df.select("query_id", "neighbor_id").as[(Long, Long)].collect()
         .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
 
-    val t0 = System.nanoTime()
-    val truth = pairs(Ann.cosineTopK(emb, "vec_id", "embedding", pred, k = 5))
-    println(f"TRUTH brute queries=${truth.size} wall_sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+    // the sf10dup corpus and its brute truth are LAZY: a routedclu-only
+    // run generates its own in-memory corpus and must not require the
+    // /tmp fixture (nor pay its minutes-scale brute pass)
+    lazy val emb = graft.Tables.embeddings(spark, d)
+    lazy val pred = col("vec_id") < nQueries
+    lazy val truth = {
+      val t0 = System.nanoTime()
+      val t = pairs(Ann.cosineTopK(emb, "vec_id", "embedding", pred, k = 5))
+      println(f"TRUTH brute queries=${t.size} wall_sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+      t
+    }
 
     // floors for the r17 SHIPPED DEFAULTS (RECALL_SF10DUP.json) — the
     // probe is the executable tripwire: re-running it on a changed index
-    // fails loud if a shipped config drops below its committed floor
+    // fails loud if a shipped config drops below its committed floor.
+    // Enforced ONLY at the shape the floors were measured at: the
+    // sf10dup truth with the default 50-query batch — the clustered arms
+    // score a different corpus, and small SPARK_GRAFT_PROBE_QUERIES
+    // batches put ±(1/queries)-scale sampling noise on recall, so
+    // neither may trip a committed-floor failure.
     val shippedFloors = Map(
       "shards=32,m=16,ef=128" -> 0.95,
       "cells=64,nProbe=32" -> 0.90,
@@ -56,8 +67,12 @@ object RecallFrontierProbe {
       // the probed fraction, so the 0.5-fraction default floors at 0.90
       "cells=64,probe=32,m=16,ef=128" -> 0.90)
 
+    // `floors = false` for arms scored against a non-sf10dup truth (the
+    // clustered corpus) — written as an explicit flag rather than a
+    // `vs eq truth` identity check, which would FORCE the lazy truth in
+    // a routedclu-only run
     def arm(family: String, config: String,
-        vs: Map[Long, Set[Long]] = truth)(
+        vs: Map[Long, Set[Long]] = truth, floors: Boolean = true)(
         run: => org.apache.spark.sql.DataFrame): Unit = {
       val t = System.nanoTime()
       val got = pairs(run)
@@ -67,11 +82,12 @@ object RecallFrontierProbe {
       }.sum / vs.size
       println(f"FRONTIER family=$family config=$config " +
         f"recall_at_5=$recall%.3f wall_sec=$wall%.2f")
-      shippedFloors.get(config).foreach { floor =>
-        require(recall >= floor,
-          f"shipped default $family $config recall $recall%.3f fell below " +
-            f"its committed floor $floor (RECALL_SF10DUP.json)")
-      }
+      if (floors && nQueries == 50)
+        shippedFloors.get(config).foreach { floor =>
+          require(recall >= floor,
+            f"shipped default $family $config recall $recall%.3f fell below " +
+              f"its committed floor $floor (RECALL_SF10DUP.json)")
+        }
     }
 
     if (only("hnsw"))
@@ -150,14 +166,15 @@ object RecallFrontierProbe {
       val cluTruth = pairs(Ann.cosineTopK(cluEmb, "vec_id", "embedding", pred, k = 5))
       println(f"TRUTH clustered brute queries=${cluTruth.size} rows=$cluRows wall_sec=${(System.nanoTime() - cluT0) / 1e9}%.2f")
       for ((cells, probe) <- Seq((64, 4), (64, 8), (64, 32), (128, 8)))
-        arm("routedclu", s"cells=$cells,probe=$probe,m=16,ef=128", cluTruth)(
+        arm("routedclu", s"cells=$cells,probe=$probe,m=16,ef=128", cluTruth,
+          floors = false)(
           Ann.hnswRoutedTopK(cluEmb, "vec_id", "embedding", pred, k = 5,
             numCells = cells, nProbeCells = probe, m = 16, ef = 128))
       // the full-fan-out baseline on the SAME clustered corpus: every
       // query searches every hnswShardsFor shard — what routing replaces
       arm("routedclu",
         s"full-fanout,shards=${Ann.hnswShardsFor(cluRows.toLong, 32)},m=16,ef=128",
-        cluTruth)(
+        cluTruth, floors = false)(
         Ann.hnswTopK(cluEmb, "vec_id", "embedding", pred, k = 5,
           numShards = Ann.hnswShardsFor(cluRows.toLong, 32)))
       cluEmb.unpersist()
