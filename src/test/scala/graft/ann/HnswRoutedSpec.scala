@@ -42,7 +42,12 @@ class HnswRoutedSpec extends SparkSpec {
     }
   }
 
-  test("probing every cell with one sub-shard per cell == unrouted hnswTopK shards modulo assignment; full-probe recall dominates the gate config") {
+  // title matches what is asserted (r17 ADVICE): full-probe routed is NOT
+  // equal to hnswTopK (graph membership differs — semantic cells vs id-hash
+  // shards — so per-graph top-k unions differ); what full probing removes
+  // is the ROUTING approximation, so recall must dominate the half-probe
+  // config and clear an absolute bar.
+  test("nProbeCells == numCells removes the routing approximation: full-probe recall dominates the gate config and clears 0.90") {
     // nProbeCells == numCells removes the routing approximation: every
     // query searches every shard, so recall must dominate the 4-of-8 gate
     val emb = Tables.embeddings(spark, sf0001)

@@ -88,6 +88,12 @@ object RecallFrontierProbe {
             f"shipped default $family $config recall $recall%.3f fell below " +
               f"its committed floor $floor (RECALL_SF10DUP.json)")
         }
+      // a run at a non-measurement batch size must say OUT LOUD that it
+      // enforces nothing — otherwise its log reads like a tripwire pass
+      // (r17 ADVICE)
+      else if (floors && shippedFloors.contains(config))
+        println(s"FLOORS skipped (nQueries=$nQueries != 50): $config has a " +
+          "committed floor but this batch size enforces nothing")
     }
 
     if (only("hnsw"))
@@ -155,11 +161,24 @@ object RecallFrontierProbe {
         .map { c =>
           val n = math.sqrt(c.map(x => x * x).sum); c.map(_ / n)
         }
-      val rows = (0 until cluRows).map { i =>
-        val c = centers(i % 200)
-        (i.toLong, c.map(x => (x + 0.05 * rng.nextGaussian()).toFloat))
-      }
-      val cluEmb = spark.sparkContext.parallelize(rows, 32)
+      // rows generated INSIDE mapPartitions from a per-partition seeded
+      // RNG (r17 ADVICE: the driver-side Seq was ~2 GB of boxed tuples at
+      // SPARK_GRAFT_CLU_ROWS=2000000 — an avoidable driver-OOM risk in a
+      // probe that elsewhere enforces bounded-collect discipline).
+      // Deterministic: spark.range with an explicit slice count assigns
+      // contiguous ids per partition, and the noise stream is a pure
+      // function of the partition index. Noise VALUES differ from the
+      // r17 driver-side stream — recall/wall rows regenerated this round.
+      val centersB = spark.sparkContext.broadcast(centers)
+      val cluEmb = spark.range(0L, cluRows.toLong, 1L, 32).rdd
+        .mapPartitionsWithIndex { (pid, it) =>
+          val prng = new scala.util.Random(42L ^ (pid.toLong * 0x9e3779b9L))
+          val cs = centersB.value
+          it.map { i =>
+            val c = cs((i % 200).toInt)
+            (i, c.map(x => (x + 0.05 * prng.nextGaussian()).toFloat))
+          }
+        }
         .toDF("vec_id", "embedding")
       cluEmb.persist()
       val cluT0 = System.nanoTime()
