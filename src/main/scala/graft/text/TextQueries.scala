@@ -1314,6 +1314,49 @@ object TextQueries {
         maxShardRows = 64, lloydIters = 2, trainCap = 4096)
     },
 
+    // AUTO-ROUTED HNSW (r18, verdict ask #1): one stats pass — the query
+    // batch's probed-cell UNION over the trained centroids, the quantity
+    // the measured regime boundary turns on — picks routed vs full
+    // fan-out (Ann.hnswAutoTopK, the dedup routeStats pattern). The gate
+    // pins the DECISION as well as the output: 20 near-random queries ×
+    // top-4 of 8 cells re-cover the full cell set on every gate corpus,
+    // so the taken branch is fan-out at hnswShardsFor(corpus, cores=8)
+    // = the 8/8/64 gate graphs, and the oracle is the ann_hnsw_topk
+    // embedded-graph search. A flipped decision (data or rule change)
+    // surfaces as a hash mismatch, not silence — the runner stashes the
+    // branch and `oracles` emits the SQL for the branch actually taken.
+    // The routed branch's own equality twin is spec-pinned (HnswAutoSpec).
+    "ann_hnsw_auto" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val stats = Ann.hnswRouteStats(emb, "vec_id", "embedding",
+        col("vec_id") < 20, numCells = 8, nProbeCells = 4, cores = 8)
+      hnswAutoRouted.set(java.lang.Boolean.valueOf(stats.useRouted()))
+      if (stats.useRouted()) hnswRoutedModel.set(hnswRoutedDumpFor(s, d, emb))
+      else hnswModel.set(hnswDumpFor(s, d, emb))
+      Ann.hnswAutoTopKFromStats(emb, "vec_id", "embedding",
+        col("vec_id") < 20, k = 5, nProbeCells = 4, m = 8, ef = 64,
+        maxShardRows = 64, maxQueries = 4096, stats)
+    },
+
+    // STANDING routed-HNSW index (r18, verdict ask #3): the explicit
+    // build/persist/query/release lifecycle. The gate builds the index at
+    // the routed gate config and serves the routed gate's query batch
+    // from the standing graphs — output equals ann_hnsw_routed EXACTLY
+    // (spec-pinned equality + the same full DuckDB oracle re-derives
+    // routing and beam), so the hash gate checks the standing path, not
+    // just the transient one. The index is NOT released inside the gate:
+    // the returned frame's lineage serves from the persisted shards when
+    // the caller materializes it (release-then-materialize would silently
+    // measure the transient path); the harnesses' per-query clearCache
+    // reclaims the blocks.
+    "ann_hnsw_index" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      hnswRoutedModel.set(hnswRoutedDumpFor(s, d, emb))
+      Ann.buildHnswRoutedIndex(emb, "vec_id", "embedding",
+        numCells = 8, m = 8, ef = 64, maxShardRows = 64)
+        .topK(col("vec_id") < 20, k = 5, nProbeCells = 4)
+    },
+
     // ---- multimodal plumbing --------------------------------------------
     // (the r8-era stub-tier gate queries — mm_payload_stats /
     // mm_frame_sample / mm_phash_neardup, which fingerprinted the TEXT
@@ -1741,6 +1784,16 @@ object TextQueries {
     */
   private[graft] val hnswRoutedModel =
     new java.util.concurrent.atomic.AtomicReference[Ann.HnswRoutedDump]()
+
+  /** The branch the last `ann_hnsw_auto` run took in this JVM (true =
+    * routed) — the oracle for that gate must re-derive the SEARCH THAT
+    * ACTUALLY RAN, so the emission picks the routed or fan-out SQL from
+    * this stash (same life-cycle as the models; a flipped decision
+    * changes the emitted oracle AND the result, keeping the hash gate
+    * honest rather than vacuous).
+    */
+  private[graft] val hnswAutoRouted =
+    new java.util.concurrent.atomic.AtomicReference[java.lang.Boolean]()
 
   /** Cache of the oracle dump keyed by (dir, content fingerprint) — see
     * the gate comment. The fingerprint (file listing + sizes + mtimes of
@@ -2515,14 +2568,33 @@ object TextQueries {
     val withHnswRouted = Option(hnswRoutedModel.get()) match {
       case Some(model) => withHnsw +
         ("ann_hnsw_routed" -> hnswRoutedOracle(model, dim = 64, k = 5,
+          ef = 64, nProbeCells = 4)) +
+        // the standing index serves the SAME relation from persisted
+        // graphs (equality spec-pinned), so the routed oracle checks it
+        ("ann_hnsw_index" -> hnswRoutedOracle(model, dim = 64, k = 5,
           ef = 64, nProbeCells = 4))
       case None        => withHnsw
     }
+    // the auto gate's oracle re-derives the branch the decision took
+    // (see the hnswAutoRouted stash note)
+    val withHnswAuto = Option(hnswAutoRouted.get()) match {
+      case Some(routed) =>
+        val sqlOpt =
+          if (routed.booleanValue())
+            Option(hnswRoutedModel.get())
+              .map(m => hnswRoutedOracle(m, dim = 64, k = 5, ef = 64,
+                nProbeCells = 4))
+          else Option(hnswModel.get())
+            .map(m => hnswOracle(m, dim = 64, k = 5, ef = 64))
+        sqlOpt.fold(withHnswRouted)(sql =>
+          withHnswRouted + ("ann_hnsw_auto" -> sql))
+      case None => withHnswRouted
+    }
     val withIvfPairs = Option(ivfPairCents.get()) match {
-      case Some(cents) => withHnswRouted +
+      case Some(cents) => withHnswAuto +
         ("dd_cosine_neardup_ivf" -> cosinePairsIvfOracle(cents,
           nProbe = 2, threshold = 0.4))
-      case None        => withHnswRouted
+      case None        => withHnswAuto
     }
     val withIncPairs = Option(ivfIncCents.get()) match {
       case Some(cents) => withIvfPairs +

@@ -68,5 +68,23 @@ class AnnGateConfigSpec extends SparkSpec {
       rows(Ann.hnswRoutedTopK(emb, "vec_id", "embedding",
         col("vec_id") < 20, k = 5, numCells = 8, nProbeCells = 4, m = 8,
         ef = 64, maxShardRows = 64, lloydIters = 2, trainCap = 4096)))
+
+    // auto gate pins the routed gate's 8/4/8/64/64 decision config at
+    // cores=8 (shipped defaults: 64 cells / probe 32 / m=16 / ef=128) —
+    // AND the decision itself: 20 gate queries re-cover the 8 cells, so
+    // the taken branch must be fan-out at the 8/8/64 gate graphs
+    val stats = Ann.hnswRouteStats(emb, "vec_id", "embedding",
+      col("vec_id") < 20, numCells = 8, nProbeCells = 4, cores = 8)
+    assert(!stats.useRouted(),
+      s"gate decision moved: union fraction ${stats.unionFraction}")
+    assert(rows(graft.SparkEntry.queries("ann_hnsw_auto")(spark, d)) ==
+      rows(Ann.hnswTopK(emb, "vec_id", "embedding",
+        col("vec_id") < 20, k = 5, numShards = 8, m = 8, ef = 64)))
+
+    // standing-index gate pins the routed gate config and must EQUAL the
+    // transient routed gate (the lifecycle changes execution, never the
+    // relation)
+    assert(rows(graft.SparkEntry.queries("ann_hnsw_index")(spark, d)) ==
+      rows(graft.SparkEntry.queries("ann_hnsw_routed")(spark, d)))
   }
 }
