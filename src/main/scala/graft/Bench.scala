@@ -31,12 +31,24 @@ object Bench {
     */
   private[graft] def ensureScaleCorpus(
       scale: String, dir: String, timeoutMin: Long,
-      required: Seq[String]): Unit = {
+      required: Seq[String], minFreeGb: Double = 0.0): Unit = {
     val root = java.nio.file.Paths.get(dir)
     if (required.forall(f => java.nio.file.Files.exists(root.resolve(f))))
       return
     val parent = root.toAbsolutePath.getParent
     java.nio.file.Files.createDirectories(parent)
+    // near-full-disk guard (r17 verdict ask #6): the corpus temp dir and
+    // the envelopes' shuffle spill share this filesystem — generating a
+    // multi-GB corpus into a nearly-full disk would either fail mid-write
+    // (safe: the temp dir is discarded, but the cause reads as a generator
+    // error) or succeed and then starve the envelope runs' ~50 GB spill.
+    // Fail loud with the real cause instead; callers size minFreeGb to
+    // ~2x the corpus footprint.
+    val freeGb = parent.toFile.getUsableSpace / 1073741824.0
+    require(freeGb >= minFreeGb,
+      f"ensureScaleCorpus($scale): only $freeGb%.1f GB free under $parent " +
+        f"(< $minFreeGb%.1f GB needed for the corpus + envelope spill " +
+        "headroom) — free disk space or point SPARK_GRAFT_*_DIR elsewhere")
     def rmTree(p: java.nio.file.Path): Unit =
       if (java.nio.file.Files.exists(p)) {
         import scala.jdk.CollectionConverters._
@@ -313,7 +325,7 @@ object Bench {
       else scala.util.Try {
         val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/sf1")
         ensureScaleCorpus("sf1", sf1Dir, 10,
-          Seq("documents.parquet", "orders.parquet"))
+          Seq("documents.parquet", "orders.parquet"), minFreeGb = 2)
         @volatile var peak = 0L
         @volatile var spill = 0L
         val listener = new org.apache.spark.scheduler.SparkListener {
@@ -464,6 +476,20 @@ object Bench {
     // copies of the listener + per-run instrument machinery): nRuns
     // noop-writes per row with per-run wall/GC/load/dropped-events and
     // max peak/spill, listener added and removed around the family.
+    // free space on the shuffle-local dir, sampled around each envelope
+    // run (r17 verdict ask #2): the sf100 routed-dedup arm swung 194→367 s
+    // between the committed and graded artifacts with nothing in either
+    // to adjudicate it — each arm spills ~50 GB into a /tmp with ~79 GB
+    // free, so disk PRESSURE (arm ordering, concurrent driver work) is
+    // the prime suspect. Per-run free-GB start/end makes the suspect
+    // visible: a run whose free space dips toward zero is disk-throttled
+    // and its wall is not comparable.
+    def localFreeGb(): Double = {
+      val localDir = spark.conf.getOption("spark.local.dir")
+        .getOrElse(System.getProperty("java.io.tmpdir"))
+      new java.io.File(localDir).getUsableSpace / 1073741824.0
+    }
+
     def envelopeRows(
         rows: Seq[(String, () => org.apache.spark.sql.DataFrame)],
         nRuns: Int): String = {
@@ -492,16 +518,19 @@ object Bench {
           val gcSecs = scala.collection.mutable.ArrayBuffer.empty[Double]
           val loads = scala.collection.mutable.ArrayBuffer.empty[Double]
           val drops = scala.collection.mutable.ArrayBuffer.empty[Long]
+          val freeGb = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
           val runs = (1 to nRuns).map { _ =>
             peak = 0L; spill = 0L
             val drop0 = org.apache.spark.GraftListenerBridge
               .droppedEvents(spark.sparkContext)
+            val free0 = localFreeGb()
             val gc0 = gcMillis()
             val t0 = System.nanoTime()
             mk().write.format("noop").mode("overwrite").save()
             val sec = (System.nanoTime() - t0) / 1e9
             gcSecs += (gcMillis() - gc0) / 1e3
             loads += loadAvg1m()
+            freeGb += ((free0, localFreeGb()))
             Thread.sleep(500)
             drops += org.apache.spark.GraftListenerBridge
               .droppedEvents(spark.sparkContext) - drop0
@@ -514,7 +543,9 @@ object Bench {
           val gcJson = gcSecs.map(s => f"$s%.3f").mkString("[", ",", "]")
           val loadJson = loads.map(s => f"$s%.2f").mkString("[", ",", "]")
           val dropJson = drops.mkString("[", ",", "]")
-          f""""$name":{"sec":${runs.min}%.3f,"sec_max":${runs.max}%.3f,"runs_sec":$runsJson,"runs_gc_sec":$gcJson,"runs_load_1m":$loadJson,"runs_dropped_events":$dropJson,"peak_task_mb":${peakMax / 1048576},"spill_mb":${spillMax / 1048576}}"""
+          val freeJson = freeGb
+            .map { case (a, b) => f"[$a%.1f,$b%.1f]" }.mkString("[", ",", "]")
+          f""""$name":{"sec":${runs.min}%.3f,"sec_max":${runs.max}%.3f,"runs_sec":$runsJson,"runs_gc_sec":$gcJson,"runs_load_1m":$loadJson,"runs_dropped_events":$dropJson,"runs_local_free_gb":$freeJson,"peak_task_mb":${peakMax / 1048576},"spill_mb":${spillMax / 1048576}}"""
         }.mkString(",")
       } finally spark.sparkContext.removeSparkListener(listener)
     }
@@ -532,7 +563,7 @@ object Bench {
       else scala.util.Try {
         val sf10Dir = sys.env.getOrElse("SPARK_GRAFT_SF10_DIR", "/tmp/sf10")
         ensureScaleCorpus("sf10", sf10Dir, 30,
-          Seq("documents.parquet", "orders.parquet"))
+          Seq("documents.parquet", "orders.parquet"), minFreeGb = 8)
         // the router's own decision at this scale, measured: one stats
         // pass over 505k docs; must say ROUTED (size alone crosses the
         // cutover) — recorded so the 100 TB claim carries the decision,
@@ -571,7 +602,7 @@ object Bench {
       else scala.util.Try {
         val dupDir = sys.env.getOrElse("SPARK_GRAFT_SF10DUP_DIR", "/tmp/sf10dup")
         ensureScaleCorpus("sf10dup", dupDir, 30,
-          Seq("documents.parquet", "embeddings.parquet"))
+          Seq("documents.parquet", "embeddings.parquet"), minFreeGb = 6)
         val docs = Tables.documents(spark, dupDir)
         val rs0 = System.nanoTime()
         val rs = graft.text.Dedup.routeStats(docs, "text")
@@ -613,8 +644,48 @@ object Bench {
             col("vec_id") < 20, k = 5)),
           "ir_batch_bm25" ->
             (() => SparkEntry.queries("ir_batch_bm25")(spark, dupDir)))
-        val rowsJson = envelopeRows(rows, nRuns = 2)
-        f"""{"dir":"$dupDir","timing":"best_of_2","route_stats":{"n_docs":${rs.nDocs},"dup_ratio":${rs.dupRatio}%.4f,"use_routed":${rs.useRouted()},"sec":$rsSec%.3f},"exact_full_arm":"OOM at 8g heap (adjudicated: ~80M candidate pairs from planted classes; router cutover protects it)","queries":{$rowsJson}}"""
+        // the AUTO arm (r18, verdict ask #1): the decision pass runs ONCE
+        // here, its inputs recorded like route_stats — on this
+        // structureless corpus 20 queries × 32 probes re-cover the 64
+        // cells, so the expected decision is fan-out and the arm should
+        // tie ann_hnsw_prod (decision correctness = the arm ties the
+        // better of the two transient arms)
+        val ast0 = System.nanoTime()
+        val ast = graft.ann.Ann.hnswRouteStats(
+          Tables.embeddings(spark, dupDir), "vec_id", "embedding",
+          col("vec_id") < 20, numCells = 64, nProbeCells = 32, cores = 32)
+        val astSec = (System.nanoTime() - ast0) / 1e9
+        val autoRow = "ann_hnsw_auto_prod" -> (() =>
+          graft.ann.Ann.hnswAutoTopKFromStats(
+            Tables.embeddings(spark, dupDir), "vec_id", "embedding",
+            col("vec_id") < 20, k = 5, nProbeCells = 32, m = 16, ef = 128,
+            maxShardRows = 16384, maxQueries = 4096, ast))
+        val rowsJson = envelopeRows(rows :+ autoRow, nRuns = 2)
+        // STANDING-INDEX amortization (r18, verdict ask #3): build the
+        // routed index ONCE at the shipped config, then serve three
+        // 20-query batches from the persisted graphs — per-batch query
+        // cost is the number the transient arms cannot reach (they re-pay
+        // trainer + assignment + build per batch). No clearCache between
+        // batches (it would unpersist the index mid-measurement).
+        val idxJson = scala.util.Try {
+          val emb = Tables.embeddings(spark, dupDir)
+          val b0 = System.nanoTime()
+          val idx = graft.ann.Ann.buildHnswRoutedIndex(
+            emb, "vec_id", "embedding", numCells = 64, m = 16, ef = 128)
+          val buildSec = (System.nanoTime() - b0) / 1e9
+          val batches = (0 until 3).map { i =>
+            val t0 = System.nanoTime()
+            idx.topK(col("vec_id") >= i * 20L && col("vec_id") < (i + 1) * 20L,
+                k = 5, nProbeCells = 32)
+              .write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          }
+          idx.release()
+          spark.catalog.clearCache(); System.gc()
+          val bJson = batches.map(s => f"$s%.3f").mkString("[", ",", "]")
+          f""","ann_hnsw_index_prod":{"build_sec":$buildSec%.3f,"batch_query_sec":$bJson,"num_shards":${idx.numShards}}"""
+        }.getOrElse("")
+        f"""{"dir":"$dupDir","timing":"best_of_2","route_stats":{"n_docs":${rs.nDocs},"dup_ratio":${rs.dupRatio}%.4f,"use_routed":${rs.useRouted()},"sec":$rsSec%.3f},"hnsw_route_stats":{"n_queries":${ast.nQueries},"num_cells":${ast.numCells},"probed_union":${ast.probedUnionCells},"union_fraction":${ast.unionFraction}%.4f,"corpus_rows":${ast.corpusRows},"fanout_shards":${ast.fanoutShards},"use_routed":${ast.useRouted()},"sec":$astSec%.3f},"exact_full_arm":"OOM at 8g heap (adjudicated: ~80M candidate pairs from planted classes; router cutover protects it)","queries":{$rowsJson$idxJson}}"""
       }.getOrElse("{}")
 
     // 100× bracket (r17, verdict ask #2): 5M docs at dup_ratio ~0.8
@@ -632,17 +703,25 @@ object Bench {
       else scala.util.Try {
         val dir = sys.env.getOrElse("SPARK_GRAFT_SF100_DIR", "/tmp/sf100")
         ensureScaleCorpus("sf100", dir, 30,
-          Seq("documents.parquet", "embeddings.parquet"))
+          Seq("documents.parquet", "embeddings.parquet"), minFreeGb = 20)
         val docs = Tables.documents(spark, dir)
         val rs0 = System.nanoTime()
         val rs = graft.text.Dedup.routeStats(docs, "text")
         val rsSec = (System.nanoTime() - rs0) / 1e9
         import org.apache.spark.sql.functions.col
-        val rows: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+        // the two dedup arms run BEST OF 2 (r17 verdict ask #2): the
+        // routed arm swung 194→367 s between artifacts at best_of_1 with
+        // ~50 GB of spill against ~79 GB free local disk — the same code
+        // path as the stable auto arm, so the swing is environmental
+        // (disk pressure / load), and a second run plus the per-run
+        // free-GB tripwire makes the row adjudicable. The ANN/BM25 arms
+        // stay single-run (minutes each, historically stable).
+        val ddRows: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
           "dd_canonical_auto" ->
             (() => SparkEntry.queries("dd_canonical_auto")(spark, dir)),
           "dd_canonical_routed" ->
-            (() => SparkEntry.queries("dd_canonical_routed")(spark, dir)),
+            (() => SparkEntry.queries("dd_canonical_routed")(spark, dir)))
+        val annRows: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
           // corpus-adaptive shards (123 at 2M rows): fixed 32 shards
           // measured 332 s here — the superlinear-build break the shard
           // lever exists for (146 s at 128; see Ann.hnswShardsFor)
@@ -667,8 +746,22 @@ object Bench {
             col("vec_id") < 20, k = 5, numCells = 128, nProbeCells = 64)),
           "ir_batch_bm25" ->
             (() => SparkEntry.queries("ir_batch_bm25")(spark, dir)))
-        val rowsJson = envelopeRows(rows, nRuns = 1)
-        f"""{"dir":"$dir","timing":"best_of_1","route_stats":{"n_docs":${rs.nDocs},"dup_ratio":${rs.dupRatio}%.4f,"use_routed":${rs.useRouted()},"sec":$rsSec%.3f},"queries":{$rowsJson}}"""
+        // auto arm at the bracket (r18, verdict ask #1): same decision
+        // recording as sf10dup — expected fan-out here (20 × 64 probes
+        // union ≈ all 128 cells), so the arm should tie ann_hnsw_prod
+        val ast0 = System.nanoTime()
+        val ast = graft.ann.Ann.hnswRouteStats(
+          Tables.embeddings(spark, dir), "vec_id", "embedding",
+          col("vec_id") < 20, numCells = 128, nProbeCells = 64, cores = 32)
+        val astSec = (System.nanoTime() - ast0) / 1e9
+        val autoRow = "ann_hnsw_auto_prod" -> (() =>
+          graft.ann.Ann.hnswAutoTopKFromStats(
+            Tables.embeddings(spark, dir), "vec_id", "embedding",
+            col("vec_id") < 20, k = 5, nProbeCells = 64, m = 16, ef = 128,
+            maxShardRows = 16384, maxQueries = 4096, ast))
+        val rowsJson = envelopeRows(ddRows, nRuns = 2) + "," +
+          envelopeRows(annRows :+ autoRow, nRuns = 1)
+        f"""{"dir":"$dir","timing":"dd best_of_2, ann/bm25 best_of_1","route_stats":{"n_docs":${rs.nDocs},"dup_ratio":${rs.dupRatio}%.4f,"use_routed":${rs.useRouted()},"sec":$rsSec%.3f},"hnsw_route_stats":{"n_queries":${ast.nQueries},"num_cells":${ast.numCells},"probed_union":${ast.probedUnionCells},"union_fraction":${ast.unionFraction}%.4f,"corpus_rows":${ast.corpusRows},"fanout_shards":${ast.fanoutShards},"use_routed":${ast.useRouted()},"sec":$astSec%.3f},"queries":{$rowsJson}}"""
       }.getOrElse("{}")
 
     // End-to-end pretrain composition (r12, verdict ask #6): the real

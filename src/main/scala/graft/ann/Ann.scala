@@ -1399,7 +1399,7 @@ object Ann {
     * duplicate classes are consecutive ids) don't land one residue.
     * Deterministic, shared by the production grouping and the oracle dump.
     */
-  private def mix64(id: Long): Long = {
+  private[ann] def mix64(id: Long): Long = {
     var z = id + 0x9e3779b97f4a7c15L
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
     z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
@@ -1416,7 +1416,7 @@ object Ann {
   /** Sub-shard of `id` within a cell of `factor` sub-shards: hash-spread
     * (expectation-balanced; the build task fail-fasts if a shard still
     * exceeds 8× the target, see [[hnswRoutedTopK]]). */
-  private def routedSubOf(id: Long, factor: Int): Int =
+  private[ann] def routedSubOf(id: Long, factor: Int): Int =
     (((mix64(id) % factor) + factor) % factor).toInt
 
   /** Sub-shard factor for a cell of `n` rows: ceil(n / maxShardRows),
@@ -1425,7 +1425,7 @@ object Ann {
     * The 2^20 key-layout bound is enforced HERE on the Long, before the
     * narrowing: a post-.toInt check would let an overflowed factor wrap
     * negative and slip past `< 2^20`. */
-  private def routedSubFactorOf(n: Long, maxShardRows: Int): Int = {
+  private[ann] def routedSubFactorOf(n: Long, maxShardRows: Int): Int = {
     val f = math.max(1L, (n + maxShardRows - 1) / maxShardRows)
     require(f < (1L << 20),
       s"routed HNSW: a cell of $n rows needs $f sub-shards, past the " +

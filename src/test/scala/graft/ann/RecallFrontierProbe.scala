@@ -29,7 +29,8 @@ object RecallFrontierProbe {
     val d = sys.env.getOrElse("SPARK_GRAFT_SF10DUP_DIR", "/tmp/sf10dup")
     val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
       .map(_.split(",").toSet)
-      .getOrElse(Set("hnsw", "ivf", "mplsh", "routed", "routedclu"))
+      .getOrElse(Set("hnsw", "ivf", "ivfpq", "lsh", "mplsh", "routed",
+        "routedclu"))
     // SPARK_GRAFT_PROBE_QUERIES: the batch-size lever — routing's wall
     // win depends on the probed-cell UNION staying well under numCells,
     // so small query batches are where it shows (see routedclu notes)
@@ -198,6 +199,42 @@ object RecallFrontierProbe {
           numShards = Ann.hnswShardsFor(cluRows.toLong, 32)))
       cluEmb.unpersist()
     }
+
+    // ivfpq (r18, verdict ask #4): the last family with no 10× frontier
+    // row. Recall here = coarse-probe fraction bound × shortlist quality;
+    // the levers are the probe fraction (nProbe/cells — the IVF physics),
+    // the re-rank depth cf (shortlist recall: the exact re-rank already
+    // is exact, so a deeper PQ candidate list only adds), and codebook
+    // resolution ks. The candidate ≥0.9 preset is the ivf-matched 0.5
+    // fraction with a deeper shortlist.
+    if (only("ivfpq"))
+      for ((cells, nProbe, m, ks, cf) <- Seq(
+          (16, 8, 8, 16, 32),   // r15 shipped default (0.74 at sf0.1)
+          (16, 8, 8, 16, 128),  // re-rank depth alone
+          (64, 32, 8, 16, 32),  // ivf-matched 0.5 probe fraction
+          (64, 32, 8, 16, 64),
+          (64, 32, 8, 16, 128),
+          (64, 32, 8, 64, 64))) // finer codebooks
+        arm("ivfpq", s"cells=$cells,nProbe=$nProbe,m=$m,ks=$ks,cf=$cf")(
+          Ann.ivfPqTopK(emb, "vec_id", "embedding", pred, k = 5,
+            numCells = cells, nProbe = nProbe, m = m, ks = ks,
+            candidateFactor = cf))
+
+    // single-probe lsh (r18, verdict ask #4): measure the family's
+    // CEILING at the 10× bracket so its role statement in RECALL.json is
+    // a number, not an assertion — every recall lever it has (coarser
+    // buckets, more tables) grows corpus cells or rerank fan-in, which
+    // is exactly what mp-lsh's query-side probes avoid at the same
+    // index cost.
+    if (only("lsh"))
+      for ((planes, tables) <- Seq(
+          (4, 16),  // shipped default (0.73 at sf0.1)
+          (4, 32),  // 2x corpus cells
+          (3, 16),  // coarser buckets -> rerank fan-in
+          (5, 16))) // finer buckets (recall drops, wall drops)
+        arm("lsh", s"planes=$planes,tables=$tables")(
+          Ann.lshTopK(emb, "vec_id", "embedding", pred, k = 5, dim = 64,
+            numPlanes = planes, tables = tables))
 
     if (only("mplsh"))
       for ((planes, tables, bits) <- Seq(
