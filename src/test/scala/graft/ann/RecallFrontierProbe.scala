@@ -197,6 +197,43 @@ object RecallFrontierProbe {
         cluTruth, floors = false)(
         Ann.hnswTopK(cluEmb, "vec_id", "embedding", pred, k = 5,
           numShards = Ann.hnswShardsFor(cluRows.toLong, 32)))
+      // AUTO decision at the bracket (r18, verdict ask #1): the probed-
+      // union stats pass runs once, its inputs printed so the committed
+      // fragment records WHY the decision fell where it did — the
+      // regime-boundary evidence behind RoutedUnionCutover. nProbeCells=8
+      // is the clustered-regime preset (fraction 0.125/structure carries
+      // recall).
+      val astT0 = System.nanoTime()
+      val ast = Ann.hnswRouteStats(cluEmb, "vec_id", "embedding", pred,
+        numCells = 64, nProbeCells = 8, cores = 32)
+      println(f"ROUTESTATS clustered rows=$cluRows nQueries=${ast.nQueries} " +
+        f"union=${ast.probedUnionCells}/${ast.numCells} " +
+        f"fraction=${ast.unionFraction}%.3f useRouted=${ast.useRouted()} " +
+        f"fanoutShards=${ast.fanoutShards} " +
+        f"stats_wall_sec=${(System.nanoTime() - astT0) / 1e9}%.2f")
+      arm("routedclu", "auto,cells=64,probe=8,m=16,ef=128", cluTruth,
+        floors = false)(
+        Ann.hnswAutoTopKFromStats(cluEmb, "vec_id", "embedding", pred,
+          k = 5, nProbeCells = 8, m = 16, ef = 128, maxShardRows = 16384,
+          maxQueries = 4096, ast))
+      // STANDING index at the bracket (r18, verdict ask #3): build once,
+      // serve three batches — per-batch query wall is the amortized
+      // number the transient arms above cannot reach
+      val bT0 = System.nanoTime()
+      val idx = Ann.buildHnswRoutedIndex(cluEmb, "vec_id", "embedding",
+        numCells = 64, m = 16, ef = 128)
+      println(f"INDEX build rows=$cluRows wall_sec=${(System.nanoTime() - bT0) / 1e9}%.2f " +
+        s"shards=${idx.numShards}")
+      for (b <- 1 to 3) {
+        val qT0 = System.nanoTime()
+        val got = pairs(idx.topK(pred, k = 5, nProbeCells = 8))
+        val qWall = (System.nanoTime() - qT0) / 1e9
+        val recall = cluTruth.map { case (q, ts) =>
+          got.getOrElse(q, Set.empty).intersect(ts).size.toDouble / ts.size
+        }.sum / cluTruth.size
+        println(f"INDEX batch=$b recall_at_5=$recall%.3f query_wall_sec=$qWall%.2f")
+      }
+      idx.release()
       cluEmb.unpersist()
     }
 
@@ -214,7 +251,14 @@ object RecallFrontierProbe {
           (64, 32, 8, 16, 32),  // ivf-matched 0.5 probe fraction
           (64, 32, 8, 16, 64),
           (64, 32, 8, 16, 128),
-          (64, 32, 8, 64, 64))) // finer codebooks
+          (64, 32, 8, 64, 64),   // finer codebooks: 0.39 -> 0.64
+          // round-2 arms: codebook RESOLUTION is the dominant lever, so
+          // push both axes — more subspaces (m=16: 4-dim subspaces at
+          // dim 64) and wider codebooks (ks=256 = full one-byte range)
+          (64, 32, 16, 64, 64),
+          (64, 32, 16, 256, 64),
+          (64, 32, 16, 256, 128),
+          (64, 48, 16, 256, 64)))
         arm("ivfpq", s"cells=$cells,nProbe=$nProbe,m=$m,ks=$ks,cf=$cf")(
           Ann.ivfPqTopK(emb, "vec_id", "embedding", pred, k = 5,
             numCells = cells, nProbe = nProbe, m = m, ks = ks,
