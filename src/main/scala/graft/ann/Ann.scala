@@ -925,15 +925,26 @@ object Ann {
     exactRerank(candidates, embeddings, idCol, vecCol, k)
   }
 
-  /** Defaults are the SHIPPED production configuration (r13 verdict ask
-    * #4, measured by AnnPqTuneProbe at sf0.1): candidateFactor=32 /
-    * nProbe=8 buys recall 0.36 → 0.74 at the same wall as the old
-    * cf=8/nProbe=4 — the shortlist, not the exact re-rank, was the
-    * bottleneck once cells densified. Scale `nProbe` with `numCells`
-    * (≈ numCells/2 measured best at these densities; cf=64/nProbe=16
-    * reaches 0.93 when recall matters more than probe fan-out). The gate
-    * query pins the pedagogical cf=8/nProbe=4 config explicitly via
-    * [[ivfPqTopKWithModel]]; RECALL.json records both configs' recall.
+  /** Defaults are the SHIPPED production configuration (r18,
+    * RecallFrontierProbe at the 10× bracket — 200k×64 i.i.d.-Gaussian,
+    * the structureless worst case): `numCells=64, nProbe=32, m=16,
+    * ks=256, candidateFactor=64` — recall@5 **0.940 at 12.7 s**, which
+    * SATURATES the coarse-probe fraction bound (plain IVF at the same
+    * 0.5 fraction reads 0.944): the PQ shortlist is no longer the
+    * bottleneck. The lever ladder, measured: re-rank depth alone
+    * (cf 32→128 at m=8/ks=16) bought 0.31→0.50; codebook RESOLUTION is
+    * the dominant axis — ks 16→64 at m=8 bought 0.39→0.64, and m=16
+    * (4-dim subspaces) × ks=256 reached 0.90–0.94, with nProbe=48
+    * reading 0.992 when recall outranks probe cost. The honest memory
+    * trade: m=16 one-byte codes = 16 B/vector (16× compression vs raw
+    * float32) instead of m=8's 8 B (32×) — still the memory-side tier
+    * by a wide margin, and codebooks stay trivial (m×ks×subDim doubles
+    * = 128 KB). The r15 preset (16/8/m8/ks16/cf32, recall 0.74 at
+    * sf0.1 / 0.22 at 10×) is retained in RECALL_SF10DUP.json's frontier
+    * for the trend line. The gate query pins the pedagogical
+    * 16/4/m8/ks16/cf8 config explicitly via [[ivfPqTopKWithModel]] and
+    * an explicit trainer call; RECALL.json records both configs' recall,
+    * floors tripwired in AnnRecallSpec + RecallFrontierProbe.
     */
   def ivfPqTopK(
       embeddings: DataFrame,
@@ -941,11 +952,11 @@ object Ann {
       vecCol: String,
       queryPred: Column,
       k: Int,
-      numCells: Int = 16,
-      nProbe: Int = 8,
-      m: Int = 8,
-      ks: Int = 16,
-      candidateFactor: Int = 32,
+      numCells: Int = 64,
+      nProbe: Int = 32,
+      m: Int = 16,
+      ks: Int = 256,
+      candidateFactor: Int = 64,
       lloydIters: Int = 2,
       trainCap: Int = 4096): DataFrame = {
     val spark = embeddings.sparkSession
@@ -1979,6 +1990,18 @@ object Ann {
     * shrink cells, or prefer [[lshMultiProbeTopK]], which buys its
     * recall on the query side at the same index cost. Tripwired in
     * AnnRecallSpec; both configs recorded in RECALL.json.
+    *
+    * ROLE (r18, measured at the 10× bracket — the family's ceiling in
+    * numbers): the shipped 4×16 reads 0.820; every single-probe route to
+    * ≥0.9 pays in exactly the currency that matters at 100 TB — 4×32
+    * reaches 0.900 by DOUBLING the corpus index cells, 3×16 reaches
+    * 0.900 by coarsening buckets into a 3.7× wall (rerank fan-in), and
+    * 5×16 drops to 0.652. [[lshMultiProbeTopK]] reads 0.968 on the SAME
+    * 16-table index via query-side probes. Single-probe LSH is therefore
+    * the pedagogical baseline tier of this family: keep it for its
+    * one-bucket-per-table index simplicity and as the differential twin;
+    * prefer multi-probe whenever recall matters. Ceiling rows recorded in
+    * RECALL_SF10DUP.json.
     */
   def lshTopK(
       embeddings: DataFrame,

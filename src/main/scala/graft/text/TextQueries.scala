@@ -1252,7 +1252,11 @@ object TextQueries {
     "ann_ivfpq_topk" -> { (s, d) =>
       import s.implicits._
       val emb = Tables.embeddings(s, d)
-      Ann.trainIvfPq(emb, "vec_id", "embedding") match {
+      // gate trainer config EXPLICIT (AnnGateConfigSpec rule, r18): the
+      // shipped ivfPqTopK preset moved to 64/32/m16/ks256/cf64 — the
+      // pedagogical artifact the oracle embeds must not move with it
+      Ann.trainIvfPq(emb, "vec_id", "embedding", numCells = 16, m = 8,
+        ks = 16, lloydIters = 2, trainCap = 4096) match {
         case Some(model) =>
           pqTrainedModel.set(model)
           Ann.ivfPqTopKWithModel(emb, "vec_id", "embedding",

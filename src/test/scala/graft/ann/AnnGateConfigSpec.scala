@@ -45,8 +45,10 @@ class AnnGateConfigSpec extends SparkSpec {
       rows(Ann.ivfTopKWithCentroids(emb, "vec_id", "embedding",
         col("vec_id") < 20, k = 5, nProbe = 4, cents)))
 
-    // ivfpq gate pins nProbe=4, candidateFactor=8 on the default trainer
-    Ann.trainIvfPq(emb, "vec_id", "embedding").foreach { model =>
+    // ivfpq gate pins nProbe=4, candidateFactor=8 on the 16/8/16
+    // pedagogical trainer (shipped default since r18: 64/32/m16/ks256/cf64)
+    Ann.trainIvfPq(emb, "vec_id", "embedding", numCells = 16, m = 8,
+      ks = 16, lloydIters = 2, trainCap = 4096).foreach { model =>
       assert(rows(graft.SparkEntry.queries("ann_ivfpq_topk")(spark, d)) ==
         rows(Ann.ivfPqTopKWithModel(emb, "vec_id", "embedding",
           col("vec_id") < 20, k = 5, nProbe = 4, candidateFactor = 8, model)))

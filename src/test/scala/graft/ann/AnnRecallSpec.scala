@@ -95,7 +95,9 @@ class AnnRecallSpec extends SparkSpec {
           .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
       }
       val shippedRecall = (brute intersect shipped).size.toDouble / brute.size
-      val shippedFloor = if (label == "sf0.01") 0.60 else 0.65
+      // r18 preset (64/32/m16/ks256/cf64) measured 0.95/0.92 here and
+      // 0.940 at the 10× bracket — floors just under, as everywhere
+      val shippedFloor = 0.88
       assert(shippedRecall >= shippedFloor,
         s"shipped ivfPqTopK default recall $shippedRecall below floor " +
           s"$shippedFloor at $label")

@@ -66,7 +66,11 @@ object RecallFrontierProbe {
       "planes=6,tables=16,probeBits=2" -> 0.90,
       // routed hnsw shipped default (r17.5): the structureless bound is
       // the probed fraction, so the 0.5-fraction default floors at 0.90
-      "cells=64,probe=32,m=16,ef=128" -> 0.90)
+      "cells=64,probe=32,m=16,ef=128" -> 0.90,
+      // ivfpq shipped default (r18): measured 0.940 — saturates the 0.5
+      // coarse-probe fraction bound; codebook resolution (m=16/ks=256)
+      // was the lever
+      "cells=64,nProbe=32,m=16,ks=256,cf=64" -> 0.90)
 
     // `floors = false` for arms scored against a non-sf10dup truth (the
     // clustered corpus) — written as an explicit flag rather than a
