@@ -1715,21 +1715,46 @@ object Ann {
       cents: Array[Array[Double]]) {
     def unionFraction: Double =
       if (numCells <= 0) 1.0 else probedUnionCells.toDouble / numCells
-    def useRouted(cutover: Double = RoutedUnionCutover): Boolean =
-      unionFraction <= cutover
+    /** Two measured win conditions (see [[RoutedUnionCutover]] /
+      * [[RoutedGranularityMargin]] for the evidence): the QUERY-side win
+      * (small probed union ⇒ only a fraction of the corpus is built) and
+      * the GRANULARITY win (cells much finer than the hash shards ⇒ even
+      * a full-union routed build pays superlinear insert on smaller
+      * graphs and comes out ahead of fan-out's coarser shards).
+      */
+    def useRouted(
+        cutover: Double = RoutedUnionCutover,
+        granularityMargin: Int = RoutedGranularityMargin): Boolean =
+      unionFraction <= cutover ||
+        (fanoutShards > 0 && numCells >= granularityMargin * fanoutShards)
   }
 
   /** The measured routed-vs-fan-out crossover on the probed-union
-    * fraction (RECALL_SF10DUP.json, both regenerated r18): routing wins
-    * at union fractions well below 1 (5-query clustered batches probe
-    * ~0.3 of cells and win), loses when the union re-covers the corpus
-    * (50 diverse queries, union ≈ 1.0). The cutover sits between the
-    * measured brackets, biased HIGH because routing's worst case is the
-    * bounded trainer + assignment overhead (~1.4× at full union) while
-    * fan-out's worst case at serving time is unbounded shard fan-out —
-    * the same bounded-worst-case bias as the dedup doc cutover.
+    * fraction (RECALL_SF10DUP.json, regenerated r18): routing wins when
+    * the union stays well under numCells (5-query clustered batches at
+    * the 2M bracket probe ~⅓ of cells: 69.0 vs 91.4 s), loses when the
+    * union re-covers the corpus AND the cells are no finer than the hash
+    * shards (50 diverse queries at 2M, 64 cells vs 123 shards: 133.9 vs
+    * 96.7 s). The cutover sits between the measured brackets, biased
+    * HIGH because routing's worst case is the bounded trainer +
+    * assignment overhead (~1.4× at full union) while fan-out's worst
+    * case at serving time is unbounded shard fan-out — the same
+    * bounded-worst-case bias as the dedup doc cutover.
     */
   val RoutedUnionCutover: Double = 0.75
+
+  /** The second measured term: at FULL probed union, routed still wins
+    * when its cells are ≥ this factor finer than [[hnswShardsFor]]'s
+    * shards — HNSW insert is superlinear in graph size, so 64 cells of
+    * ~3.1k rows beat 32 hash shards of 6.25k at the 10× bracket (18.0 vs
+    * 21.9 s, full union) even after the trainer + two assignment passes.
+    * The margin of 2 keeps the claim conservative: at ~equal granularity
+    * the overhead decides (the 100× bracket, 128 cells vs 123 shards,
+    * measured a 2% routed edge — inside noise, and the rule's fan-out
+    * pick there costs that 2% in exchange for never paying the overhead
+    * on corpora where the granularities tie).
+    */
+  val RoutedGranularityMargin: Int = 2
 
   /** [[HnswRouteStats]] for a corpus + query batch: trains the coarse
     * quantizer (bounded, deterministic — reused by the routed branch via
@@ -1771,16 +1796,19 @@ object Ann {
   }
 
   /** Auto-routed HNSW top-k (r17 verdict ask #1): ONE cheap stats pass
-    * ([[hnswRouteStats]]) picks the plan — [[hnswRoutedTopK]] when the
-    * query batch's probed-cell union stays under the measured cutover
-    * fraction of `numCells` (small/clustered batches: only the probed
-    * fraction of the corpus is shuffled and built), [[hnswTopK]] at
-    * corpus-adaptive [[hnswShardsFor]] shards otherwise (diverse batches
-    * re-cover the corpus, so routing's trainer + assignment passes buy
-    * nothing). Both branches share this family's query contract
-    * (collected + broadcast query set, `maxQueries` fail-fast) and exact
-    * re-rank arithmetic. Callers who want the decision inputs recorded
-    * (the bench envelopes do) call the two halves explicitly.
+    * ([[hnswRouteStats]]) picks the plan — [[hnswRoutedTopK]] when
+    * either measured win condition holds (the query batch's probed-cell
+    * union stays under the cutover fraction of `numCells`, so only that
+    * fraction of the corpus is shuffled and built; or the cells are ≥
+    * [[RoutedGranularityMargin]]× finer than the hash shards, so even a
+    * full-union routed build wins on superlinear insert) — [[hnswTopK]]
+    * at corpus-adaptive [[hnswShardsFor]] shards otherwise (diverse
+    * batches over granularity-tied layouts re-cover the corpus, and
+    * routing's trainer + assignment passes buy nothing). Both branches
+    * share this family's query contract (collected + broadcast query
+    * set, `maxQueries` fail-fast) and exact re-rank arithmetic. Callers
+    * who want the decision inputs recorded (the bench envelopes do) call
+    * the two halves explicitly.
     */
   def hnswAutoTopK(
       embeddings: DataFrame,
