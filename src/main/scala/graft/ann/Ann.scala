@@ -1506,9 +1506,14 @@ object Ann {
     * cluster arm) small fractions retain recall, and THAT is where the
     * routing win lives: drop nProbeCells toward 4-8 when the corpus has
     * real structure, keep ≥ numCells/2 when it may not. Assignment cost
-    * is linear in numCells (one dot per cell per vector) — past ~10k
-    * cells, train a second quantizer level over the centroids instead of
-    * widening this one.
+    * is linear in numCells (one dot per cell per vector) — MEASURED at
+    * the 2M×64 bracket (AnnAssignCostProbe, r18): 7.5 s at 128 cells,
+    * 35 s at 1024, ~6 min at 4096, ~14 min at 10240, against a ~2-3 min
+    * full-corpus graph build — so the documented cliff is ~4k cells at
+    * this scale (where assignment rivals the build it exists to avoid);
+    * past it, train a second quantizer level over the centroids instead
+    * of widening this one. Shipped configs sit at 64-128 cells, two
+    * orders of magnitude under the cliff.
     */
   def hnswRoutedTopK(
       embeddings: DataFrame,
