@@ -557,7 +557,7 @@ object Ann {
     * toward the LOWER cell id (gate-determinism contract; the oracle SQL's
     * `ORDER BY dot DESC, cell` replicates it).
     */
-  private def nearestCell(vn: Array[Double], cents: Array[Array[Double]]): Int = {
+  private[ann] def nearestCell(vn: Array[Double], cents: Array[Array[Double]]): Int = {
     var best = 0; var bestDot = Double.NegativeInfinity; var c = 0
     while (c < cents.length) {
       val ct = cents(c)
@@ -1421,7 +1421,7 @@ object Ann {
     * Sub-shard factors are capped at 2^20 — a single cell would need
     * ~17 G rows at the default 16384-row target to exceed it
     * (enforced on the Long in [[routedSubFactorOf]]). */
-  private def routedShardKey(cell: Int, sub: Int): Long =
+  private[ann] def routedShardKey(cell: Int, sub: Int): Long =
     (cell.toLong << 20) | sub.toLong
 
   /** Sub-shard of `id` within a cell of `factor` sub-shards: hash-spread
@@ -1890,7 +1890,16 @@ object Ann {
       val ef: Int,
       val maxShardRows: Int,
       val numShards: Long,
-      shards: org.apache.spark.sql.Dataset[FrozenShard]) {
+      shards: org.apache.spark.sql.Dataset[FrozenShard],
+      removed: Option[Column]) {
+
+    /** The relation this index currently serves: the corpus minus any
+      * pending [[remove]] tombstones. Queries are drawn from it and
+      * candidates re-ranked against it, so tombstoned rows can neither
+      * ask nor answer — the graphs still contain them until [[compact]].
+      */
+    private def served: DataFrame =
+      removed.fold(corpus)(r => corpus.where(not(r)))
 
     /** Top-k neighbors for the corpus rows matching `queryPred`, served
       * from the standing graphs: routes each query to its `nProbeCells`
@@ -1906,7 +1915,7 @@ object Ann {
         "HnswRoutedIndex.topK: nProbeCells and maxQueries must be positive")
       val spark = shards.sparkSession
       import spark.implicits._
-      val overCap = ivfPrep(corpus.where(queryPred), idCol, vecCol)
+      val overCap = ivfPrep(served.where(queryPred), idCol, vecCol)
         .map { case (id, _, _, vn) => (id, vn) }
         .take(maxQueries + 1)
       require(overCap.length <= maxQueries,
@@ -1936,7 +1945,207 @@ object Ann {
           }
         }
         .toDF("query_id", "neighbor_id")
-      exactRerank(candidates, corpus, idCol, vecCol, k)
+      exactRerank(candidates, served, idCol, vecCol, k)
+    }
+
+    /** Incremental insert — the maintenance half of the standing-index
+      * story: a 100 TB corpus grows continuously, and rebuilding every
+      * cell graph per arriving batch would forfeit the amortization the
+      * index exists for. New rows are assigned to the STANDING centroids
+      * (the quantizer is part of the index's identity — retraining would
+      * silently re-route the whole corpus), and only the sub-shards that
+      * actually receive a new id are rebuilt, from the frozen shards'
+      * own (id, vector) payload — unaffected cells are never touched and
+      * the base corpus is never re-scanned. When a cell's growth crosses
+      * a `maxShardRows` boundary its sub-shard factor changes, so that
+      * whole cell reshards (layout invariant: factor =
+      * [[routedSubFactorOf]] of the CURRENT cell count — the same value
+      * a fresh build over the union would derive).
+      *
+      * Output contract (spec-pinned, and what the `ann_hnsw_index_inc`
+      * gate hash-checks against the routed oracle): because shard builds
+      * are deterministic in the row set (ascending-id insertion,
+      * hash-derived levels) and sub-shard membership is id-deterministic,
+      * the inserted index is BIT-IDENTICAL to
+      * [[buildHnswRoutedIndexWithCentroids]] over the unioned corpus with
+      * the same centroids — insert-then-query and rebuild-then-query
+      * cannot drift.
+      *
+      * `newRows` must carry every corpus column (queries predicate over
+      * the corpus schema) and ids disjoint from the standing corpus — the
+      * primary-key contract that also underwrites the sub-shard hash
+      * spread. The disjointness check is one semi-join over the corpus
+      * ids; `checkIds = false` skips it when upstream already guarantees
+      * it (e.g. a monotone id allocator) — at 100 TB that scan is the
+      * dominant cost of a small insert.
+      *
+      * Returns a NEW index, eagerly materialized (build cost is paid
+      * here, as in [[buildHnswRoutedIndex]]). The old index stays
+      * serviceable until its own [[release]]; the new index's kept
+      * shards are persisted independently, so releasing the old one
+      * afterwards only costs lineage recompute if the new blocks are
+      * later evicted. Pending [[remove]] tombstones carry over.
+      */
+    def insert(newRows: DataFrame, checkIds: Boolean = true): HnswRoutedIndex = {
+      val missing = corpus.columns.filterNot(newRows.columns.contains)
+      require(missing.isEmpty,
+        s"HnswRoutedIndex.insert: newRows lacks corpus column(s) " +
+          s"${missing.mkString(", ")} — the served relation is the union, " +
+          "so every corpus column must be present")
+      if (checkIds) {
+        val clash = corpus.select(col(idCol))
+          .join(newRows.select(col(idCol)), Seq(idCol))
+        require(clash.isEmpty,
+          "HnswRoutedIndex.insert: newRows shares ids with the standing " +
+            "corpus — ids are the primary key (routing, sub-shard spread, " +
+            "self-exclusion all key on them); pass checkIds = false only " +
+            "when upstream guarantees disjointness")
+      }
+      val spark = shards.sparkSession
+      import spark.implicits._
+      val centsB = spark.sparkContext.broadcast(cents)
+      val newAssigned = ivfPrep(newRows, idCol, vecCol)
+        .map { case (id, _, _, vn) => (nearestCell(vn, centsB.value), id, vn) }
+      val newCellCounts: Map[Int, Long] = newAssigned
+        .groupByKey { case (cell, _, _) => cell }.count().collect().toMap
+      if (newCellCounts.isEmpty) return this
+      val oldCellCounts: Map[Int, Long] = shards
+        .map(fs => (fs.cell, fs.ids.length.toLong))
+        .groupByKey(_._1).mapGroups((c, it) => (c, it.map(_._2).sum))
+        .collect().toMap
+      // layout invariant: the standing factor is always derivable from the
+      // standing count, so "did this insert change the layout?" is pure
+      // driver arithmetic over ≤ numCells entries
+      val nextSub: Map[Int, Int] =
+        (oldCellCounts.keySet ++ newCellCounts.keySet).iterator.map { c =>
+          val n = oldCellCounts.getOrElse(c, 0L) + newCellCounts.getOrElse(c, 0L)
+          c -> routedSubFactorOf(n, maxShardRows)
+        }.toMap
+      val resharded: Set[Int] = newCellCounts.keySet.filter { c =>
+        val oldSub = oldCellCounts.get(c)
+          .map(n => routedSubFactorOf(n, maxShardRows))
+        !oldSub.contains(nextSub(c)) // factor flipped, or a brand-new cell
+      }
+      val reshardedB = spark.sparkContext.broadcast(resharded)
+      val nextSubB = spark.sparkContext.broadcast(nextSub)
+      // stable cells rebuild ONLY the sub-shards a new id lands in —
+      // distinct keys, bounded by the shard count
+      val rebuildKeys: Set[Long] = newAssigned
+        .filter { case (cell, _, _) => !reshardedB.value.contains(cell) }
+        .map { case (cell, id, _) =>
+          routedShardKey(cell, routedSubOf(id, nextSubB.value(cell)))
+        }
+        .distinct().collect().toSet
+      val rebuildKeysB = spark.sparkContext.broadcast(rebuildKeys)
+      val oldRebuildRows = shards
+        .filter(fs => reshardedB.value.contains(fs.cell) ||
+          rebuildKeysB.value.contains(fs.key))
+        .flatMap(fs => fs.ids.iterator.zip(fs.vecs.iterator)
+          .map { case (id, vn) => (fs.cell, id, vn) })
+      val rebuilt = buildFrozenShards(oldRebuildRows.union(newAssigned),
+        nextSub, m, ef, maxShardRows, "HnswRoutedIndex.insert")
+      val kept = shards.filter(fs => !reshardedB.value.contains(fs.cell) &&
+        !rebuildKeysB.value.contains(fs.key))
+      val next = kept.union(rebuilt)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = next.count() // materialize: insert cost is paid at insert time
+      val nextCorpus = corpus.union(newRows.select(corpus.columns.map(col).toSeq: _*))
+      new HnswRoutedIndex(nextCorpus, idCol, vecCol, cents, m, ef,
+        maxShardRows, n, next, removed)
+    }
+
+    /** Tombstone delete: rows matching `pred` leave the SERVED relation
+      * immediately — they can no longer appear as queries or neighbors
+      * (the re-rank joins against the served corpus, so a tombstoned
+      * beam candidate drops there) — but the standing graphs keep them
+      * as routing waypoints until [[compact]]. Free at remove time;
+      * the costs until compaction are (a) beam slots spent on candidates
+      * that then drop (a query can return fewer than k when tombstones
+      * crowd its neighborhood — ef headroom covers scattered deletes)
+      * and (b) the predicate filter on every query batch. Composes:
+      * successive removes OR together.
+      */
+    def remove(pred: Column): HnswRoutedIndex =
+      new HnswRoutedIndex(corpus, idCol, vecCol, cents, m, ef,
+        maxShardRows, numShards, shards, removed.map(_ || pred).orElse(Some(pred)))
+
+    /** Rebuilds exactly the sub-shards holding tombstoned rows (cells
+      * whose shrunken count crosses a `maxShardRows` boundary reshard
+      * whole, the [[insert]] layout invariant in reverse), drops the
+      * tombstones from the corpus, and returns a clean index. Same
+      * bit-identity contract as insert: the compacted index equals
+      * [[buildHnswRoutedIndexWithCentroids]] over the surviving corpus
+      * with the standing centroids — spec-pinned. No-op without pending
+      * tombstones; a predicate matching no standing row just clears.
+      */
+    def compact(): HnswRoutedIndex = removed match {
+      case None => this
+      case Some(pred) =>
+        val spark = shards.sparkSession
+        import spark.implicits._
+        val removedIds = ivfPrep(corpus.where(pred), idCol, vecCol)
+          .map { case (id, _, _, _) => id }
+          .toDF("rid")
+        // which shards hold tombstones, and how many per cell — one
+        // distributed pass, collected rows bounded by the shard count
+        val hitRows = shards
+          .flatMap(fs => fs.ids.iterator.map(id => (fs.key, fs.cell, id)))
+          .toDF("key", "cell", "id")
+          .join(removedIds, col("id") === col("rid"))
+          .groupBy("key", "cell").count()
+          .collect()
+        val nextCorpus = corpus.where(not(pred))
+        if (hitRows.isEmpty)
+          return new HnswRoutedIndex(nextCorpus, idCol, vecCol, cents, m,
+            ef, maxShardRows, numShards, shards, None)
+        val hitKeys: Set[Long] = hitRows.map(_.getLong(0)).toSet
+        val removedPerCell: Map[Int, Long] = hitRows
+          .groupBy(_.getInt(1)).map { case (c, rs) =>
+            c -> rs.map(_.getLong(2)).sum
+          }
+        val oldCellCounts: Map[Int, Long] = shards
+          .map(fs => (fs.cell, fs.ids.length.toLong))
+          .groupByKey(_._1).mapGroups((c, it) => (c, it.map(_._2).sum))
+          .collect().toMap
+        val nextSub: Map[Int, Int] = oldCellCounts.map { case (c, n) =>
+          c -> routedSubFactorOf(n - removedPerCell.getOrElse(c, 0L),
+            maxShardRows)
+        }
+        val resharded: Set[Int] = removedPerCell.keySet.filter { c =>
+          nextSub(c) != routedSubFactorOf(oldCellCounts(c), maxShardRows)
+        }
+        val reshardedB = spark.sparkContext.broadcast(resharded)
+        val hitKeysB = spark.sparkContext.broadcast(hitKeys)
+        val survivors = shards
+          .filter(fs => reshardedB.value.contains(fs.cell) ||
+            hitKeysB.value.contains(fs.key))
+          .flatMap(fs => fs.ids.iterator.zip(fs.vecs.iterator)
+            .map { case (id, vn) => (fs.cell, id, vn) })
+          .toDF("cell", "id", "vn")
+          .join(removedIds, col("id") === col("rid"), "left_anti")
+          .select("cell", "id", "vn")
+          .as[(Int, Long, Array[Double])]
+        val rebuilt = buildFrozenShards(survivors, nextSub, m, ef,
+          maxShardRows, "HnswRoutedIndex.compact")
+        val kept = shards.filter(fs => !reshardedB.value.contains(fs.cell) &&
+          !hitKeysB.value.contains(fs.key))
+        val next = kept.union(rebuilt)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val n = next.count()
+        new HnswRoutedIndex(nextCorpus, idCol, vecCol, cents, m, ef,
+          maxShardRows, n, next, None)
+    }
+
+    /** (shard key → ids hash) of the standing graphs — the white-box
+      * seam the maintenance spec pins the minimal-rebuild contract on:
+      * untouched keys must keep identical payloads across insert/compact.
+      * Bounded collect (one small row per shard).
+      */
+    private[ann] def shardFingerprints: Map[Long, Int] = {
+      val spark = shards.sparkSession
+      import spark.implicits._
+      shards.map(fs => (fs.key, java.util.Arrays.hashCode(fs.ids)))
+        .collect().toMap
     }
 
     /** Releases the persisted shard graphs — the lifecycle hook. The
@@ -1965,12 +2174,37 @@ object Ann {
       maxShardRows: Int = 16384,
       lloydIters: Int = 2,
       trainCap: Int = 4096): HnswRoutedIndex = {
-    require(numCells > 0 && maxShardRows > 0,
-      "buildHnswRoutedIndex: numCells and maxShardRows must be positive")
-    val spark = embeddings.sparkSession
-    import spark.implicits._
+    require(numCells > 0,
+      "buildHnswRoutedIndex: numCells must be positive")
     val cents = trainIvfCentroids(
       embeddings, idCol, vecCol, numCells, lloydIters, trainCap)
+    buildHnswRoutedIndexWithCentroids(embeddings, idCol, vecCol, cents,
+      m, ef, maxShardRows)
+  }
+
+  /** [[buildHnswRoutedIndex]] with caller-supplied routing centroids —
+    * the seam the maintenance contract is stated through: an index built
+    * over a corpus prefix and [[HnswRoutedIndex.insert]]ed to the full
+    * corpus equals THIS over the full corpus with the same centroids
+    * (the standing quantizer is part of the index's identity, so the
+    * equality is exact, not approximate — see the insert scaladoc).
+    * Also the gate seam: `ann_hnsw_index_inc` pins the oracle dump's own
+    * trained centroids here so the incremental path hash-checks against
+    * the same routed DuckDB oracle as the fresh build.
+    */
+  def buildHnswRoutedIndexWithCentroids(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cents: Array[Array[Double]],
+      m: Int = 16,
+      ef: Int = 128,
+      maxShardRows: Int = 16384): HnswRoutedIndex = {
+    require(cents.nonEmpty && maxShardRows > 0,
+      "buildHnswRoutedIndexWithCentroids: cents must be non-empty and " +
+        "maxShardRows positive")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
     val centsB = spark.sparkContext.broadcast(cents)
     val assigned = ivfPrep(embeddings, idCol, vecCol)
       .map { case (id, _, _, vn) => (nearestCell(vn, centsB.value), id, vn) }
@@ -1979,9 +2213,34 @@ object Ann {
     val subFactors: Map[Int, Int] = cellCounts.map { case (c, n) =>
       c -> routedSubFactorOf(n, maxShardRows)
     }
+    val shards = buildFrozenShards(assigned, subFactors, m, ef,
+      maxShardRows, "buildHnswRoutedIndex")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = shards.count() // materialize: a standing index builds NOW
+    new HnswRoutedIndex(embeddings, idCol, vecCol, cents, m, ef,
+      maxShardRows, n, shards, None)
+  }
+
+  /** (cell, id, normalized vector) → one frozen graph per routed shard
+    * key — the ONE shard-materialization used by the standing build and
+    * by [[HnswRoutedIndex.insert]]/[[HnswRoutedIndex.compact]]'s partial
+    * rebuilds (same grouping key, same 8× spread guard, same
+    * deterministic build — which is what makes partial rebuild
+    * bit-identical to a fresh build over the same rows). `subFactors`
+    * must cover every cell present in `assigned`.
+    */
+  private def buildFrozenShards(
+      assigned: org.apache.spark.sql.Dataset[(Int, Long, Array[Double])],
+      subFactors: Map[Int, Int],
+      m: Int,
+      ef: Int,
+      maxShardRows: Int,
+      context: String): org.apache.spark.sql.Dataset[FrozenShard] = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
     val subFactorsB = spark.sparkContext.broadcast(subFactors)
     val mm = m; val eff = ef; val cap = maxShardRows
-    val shards = assigned
+    assigned
       .groupByKey { case (cell, id, _) =>
         routedShardKey(cell, routedSubOf(id, subFactorsB.value(cell)))
       }
@@ -1991,17 +2250,13 @@ object Ann {
         it.foreach { case (_, id, vn) =>
           buf += ((id, vn))
           require(buf.length <= 8L * cap,
-            s"buildHnswRoutedIndex: sub-shard for cell $cell exceeds 8x " +
+            s"$context: sub-shard for cell $cell exceeds 8x " +
               s"maxShardRows=$cap — the hash spread degenerated " +
               "(adversarial ids?); raise maxShardRows or investigate the " +
               "id space")
         }
         buildShardGraph(buf.toArray, mm, eff).freeze(key, cell)
       }
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = shards.count() // materialize: a standing index builds NOW
-    new HnswRoutedIndex(embeddings, idCol, vecCol, cents, m, ef,
-      maxShardRows, n, shards)
   }
 
   /** LSH-bucketed approximate top-k with OR-amplification: `tables`

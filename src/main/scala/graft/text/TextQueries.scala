@@ -1361,6 +1361,29 @@ object TextQueries {
         .topK(col("vec_id") < 20, k = 5, nProbeCells = 4)
     },
 
+    // INCREMENTAL standing index (r18.5): the maintenance half of the
+    // lifecycle — build over the even half of the corpus, INSERT the odd
+    // half, serve the routed gate batch from the maintained graphs.
+    // Insert is bit-identical to a fresh build at the same centroids
+    // (ascending-id deterministic builds, id-deterministic sub-shard
+    // membership; HnswRoutedIndexMaintenanceSpec pins graph fingerprints),
+    // so the SAME routed oracle hash-checks the maintained index — a
+    // drift between insert-then-query and rebuild-then-query is a hash
+    // mismatch, not silence. Centroids pin to the dump's own trainer
+    // (the full-corpus quantizer is the index's identity; the gate split
+    // crosses maxShardRows=64 boundaries, so factor-flip reshards AND
+    // stable-cell partial rebuilds both execute inside the gate).
+    "ann_hnsw_index_inc" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val dump = hnswRoutedDumpFor(s, d, emb)
+      hnswRoutedModel.set(dump)
+      Ann.buildHnswRoutedIndexWithCentroids(
+        emb.where(col("vec_id") % 2 === 0), "vec_id", "embedding",
+        dump.cents, m = 8, ef = 64, maxShardRows = 64)
+        .insert(emb.where(col("vec_id") % 2 === 1))
+        .topK(col("vec_id") < 20, k = 5, nProbeCells = 4)
+    },
+
     // ---- multimodal plumbing --------------------------------------------
     // (the r8-era stub-tier gate queries — mm_payload_stats /
     // mm_frame_sample / mm_phash_neardup, which fingerprinted the TEXT
@@ -2576,6 +2599,11 @@ object TextQueries {
         // the standing index serves the SAME relation from persisted
         // graphs (equality spec-pinned), so the routed oracle checks it
         ("ann_hnsw_index" -> hnswRoutedOracle(model, dim = 64, k = 5,
+          ef = 64, nProbeCells = 4)) +
+        // …and the INCREMENTALLY MAINTAINED index is bit-identical to the
+        // fresh build (insert's equality contract), so the same oracle
+        // checks build-then-insert too
+        ("ann_hnsw_index_inc" -> hnswRoutedOracle(model, dim = 64, k = 5,
           ef = 64, nProbeCells = 4))
       case None        => withHnsw
     }

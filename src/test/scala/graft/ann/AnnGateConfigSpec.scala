@@ -88,5 +88,11 @@ class AnnGateConfigSpec extends SparkSpec {
     // relation)
     assert(rows(graft.SparkEntry.queries("ann_hnsw_index")(spark, d)) ==
       rows(graft.SparkEntry.queries("ann_hnsw_routed")(spark, d)))
+
+    // incremental-maintenance gate (r18.5): build-then-insert must ALSO
+    // equal the transient routed gate — insert's bit-identity contract
+    // surfaced at the gate config
+    assert(rows(graft.SparkEntry.queries("ann_hnsw_index_inc")(spark, d)) ==
+      rows(graft.SparkEntry.queries("ann_hnsw_routed")(spark, d)))
   }
 }

@@ -51,6 +51,7 @@ class AnnRecallSpec extends SparkSpec {
       "ann_hnsw_routed" -> 0.65, // measured 0.69 — pedagogical 8-cell/probe-4: half the cells probed, the structureless fraction bound + the planted-dup bonus
       "ann_hnsw_auto" -> 0.95,   // r18: gate batch re-covers the cells -> fan-out branch == ann_hnsw_topk
       "ann_hnsw_index" -> 0.65,  // r18: standing index == ann_hnsw_routed by the equality contract
+      "ann_hnsw_index_inc" -> 0.65, // r18.5: build-then-insert == the same relation (maintenance bit-identity)
       "ann_ivfpq_topk" -> 0.45),
     "sf0.1" -> Map(
       "ann_lsh_topk" -> 0.08,
@@ -60,6 +61,7 @@ class AnnRecallSpec extends SparkSpec {
       "ann_hnsw_routed" -> 0.70, // measured 0.74
       "ann_hnsw_auto" -> 0.95,
       "ann_hnsw_index" -> 0.70,
+      "ann_hnsw_index_inc" -> 0.70,
       "ann_ivfpq_topk" -> 0.28))
 
   test("gate-surface recall vs brute force at sf0.01 AND sf0.1; recorded to RECALL.json") {
