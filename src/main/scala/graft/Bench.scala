@@ -681,10 +681,39 @@ object Bench {
               .write.format("noop").mode("overwrite").save()
             (System.nanoTime() - t0) / 1e9
           }
-          idx.release()
+          // INCREMENTAL MAINTENANCE (r18.5): insert arms against the
+          // standing index — the cost a growing corpus actually pays
+          // instead of build_sec. New ids are disjoint by construction
+          // (shifted past max); checkIds stays ON so the arm measures
+          // the production default (one id semi-join + the partial
+          // rebuild). At factor-1 cells (200k/64 ≈ 3.1k rows ≪ 16384)
+          // the rebuild quantum is the CELL, so insert cost scales with
+          // DISTINCT CELLS HIT, not corpus size: 32 structureless rows
+          // hit ≤32 of 64 cells; 1024 rows degrade toward a full
+          // rebuild — both walls land in the artifact next to build_sec
+          // so the batch-size crossover is measured, not asserted.
+          import org.apache.spark.sql.functions.{lit, max => smax}
+          val nEmb = emb.agg(smax("vec_id")).head.getLong(0) + 1L
+          def shifted(k: Int, off: Long) = emb
+            .where(col("vec_id") < k)
+            .withColumn("vec_id", col("vec_id") + lit(off))
+          val i0 = System.nanoTime()
+          val idx32 = idx.insert(shifted(32, nEmb))
+          val ins32Sec = (System.nanoTime() - i0) / 1e9
+          val i1 = System.nanoTime()
+          val idx1k = idx32.insert(shifted(1024, nEmb + 1024L))
+          val ins1kSec = (System.nanoTime() - i1) / 1e9
+          // serving continuity: one batch over the maintained index (the
+          // inserted rows themselves ask) at the standing per-batch cost
+          val q0 = System.nanoTime()
+          idx1k.topK(col("vec_id") >= nEmb && col("vec_id") < nEmb + 20L,
+              k = 5, nProbeCells = 32)
+            .write.format("noop").mode("overwrite").save()
+          val postSec = (System.nanoTime() - q0) / 1e9
+          idx.release(); idx32.release(); idx1k.release()
           spark.catalog.clearCache(); System.gc()
           val bJson = batches.map(s => f"$s%.3f").mkString("[", ",", "]")
-          f""","ann_hnsw_index_prod":{"build_sec":$buildSec%.3f,"batch_query_sec":$bJson,"num_shards":${idx.numShards}}"""
+          f""","ann_hnsw_index_prod":{"build_sec":$buildSec%.3f,"batch_query_sec":$bJson,"num_shards":${idx.numShards},"insert32_sec":$ins32Sec%.3f,"insert1k_sec":$ins1kSec%.3f,"post_insert_batch_sec":$postSec%.3f,"num_shards_after":${idx1k.numShards}}"""
         }.getOrElse("")
         f"""{"dir":"$dupDir","timing":"best_of_2","route_stats":{"n_docs":${rs.nDocs},"dup_ratio":${rs.dupRatio}%.4f,"use_routed":${rs.useRouted()},"sec":$rsSec%.3f},"hnsw_route_stats":{"n_queries":${ast.nQueries},"num_cells":${ast.numCells},"probed_union":${ast.probedUnionCells},"union_fraction":${ast.unionFraction}%.4f,"corpus_rows":${ast.corpusRows},"fanout_shards":${ast.fanoutShards},"use_routed":${ast.useRouted()},"sec":$astSec%.3f},"exact_full_arm":"OOM at 8g heap (adjudicated: ~80M candidate pairs from planted classes; router cutover protects it)","queries":{$rowsJson$idxJson}}"""
       }.getOrElse("{}")

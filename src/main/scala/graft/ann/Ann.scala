@@ -2054,6 +2054,19 @@ object Ann {
         maxShardRows, n, next, removed)
     }
 
+    /** [[insert]] minus rows whose ids already stand — already-indexed
+      * ids are SKIPPED, not replaced. This is the idempotent form a
+      * streaming ingest loop needs: `foreachBatch` is at-least-once, so
+      * a replayed micro-batch must land as a no-op instead of tripping
+      * the primary-key fail (the anti-join replaces `checkIds`, at the
+      * same one-semi-join cost). See
+      * [[graft.streaming.StreamingOps.streamingAnnIngest]].
+      */
+    def insertNew(newRows: DataFrame): HnswRoutedIndex = {
+      val fresh = newRows.join(corpus.select(col(idCol)), Seq(idCol), "left_anti")
+      insert(fresh, checkIds = false)
+    }
+
     /** Tombstone delete: rows matching `pred` leave the SERVED relation
       * immediately — they can no longer appear as queries or neighbors
       * (the re-rank joins against the served corpus, so a tombstoned
@@ -2141,7 +2154,7 @@ object Ann {
       * untouched keys must keep identical payloads across insert/compact.
       * Bounded collect (one small row per shard).
       */
-    private[ann] def shardFingerprints: Map[Long, Int] = {
+    private[graft] def shardFingerprints: Map[Long, Int] = {
       val spark = shards.sparkSession
       import spark.implicits._
       shards.map(fs => (fs.key, java.util.Arrays.hashCode(fs.ids)))

@@ -750,4 +750,64 @@ object StreamingOps {
           .getOrElse(Session(userId, 0, 0, 0))
       }
   }
+
+  /** The maintained-index handle [[streamingAnnIngest]] hands back: the
+    * ingest loop swaps generations behind `current`, releasing each
+    * superseded generation's persisted shards after cutover (the new
+    * generation is materialized BEFORE the swap, so readers never see a
+    * half-built index — they see the previous generation until the
+    * atomic field write). The handle owns every generation after the
+    * first effective batch, including the caller's initial index.
+    */
+  final class StreamingAnnIndex private[streaming] (
+      initial: graft.ann.Ann.HnswRoutedIndex) {
+    @volatile private var idx = initial
+    /** The current generation — query it between (or during) batches. */
+    def current: graft.ann.Ann.HnswRoutedIndex = idx
+    private[streaming] def step(batch: DataFrame): Unit = synchronized {
+      val prev = idx
+      val next = prev.insertNew(batch)
+      idx = next
+      if (!(next eq prev)) prev.release()
+    }
+  }
+
+  /** Streaming ingest into a standing routed-HNSW index — the
+    * maintenance loop of a continuously-growing corpus (the batch half
+    * is [[graft.ann.Ann.HnswRoutedIndex.insert]]; this is its
+    * `foreachBatch` twin). Centroids freeze at deployment, the
+    * offline-trained-artifact shape shared with
+    * [[streamingCosinePairsIvf]]: retraining mid-stream would silently
+    * re-route the standing corpus. Each micro-batch pays only the
+    * affected-sub-shard rebuild (insert's minimal-rebuild contract), so
+    * ingest cost tracks batch locality, not corpus size. Replay-safe:
+    * `foreachBatch` is at-least-once, and
+    * [[graft.ann.Ann.HnswRoutedIndex.insertNew]] drops already-standing
+    * ids, so a replayed batch is a no-op — the parity spec pins the
+    * final index bit-identical to one batch build over the full corpus.
+    *
+    * `newRows` must be a STREAMING frame carrying the index's corpus
+    * columns. Returns the handle plus the configured writer — the caller
+    * starts it (and owns trigger/checkpoint choices).
+    *
+    * Generation depth: each batch's index is materialized into its own
+    * persisted blocks, but its RECOMPUTE lineage (the eviction/executor-
+    * loss fallback) chains through every prior generation. Long-running
+    * ingest jobs should therefore batch coarsely (minutes, not ms — the
+    * per-batch floor is a shard rebuild anyway) and periodically rebuild
+    * a fresh index from the accumulated corpus at a quiet moment, the
+    * same epoch discipline as any standing-artifact refresh.
+    */
+  def streamingAnnIngest(
+      newRows: DataFrame,
+      initial: graft.ann.Ann.HnswRoutedIndex): (StreamingAnnIndex,
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row]) = {
+    require(newRows.isStreaming,
+      "streamingAnnIngest: newRows must be a streaming DataFrame " +
+        "(for a bounded frame call HnswRoutedIndex.insert directly)")
+    val handle = new StreamingAnnIndex(initial)
+    val step: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, _) => handle.step(batch)
+    (handle, newRows.writeStream.foreachBatch(step))
+  }
 }

@@ -916,4 +916,68 @@ class StreamingOpsSpec extends SparkSpec {
       .collect().map(s => (s.userId, s.startTs, s.nEvents)).toSet
     assert(open === Set((1L, 20000L, 1), (2L, 5000L, 1)))
   }
+
+  test("streamingAnnIngest: the maintained standing index is bit-identical to one batch build over the full corpus (replays are no-ops)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    // centroids freeze at deployment (the offline-trained-artifact shape
+    // shared with the streaming IVF twin); the corpus is the narrow
+    // (vec_id, embedding) projection the index actually routes on
+    val emb = graft.Tables.embeddings(spark, sf001)
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    val cents = graft.ann.Ann.trainIvfCentroids(
+      emb, "vec_id", "embedding", numCells = 8)
+    val initial = graft.ann.Ann.buildHnswRoutedIndexWithCentroids(
+      emb.where(col("vec_id") < 300), "vec_id", "embedding", cents,
+      m = 8, ef = 64, maxShardRows = 64)
+    val rows = emb.where(col("vec_id") >= 300)
+      .as[(Long, Seq[Float])].collect().sortBy(_._1)
+    assert(rows.length >= 100)
+    val batches = rows.grouped(math.max(rows.length / 3, 1)).toSeq
+
+    val input = MemoryStream[(Long, Seq[Float])]
+    val (handle, writer) = StreamingOps.streamingAnnIngest(
+      input.toDS().toDF("vec_id", "embedding"), initial)
+    val q = writer.start()
+    val fresh = graft.ann.Ann.buildHnswRoutedIndexWithCentroids(
+      emb, "vec_id", "embedding", cents, m = 8, ef = 64, maxShardRows = 64)
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+      // foreachBatch is at-least-once: a replayed batch must land as a
+      // no-op (insertNew drops already-standing ids)
+      input.addData(batches.last)
+      q.processAllAvailable()
+      assert(handle.current.shardFingerprints == fresh.shardFingerprints,
+        "maintained graphs diverged from the batch build")
+      val got = handle.current.topK(col("vec_id") < 20, k = 5, nProbeCells = 4)
+        .collect().map(_.toString).toSeq
+      val want = fresh.topK(col("vec_id") < 20, k = 5, nProbeCells = 4)
+        .collect().map(_.toString).toSeq
+      assert(got.nonEmpty && got == want)
+      // streamed rows themselves serve as queries
+      assert(handle.current.topK(col("vec_id") === 450, k = 3, nProbeCells = 4)
+        .collect().map(_.toString).toSeq ==
+        fresh.topK(col("vec_id") === 450, k = 3, nProbeCells = 4)
+          .collect().map(_.toString).toSeq)
+    } finally {
+      q.stop(); fresh.release(); handle.current.release()
+    }
+  }
+
+  test("streamingAnnIngest rejects a bounded frame") {
+    val emb = graft.Tables.embeddings(spark, sf0001)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+    val cents = graft.ann.Ann.trainIvfCentroids(
+      emb, "vec_id", "embedding", numCells = 4)
+    val idx = graft.ann.Ann.buildHnswRoutedIndexWithCentroids(
+      emb, "vec_id", "embedding", cents, m = 8, ef = 64, maxShardRows = 64)
+    try {
+      val e = intercept[IllegalArgumentException] {
+        StreamingOps.streamingAnnIngest(emb, idx)
+      }
+      assert(e.getMessage.contains("streaming"))
+    } finally idx.release()
+  }
 }
