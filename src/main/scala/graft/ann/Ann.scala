@@ -685,6 +685,24 @@ object Ann {
       .toDF("id", "cell")
   }
 
+  /** [[assignCells]] under a [[TwoLevelQuantizer]] — the assignment pass
+    * whose cost model the two-level design exists for: `numSuper +
+    * cellsPerSuper` dots per vector instead of `numCells`
+    * (AnnAssignCostProbe measures both side by side at the 2M bracket).
+    */
+  def assignCellsTwoLevel(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      quantizer: TwoLevelQuantizer): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val qB = spark.sparkContext.broadcast(quantizer)
+    ivfPrep(embeddings, idCol, vecCol)
+      .map { case (id, _, _, vn) => (id, qB.value.assign(vn)) }
+      .toDF("id", "cell")
+  }
+
   /** IVF probe against an already-trained centroid matrix: one map-only
     * index build with the K×dim matrix broadcast, then a (cell, query) ×
     * (cell, vector) equi-join with exact re-ranking.
@@ -1560,7 +1578,150 @@ object Ann {
       ef: Int,
       maxShardRows: Int,
       maxQueries: Int,
-      cents: Array[Array[Double]]): DataFrame = {
+      cents: Array[Array[Double]]): DataFrame =
+    hnswRoutedTopKQuantized(embeddings, idCol, vecCol, queryPred, k,
+      nProbeCells, m, ef, maxShardRows, maxQueries, FlatQuantizer(cents))
+
+  /** The coarse-quantizer seam of the routed-HNSW family: assignment
+    * (which cell holds a corpus vector) and routing (which cells a query
+    * probes) behind one small serializable value, so the routed probe
+    * machinery is written once and the quantizer SHAPE — flat linear
+    * scan vs the two-level hierarchy — is a plug. Implementations must
+    * be deterministic (gate/oracle contract).
+    */
+  private[ann] sealed trait CoarseQuantizer extends Serializable {
+    def numCells: Int
+    def assign(vn: Array[Double]): Int
+    def route(vn: Array[Double], nProbeCells: Int): Array[Int]
+  }
+
+  /** The single-level quantizer every shipped config uses: one dot per
+    * centroid per vector — linear in `numCells`, which is fine at the
+    * shipped 64–128 cells and becomes the measured cliff at ~4k
+    * (AnnAssignCostProbe, 2M×64: 7.5 s at 128 cells → 841 s at 10240;
+    * crossover with the graph build ~4k). Past that, use
+    * [[TwoLevelQuantizer]].
+    */
+  private[ann] final case class FlatQuantizer(
+      cents: Array[Array[Double]]) extends CoarseQuantizer {
+    def numCells: Int = cents.length
+    def assign(vn: Array[Double]): Int = nearestCell(vn, cents)
+    def route(vn: Array[Double], n: Int): Array[Int] = routeCells(vn, cents, n)
+  }
+
+  /** Two-level coarse quantizer — the productized answer to the measured
+    * assignment-cost cliff (r18 AnnAssignCostProbe: one full-corpus
+    * assignment pass at 2M×64 reads 7.5 s at 128 flat cells but 841 s at
+    * 10240 — linear in numCells — crossing the graph build's own cost at
+    * ~4k cells). Routing first picks the `nProbeSuper` nearest of
+    * `l1.length` super-centroids, then ranks only THEIR children: both
+    * assignment and routing pay `l1.length + nProbeSuper×cellsPerSuper`
+    * dots instead of `numCells` — ~2√C at a balanced split, two orders
+    * at the 10k-cell bracket. The price is hierarchical assignment: a
+    * vector near a super-cell boundary may land in a different flat cell
+    * than a flat quantizer would put it (classic hierarchical-IVF
+    * recall trade; `nProbeSuper` is the query-side recovery lever, and
+    * the degenerate `numSuper=1` case is BIT-IDENTICAL to the flat
+    * quantizer — spec-pinned, tying this path to the gated one).
+    *
+    * Flat cell ids pack densely: cell (s, j) → `offsets(s) + j`, so
+    * everything downstream (sub-sharding, shard keys, graph build,
+    * beam) is the unchanged gated machinery.
+    */
+  final case class TwoLevelQuantizer(
+      l1: Array[Array[Double]],
+      l2: Array[Array[Array[Double]]],
+      nProbeSuper: Int) extends CoarseQuantizer {
+    require(l1.nonEmpty && l2.length == l1.length &&
+      nProbeSuper > 0 && nProbeSuper <= l1.length,
+      "TwoLevelQuantizer: l2 must have one child set per super-centroid " +
+        "and nProbeSuper must be in [1, numSuper]")
+    val offsets: Array[Int] = l2.scanLeft(0)(_ + _.length).init
+    def numCells: Int = offsets.last + l2.last.length
+    def assign(vn: Array[Double]): Int = {
+      val s = nearestCell(vn, l1)
+      offsets(s) + nearestCell(vn, l2(s))
+    }
+    def route(vn: Array[Double], nProbeCells: Int): Array[Int] = {
+      val supers = routeCells(vn, l1, nProbeSuper)
+      val cands = supers.flatMap { s =>
+        val children = l2(s)
+        children.indices.map { j =>
+          val ct = children(j)
+          var dot = 0.0; var i = 0
+          while (i < ct.length) { dot += vn(i) * ct(i); i += 1 }
+          (offsets(s) + j, dot)
+        }
+      }
+      cands.sortBy { case (c, d) => (-d, c) }.take(nProbeCells).map(_._1)
+    }
+  }
+
+  /** Trains a [[TwoLevelQuantizer]]: the SAME bounded deterministic
+    * sample and Lloyd fold as [[trainIvfCentroids]] (so `numSuper=1`
+    * degenerates to the flat trainer exactly), first over `numSuper`
+    * super-centroids, then per super-cell over its sample members for
+    * `cellsPerSuper` children. A super-cell with no sample members keeps
+    * zero-vector children (the flat trainer's empty-cell rule) — it can
+    * still be routed to, it just attracts nothing.
+    */
+  def trainIvfCentroidsTwoLevel(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numSuper: Int,
+      cellsPerSuper: Int,
+      nProbeSuper: Int,
+      lloydIters: Int = 2,
+      trainCap: Int = 4096): TwoLevelQuantizer = {
+    require(numSuper > 0 && cellsPerSuper > 0,
+      "trainIvfCentroidsTwoLevel: numSuper and cellsPerSuper must be positive")
+    val sample = trainingSample(embeddings, idCol, vecCol, trainCap)
+    val l1 = trainIvfCentroidsFromSample(sample, numSuper, lloydIters)
+    val bySuper = sample.groupBy { case (_, vn) => nearestCell(vn, l1) }
+    val l2 = Array.tabulate(numSuper) { s =>
+      trainIvfCentroidsFromSample(
+        bySuper.getOrElse(s, Array.empty[(Long, Array[Double])]),
+        cellsPerSuper, lloydIters)
+    }
+    TwoLevelQuantizer(l1, l2, nProbeSuper)
+  }
+
+  /** [[hnswRoutedTopK]] under a [[TwoLevelQuantizer]] — the transient
+    * routed probe for cell counts past the flat quantizer's measured
+    * ~4k-cell assignment cliff. Downstream of routing/assignment the
+    * machinery is byte-identical to the gated flat path (shared core),
+    * and the `numSuper=1` degenerate case IS the flat path, spec-pinned.
+    * Standing-index integration is deliberately deferred until a shipped
+    * config needs >4k cells (shipped: 64–128).
+    */
+  def hnswRoutedTopKTwoLevel(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryPred: Column,
+      k: Int,
+      quantizer: TwoLevelQuantizer,
+      nProbeCells: Int,
+      m: Int = 16,
+      ef: Int = 128,
+      maxShardRows: Int = 16384,
+      maxQueries: Int = 4096): DataFrame =
+    hnswRoutedTopKQuantized(embeddings, idCol, vecCol, queryPred, k,
+      nProbeCells, m, ef, maxShardRows, maxQueries, quantizer)
+
+  private def hnswRoutedTopKQuantized(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryPred: Column,
+      k: Int,
+      nProbeCells: Int,
+      m: Int,
+      ef: Int,
+      maxShardRows: Int,
+      maxQueries: Int,
+      quantizer: CoarseQuantizer): DataFrame = {
     require(nProbeCells > 0 && maxShardRows > 0 && maxQueries > 0,
       "hnswRoutedTopKWithCentroids: nProbeCells, maxShardRows and " +
         "maxQueries must be positive")
@@ -1582,24 +1743,25 @@ object Ann {
     // driver-side routing: queries ≤ maxQueries × numCells dots, bounded
     val routes: Map[Int, Array[Int]] = queries.zipWithIndex
       .flatMap { case ((_, qv), qi) =>
-        routeCells(qv, cents, nProbeCells).map(c => (c, qi))
+        quantizer.route(qv, nProbeCells).map(c => (c, qi))
       }
       .groupBy(_._1).map { case (c, qs) => c -> qs.map(_._2).sorted }
     val routedCells: Set[Int] = routes.keySet
 
-    val centsB = spark.sparkContext.broadcast(cents)
+    val quantB = spark.sparkContext.broadcast(quantizer)
     val routedCellsB = spark.sparkContext.broadcast(routedCells)
     // only routed cells cross the exchange: a transient probe never pays
     // for cells no query visits. NOT persisted, deliberately: the lineage
     // runs twice (the counts action below, then the caller's final
     // action) at the cost of one repeated assignment pass — numCells dots
-    // per row, ~seconds at the sf100 bracket vs the graph builds'
+    // per row (flat; the two-level quantizer pays ~2√C), ~seconds at the
+    // sf100 bracket vs the graph builds'
     // minutes — because a MEMORY_AND_DISK block would leak past the query
     // in library use with no unpersist hook (the ivfTopKWithCentroids
     // adjudication). Callers probing one corpus repeatedly should persist
     // the embeddings themselves.
     val assigned = prep(embeddings)
-      .map { case (id, vn) => (nearestCell(vn, centsB.value), id, vn) }
+      .map { case (id, vn) => (quantB.value.assign(vn), id, vn) }
       .filter { case (cell, _, _) => routedCellsB.value.contains(cell) }
 
     // cell sizes → sub-shard factors (≤ numCells rows collected); a cell's
