@@ -1529,9 +1529,14 @@ object Ann {
     * 35 s at 1024, ~6 min at 4096, ~14 min at 10240, against a ~2-3 min
     * full-corpus graph build — so the documented cliff is ~4k cells at
     * this scale (where assignment rivals the build it exists to avoid);
-    * past it, train a second quantizer level over the centroids instead
-    * of widening this one. Shipped configs sit at 64-128 cells, two
-    * orders of magnitude under the cliff.
+    * past it, use the r18.5 [[TwoLevelQuantizer]] ([[hnswRoutedTopKTwoLevel]])
+    * instead of widening this one — measured at the same bracket:
+    * 10240-flat-equivalent cells assign in 13.8 s as 128×80 (vs 841 s
+    * flat, 61×) and 22.3 s as 32×320; 4096-equivalent in 9.4 s as 64×64
+    * (vs 364.6 s flat) — the numSuper+cellsPerSuper dots/row cost model
+    * within 3% of measurement. Shipped configs sit at 64-128 cells, two
+    * orders of magnitude under the cliff, so the flat quantizer remains
+    * the default.
     */
   def hnswRoutedTopK(
       embeddings: DataFrame,
@@ -1616,8 +1621,13 @@ object Ann {
     * ~4k cells). Routing first picks the `nProbeSuper` nearest of
     * `l1.length` super-centroids, then ranks only THEIR children: both
     * assignment and routing pay `l1.length + nProbeSuper×cellsPerSuper`
-    * dots instead of `numCells` — ~2√C at a balanced split, two orders
-    * at the 10k-cell bracket. The price is hierarchical assignment: a
+    * dots instead of `numCells` — ~2√C at a balanced split. MEASURED at
+    * the same 2M×64 bracket (AnnAssignCostProbe ASSIGN2 arms, r18.5):
+    * 10240 flat-equivalent cells assign in 13.8 s as 128×80 (61× under
+    * the flat 841 s) and 22.3 s as 32×320; 4096-equivalent in 9.4 s as
+    * 64×64 (flat: 364.6 s) — and the dots/row model lands within 3%
+    * (208 dots for 128×80 vs the flat-128 reference's 128 → predicted
+    * 1.63×, read 1.68×). The price is hierarchical assignment: a
     * vector near a super-cell boundary may land in a different flat cell
     * than a flat quantizer would put it (classic hierarchical-IVF
     * recall trade; `nProbeSuper` is the query-side recovery lever, and

@@ -28,7 +28,8 @@ object AnnAssignCostProbe {
     spark.sparkContext.setLogLevel("WARN")
     val d = sys.env.getOrElse("SPARK_GRAFT_SF100_DIR", "/tmp/sf100")
     val cellArms = sys.env.getOrElse("SPARK_GRAFT_ASSIGN_CELLS",
-      "128,1024,4096,10240").split(",").map(_.trim.toInt).toSeq
+      "128,1024,4096,10240").split(",").map(_.trim).filter(_.nonEmpty)
+      .map(_.toInt).toSeq
     val emb = graft.Tables.embeddings(spark, d)
     val n = emb.count()
     println(s"ASSIGN corpus rows=$n dir=$d")
