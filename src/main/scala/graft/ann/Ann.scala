@@ -2160,6 +2160,20 @@ object Ann {
       * it (e.g. a monotone id allocator) — at 100 TB that scan is the
       * dominant cost of a small insert.
       *
+      * MEASURED boundary (HnswIndexMaintenanceProbe, 2M×64, 64 cells):
+      * a 32-row insert costs 0.28× of a rebuild (46.4 vs 168.3 s — the
+      * cells-hit model), but a 1024-row STRUCTURELESS insert reads
+      * 220.4 s — worse than the rebuild — because every cell is hit and
+      * the partial-rebuild machinery degenerates to a rebuild plus its
+      * overheads. Insert wins when the batch is small or clustered
+      * relative to `numCells`; when a batch covers most cells, rebuild
+      * from the accumulated corpus with
+      * [[buildHnswRoutedIndexWithCentroids]] at the STANDING `cents`
+      * instead (the trainer is not the cost — identity is preserved by
+      * passing the centroids, and `newCellCounts.keySet.size` vs
+      * `cents.length`, both already computed here, is the decision
+      * input).
+      *
       * Returns a NEW index, eagerly materialized (build cost is paid
       * here, as in [[buildHnswRoutedIndex]]). The old index stays
       * serviceable until its own [[release]]; the new index's kept
