@@ -1915,6 +1915,18 @@ object Ann {
         (fanoutShards > 0 && numCells >= granularityMargin * fanoutShards)
   }
 
+  /** The insert-vs-rebuild cutover on the CELLS-HIT fraction of an
+    * [[HnswRoutedIndex.insert]] batch — measured at the 2M bracket
+    * (HnswIndexMaintenanceProbe): at 0.39 coverage (32 structureless
+    * rows over 64 cells) partial rebuild reads 0.28× of a fresh build;
+    * at 1.0 coverage it reads 1.31× (frozen-shard rereads beat a
+    * parquet scan + assignment only when most shards are SKIPPED).
+    * Biased high like the other cutovers: the partial path's worst case
+    * is bounded (~1.3×), the rebuild path's worst case at low coverage
+    * is the whole build.
+    */
+  val InsertRebuildCutover: Double = 0.75
+
   /** The measured routed-vs-fan-out crossover on the probed-union
     * fraction (RECALL_SF10DUP.json, regenerated r18): routing wins when
     * the union stays well under numCells (5-query clustered batches at
@@ -2160,19 +2172,18 @@ object Ann {
       * it (e.g. a monotone id allocator) — at 100 TB that scan is the
       * dominant cost of a small insert.
       *
-      * MEASURED boundary (HnswIndexMaintenanceProbe, 2M×64, 64 cells):
-      * a 32-row insert costs 0.28× of a rebuild (46.4 vs 168.3 s — the
-      * cells-hit model), but a 1024-row STRUCTURELESS insert reads
-      * 220.4 s — worse than the rebuild — because every cell is hit and
-      * the partial-rebuild machinery degenerates to a rebuild plus its
-      * overheads. Insert wins when the batch is small or clustered
-      * relative to `numCells`; when a batch covers most cells, rebuild
-      * from the accumulated corpus with
-      * [[buildHnswRoutedIndexWithCentroids]] at the STANDING `cents`
-      * instead (the trainer is not the cost — identity is preserved by
-      * passing the centroids, and `newCellCounts.keySet.size` vs
-      * `cents.length`, both already computed here, is the decision
-      * input).
+      * MEASURED boundary, productized (HnswIndexMaintenanceProbe, 2M×64,
+      * 64 cells): a 32-row insert costs 0.28× of a rebuild (46.4 vs
+      * 168.3 s — the cells-hit model), but a 1024-row STRUCTURELESS
+      * insert read 220.4 s on the partial path — worse than the
+      * rebuild — because every cell was hit and partial rebuild
+      * degenerates to a rebuild plus its overheads. Insert therefore
+      * DECIDES: when the batch's cells-hit fraction reaches
+      * [[InsertRebuildCutover]], it takes the rebuild inputs (parquet
+      * scan + assignment at the STANDING centroids) instead of
+      * frozen-shard rereads. Both paths are bit-identical (this
+      * contract), so the cutover is invisible to gates and specs — it
+      * only picks the cheaper inputs.
       *
       * Returns a NEW index, eagerly materialized (build cost is paid
       * here, as in [[buildHnswRoutedIndex]]). The old index stays
@@ -2208,6 +2219,37 @@ object Ann {
         .map(fs => (fs.cell, fs.ids.length.toLong))
         .groupByKey(_._1).mapGroups((c, it) => (c, it.map(_._2).sum))
         .collect().toMap
+      // insert-vs-rebuild cutover, MEASURED (HnswIndexMaintenanceProbe,
+      // 2M×64): when a batch hits most cells, the partial-rebuild
+      // machinery degenerates to a rebuild plus its overheads (a
+      // structureless 1024-row insert read 220.4 s vs the 168.3 s fresh
+      // build — frozen-shard rereads cost more than a parquet scan +
+      // assignment at full coverage), while a 32-row insert reads 0.28×
+      // of the build. Output is bit-identical on BOTH paths (the insert
+      // contract), so the cutover is invisible to gates and specs — it
+      // only picks the cheaper inputs. Decision inputs are already here:
+      // cells hit vs cells standing.
+      val hitCells = newCellCounts.keySet
+      val allCells = oldCellCounts.keySet ++ hitCells
+      if (hitCells.size.toDouble / allCells.size >= InsertRebuildCutover) {
+        val unionCorpus =
+          corpus.union(newRows.select(corpus.columns.map(col).toSeq: _*))
+        val assignedAll = ivfPrep(unionCorpus, idCol, vecCol)
+          .map { case (id, _, _, vn) =>
+            (nearestCell(vn, centsB.value), id, vn)
+          }
+        val counts: Map[Int, Long] = assignedAll
+          .groupByKey { case (c, _, _) => c }.count().collect().toMap
+        val subF = counts.map { case (c, n) =>
+          c -> routedSubFactorOf(n, maxShardRows)
+        }
+        val next = buildFrozenShards(assignedAll, subF, m, ef, maxShardRows,
+          "HnswRoutedIndex.insert(rebuild)")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val n = next.count()
+        return new HnswRoutedIndex(unionCorpus, idCol, vecCol, cents, m,
+          ef, maxShardRows, n, next, removed)
+      }
       // layout invariant: the standing factor is always derivable from the
       // standing count, so "did this insert change the layout?" is pure
       // driver arithmetic over ≤ numCells entries

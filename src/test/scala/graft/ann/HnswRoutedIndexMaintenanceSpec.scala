@@ -19,6 +19,12 @@ import org.apache.spark.sql.functions._
   * change; every other standing graph must be reused byte-for-byte.
   * Pinned white-box via [[Ann.HnswRoutedIndex.shardFingerprints]]
   * against a layout the spec re-derives from first principles.
+  *
+  * Both sides of the measured [[Ann.InsertRebuildCutover]] execute
+  * here with the SAME bit-identity assertions: the parity-split insert
+  * hits every cell (fraction 1.0 → the rebuild-inputs branch) while the
+  * 3-row minimal-rebuild insert hits ≤3 of 8 cells (partial branch) —
+  * the cutover picks inputs, never the relation.
   */
 class HnswRoutedIndexMaintenanceSpec extends SparkSpec {
 
