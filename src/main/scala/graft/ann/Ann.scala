@@ -1681,8 +1681,9 @@ object Ann {
     * degenerates to the flat trainer exactly), first over `numSuper`
     * super-centroids, then per super-cell over its sample members for
     * `cellsPerSuper` children. A super-cell with no sample members keeps
-    * zero-vector children (the flat trainer's empty-cell rule) — it can
-    * still be routed to, it just attracts nothing.
+    * dim-0 children (every dot scores 0.0 — deterministic, same effect
+    * as the flat trainer's zero-vector empty-cell rule) — it can still
+    * be routed to, it just attracts nothing.
     */
   def trainIvfCentroidsTwoLevel(
       embeddings: DataFrame,
