@@ -1851,11 +1851,30 @@ object Ann {
       maxShardRows: Int = 64,
       lloydIters: Int = 2,
       trainCap: Int = 4096,
+      maxRows: Int = 100000): HnswRoutedDump =
+    hnswRoutedIndexDumpWithCentroids(embeddings, idCol, vecCol,
+      trainIvfCentroids(embeddings, idCol, vecCol, numCells, lloydIters,
+        trainCap),
+      m, ef, maxShardRows, maxRows)
+
+  /** [[hnswRoutedIndexDump]] under caller-supplied centroids — the
+    * maintenance-gate seam: the `ann_hnsw_index_compact` oracle needs
+    * graphs over the SURVIVING corpus at the FULL-corpus quantizer
+    * (a compacted index keeps its standing centroids), which no
+    * self-training dump can produce. ORACLE-DUMP HELPER ONLY — same
+    * fail-fast row cap.
+    */
+  def hnswRoutedIndexDumpWithCentroids(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cents: Array[Array[Double]],
+      m: Int = 8,
+      ef: Int = 64,
+      maxShardRows: Int = 64,
       maxRows: Int = 100000): HnswRoutedDump = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val cents = trainIvfCentroids(
-      embeddings, idCol, vecCol, numCells, lloydIters, trainCap)
     val over = ivfPrep(embeddings, idCol, vecCol)
       .map { case (id, _, _, vn) => (id, vn) }
       .take(maxRows + 1)

@@ -1384,6 +1384,29 @@ object TextQueries {
         .topK(col("vec_id") < 20, k = 5, nProbeCells = 4)
     },
 
+    // DELETE half of the maintenance story (r18.5): build the full gate
+    // index, tombstone every vec_id ≡ 3 (mod 5) — which removes four of
+    // the twenty gate queries too — then COMPACT and serve. Compact is
+    // bit-identical to a fresh build over the survivors at the STANDING
+    // centroids (HnswRoutedIndexMaintenanceSpec), so the oracle embeds
+    // exactly that artifact (hnswRoutedIndexDumpWithCentroids over the
+    // filtered corpus at the full-corpus trainer) and its SQL filters
+    // the corpus CTE with the same predicate: removed rows must neither
+    // ask nor answer, and a row that survives compaction in the wrong
+    // shard is a hash mismatch, not silence.
+    "ann_hnsw_index_compact" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val pred = col("vec_id") % 5 === 3
+      val dump = hnswRoutedDumpFor(s, d, emb) // full-corpus cents (memoized)
+      hnswCompactModel.set(Ann.hnswRoutedIndexDumpWithCentroids(
+        emb.where(not(pred)), "vec_id", "embedding", dump.cents))
+      Ann.buildHnswRoutedIndexWithCentroids(emb, "vec_id", "embedding",
+        dump.cents, m = 8, ef = 64, maxShardRows = 64)
+        .remove(pred)
+        .compact()
+        .topK(col("vec_id") < 20, k = 5, nProbeCells = 4)
+    },
+
     // ---- multimodal plumbing --------------------------------------------
     // (the r8-era stub-tier gate queries — mm_payload_stats /
     // mm_frame_sample / mm_phash_neardup, which fingerprinted the TEXT
@@ -1822,6 +1845,15 @@ object TextQueries {
   private[graft] val hnswAutoRouted =
     new java.util.concurrent.atomic.AtomicReference[java.lang.Boolean]()
 
+  /** The post-compact routed artifact rebuilt by the last
+    * `ann_hnsw_index_compact` run in this JVM: graphs over the SURVIVING
+    * corpus at the FULL-corpus centroids (a compacted index keeps its
+    * standing quantizer), the exact relation compact's bit-identity
+    * contract promises.
+    */
+  private[graft] val hnswCompactModel =
+    new java.util.concurrent.atomic.AtomicReference[Ann.HnswRoutedDump]()
+
   /** Cache of the oracle dump keyed by (dir, content fingerprint) — see
     * the gate comment. The fingerprint (file listing + sizes + mtimes of
     * the embeddings parquet, one cheap driver-side directory walk) makes
@@ -2249,7 +2281,7 @@ object TextQueries {
     */
   private def hnswRoutedOracle(
       model: Ann.HnswRoutedDump, dim: Int, k: Int, ef: Int,
-      nProbeCells: Int): String = {
+      nProbeCells: Int, corpusWhere: String = "TRUE"): String = {
     val centsValues = centroidValuesSql(model.cents)
     val entryRows = model.dumps.zip(model.shardCells).collect {
       case (d, cell) if d.entryId >= 0 =>
@@ -2274,7 +2306,8 @@ object TextQueries {
       walkSeed = """SELECT q.qid, e.shard, e.eplvl, e.ep, -d.s
           FROM q JOIN routed r ON r.qid = q.qid
           JOIN entries e ON e.cell = r.cell
-          JOIN qd d ON d.qid = q.qid AND d.node = e.ep""")
+          JOIN qd d ON d.qid = q.qid AND d.node = e.ep""",
+      corpusWhere = corpusWhere)
   }
 
   /** The shared HNSW search re-derivation (see [[hnswOracle]]'s proof
@@ -2286,7 +2319,15 @@ object TextQueries {
     */
   private def hnswSearchSql(
       model: Array[Ann.HnswShardDump], dim: Int, k: Int, ef: Int,
-      extraCtes: String, entriesCte: String, walkSeed: String): String = {
+      extraCtes: String, entriesCte: String, walkSeed: String,
+      corpusWhere: String = "TRUE"): String = {
+    // the served-corpus predicate (maintenance gates): applied in the vn
+    // CTE so filtered rows neither ask (q) nor answer (qd candidates);
+    // "TRUE" emits byte-identical SQL to the pre-r18.5 oracles, keeping
+    // the SQL-keyed timing cache and the sibling gates' text unchanged
+    val corpusSrc =
+      if (corpusWhere == "TRUE") "embeddings"
+      else s"embeddings WHERE $corpusWhere"
     val stp = "STRUCT(negs DOUBLE, id BIGINT)[]"
     // degenerate dumps (empty corpus, or 1-node shards with no links) must
     // still yield WELL-FORMED SQL: a sentinel row that joins nothing
@@ -2310,7 +2351,7 @@ object TextQueries {
                          i -> v[i] * v[i])), (x, y) -> x + y)) AS nn
                      FROM (SELECT vec_id AS id,
                              list_transform(embedding, x -> x::DOUBLE) AS v
-                           FROM embeddings))),
+                           FROM $corpusSrc))),
         q AS (SELECT id AS qid, vn AS qv FROM vn WHERE id < 20),
         $extraCtes
         qd AS (SELECT q.qid, c.id AS node,
@@ -2622,11 +2663,21 @@ object TextQueries {
           withHnswRouted + ("ann_hnsw_auto" -> sql))
       case None => withHnswRouted
     }
+    // the compact gate's oracle: the surviving-corpus graphs at the
+    // full-corpus centroids, with the tombstone predicate filtering the
+    // corpus CTE (removed rows neither ask nor answer)
+    val withHnswCompact = Option(hnswCompactModel.get()) match {
+      case Some(model) => withHnswAuto +
+        ("ann_hnsw_index_compact" -> hnswRoutedOracle(model, dim = 64,
+          k = 5, ef = 64, nProbeCells = 4,
+          corpusWhere = "(vec_id % 5) <> 3"))
+      case None => withHnswAuto
+    }
     val withIvfPairs = Option(ivfPairCents.get()) match {
-      case Some(cents) => withHnswAuto +
+      case Some(cents) => withHnswCompact +
         ("dd_cosine_neardup_ivf" -> cosinePairsIvfOracle(cents,
           nProbe = 2, threshold = 0.4))
-      case None        => withHnswAuto
+      case None        => withHnswCompact
     }
     val withIncPairs = Option(ivfIncCents.get()) match {
       case Some(cents) => withIvfPairs +

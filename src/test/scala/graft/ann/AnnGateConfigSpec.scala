@@ -94,5 +94,16 @@ class AnnGateConfigSpec extends SparkSpec {
     // surfaced at the gate config
     assert(rows(graft.SparkEntry.queries("ann_hnsw_index_inc")(spark, d)) ==
       rows(graft.SparkEntry.queries("ann_hnsw_routed")(spark, d)))
+
+    // compact gate (r18.5): build-remove-compact equals the TRANSIENT
+    // routed probe over the surviving corpus at the FULL-corpus
+    // centroids — compact's bit-identity contract at the gate config
+    val survivors = emb.where(not(col("vec_id") % 5 === 3))
+    val fullCents = Ann.trainIvfCentroids(emb, "vec_id", "embedding",
+      numCells = 8)
+    assert(rows(graft.SparkEntry.queries("ann_hnsw_index_compact")(spark, d)) ==
+      rows(Ann.hnswRoutedTopKWithCentroids(survivors, "vec_id", "embedding",
+        col("vec_id") < 20, k = 5, nProbeCells = 4, m = 8, ef = 64,
+        maxShardRows = 64, maxQueries = 4096, fullCents)))
   }
 }
