@@ -1672,6 +1672,16 @@ object Ann {
           (offsets(s) + j, dot)
         }
       }
+      // the candidate pool is ONLY the probed supers' children (r18
+      // ADVICE): a nProbeCells above it would silently probe fewer cells
+      // than asked — fail loud; nProbeSuper is the lever that widens it.
+      // (dim-0 children of empty super-cells rank at dot 0.0 — the SAME
+      // empty-cell rule as the flat trainer's Array.empty cells, kept
+      // identical so numSuper=1 stays bit-for-bit the flat path.)
+      require(nProbeCells <= cands.length,
+        s"TwoLevelQuantizer.route: nProbeCells=$nProbeCells exceeds the " +
+          s"probed pool of ${cands.length} cells (nProbeSuper=$nProbeSuper " +
+          "supers' children) — raise nProbeSuper to widen the pool")
       cands.sortBy { case (c, d) => (-d, c) }.take(nProbeCells).map(_._1)
     }
   }
@@ -1684,6 +1694,17 @@ object Ann {
     * dim-0 children (every dot scores 0.0 — deterministic, same effect
     * as the flat trainer's zero-vector empty-cell rule) — it can still
     * be routed to, it just attracts nothing.
+    *
+    * SCALE `trainCap` WITH THE TARGET CELL COUNT (r18 ADVICE): the one
+    * global sample splits across supers, so at the quantizer's advertised
+    * regime (>4k flat-equivalent cells) the default 4096 leaves each
+    * super ~32 rows to train 80 children — most children start as
+    * duplicate/dim-0 centroids and the EFFECTIVE cell count collapses far
+    * below the flat-equivalent the cell arithmetic quotes. Floor: ≥8
+    * sample rows per CHILD, i.e. `trainCap ≥ 8 × numSuper ×
+    * cellsPerSuper` (a 128×80 target wants ~80k; the default suits ≤512
+    * total cells). The default stays at the flat trainer's 4096 so the
+    * `numSuper=1` degeneracy is exact at matching caps.
     */
   def trainIvfCentroidsTwoLevel(
       embeddings: DataFrame,
@@ -2086,7 +2107,10 @@ object Ann {
     * fan-out win at ANY batch size (the transient path loses it on large
     * diverse batches because every batch re-pays trainer + assignment +
     * build). [[release]] is the unpersist hook whose absence forced the
-    * transient adjudication.
+    * transient adjudication, and [[save]]/[[loadHnswRoutedIndex]] (r19)
+    * extend the lifetime past the session: the shard graphs round-trip
+    * through Parquet bit-identically, so a restart pays a read, not the
+    * rebuild.
     *
     * Output contract: for the same (corpus, config, query batch), [[topK]]
     * equals [[hnswRoutedTopK]] exactly (same trainer, assignment,
@@ -2096,15 +2120,37 @@ object Ann {
     */
   final class HnswRoutedIndex private[ann] (
       corpus: DataFrame,
-      idCol: String,
-      vecCol: String,
-      val cents: Array[Array[Double]],
+      val idCol: String,
+      val vecCol: String,
+      private[ann] val quantizer: CoarseQuantizer,
       val m: Int,
       val ef: Int,
       val maxShardRows: Int,
       val numShards: Long,
-      shards: org.apache.spark.sql.Dataset[FrozenShard],
+      private[ann] val shards: org.apache.spark.sql.Dataset[FrozenShard],
       removed: Option[Column]) {
+
+    /** The standing routing centroids when the index runs the flat
+      * quantizer (every gate config). Two-level indexes
+      * ([[buildHnswRoutedIndexTwoLevel]]) have no flat matrix — ask for
+      * [[quantizer]] inside the package instead.
+      */
+    def cents: Array[Array[Double]] = quantizer match {
+      case FlatQuantizer(c) => c
+      case _ => throw new IllegalStateException(
+        "HnswRoutedIndex.cents: this index runs a two-level quantizer — " +
+          "there is no flat centroid matrix")
+    }
+
+    /** True when `other` serves the SAME persisted shards Dataset — the
+      * aliasing [[remove]] (always) and a no-tombstone-hit [[compact]]
+      * create by design (tombstoning is free; no graphs are copied).
+      * [[release]] on either aliased index unpersists both, so lifecycle
+      * owners (e.g. the streaming maintenance loop) must check this
+      * before releasing a superseded generation.
+      */
+    def sharesShardsWith(other: HnswRoutedIndex): Boolean =
+      shards eq other.shards
 
     /** The relation this index currently serves: the corpus minus any
       * pending [[remove]] tombstones. Queries are drawn from it and
@@ -2137,10 +2183,10 @@ object Ann {
           "the predicate, chunk the queries, or raise maxQueries " +
           "deliberately.")
       val queries = overCap.sortBy(_._1)
-      val localCents = cents
+      val localQuant = quantizer
       val routes: Map[Int, Array[Int]] = queries.zipWithIndex
         .flatMap { case ((_, qv), qi) =>
-          routeCells(qv, localCents, nProbeCells).map(c => (c, qi))
+          localQuant.route(qv, nProbeCells).map(c => (c, qi))
         }
         .groupBy(_._1).map { case (c, qs) => c -> qs.map(_._2).sorted }
       val routedCellsB = spark.sparkContext.broadcast(routes.keySet)
@@ -2229,9 +2275,9 @@ object Ann {
       }
       val spark = shards.sparkSession
       import spark.implicits._
-      val centsB = spark.sparkContext.broadcast(cents)
+      val centsB = spark.sparkContext.broadcast(quantizer)
       val newAssigned = ivfPrep(newRows, idCol, vecCol)
-        .map { case (id, _, _, vn) => (nearestCell(vn, centsB.value), id, vn) }
+        .map { case (id, _, _, vn) => (centsB.value.assign(vn), id, vn) }
       val newCellCounts: Map[Int, Long] = newAssigned
         .groupByKey { case (cell, _, _) => cell }.count().collect().toMap
       if (newCellCounts.isEmpty) return this
@@ -2256,7 +2302,7 @@ object Ann {
           corpus.union(newRows.select(corpus.columns.map(col).toSeq: _*))
         val assignedAll = ivfPrep(unionCorpus, idCol, vecCol)
           .map { case (id, _, _, vn) =>
-            (nearestCell(vn, centsB.value), id, vn)
+            (centsB.value.assign(vn), id, vn)
           }
         val counts: Map[Int, Long] = assignedAll
           .groupByKey { case (c, _, _) => c }.count().collect().toMap
@@ -2267,7 +2313,7 @@ object Ann {
           "HnswRoutedIndex.insert(rebuild)")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val n = next.count()
-        return new HnswRoutedIndex(unionCorpus, idCol, vecCol, cents, m,
+        return new HnswRoutedIndex(unionCorpus, idCol, vecCol, quantizer, m,
           ef, maxShardRows, n, next, removed)
       }
       // layout invariant: the standing factor is always derivable from the
@@ -2307,7 +2353,7 @@ object Ann {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val n = next.count() // materialize: insert cost is paid at insert time
       val nextCorpus = corpus.union(newRows.select(corpus.columns.map(col).toSeq: _*))
-      new HnswRoutedIndex(nextCorpus, idCol, vecCol, cents, m, ef,
+      new HnswRoutedIndex(nextCorpus, idCol, vecCol, quantizer, m, ef,
         maxShardRows, n, next, removed)
     }
 
@@ -2318,9 +2364,20 @@ object Ann {
       * the primary-key fail (the anti-join replaces `checkIds`, at the
       * same one-semi-join cost). See
       * [[graft.streaming.StreamingOps.streamingAnnIngest]].
+      *
+      * Duplicate ids WITHIN the batch are collapsed too (r18 ADVICE):
+      * at-least-once delivery and upstream dup rows routinely repeat an
+      * id inside one micro-batch, and letting both copies through
+      * `checkIds = false` would silently break the primary-key contract
+      * that sub-shard spread, self-exclusion, and exact re-rank key on.
+      * The collapse is value-deterministic in the at-least-once case
+      * (replayed copies are identical rows, so any survivor is THE row);
+      * distinct payloads under one id are a caller contract violation —
+      * an arbitrary copy wins, exactly as `dropDuplicates` documents.
       */
     def insertNew(newRows: DataFrame): HnswRoutedIndex = {
-      val fresh = newRows.join(corpus.select(col(idCol)), Seq(idCol), "left_anti")
+      val fresh = newRows.dropDuplicates(idCol)
+        .join(corpus.select(col(idCol)), Seq(idCol), "left_anti")
       insert(fresh, checkIds = false)
     }
 
@@ -2334,9 +2391,13 @@ object Ann {
       * crowd its neighborhood — ef headroom covers scattered deletes)
       * and (b) the predicate filter on every query batch. Composes:
       * successive removes OR together.
+      *
+      * The returned index SHARES this one's persisted shards (nothing is
+      * copied — that is what makes remove free): [[release]] on either
+      * unpersists both. [[sharesShardsWith]] is the ownership check.
       */
     def remove(pred: Column): HnswRoutedIndex =
-      new HnswRoutedIndex(corpus, idCol, vecCol, cents, m, ef,
+      new HnswRoutedIndex(corpus, idCol, vecCol, quantizer, m, ef,
         maxShardRows, numShards, shards, removed.map(_ || pred).orElse(Some(pred)))
 
     /** Rebuilds exactly the sub-shards holding tombstoned rows (cells
@@ -2346,7 +2407,10 @@ object Ann {
       * bit-identity contract as insert: the compacted index equals
       * [[buildHnswRoutedIndexWithCentroids]] over the surviving corpus
       * with the standing centroids — spec-pinned. No-op without pending
-      * tombstones; a predicate matching no standing row just clears.
+      * tombstones; a predicate matching no standing row just clears —
+      * and in that no-hit case the returned index SHARES these persisted
+      * shards ([[sharesShardsWith]]; same [[release]] aliasing as
+      * [[remove]]).
       */
     def compact(): HnswRoutedIndex = removed match {
       case None => this
@@ -2366,7 +2430,7 @@ object Ann {
           .collect()
         val nextCorpus = corpus.where(not(pred))
         if (hitRows.isEmpty)
-          return new HnswRoutedIndex(nextCorpus, idCol, vecCol, cents, m,
+          return new HnswRoutedIndex(nextCorpus, idCol, vecCol, quantizer, m,
             ef, maxShardRows, numShards, shards, None)
         val hitKeys: Set[Long] = hitRows.map(_.getLong(0)).toSet
         val removedPerCell: Map[Int, Long] = hitRows
@@ -2402,7 +2466,7 @@ object Ann {
         val next = kept.union(rebuilt)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val n = next.count()
-        new HnswRoutedIndex(nextCorpus, idCol, vecCol, cents, m, ef,
+        new HnswRoutedIndex(nextCorpus, idCol, vecCol, quantizer, m, ef,
           maxShardRows, n, next, None)
     }
 
@@ -2422,8 +2486,115 @@ object Ann {
       * index is unusable afterwards only in the sense that the next
       * [[topK]] recomputes the shard lineage; callers done with the
       * corpus should drop the reference too.
+      *
+      * ALIASING (r18 ADVICE): [[remove]] (always) and a compact whose
+      * tombstones match no standing row return an index sharing THIS
+      * index's persisted shards — releasing either releases both. Check
+      * [[sharesShardsWith]] before releasing a superseded generation
+      * (the streaming maintenance loop does).
       */
     def release(): Unit = { shards.unpersist(blocking = true); () }
+
+    /** Durable persistence (r18 verdict ask #1 — the piece that made the
+      * standing index session-lifetime only): writes the frozen shard
+      * graphs, the quantizer + config, and (by default) a corpus snapshot
+      * as Parquet under `path`, so a later job — a DIFFERENT SparkSession,
+      * a restart — pays a parquet scan instead of the full rebuild
+      * (measured at the 2M×64 bracket in the bench's sf100 fragment:
+      * load is a read of ~the corpus bytes; rebuild is minutes of graph
+      * insert). [[loadHnswRoutedIndex]] restores an index whose shard
+      * fingerprints and served rows are BIT-IDENTICAL to this one (the
+      * same contract the maintenance gates pin) — frozen shards are plain
+      * product rows, so the round-trip is exact, including the quantizer
+      * (flat or two-level) that [[insert]] keeps assigning through.
+      *
+      * `includeCorpus = false` skips the corpus snapshot for corpora that
+      * already live in a durable table (at 100 TB the snapshot IS the
+      * dataset — don't copy it); load then takes the corpus as an
+      * argument ([[loadHnswRoutedIndexWithCorpus]]) and the caller owns
+      * serving EXACTLY the saved rows (the graphs hold the saved ids).
+      *
+      * Pending [[remove]] tombstones must be [[compact]]ed (or never
+      * made) before saving: a tombstone is a session `Column` expression
+      * with no durable form — fail-fast, not silent drop.
+      */
+    def save(path: String, includeCorpus: Boolean = true): Unit = {
+      require(removed.isEmpty,
+        "HnswRoutedIndex.save: pending remove() tombstones are session " +
+          "Column expressions and cannot be serialized — compact() first")
+      val spark = shards.sparkSession
+      import spark.implicits._
+      shards.write.mode("overwrite").parquet(path + "/shards")
+      if (includeCorpus)
+        corpus.write.mode("overwrite").parquet(path + "/corpus")
+      val meta = quantizer match {
+        case FlatQuantizer(c) =>
+          HnswIndexMeta(idCol, vecCol, m, ef, maxShardRows,
+            "flat", c, Array.empty, 0)
+        case TwoLevelQuantizer(l1, l2, nps) =>
+          HnswIndexMeta(idCol, vecCol, m, ef, maxShardRows,
+            "two_level", l1, l2, nps)
+      }
+      Seq(meta).toDS().repartition(1)
+        .write.mode("overwrite").parquet(path + "/meta")
+    }
+  }
+
+  /** The durable form of a [[HnswRoutedIndex]]'s identity — everything
+    * except the graphs (stored as [[FrozenShard]] rows) and the corpus
+    * (snapshot or caller-owned table): column bindings, graph config, and
+    * the quantizer, flattened to one Parquet row. `cents` holds the flat
+    * matrix (or the two-level L1); `l2`/`nProbeSuper` are empty/0 for
+    * flat.
+    */
+  private[ann] final case class HnswIndexMeta(
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      ef: Int,
+      maxShardRows: Int,
+      quantizerKind: String,
+      cents: Array[Array[Double]],
+      l2: Array[Array[Array[Double]]],
+      nProbeSuper: Int)
+
+  /** Restores a [[HnswRoutedIndex.save]]d index from `path`, corpus
+    * snapshot included — the restart path of the standing-index story:
+    * shard graphs come back as a parquet scan (persisted MEMORY_AND_DISK
+    * and eagerly materialized, like a fresh build — but at read cost, not
+    * rebuild cost), and the restored index is bit-identical to the saved
+    * one: same shard fingerprints, same served rows, same quantizer for
+    * every later [[HnswRoutedIndex.insert]]/[[HnswRoutedIndex.compact]].
+    */
+  def loadHnswRoutedIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): HnswRoutedIndex =
+    loadHnswRoutedIndexWithCorpus(spark, path,
+      spark.read.parquet(path + "/corpus"))
+
+  /** [[loadHnswRoutedIndex]] with a caller-supplied corpus — the
+    * `includeCorpus = false` twin for corpora living in durable tables.
+    * The corpus must serve EXACTLY the saved rows (same ids, same
+    * vectors): the graphs route and answer with the ids they were built
+    * over, and the exact re-rank joins candidates back to THIS frame.
+    */
+  def loadHnswRoutedIndexWithCorpus(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      corpus: DataFrame): HnswRoutedIndex = {
+    import spark.implicits._
+    val meta = spark.read.parquet(path + "/meta").as[HnswIndexMeta].head()
+    val quantizer: CoarseQuantizer = meta.quantizerKind match {
+      case "flat" => FlatQuantizer(meta.cents)
+      case "two_level" => TwoLevelQuantizer(meta.cents, meta.l2, meta.nProbeSuper)
+      case other => throw new IllegalArgumentException(
+        s"loadHnswRoutedIndex: unknown quantizer kind '$other' at $path")
+    }
+    val shards = spark.read.parquet(path + "/shards").as[FrozenShard]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = shards.count() // materialize: a restored index is ready NOW
+    new HnswRoutedIndex(corpus, meta.idCol, meta.vecCol, quantizer,
+      meta.m, meta.ef, meta.maxShardRows, n, shards, None)
   }
 
   /** Builds a [[HnswRoutedIndex]]: same trainer / assignment /
@@ -2470,14 +2641,61 @@ object Ann {
       m: Int = 16,
       ef: Int = 128,
       maxShardRows: Int = 16384): HnswRoutedIndex = {
-    require(cents.nonEmpty && maxShardRows > 0,
-      "buildHnswRoutedIndexWithCentroids: cents must be non-empty and " +
-        "maxShardRows positive")
+    require(cents.nonEmpty,
+      "buildHnswRoutedIndexWithCentroids: cents must be non-empty")
+    buildHnswRoutedIndexWithQuantizer(embeddings, idCol, vecCol,
+      FlatQuantizer(cents), m, ef, maxShardRows)
+  }
+
+  /** A standing index under a [[TwoLevelQuantizer]] (r18 verdict ask #3 —
+    * the `CoarseQuantizer` seam wired into the standing index): a standing
+    * index is exactly where >4k cells are first wanted — one fixed build,
+    * many query batches, finest-cells-affordable — and past ~4k cells the
+    * flat quantizer's assignment pass is the measured cliff (841 s at
+    * 10240 cells over 2M×64; two-level: 13.8 s). Everything downstream of
+    * assignment/routing is the unchanged gated machinery (dense packed
+    * cell ids), so [[HnswRoutedIndex.insert]]/[[HnswRoutedIndex.remove]]/
+    * [[HnswRoutedIndex.compact]]/[[HnswRoutedIndex.save]] work unchanged
+    * — insert assigns new rows THROUGH the standing two-level quantizer
+    * (the quantizer is part of the index's identity on every path).
+    * `numSuper=1` degenerates bit-identically to
+    * [[buildHnswRoutedIndexWithCentroids]] over the same trained children
+    * (the [[TwoLevelQuantizer]] degeneracy, spec-pinned on the standing
+    * lifecycle too).
+    *
+    * Train the quantizer with [[trainIvfCentroidsTwoLevel]], and scale its
+    * `trainCap` with the target cell count (≥8 sample rows per CHILD as a
+    * floor — the default 4096 suits ≤512 total cells; at a 128×80 target
+    * pass ~80k): an under-sampled trainer leaves most children as
+    * duplicate/zero centroids and the effective cell count collapses far
+    * below the flat-equivalent.
+    */
+  def buildHnswRoutedIndexTwoLevel(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      quantizer: TwoLevelQuantizer,
+      m: Int = 16,
+      ef: Int = 128,
+      maxShardRows: Int = 16384): HnswRoutedIndex =
+    buildHnswRoutedIndexWithQuantizer(embeddings, idCol, vecCol, quantizer,
+      m, ef, maxShardRows)
+
+  private def buildHnswRoutedIndexWithQuantizer(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      quantizer: CoarseQuantizer,
+      m: Int = 16,
+      ef: Int = 128,
+      maxShardRows: Int = 16384): HnswRoutedIndex = {
+    require(maxShardRows > 0,
+      "buildHnswRoutedIndex: maxShardRows must be positive")
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val centsB = spark.sparkContext.broadcast(cents)
+    val centsB = spark.sparkContext.broadcast(quantizer)
     val assigned = ivfPrep(embeddings, idCol, vecCol)
-      .map { case (id, _, _, vn) => (nearestCell(vn, centsB.value), id, vn) }
+      .map { case (id, _, _, vn) => (centsB.value.assign(vn), id, vn) }
     val cellCounts: Map[Int, Long] = assigned
       .groupByKey { case (cell, _, _) => cell }.count().collect().toMap
     val subFactors: Map[Int, Int] = cellCounts.map { case (c, n) =>
@@ -2487,7 +2705,7 @@ object Ann {
       maxShardRows, "buildHnswRoutedIndex")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = shards.count() // materialize: a standing index builds NOW
-    new HnswRoutedIndex(embeddings, idCol, vecCol, cents, m, ef,
+    new HnswRoutedIndex(embeddings, idCol, vecCol, quantizer, m, ef,
       maxShardRows, n, shards, None)
   }
 

@@ -764,12 +764,24 @@ object StreamingOps {
     @volatile private var idx = initial
     /** The current generation — query it between (or during) batches. */
     def current: graft.ann.Ann.HnswRoutedIndex = idx
-    private[streaming] def step(batch: DataFrame): Unit = synchronized {
+    /** Swap in `next`, releasing the superseded generation's persisted
+      * shards — UNLESS the two generations alias the same shards
+      * (remove-only steps and no-hit compacts share them by design;
+      * releasing the old one would unpersist the new one's graphs too —
+      * the r18 ADVICE aliasing, checked via `sharesShardsWith`).
+      */
+    private[streaming] def swap(
+        next: graft.ann.Ann.HnswRoutedIndex): Unit = {
       val prev = idx
-      val next = prev.insertNew(batch)
       idx = next
-      if (!(next eq prev)) prev.release()
+      if (!(next eq prev) && !next.sharesShardsWith(prev)) prev.release()
     }
+    private[streaming] def step(batch: DataFrame): Unit = synchronized {
+      swap(idx.insertNew(batch))
+    }
+    private[streaming] def stepWith(
+        f: graft.ann.Ann.HnswRoutedIndex => graft.ann.Ann.HnswRoutedIndex)
+        : Unit = synchronized { swap(f(idx)) }
   }
 
   /** Streaming ingest into a standing routed-HNSW index — the
@@ -790,24 +802,138 @@ object StreamingOps {
     * columns. Returns the handle plus the configured writer — the caller
     * starts it (and owns trigger/checkpoint choices).
     *
+    * CORPUS LINEAGE (r18 ADVICE — medium): each accepted micro-batch is
+    * unioned into the standing corpus, and every later topK scan,
+    * insert anti-join, and shard-lineage recompute RE-EVALUATES that
+    * union. With `snapshotDir = None` the union chains the micro-batch
+    * frames themselves — safe only for sources whose batches stay
+    * re-readable at the same offsets (MemoryStream, bounded file
+    * streams), NOT for e.g. Kafka past retention/offset expiry. For real
+    * sources pass `snapshotDir`: each batch is first written to
+    * `snapshotDir/batch=<id>` as Parquet (idempotent under replay —
+    * same id, same rows, overwrite mode) and the corpus unions the
+    * READ-BACK frame, so lineage chains durable files. Either way the
+    * per-query corpus scan grows with every batch — see the epoch
+    * discipline below.
+    *
     * Generation depth: each batch's index is materialized into its own
     * persisted blocks, but its RECOMPUTE lineage (the eviction/executor-
     * loss fallback) chains through every prior generation. Long-running
     * ingest jobs should therefore batch coarsely (minutes, not ms — the
     * per-batch floor is a shard rebuild anyway) and periodically rebuild
     * a fresh index from the accumulated corpus at a quiet moment, the
-    * same epoch discipline as any standing-artifact refresh.
+    * same epoch discipline as any standing-artifact refresh —
+    * [[graft.ann.Ann.HnswRoutedIndex.save]] at that moment makes the
+    * epoch durable (a restart then loads instead of rebuilding).
     */
   def streamingAnnIngest(
       newRows: DataFrame,
-      initial: graft.ann.Ann.HnswRoutedIndex): (StreamingAnnIndex,
+      initial: graft.ann.Ann.HnswRoutedIndex,
+      snapshotDir: Option[String] = None): (StreamingAnnIndex,
       org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row]) = {
     require(newRows.isStreaming,
       "streamingAnnIngest: newRows must be a streaming DataFrame " +
         "(for a bounded frame call HnswRoutedIndex.insert directly)")
     val handle = new StreamingAnnIndex(initial)
     val step: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
-      (batch, _) => handle.step(batch)
+      (batch, batchId) => handle.step(snapshotBatch(batch, batchId, snapshotDir))
     (handle, newRows.writeStream.foreachBatch(step))
+  }
+
+  /** Durable micro-batch snapshot: write to `dir/batch=<id>` and hand
+    * back the read-back frame, so downstream lineage chains Parquet files
+    * instead of the source's epoch-scoped batch frame. Replay-safe:
+    * a replayed batch id rewrites the same rows over the same path.
+    */
+  private def snapshotBatch(
+      batch: Dataset[org.apache.spark.sql.Row],
+      batchId: Long,
+      snapshotDir: Option[String]): DataFrame = snapshotDir match {
+    case None => batch.toDF()
+    case Some(dir) if batch.isEmpty => batch.toDF() // nothing to make durable
+    case Some(dir) =>
+      val path = s"$dir/batch=$batchId"
+      batch.write.mode("overwrite").parquet(path)
+      batch.sparkSession.read.parquet(path)
+  }
+
+  /** Streaming MAINTENANCE twin of the standing routed-HNSW index (r18
+    * verdict ask #5): production corpora don't only grow — they retract
+    * (takedowns, dedup-supersedes) — so this loop applies a change-feed
+    * of upserts AND deletes per micro-batch: insert rows through
+    * [[graft.ann.Ann.HnswRoutedIndex.insertNew]] (idempotent), tombstone
+    * delete ids through [[graft.ann.Ann.HnswRoutedIndex.remove]], and
+    * [[graft.ann.Ann.HnswRoutedIndex.compact]] every `compactEvery`
+    * batches — the batch remove+compact contract extended to the stream,
+    * parity-pinned bit-identical to applying the same ops through the
+    * batch API (StreamingOpsSpec).
+    *
+    * `changes` carries the corpus columns plus `opCol` ∈
+    * {"upsert","delete"}; delete rows need only `idCol` populated (other
+    * columns are ignored). Within one batch deletes win over upserts of
+    * the same id (applied after the insert — the deterministic net
+    * effect of a batch that both adds and retracts a row is ABSENT).
+    *
+    * Replay-safe end to end: `foreachBatch` re-delivers at-least-once,
+    * and every arm is idempotent — insertNew skips standing ids, a
+    * re-removed id just re-tombstones rows already gone (compact with no
+    * hits clears cleanly), and the generation swap releases superseded
+    * graphs only when not shard-aliased ([[StreamingAnnIndex]]).
+    *
+    * Delete ids are collected to the driver to form the tombstone
+    * predicate (bounded, `maxDeleteIds` fail-fast) — ids are the ONLY
+    * thing collected, and a delete feed past 64k ids/batch should batch
+    * coarser or compact offline. Same `snapshotDir` contract as
+    * [[streamingAnnIngest]] for the UPSERT rows (delete ids never enter
+    * the corpus lineage — they end as driver-side literals).
+    */
+  def streamingAnnMaintain(
+      changes: DataFrame,
+      initial: graft.ann.Ann.HnswRoutedIndex,
+      opCol: String = "op",
+      compactEvery: Int = 1,
+      maxDeleteIds: Int = 65536,
+      snapshotDir: Option[String] = None): (StreamingAnnIndex,
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row]) = {
+    require(changes.isStreaming,
+      "streamingAnnMaintain: changes must be a streaming DataFrame " +
+        "(for a bounded frame call insert/remove/compact directly)")
+    require(compactEvery > 0 && maxDeleteIds > 0,
+      "streamingAnnMaintain: compactEvery and maxDeleteIds must be positive")
+    require(changes.columns.contains(opCol),
+      s"streamingAnnMaintain: changes lacks the op column '$opCol'")
+    val handle = new StreamingAnnIndex(initial)
+    val idCol = initial.idCol
+    val batchesSeen = new java.util.concurrent.atomic.AtomicLong(0L)
+    val step: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, batchId) => handle.stepWith { cur =>
+        import org.apache.spark.sql.functions.col
+        val snap = snapshotBatch(
+          batch.where(col(opCol) =!= "delete").drop(opCol),
+          batchId, snapshotDir)
+        val overCap = batch.where(col(opCol) === "delete")
+          .select(col(idCol)).distinct().take(maxDeleteIds + 1)
+        require(overCap.length <= maxDeleteIds,
+          s"streamingAnnMaintain: batch $batchId carries more than " +
+            s"maxDeleteIds=$maxDeleteIds delete ids — batch the delete " +
+            "feed coarser or raise the cap deliberately")
+        val deleteIds = overCap.map(_.get(0)).toSeq
+        val inserted = cur.insertNew(snap)
+        val tombstoned =
+          if (deleteIds.isEmpty) inserted
+          else inserted.remove(col(idCol).isInCollection(deleteIds))
+        val n = batchesSeen.incrementAndGet()
+        if (n % compactEvery == 0L) {
+          val compacted = tombstoned.compact()
+          // a hit-compact builds NEW graphs, superseding the intermediate
+          // insert generation's — release those here (the swap only sees
+          // cur vs next), unless the intermediate IS cur (no-op insert)
+          // or the compact found nothing and aliased them
+          if (!compacted.sharesShardsWith(tombstoned) &&
+              !tombstoned.sharesShardsWith(cur)) tombstoned.release()
+          compacted
+        } else tombstoned
+      }
+    (handle, changes.writeStream.foreachBatch(step))
   }
 }

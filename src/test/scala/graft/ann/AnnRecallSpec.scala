@@ -160,8 +160,20 @@ class AnnRecallSpec extends SparkSpec {
         gateByName("ann_ivf_topk"), "ivf preset must beat the gate config")
       val withShipped = measured ++ moreShipped :+
         (("ann_ivfpq_topk_shipped_default", shippedRecall, shipped.size))
+      // r19 (r18 verdict ask #6): every row carries its ROLE so the
+      // pinned pedagogical gate configs (e.g. ivfpq 0.36 at sf0.1)
+      // cannot be misread as shipped quality next to the
+      // *_shipped_default rows; the single-probe-LSH ceiling statement
+      // lives in the artifact itself, not just COVERAGE prose.
       val json = withShipped.map { case (name, recall, rows) =>
-        f"""      "$name": {"recall_vs_brute": $recall%.4f, "candidate_pairs": $rows}"""
+        val role =
+          if (name.endsWith("_shipped_default")) "shipped-default"
+          else "gate-pinned"
+        val note =
+          if (name == "ann_lsh_topk" || name == "ann_lsh_topk_shipped_default")
+            """, "role_note": "pedagogical baseline: measured single-probe ceiling 0.82 at the 10x bracket (RECALL_SF10DUP.json) - prefer lshMultiProbeTopK, 0.968 on the same index""""
+          else ""
+        f"""      "$name": {"recall_vs_brute": $recall%.4f, "candidate_pairs": $rows, "role": "$role"$note}"""
       }.mkString(",\n")
       s"""    "$label": {
          |      "brute_pairs": ${brute.size},
@@ -195,7 +207,7 @@ class AnnRecallSpec extends SparkSpec {
               "the fragment by hand")
         }
         val json = rows.map { case (name, recall, config, _) =>
-          f"""      "$name": {"recall_vs_brute": $recall%.4f, "config": "$config"}"""
+          f"""      "$name": {"recall_vs_brute": $recall%.4f, "config": "$config", "role": "frontier-10x"}"""
         }.mkString(",\n")
         s""",
            |    "sf10dup (200k x 64, RECALL_SF10DUP.json)": {
@@ -207,6 +219,11 @@ class AnnRecallSpec extends SparkSpec {
       s"""{
          |  "truth": "ann_cosine_topk (exact brute-force top-k)",
          |  "metric": "recall@k over (query_id, neighbor_id) pairs",
+         |  "roles": {
+         |    "gate-pinned": "the deliberately small pedagogical config the hash gate pins (oracle tractability, NOT shipped quality)",
+         |    "shipped-default": "what a caller gets from the method-signature defaults",
+         |    "frontier-10x": "shipped defaults re-measured at the 200k x 64 bracket (RECALL_SF10DUP.json)"
+         |  },
          |  "by_sf": {
          |${sections.mkString(",\n")}$sf10Section
          |  }

@@ -150,6 +150,28 @@ class HnswRoutedIndexMaintenanceSpec extends SparkSpec {
     } finally idx.release()
   }
 
+  test("insertNew collapses duplicate ids WITHIN a batch and skips standing ids (the at-least-once contract, r18 ADVICE)") {
+    val emb = Tables.embeddings(spark, sf001)
+    val cents = gateCents(sf001)
+    val base = emb.where(col("vec_id") < 400)
+    val tail = emb.where(col("vec_id") >= 400)
+    val idx = Ann.buildHnswRoutedIndexWithCentroids(
+      base, "vec_id", "embedding", cents, m = 8, ef = 64, maxShardRows = 64)
+    // an at-least-once batch: every new row delivered twice, plus rows
+    // whose ids already stand — insertNew must land as ONE copy of the
+    // new rows and nothing else
+    val dirty = tail.union(tail).union(emb.where(col("vec_id") < 30))
+    val got = idx.insertNew(dirty)
+    val fresh = Ann.buildHnswRoutedIndexWithCentroids(
+      emb, "vec_id", "embedding", cents, m = 8, ef = 64, maxShardRows = 64)
+    try {
+      assert(got.shardFingerprints == fresh.shardFingerprints,
+        "intra-batch duplicate ids leaked into the graphs")
+      assert(rows(got.topK(col("vec_id") < 20, k = 5, nProbeCells = 4)) ==
+        rows(fresh.topK(col("vec_id") < 20, k = 5, nProbeCells = 4)))
+    } finally { idx.release(); got.release(); fresh.release() }
+  }
+
   test("remove tombstones immediately: removed rows neither ask nor answer; compact equals a fresh build over the survivors") {
     val emb = Tables.embeddings(spark, sf001)
     val cents = gateCents(sf001)

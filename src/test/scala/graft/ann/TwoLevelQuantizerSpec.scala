@@ -104,5 +104,73 @@ class TwoLevelQuantizerSpec extends SparkSpec {
       Ann.trainIvfCentroidsTwoLevel(emb, "vec_id", "embedding",
         numSuper = 0, cellsPerSuper = 2, nProbeSuper = 1)
     }
+    // r19 (r18 ADVICE): a probe budget past the probed supers' child pool
+    // fails loud instead of silently probing fewer cells than asked
+    val two = Ann.trainIvfCentroidsTwoLevel(emb, "vec_id", "embedding",
+      numSuper = 4, cellsPerSuper = 2, nProbeSuper = 1)
+    val e = intercept[IllegalArgumentException] {
+      two.route(Array.fill(64)(0.1), nProbeCells = 3) // pool = 1×2
+    }
+    assert(e.getMessage.contains("nProbeSuper"))
+  }
+
+  // r19 (r18 verdict ask #3): the CoarseQuantizer seam wired into the
+  // STANDING index — the degeneracy pin and the maintenance bit-identity
+  // extended to the lifecycle.
+
+  test("standing index at numSuper=1 is bit-identical to the flat standing index: graphs, served rows, inserts") {
+    val emb = Tables.embeddings(spark, sf001)
+    val flatCents = Ann.trainIvfCentroids(emb, "vec_id", "embedding",
+      numCells = 8)
+    val two = Ann.trainIvfCentroidsTwoLevel(emb, "vec_id", "embedding",
+      numSuper = 1, cellsPerSuper = 8, nProbeSuper = 1)
+    val base = emb.where(col("vec_id") < 400)
+    val tail = emb.where(col("vec_id") >= 400)
+    val flatIdx = Ann.buildHnswRoutedIndexWithCentroids(
+      base, "vec_id", "embedding", flatCents, m = 8, ef = 64,
+      maxShardRows = 64)
+    val twoIdx = Ann.buildHnswRoutedIndexTwoLevel(
+      base, "vec_id", "embedding", two, m = 8, ef = 64, maxShardRows = 64)
+    val flatGrown = flatIdx.insert(tail)
+    val twoGrown = twoIdx.insert(tail)
+    try {
+      assert(twoIdx.shardFingerprints == flatIdx.shardFingerprints,
+        "degenerate two-level standing graphs diverged from flat")
+      assert(rows(twoIdx.topK(col("vec_id") < 20, k = 5, nProbeCells = 4)) ==
+        rows(flatIdx.topK(col("vec_id") < 20, k = 5, nProbeCells = 4)))
+      assert(twoGrown.shardFingerprints == flatGrown.shardFingerprints,
+        "degenerate two-level INSERT assignment diverged from flat")
+    } finally {
+      flatIdx.release(); twoIdx.release()
+      flatGrown.release(); twoGrown.release()
+    }
+  }
+
+  test("two-level standing maintenance: prefix build + insert == fresh build; remove+compact == fresh build over survivors") {
+    val emb = Tables.embeddings(spark, sf001)
+    val quant = Ann.trainIvfCentroidsTwoLevel(emb, "vec_id", "embedding",
+      numSuper = 2, cellsPerSuper = 4, nProbeSuper = 2)
+    val grown = Ann.buildHnswRoutedIndexTwoLevel(
+      emb.where(col("vec_id") % 2 === 0), "vec_id", "embedding", quant,
+      m = 8, ef = 64, maxShardRows = 64)
+      .insert(emb.where(col("vec_id") % 2 === 1))
+    val fresh = Ann.buildHnswRoutedIndexTwoLevel(
+      emb, "vec_id", "embedding", quant, m = 8, ef = 64, maxShardRows = 64)
+    val pred = col("vec_id") >= 100 && col("vec_id") < 200
+    val compacted = fresh.remove(pred).compact()
+    val freshSurvivors = Ann.buildHnswRoutedIndexTwoLevel(
+      emb.where(not(pred)), "vec_id", "embedding", quant, m = 8, ef = 64,
+      maxShardRows = 64)
+    try {
+      assert(grown.shardFingerprints == fresh.shardFingerprints,
+        "two-level insert-then-query != rebuild-then-query")
+      assert(rows(grown.topK(col("vec_id") < 20, k = 5, nProbeCells = 4)) ==
+        rows(fresh.topK(col("vec_id") < 20, k = 5, nProbeCells = 4)))
+      assert(compacted.shardFingerprints == freshSurvivors.shardFingerprints,
+        "two-level compact diverged from a fresh build over survivors")
+    } finally {
+      grown.release(); fresh.release()
+      compacted.release(); freshSurvivors.release()
+    }
   }
 }

@@ -965,6 +965,148 @@ class StreamingOpsSpec extends SparkSpec {
     }
   }
 
+  test("streamingAnnIngest with snapshotDir: corpus lineage chains durable parquet, parity unchanged") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val emb = graft.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    val cents = graft.ann.Ann.trainIvfCentroids(
+      emb, "vec_id", "embedding", numCells = 4)
+    val initial = graft.ann.Ann.buildHnswRoutedIndexWithCentroids(
+      emb.where(col("vec_id") < 300), "vec_id", "embedding", cents,
+      m = 8, ef = 64, maxShardRows = 64)
+    val rows = emb.where(col("vec_id") >= 300)
+      .as[(Long, Seq[Float])].collect().sortBy(_._1)
+    val batches = rows.grouped(math.max(rows.length / 2, 1)).toSeq
+    val snapDir = java.nio.file.Files
+      .createTempDirectory("ann-ingest-snap").toString
+    val input = MemoryStream[(Long, Seq[Float])]
+    val (handle, writer) = StreamingOps.streamingAnnIngest(
+      input.toDS().toDF("vec_id", "embedding"), initial,
+      snapshotDir = Some(snapDir))
+    val q = writer.start()
+    val fresh = graft.ann.Ann.buildHnswRoutedIndexWithCentroids(
+      emb, "vec_id", "embedding", cents, m = 8, ef = 64, maxShardRows = 64)
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+      // each accepted batch left a durable parquet snapshot — the corpus
+      // lineage no longer references the epoch-scoped micro-batch frames
+      val snaps = new java.io.File(snapDir).listFiles()
+        .filter(_.getName.startsWith("batch=")).map(_.getName).sorted
+      assert(snaps.length == batches.length, s"snapshots: ${snaps.toSeq}")
+      assert(handle.current.shardFingerprints == fresh.shardFingerprints)
+      val got = handle.current.topK(col("vec_id") < 20, k = 5, nProbeCells = 4)
+        .collect().map(_.toString).toSeq
+      val want = fresh.topK(col("vec_id") < 20, k = 5, nProbeCells = 4)
+        .collect().map(_.toString).toSeq
+      assert(got.nonEmpty && got == want)
+    } finally { q.stop(); fresh.release(); handle.current.release() }
+  }
+
+  test("streamingAnnMaintain: upserts + deletes + periodic compact under foreachBatch == the batch remove+compact path, replays are no-ops") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, not}
+    implicit val sqlCtx = spark.sqlContext
+    val emb = graft.Tables.embeddings(spark, sf001)
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    val cents = graft.ann.Ann.trainIvfCentroids(
+      emb, "vec_id", "embedding", numCells = 8)
+    val initial = graft.ann.Ann.buildHnswRoutedIndexWithCentroids(
+      emb.where(col("vec_id") < 300), "vec_id", "embedding", cents,
+      m = 8, ef = 64, maxShardRows = 64)
+    val all = emb.as[(Long, Seq[Float])].collect().sortBy(_._1).toMap
+    def ups(ids: Range): Seq[(Long, Seq[Float], String)] =
+      ids.filter(i => all.contains(i.toLong))
+        .map(i => (i.toLong, all(i.toLong), "upsert"))
+    def dels(ids: Seq[Int]): Seq[(Long, Seq[Float], String)] =
+      ids.map(i => (i.toLong, Seq.empty[Float], "delete"))
+    val deletedIds = Set(5L, 310L) ++ (320 to 329).map(_.toLong)
+    val snapDir = java.nio.file.Files
+      .createTempDirectory("ann-maintain-snap").toString
+    val input = MemoryStream[(Long, Seq[Float], String)]
+    val (handle, writer) = StreamingOps.streamingAnnMaintain(
+      input.toDS().toDF("vec_id", "embedding", "op"), initial,
+      compactEvery = 2, snapshotDir = Some(snapDir))
+    val q = writer.start()
+    val survivors = emb.where(not(col("vec_id").isInCollection(deletedIds)))
+    val fresh = graft.ann.Ann.buildHnswRoutedIndexWithCentroids(
+      survivors, "vec_id", "embedding", cents, m = 8, ef = 64,
+      maxShardRows = 64)
+    try {
+      input.addData(ups(300 until 350)); q.processAllAvailable()
+      input.addData(ups(350 until 400) ++ dels(Seq(5, 310)))
+      q.processAllAvailable() // batch 2: compacts — 5 and 310 leave the graphs
+      input.addData(dels(320 to 329))
+      q.processAllAvailable() // batch 3: tombstoned, NOT yet compacted
+      // tombstones govern serving immediately, pre-compact
+      val mid = handle.current
+        .topK(col("vec_id") < 330 && col("vec_id") >= 300, k = 3,
+          nProbeCells = 8, maxQueries = 500)
+        .select("query_id").distinct().collect().map(_.getLong(0)).toSet
+      assert(mid.nonEmpty && (mid intersect deletedIds).isEmpty,
+        s"tombstoned ids served as queries pre-compact: $mid")
+      val lastBatch = ups(400 until all.size + 100)
+      input.addData(lastBatch); q.processAllAvailable() // batch 4: compacts
+      // at-least-once: replay the last (upsert-only) batch — a no-op
+      input.addData(lastBatch); q.processAllAvailable()
+      assert(handle.current.shardFingerprints == fresh.shardFingerprints,
+        "maintained graphs diverged from the batch remove+compact twin")
+      for (pred <- Seq(col("vec_id") < 20,
+          col("vec_id") >= 300 && col("vec_id") < 320)) {
+        val got = handle.current.topK(pred, k = 5, nProbeCells = 4)
+          .collect().map(_.toString).toSeq
+        val want = fresh.topK(pred, k = 5, nProbeCells = 4)
+          .collect().map(_.toString).toSeq
+        assert(got.nonEmpty && got == want, s"served rows diverged ($pred)")
+      }
+      // deleted ids neither ask nor answer, post-compact
+      assert(handle.current.topK(col("vec_id").isInCollection(deletedIds),
+        k = 3, nProbeCells = 8).isEmpty)
+    } finally { q.stop(); fresh.release(); handle.current.release() }
+  }
+
+  test("streamingAnnMaintain contracts: bounded frame rejected, missing op column rejected, delete-id cap fails loud") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding"))
+    val cents = graft.ann.Ann.trainIvfCentroids(
+      emb, "vec_id", "embedding", numCells = 4)
+    val idx = graft.ann.Ann.buildHnswRoutedIndexWithCentroids(
+      emb, "vec_id", "embedding", cents, m = 8, ef = 64, maxShardRows = 64)
+    try {
+      val bounded = intercept[IllegalArgumentException] {
+        StreamingOps.streamingAnnMaintain(
+          emb.withColumn("op", org.apache.spark.sql.functions.lit("upsert")),
+          idx)
+      }
+      assert(bounded.getMessage.contains("streaming"))
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[(Long, Seq[Float])]
+      val missingOp = intercept[IllegalArgumentException] {
+        StreamingOps.streamingAnnMaintain(
+          input.toDS().toDF("vec_id", "embedding"), idx)
+      }
+      assert(missingOp.getMessage.contains("op"))
+      // the delete-id collect is bounded: a batch past the cap fails the
+      // stream loudly instead of silently materializing the driver
+      val in2 = MemoryStream[(Long, Seq[Float], String)]
+      val (_, writer) = StreamingOps.streamingAnnMaintain(
+        in2.toDS().toDF("vec_id", "embedding", "op"), idx,
+        maxDeleteIds = 4)
+      val q = writer.start()
+      try {
+        in2.addData((0 until 10).map(i => (i.toLong, Seq.empty[Float], "delete")))
+        val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          q.processAllAvailable()
+        }
+        assert(e.getMessage.contains("maxDeleteIds") ||
+          Option(e.getCause).exists(_.getMessage.contains("maxDeleteIds")))
+      } finally q.stop()
+    } finally idx.release()
+  }
+
   test("streamingAnnIngest rejects a bounded frame") {
     val emb = graft.Tables.embeddings(spark, sf0001)
       .select(org.apache.spark.sql.functions.col("vec_id"),
