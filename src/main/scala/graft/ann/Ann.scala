@@ -2524,7 +2524,27 @@ object Ann {
           "Column expressions and cannot be serialized — compact() first")
       val spark = shards.sparkSession
       import spark.implicits._
-      shards.write.mode("overwrite").parquet(path + "/shards")
+      // ONE ROW PER GRAPH NODE, not per shard (r19, measured): a
+      // FrozenShard row at the shipped maxShardRows=16384 is ~10 MB of
+      // array cells, and Parquet's vectorized reader could not reserve
+      // batch memory for 4096 such rows at the 2M bracket
+      // (HnswIndexDurabilityProbe: FAILED_READ_FILE / "cannot reserve
+      // additional contiguous bytes" on every load task). Node rows are
+      // ~1 KB — bounded, splittable, columnar-friendly at any corpus
+      // size — and the CSR reassembly at load is the same deterministic
+      // derivation as freeze(), so bit-identity is preserved.
+      shards.flatMap { fs =>
+        val n = fs.ids.length
+        Iterator.tabulate(n) { i =>
+          val adj = Array.tabulate(fs.levels(i) + 1) { l =>
+            val base = fs.levelBase(i) + l
+            java.util.Arrays.copyOfRange(
+              fs.adjFlat, fs.adjOff(base), fs.adjOff(base + 1))
+          }
+          HnswShardNodeRow(fs.key, fs.cell, fs.entry, n, i,
+            fs.ids(i), fs.levels(i), fs.vecs(i), adj)
+        }
+      }.write.mode("overwrite").parquet(path + "/shards")
       if (includeCorpus)
         corpus.write.mode("overwrite").parquet(path + "/corpus")
       val meta = quantizer match {
@@ -2558,6 +2578,25 @@ object Ann {
       l2: Array[Array[Array[Double]]],
       nProbeSuper: Int)
 
+  /** One graph node of a saved shard — the durable layout of
+    * [[HnswRoutedIndex.save]] (bounded ~1 KB rows; see the save scaladoc
+    * for the measured vectorized-reader failure that rules out
+    * shard-per-row). `idx` is the node's position in the shard's array
+    * order (adjacency entries reference these indices); `entry`/`n` are
+    * shard-level and repeated per node (they compress to nothing in
+    * Parquet and spare a second table + join on load).
+    */
+  private[ann] final case class HnswShardNodeRow(
+      key: Long,
+      cell: Int,
+      entry: Int,
+      n: Int,
+      idx: Int,
+      id: Long,
+      level: Int,
+      vec: Array[Double],
+      adj: Array[Array[Int]])
+
   /** Restores a [[HnswRoutedIndex.save]]d index from `path`, corpus
     * snapshot included — the restart path of the standing-index story:
     * shard graphs come back as a parquet scan (persisted MEMORY_AND_DISK
@@ -2590,7 +2629,52 @@ object Ann {
       case other => throw new IllegalArgumentException(
         s"loadHnswRoutedIndex: unknown quantizer kind '$other' at $path")
     }
-    val shards = spark.read.parquet(path + "/shards").as[FrozenShard]
+    // reassemble each shard from its node rows: group on the shard key
+    // (per-group memory is the same ≤8×maxShardRows bound as the build),
+    // order by node index, and re-derive the CSR arrays exactly as
+    // freeze() does — deterministic, so fingerprints and search walks
+    // are bit-identical to the saved index
+    val shards = spark.read.parquet(path + "/shards").as[HnswShardNodeRow]
+      .groupByKey(_.key)
+      .mapGroups { (key, it) =>
+        val nodes = it.toArray.sortBy(_.idx)
+        val n = nodes.length
+        require(n == nodes.head.n && nodes.last.idx == n - 1,
+          s"loadHnswRoutedIndex: shard $key is corrupt — expected " +
+            s"${nodes.head.n} nodes, found $n (max idx ${nodes.last.idx})")
+        val levels = nodes.map(_.level)
+        val levelBase = new Array[Int](n)
+        var tot = 0
+        var i = 0
+        while (i < n) { levelBase(i) = tot; tot += levels(i) + 1; i += 1 }
+        val adjOff = new Array[Int](tot + 1)
+        var slot = 0; var acc = 0
+        i = 0
+        while (i < n) {
+          var l = 0
+          while (l <= levels(i)) {
+            adjOff(slot) = acc; acc += nodes(i).adj(l).length
+            slot += 1; l += 1
+          }
+          i += 1
+        }
+        adjOff(tot) = acc
+        val adjFlat = new Array[Int](acc)
+        var p = 0
+        i = 0
+        while (i < n) {
+          var l = 0
+          while (l <= levels(i)) {
+            val ns = nodes(i).adj(l)
+            System.arraycopy(ns, 0, adjFlat, p, ns.length); p += ns.length
+            l += 1
+          }
+          i += 1
+        }
+        FrozenShard(key, nodes.head.cell, nodes.head.entry,
+          nodes.map(_.id), levels, nodes.map(_.vec), levelBase, adjOff,
+          adjFlat)
+      }
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = shards.count() // materialize: a restored index is ready NOW
     new HnswRoutedIndex(corpus, meta.idCol, meta.vecCol, quantizer,
