@@ -825,18 +825,43 @@ object StreamingOps {
     * same epoch discipline as any standing-artifact refresh —
     * [[graft.ann.Ann.HnswRoutedIndex.save]] at that moment makes the
     * epoch durable (a restart then loads instead of rebuilding).
+    *
+    * RESTART RECOVERY (r19): pass `checkpointDir` (requires
+    * `snapshotDir` — the snapshots double as the WAL) to save the
+    * standing index every `checkpointEvery` effective batches, inside
+    * `foreachBatch` so the durable state is never newer than the commit
+    * log. After a crash, [[resumeStandingAnnIndex]] loads the newest
+    * committed checkpoint and replays WAL batches past it — the restart
+    * pays one parquet load + the post-checkpoint tail instead of a full
+    * rebuild. Checkpoint cost is one [[graft.ann.Ann.HnswRoutedIndex.save]]
+    * (~0.08× of a rebuild at the 2M bracket), so size `checkpointEvery`
+    * to taste: the knob trades save amortization against replay length.
     */
   def streamingAnnIngest(
       newRows: DataFrame,
       initial: graft.ann.Ann.HnswRoutedIndex,
-      snapshotDir: Option[String] = None): (StreamingAnnIndex,
+      snapshotDir: Option[String] = None,
+      checkpointDir: Option[String] = None,
+      checkpointEvery: Int = 8): (StreamingAnnIndex,
       org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row]) = {
     require(newRows.isStreaming,
       "streamingAnnIngest: newRows must be a streaming DataFrame " +
         "(for a bounded frame call HnswRoutedIndex.insert directly)")
+    require(checkpointDir.isEmpty || snapshotDir.isDefined,
+      "streamingAnnIngest: checkpointDir requires snapshotDir — the " +
+        "batch snapshots are the WAL that resume replays past the last " +
+        "checkpoint; without them, batches committed after the " +
+        "checkpoint would be lost on restart")
+    require(checkpointEvery > 0,
+      "streamingAnnIngest: checkpointEvery must be positive")
     val handle = new StreamingAnnIndex(initial)
+    val batchesSeen = new java.util.concurrent.atomic.AtomicLong(0L)
     val step: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
-      (batch, batchId) => handle.step(snapshotBatch(batch, batchId, snapshotDir))
+      (batch, batchId) => {
+        handle.step(snapshotBatch(batch, batchId, snapshotDir))
+        if (batchesSeen.incrementAndGet() % checkpointEvery == 0L)
+          checkpointDir.foreach(writeCheckpoint(handle.current, _, batchId))
+      }
     (handle, newRows.writeStream.foreachBatch(step))
   }
 
@@ -880,6 +905,16 @@ object StreamingOps {
     * hits clears cleanly), and the generation swap releases superseded
     * graphs only when not shard-aliased ([[StreamingAnnIndex]]).
     *
+    * RESTART RECOVERY (r19): with `checkpointDir` set (requires
+    * `snapshotDir`), the index saves every `checkpointEvery` batches —
+    * which must be a multiple of `compactEvery`, so every checkpoint
+    * lands right after a compact and never carries tombstones — and
+    * delete ids additionally persist as `snapshotDir/deletes_batch=<id>`
+    * sidecars, so [[resumeStandingAnnIndex]] can replay retractions as
+    * well as upserts past the last checkpoint. Feeds that may re-upsert
+    * a recently-deleted id should keep `compactEvery = 1` (see the
+    * resume scaladoc for the compact-window edge).
+    *
     * Delete ids are collected to the driver to form the tombstone
     * predicate (bounded, `maxDeleteIds` fail-fast) — ids are the ONLY
     * thing collected, and a delete feed past 64k ids/batch should batch
@@ -893,7 +928,9 @@ object StreamingOps {
       opCol: String = "op",
       compactEvery: Int = 1,
       maxDeleteIds: Int = 65536,
-      snapshotDir: Option[String] = None): (StreamingAnnIndex,
+      snapshotDir: Option[String] = None,
+      checkpointDir: Option[String] = None,
+      checkpointEvery: Int = 8): (StreamingAnnIndex,
       org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row]) = {
     require(changes.isStreaming,
       "streamingAnnMaintain: changes must be a streaming DataFrame " +
@@ -902,38 +939,179 @@ object StreamingOps {
       "streamingAnnMaintain: compactEvery and maxDeleteIds must be positive")
     require(changes.columns.contains(opCol),
       s"streamingAnnMaintain: changes lacks the op column '$opCol'")
+    require(checkpointDir.isEmpty || snapshotDir.isDefined,
+      "streamingAnnMaintain: checkpointDir requires snapshotDir — the " +
+        "batch snapshots + delete sidecars are the WAL that resume " +
+        "replays past the last checkpoint")
+    require(checkpointEvery > 0 && checkpointEvery % compactEvery == 0,
+      "streamingAnnMaintain: checkpointEvery must be a positive multiple " +
+        "of compactEvery — a checkpoint lands right after a compact, so " +
+        "the saved index never carries pending tombstones (save() " +
+        "fails fast on them: a tombstone is a session Column expression " +
+        "with no durable form)")
     val handle = new StreamingAnnIndex(initial)
     val idCol = initial.idCol
     val batchesSeen = new java.util.concurrent.atomic.AtomicLong(0L)
     val step: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
-      (batch, batchId) => handle.stepWith { cur =>
-        import org.apache.spark.sql.functions.col
-        val snap = snapshotBatch(
-          batch.where(col(opCol) =!= "delete").drop(opCol),
-          batchId, snapshotDir)
-        val overCap = batch.where(col(opCol) === "delete")
-          .select(col(idCol)).distinct().take(maxDeleteIds + 1)
-        require(overCap.length <= maxDeleteIds,
-          s"streamingAnnMaintain: batch $batchId carries more than " +
-            s"maxDeleteIds=$maxDeleteIds delete ids — batch the delete " +
-            "feed coarser or raise the cap deliberately")
-        val deleteIds = overCap.map(_.get(0)).toSeq
-        val inserted = cur.insertNew(snap)
-        val tombstoned =
-          if (deleteIds.isEmpty) inserted
-          else inserted.remove(col(idCol).isInCollection(deleteIds))
-        val n = batchesSeen.incrementAndGet()
-        if (n % compactEvery == 0L) {
-          val compacted = tombstoned.compact()
-          // a hit-compact builds NEW graphs, superseding the intermediate
-          // insert generation's — release those here (the swap only sees
-          // cur vs next), unless the intermediate IS cur (no-op insert)
-          // or the compact found nothing and aliased them
-          if (!compacted.sharesShardsWith(tombstoned) &&
-              !tombstoned.sharesShardsWith(cur)) tombstoned.release()
-          compacted
-        } else tombstoned
+      (batch, batchId) => {
+        handle.stepWith { cur =>
+          import org.apache.spark.sql.functions.col
+          val snap = snapshotBatch(
+            batch.where(col(opCol) =!= "delete").drop(opCol),
+            batchId, snapshotDir)
+          val deleteFrame = batch.where(col(opCol) === "delete")
+            .select(col(idCol)).distinct()
+          val overCap = deleteFrame.take(maxDeleteIds + 1)
+          require(overCap.length <= maxDeleteIds,
+            s"streamingAnnMaintain: batch $batchId carries more than " +
+              s"maxDeleteIds=$maxDeleteIds delete ids — batch the delete " +
+              "feed coarser or raise the cap deliberately")
+          val deleteIds = overCap.map(_.get(0)).toSeq
+          // delete-id WAL sidecar: upserts become durable via
+          // snapshotBatch; deletes must too, or a resume past the last
+          // checkpoint would replay the inserts but lose the retractions.
+          // Replay-safe like the snapshots — a replayed batch id
+          // rewrites the same ids over the same path.
+          if (deleteIds.nonEmpty) snapshotDir.foreach { dir =>
+            deleteFrame.write.mode("overwrite")
+              .parquet(s"$dir/deletes_batch=$batchId")
+          }
+          val inserted = cur.insertNew(snap)
+          val tombstoned =
+            if (deleteIds.isEmpty) inserted
+            else inserted.remove(col(idCol).isInCollection(deleteIds))
+          val n = batchesSeen.incrementAndGet()
+          if (n % compactEvery == 0L) {
+            val compacted = tombstoned.compact()
+            // a hit-compact builds NEW graphs, superseding the intermediate
+            // insert generation's — release those here (the swap only sees
+            // cur vs next), unless the intermediate IS cur (no-op insert)
+            // or the compact found nothing and aliased them
+            if (!compacted.sharesShardsWith(tombstoned) &&
+                !tombstoned.sharesShardsWith(cur)) tombstoned.release()
+            compacted
+          } else tombstoned
+        }
+        if (batchesSeen.get() % checkpointEvery == 0L)
+          checkpointDir.foreach(writeCheckpoint(handle.current, _, batchId))
       }
     (handle, changes.writeStream.foreachBatch(step))
+  }
+
+  private val CkptPrefix = "ckpt="
+  private val CkptCommitMarker = "_GRAFT_CKPT_COMMIT"
+
+  /** Durable epoch of a streaming-maintained standing index: saves the
+    * current generation under `dir/ckpt=<batchId>`, commits it with a
+    * marker file (a crash mid-save leaves an unmarked dir that
+    * [[resumeStandingAnnIndex]] ignores), then prunes older checkpoints
+    * — once `ckpt=N` is committed, resume is `load(N)` + WAL replay of
+    * batches `> N`, so everything older is redundant. Runs INSIDE
+    * `foreachBatch`, before Structured Streaming commits the batch: the
+    * durable state is never newer than the commit log claims.
+    */
+  private def writeCheckpoint(
+      idx: graft.ann.Ann.HnswRoutedIndex,
+      dir: String,
+      batchId: Long): Unit = {
+    val path = s"$dir/$CkptPrefix$batchId"
+    idx.save(path)
+    val conf = org.apache.spark.sql.SparkSession.active
+      .sparkContext.hadoopConfiguration
+    val marker = new org.apache.hadoop.fs.Path(path, CkptCommitMarker)
+    val fs = marker.getFileSystem(conf)
+    fs.create(marker, true).close()
+    scala.util.Try { // prune: best-effort, never fails the batch
+      fs.listStatus(new org.apache.hadoop.fs.Path(dir)).foreach { st =>
+        val name = st.getPath.getName
+        if (name.startsWith(CkptPrefix) &&
+            scala.util.Try(name.stripPrefix(CkptPrefix).toLong)
+              .toOption.exists(_ < batchId))
+          fs.delete(st.getPath, true)
+      }
+    }
+    ()
+  }
+
+  /** Restart recovery for a streaming-maintained standing index — the
+    * missing piece of the durable-index story once
+    * [[streamingAnnIngest]]/[[streamingAnnMaintain]] run with
+    * `checkpointDir`: loads the newest COMMITTED checkpoint (unmarked
+    * dirs from a save that crashed mid-write are skipped) and replays
+    * the WAL — `snapshotDir/batch=<id>` upserts through
+    * [[graft.ann.Ann.HnswRoutedIndex.insertNew]] and
+    * `snapshotDir/deletes_batch=<id>` retractions through
+    * remove+compact, in batch-id order — past it. Every arm is
+    * idempotent (standing ids skip, re-removed ids no-op), so the three
+    * crash windows all recover: batches the stream committed after the
+    * last checkpoint re-apply from the WAL; the batch mid-flight at the
+    * crash is re-delivered by Structured Streaming itself; a checkpoint
+    * written but not yet covering later commits just replays more WAL.
+    *
+    * Replay applies each delete batch's remove+compact immediately —
+    * the `compactEvery = 1` default cadence. That cadence is also the
+    * contract boundary: under a coarser `compactEvery`, a live stream
+    * DROPS an upsert of an id deleted earlier in the same compact
+    * window (`insertNew` sees the tombstoned row still standing), so
+    * feeds that re-upsert recently-deleted ids should keep
+    * `compactEvery = 1` — where live and replay agree bit-for-bit
+    * (spec-pinned).
+    *
+    * Pass the returned index as `initial` to the restarted loop with
+    * the SAME `snapshotDir`/`checkpointDir` to continue. Cost: one
+    * parquet load (measured 0.03× of a rebuild at the 2M bracket) plus
+    * one minimal-rebuild insert per replayed WAL batch — bounded by the
+    * checkpoint cadence, not the corpus.
+    */
+  def resumeStandingAnnIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      checkpointDir: String,
+      snapshotDir: String,
+      maxDeleteIds: Int = 65536): graft.ann.Ann.HnswRoutedIndex = {
+    import org.apache.spark.sql.functions.col
+    val conf = spark.sparkContext.hadoopConfiguration
+    def idsUnder(dir: String, prefix: String): Set[Long] = {
+      val base = new org.apache.hadoop.fs.Path(dir)
+      val fs = base.getFileSystem(conf)
+      if (!fs.exists(base)) Set.empty
+      else fs.listStatus(base).iterator.map(_.getPath.getName)
+        .filter(_.startsWith(prefix))
+        .flatMap(n => scala.util.Try(n.stripPrefix(prefix).toLong).toOption)
+        .toSet
+    }
+    val ckptBase = new org.apache.hadoop.fs.Path(checkpointDir)
+    val ckptFs = ckptBase.getFileSystem(conf)
+    val committed = idsUnder(checkpointDir, CkptPrefix).filter { id =>
+      ckptFs.exists(new org.apache.hadoop.fs.Path(
+        s"$checkpointDir/$CkptPrefix$id", CkptCommitMarker))
+    }
+    require(committed.nonEmpty,
+      s"resumeStandingAnnIndex: no committed checkpoint under " +
+        s"$checkpointDir — nothing to resume from (start the loop with " +
+        "a fresh build instead)")
+    val best = committed.max
+    var idx = graft.ann.Ann.loadHnswRoutedIndex(
+      spark, s"$checkpointDir/$CkptPrefix$best")
+    val upserts = idsUnder(snapshotDir, "batch=").filter(_ > best)
+    val deletes = idsUnder(snapshotDir, "deletes_batch=").filter(_ > best)
+    (upserts ++ deletes).toSeq.sorted.foreach { b =>
+      if (upserts(b)) {
+        val prev = idx
+        idx = idx.insertNew(spark.read.parquet(s"$snapshotDir/batch=$b"))
+        if (!(idx eq prev) && !idx.sharesShardsWith(prev)) prev.release()
+      }
+      if (deletes(b)) {
+        val rows = spark.read.parquet(s"$snapshotDir/deletes_batch=$b")
+          .distinct().take(maxDeleteIds + 1)
+        require(rows.length <= maxDeleteIds,
+          s"resumeStandingAnnIndex: WAL batch $b carries more than " +
+            s"maxDeleteIds=$maxDeleteIds delete ids")
+        val prev = idx
+        idx = idx.remove(col(idx.idCol)
+          .isInCollection(rows.map(_.get(0)).toSeq)).compact()
+        if (!idx.sharesShardsWith(prev)) prev.release()
+      }
+    }
+    idx
   }
 }

@@ -1122,4 +1122,177 @@ class StreamingOpsSpec extends SparkSpec {
       assert(e.getMessage.contains("streaming"))
     } finally idx.release()
   }
+
+  test("streamingAnnIngest checkpoint + resumeStandingAnnIndex: restart " +
+      "recovers the index from the last committed checkpoint plus WAL " +
+      "replay, bit-identically; stale checkpoints pruned; unmarked dirs " +
+      "ignored") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val emb = graft.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    val cents = graft.ann.Ann.trainIvfCentroids(
+      emb, "vec_id", "embedding", numCells = 4)
+    val initial = graft.ann.Ann.buildHnswRoutedIndexWithCentroids(
+      emb.where(col("vec_id") < 300), "vec_id", "embedding", cents,
+      m = 8, ef = 64, maxShardRows = 64)
+    val rows = emb.where(col("vec_id") >= 300)
+      .as[(Long, Seq[Float])].collect().sortBy(_._1)
+    // 5 batches, checkpointEvery = 2: checkpoints land at batches 1 and
+    // 3 (the second prunes the first), batch 4 lives only in the WAL —
+    // resume must load ckpt=3 and replay batch 4
+    val batches = rows.grouped(math.max(rows.length / 5 + 1, 1)).toSeq
+    assert(batches.length == 5)
+    val snapDir = java.nio.file.Files
+      .createTempDirectory("ann-ckpt-snap").toString
+    val ckptDir = java.nio.file.Files
+      .createTempDirectory("ann-ckpt").toString
+    val input = MemoryStream[(Long, Seq[Float])]
+    val (handle, writer) = StreamingOps.streamingAnnIngest(
+      input.toDS().toDF("vec_id", "embedding"), initial,
+      snapshotDir = Some(snapDir), checkpointDir = Some(ckptDir),
+      checkpointEvery = 2)
+    val q = writer.start()
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    // only the newest committed checkpoint survives pruning
+    val ckpts = new java.io.File(ckptDir).listFiles()
+      .filter(_.getName.startsWith("ckpt=")).map(_.getName).toSeq
+    assert(ckpts == Seq("ckpt=3"), s"checkpoints on disk: $ckpts")
+    // an unmarked dir — a save that crashed before its commit marker —
+    // must be invisible to resume
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(ckptDir, "ckpt=999"))
+    val resumed = StreamingOps.resumeStandingAnnIndex(
+      spark, ckptDir, snapDir)
+    try {
+      assert(resumed.shardFingerprints == handle.current.shardFingerprints,
+        "resumed graphs diverged from the live index")
+      val got = resumed.topK(col("vec_id") < 20, k = 5, nProbeCells = 4)
+        .collect().map(_.toString).toSeq
+      val want = handle.current
+        .topK(col("vec_id") < 20, k = 5, nProbeCells = 4)
+        .collect().map(_.toString).toSeq
+      assert(got.nonEmpty && got == want, "resumed served rows diverged")
+    } finally { resumed.release(); handle.current.release() }
+    // contract: a checkpoint without the WAL would lose post-checkpoint
+    // batches — rejected at wiring time, not discovered at resume
+    val idx2 = graft.ann.Ann.buildHnswRoutedIndexWithCentroids(
+      emb, "vec_id", "embedding", cents, m = 8, ef = 64, maxShardRows = 64)
+    try {
+      val e = intercept[IllegalArgumentException] {
+        StreamingOps.streamingAnnIngest(
+          input.toDS().toDF("vec_id", "embedding"), idx2,
+          checkpointDir = Some(ckptDir))
+      }
+      assert(e.getMessage.contains("snapshotDir"))
+    } finally idx2.release()
+  }
+
+  test("streamingAnnMaintain checkpoint + resumeStandingAnnIndex: " +
+      "upserts AND deletes past the checkpoint replay from the WAL " +
+      "(delete sidecars), landing bit-identical to the live index and " +
+      "the batch remove+compact reference") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, not}
+    implicit val sqlCtx = spark.sqlContext
+    val emb = graft.Tables.embeddings(spark, sf001)
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    val cents = graft.ann.Ann.trainIvfCentroids(
+      emb, "vec_id", "embedding", numCells = 8)
+    val initial = graft.ann.Ann.buildHnswRoutedIndexWithCentroids(
+      emb.where(col("vec_id") < 300), "vec_id", "embedding", cents,
+      m = 8, ef = 64, maxShardRows = 64)
+    val all = emb.as[(Long, Seq[Float])].collect().sortBy(_._1).toMap
+    def ups(ids: Range): Seq[(Long, Seq[Float], String)] =
+      ids.filter(i => all.contains(i.toLong))
+        .map(i => (i.toLong, all(i.toLong), "upsert"))
+    def dels(ids: Seq[Int]): Seq[(Long, Seq[Float], String)] =
+      ids.map(i => (i.toLong, Seq.empty[Float], "delete"))
+    val deletedIds = Set(5L, 310L) ++ (320 to 324).map(_.toLong)
+    val snapDir = java.nio.file.Files
+      .createTempDirectory("ann-mckpt-snap").toString
+    val ckptDir = java.nio.file.Files
+      .createTempDirectory("ann-mckpt").toString
+    val input = MemoryStream[(Long, Seq[Float], String)]
+    // compactEvery = 1 (the cadence where live and replay agree
+    // bit-for-bit — see resumeStandingAnnIndex), checkpointEvery = 2:
+    // the checkpoint lands at batch 1; batch 2's upserts AND deletes
+    // live only in the WAL, so resume replays both arms
+    val (handle, writer) = StreamingOps.streamingAnnMaintain(
+      input.toDS().toDF("vec_id", "embedding", "op"), initial,
+      compactEvery = 1, snapshotDir = Some(snapDir),
+      checkpointDir = Some(ckptDir), checkpointEvery = 2)
+    val q = writer.start()
+    try {
+      input.addData(ups(300 until 350)); q.processAllAvailable()
+      input.addData(ups(350 until 400) ++ dels(Seq(5, 310)))
+      q.processAllAvailable() // batch 1: checkpoint lands here
+      input.addData(ups(400 until all.size + 100) ++ dels((320 to 324).toSeq))
+      q.processAllAvailable() // batch 2: WAL-only (upserts + deletes)
+    } finally q.stop()
+    // the delete sidecars past the checkpoint are on disk
+    val sidecars = new java.io.File(snapDir).listFiles()
+      .filter(_.getName.startsWith("deletes_batch=")).map(_.getName).toSet
+    assert(sidecars == Set("deletes_batch=1", "deletes_batch=2"),
+      s"delete sidecars on disk: $sidecars")
+    val resumed = StreamingOps.resumeStandingAnnIndex(
+      spark, ckptDir, snapDir)
+    val survivors = emb.where(not(col("vec_id").isInCollection(deletedIds)))
+    val fresh = graft.ann.Ann.buildHnswRoutedIndexWithCentroids(
+      survivors, "vec_id", "embedding", cents, m = 8, ef = 64,
+      maxShardRows = 64)
+    try {
+      assert(resumed.shardFingerprints == handle.current.shardFingerprints,
+        "resumed graphs diverged from the live index")
+      assert(resumed.shardFingerprints == fresh.shardFingerprints,
+        "resumed graphs diverged from the batch remove+compact reference")
+      for (pred <- Seq(col("vec_id") < 20,
+          col("vec_id") >= 300 && col("vec_id") < 320)) {
+        val got = resumed.topK(pred, k = 5, nProbeCells = 4)
+          .collect().map(_.toString).toSeq
+        val want = fresh.topK(pred, k = 5, nProbeCells = 4)
+          .collect().map(_.toString).toSeq
+        assert(got.nonEmpty && got == want, s"served rows diverged ($pred)")
+      }
+      // resumed index neither asks nor answers with deleted ids
+      assert(resumed.topK(col("vec_id").isInCollection(deletedIds),
+        k = 3, nProbeCells = 8).isEmpty)
+    } finally { resumed.release(); fresh.release(); handle.current.release() }
+  }
+
+  test("streamingAnnMaintain checkpoint contracts: checkpointEvery must " +
+      "align with compactEvery; resume with no committed checkpoint " +
+      "fails loud") {
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val emb = graft.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding"))
+    val cents = graft.ann.Ann.trainIvfCentroids(
+      emb, "vec_id", "embedding", numCells = 4)
+    val idx = graft.ann.Ann.buildHnswRoutedIndexWithCentroids(
+      emb, "vec_id", "embedding", cents, m = 8, ef = 64, maxShardRows = 64)
+    try {
+      val input = MemoryStream[(Long, Seq[Float], String)]
+      // checkpointEvery = 3 with compactEvery = 2 could checkpoint an
+      // index carrying tombstones — save() would fail mid-stream; reject
+      // at wiring time instead
+      val e = intercept[IllegalArgumentException] {
+        StreamingOps.streamingAnnMaintain(
+          input.toDS().toDF("vec_id", "embedding", "op"), idx,
+          compactEvery = 2, snapshotDir = Some("/tmp/unused-snap"),
+          checkpointDir = Some("/tmp/unused-ckpt"), checkpointEvery = 3)
+      }
+      assert(e.getMessage.contains("multiple"))
+      val empty = java.nio.file.Files
+        .createTempDirectory("ann-no-ckpt").toString
+      val e2 = intercept[IllegalArgumentException] {
+        StreamingOps.resumeStandingAnnIndex(spark, empty, empty)
+      }
+      assert(e2.getMessage.contains("no committed checkpoint"))
+    } finally idx.release()
+  }
 }
