@@ -512,14 +512,33 @@ object Bench {
       }
       spark.sparkContext.addSparkListener(listener)
       try {
-        rows.map { case (name, mk) =>
+        // ORDER-ALTERNATING passes (r19 close): successive heavy builds
+        // in one JVM session speed up ~10% (JIT + page-cache maturation
+        // — HnswAutoOrderProbe timed the IDENTICAL fan-out call at
+        // 150.1 s in first position and 135.0 s in last), so running
+        // each row's nRuns back-to-back in fixed row order hands later
+        // rows a systematic warm-position advantage (the mechanism
+        // behind two rounds of "auto beats both transient arms"
+        // readings). Instead run in PASSES — rows in listed order on
+        // even passes, REVERSED on odd ones — so every row gets both an
+        // early and a late position and best-of-N compares like with
+        // like. Per-row metric arrays stay chronological.
+        class RowAcc {
           var peakMax = 0L
           var spillMax = 0L
+          val runs = scala.collection.mutable.ArrayBuffer.empty[Double]
           val gcSecs = scala.collection.mutable.ArrayBuffer.empty[Double]
           val loads = scala.collection.mutable.ArrayBuffer.empty[Double]
           val drops = scala.collection.mutable.ArrayBuffer.empty[Long]
           val freeGb = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
-          val runs = (1 to nRuns).map { _ =>
+        }
+        val accs = Array.fill(rows.length)(new RowAcc)
+        for (pass <- 0 until nRuns) {
+          val order =
+            if (pass % 2 == 0) rows.indices else rows.indices.reverse
+          for (i <- order) {
+            val (_, mk) = rows(i)
+            val a = accs(i)
             peak = 0L; spill = 0L
             val drop0 = org.apache.spark.GraftListenerBridge
               .droppedEvents(spark.sparkContext)
@@ -527,18 +546,21 @@ object Bench {
             val gc0 = gcMillis()
             val t0 = System.nanoTime()
             mk().write.format("noop").mode("overwrite").save()
-            val sec = (System.nanoTime() - t0) / 1e9
-            gcSecs += (gcMillis() - gc0) / 1e3
-            loads += loadAvg1m()
-            freeGb += ((free0, localFreeGb()))
+            a.runs += (System.nanoTime() - t0) / 1e9
+            a.gcSecs += (gcMillis() - gc0) / 1e3
+            a.loads += loadAvg1m()
+            a.freeGb += ((free0, localFreeGb()))
             Thread.sleep(500)
-            drops += org.apache.spark.GraftListenerBridge
+            a.drops += org.apache.spark.GraftListenerBridge
               .droppedEvents(spark.sparkContext) - drop0
-            peakMax = math.max(peakMax, peak)
-            spillMax = math.max(spillMax, spill)
+            a.peakMax = math.max(a.peakMax, peak)
+            a.spillMax = math.max(a.spillMax, spill)
             spark.catalog.clearCache(); System.gc()
-            sec
           }
+        }
+        rows.zipWithIndex.map { case ((name, _), i) =>
+          val acc = accs(i)
+          import acc.{peakMax, spillMax, runs, gcSecs, loads, drops, freeGb}
           val runsJson = runs.map(s => f"$s%.3f").mkString("[", ",", "]")
           val gcJson = gcSecs.map(s => f"$s%.3f").mkString("[", ",", "]")
           val loadJson = loads.map(s => f"$s%.2f").mkString("[", ",", "]")
