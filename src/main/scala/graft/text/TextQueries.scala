@@ -721,7 +721,16 @@ object TextQueries {
       val docs = Tables.documents(s, d)
       val uni = docs.select(explode(TextOps.whitespaceTokens(col("text"))).as("w1"))
         .groupBy("w1").agg(count(lit(1)).as("c1"))
-      val vDf = uni.agg(count(lit(1)).as("v"))
+      // r19 (guide §2.4): v = vocab size computed so that `c1` survives
+      // column pruning — count(*) (and count(c1), which NullPropagation
+      // rewrites back to count(*) since c1 is non-nullable) pruned c1 from
+      // the subtree, de-canonicalizing its shuffle from uni's, and the
+      // corpus was scanned+tokenized+aggregated a second time just for
+      // the vocab count (plan evidence: plans/r19/tx_perplexity_before.txt,
+      // the keys=[w1], functions=[] branch). count(when(c1 > -1, c1)) is
+      // the same value (c1 is a count, always > -1) but opaque to the
+      // rewrite, so ReuseExchange serves uni's shuffle to both consumers.
+      val vDf = uni.agg(count(when(col("c1") > -1, col("c1"))).as("v"))
       val bi = docs.select(col("doc_id"), explode(bigrams(col("text"))).as("b"))
       val bc = bi.groupBy("b").agg(count(lit(1)).as("c12"))
       bi
