@@ -1002,15 +1002,129 @@ object Ann {
     * hash-derived uniform (no RNG), distance ties broken toward the lower
     * id. Similarity = dot over L2-normalized vectors (cosine order).
     */
-  private final class HnswGraph(m: Int, efConstruction: Int) {
+  /** Growable primitive int list — the adjacency-list cell of
+    * [[HnswGraph]] (r19: the boxed `ArrayBuffer[Int]` adjacency measured
+    * as a top allocation site in the 2M-row shard builds).
+    */
+  private[ann] final class IntBuf(initCap: Int = 8) {
+    private[ann] var arr = new Array[Int](initCap)
+    private[ann] var len = 0
+    @inline def apply(i: Int): Int = arr(i)
+    def add(x: Int): Unit = {
+      if (len == arr.length) arr = java.util.Arrays.copyOf(arr, arr.length * 2)
+      arr(len) = x; len += 1
+    }
+    /** Replace contents with the first `n` entries of `xs`. */
+    def reset(xs: Array[Int], n: Int): Unit = {
+      if (n > arr.length) arr = java.util.Arrays.copyOf(xs, n)
+      else System.arraycopy(xs, 0, arr, 0, n)
+      len = n
+    }
+  }
+
+  /** Primitive (score, node) binary heap for the HNSW beam — replaces
+    * `PriorityQueue[(Double, Int)]`, whose per-enqueue tuple boxing and
+    * boxed-tuple comparator dominated build CPU at the 2M bracket (r19).
+    *
+    * Ordering is EXACTLY the old `Ordering.by((-s, ids(n)))`: `beats`
+    * compares via `Double.compare(-sa, -sb)` (same ±0.0/NaN total order)
+    * then lower id. Heap content decisions (eviction at overflow, dequeue
+    * order, early-break) depend only on this comparator, and all keys are
+    * distinct in id, so the externally observable sequence is identical
+    * to the PriorityQueue form — graphs and search results are
+    * bit-identical (HnswPrimitiveEquivalenceSpec pins this against a
+    * verbatim copy of the boxed implementation).
+    *
+    * `rootIsWorst = true` is the results heap (head = worst kept, evict
+    * on overflow); `false` is the candidates heap (head = best).
+    */
+  private[ann] final class BeamHeap(rootIsWorst: Boolean, initCap: Int = 64) {
+    private[this] var sc = new Array[Double](initCap)
+    private[this] var nd = new Array[Int](initCap)
+    private[this] var n = 0
+    @inline def size: Int = n
+    @inline def nonEmpty: Boolean = n > 0
+    @inline def headScore: Double = sc(0)
+    @inline def headNode: Int = nd(0)
+    def clear(): Unit = n = 0
+    // "a beats b" = the old tuple order (-sa, ia) < (-sb, ib)
+    @inline private def beats(sa: Double, ia: Long, sb: Double, ib: Long): Boolean = {
+      val c = java.lang.Double.compare(-sa, -sb)
+      c < 0 || (c == 0 && ia < ib)
+    }
+    @inline private def above(sa: Double, ia: Long, sb: Double, ib: Long): Boolean =
+      if (rootIsWorst) beats(sb, ib, sa, ia) else beats(sa, ia, sb, ib)
+    def add(s: Double, node: Int, ids: Array[Long]): Unit = {
+      if (n == sc.length) {
+        sc = java.util.Arrays.copyOf(sc, n * 2)
+        nd = java.util.Arrays.copyOf(nd, n * 2)
+      }
+      var i = n; n += 1
+      var placing = true
+      while (placing && i > 0) {
+        val p = (i - 1) >> 1
+        if (above(s, ids(node), sc(p), ids(nd(p)))) {
+          sc(i) = sc(p); nd(i) = nd(p); i = p
+        } else placing = false
+      }
+      sc(i) = s; nd(i) = node
+    }
+    def removeHead(ids: Array[Long]): Unit = {
+      n -= 1
+      if (n == 0) return
+      val s = sc(n); val node = nd(n)
+      var i = 0
+      while (true) {
+        val l = 2 * i + 1
+        if (l >= n) { sc(i) = s; nd(i) = node; return }
+        var c = l
+        val r = l + 1
+        if (r < n && above(sc(r), ids(nd(r)), sc(l), ids(nd(l)))) c = r
+        if (above(sc(c), ids(nd(c)), s, ids(node))) {
+          sc(i) = sc(c); nd(i) = nd(c); i = c
+        } else { sc(i) = s; nd(i) = node; return }
+      }
+    }
+    /** Drain into (scores, nodes) sorted best-first — the old
+      * `res.toSeq.sortBy((-s, ids(n)))` boundary, allocation-light.
+      */
+    def sortedBestFirst(ids: Array[Long]): (Array[Double], Array[Int]) = {
+      val outS = new Array[Double](n)
+      val outN = new Array[Int](n)
+      // insertion sort by `beats` — beams are <= ef entries
+      var i = 0
+      while (i < n) {
+        val s = sc(i); val node = nd(i)
+        var j = i - 1
+        while (j >= 0 && beats(s, ids(node), outS(j), ids(outN(j)))) {
+          outS(j + 1) = outS(j); outN(j + 1) = outN(j); j -= 1
+        }
+        outS(j + 1) = s; outN(j + 1) = node
+        i += 1
+      }
+      (outS, outN)
+    }
+  }
+
+  private[ann] final class HnswGraph(m: Int, efConstruction: Int) {
     private val mL = 1.0 / math.log(m.toDouble)
-    private val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
-    private val vecs = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
-    private val levels = scala.collection.mutable.ArrayBuffer.empty[Int]
-    // neighbors(node)(level) = sorted-by-(-sim, id) neighbor node indices
-    private val neighbors =
-      scala.collection.mutable.ArrayBuffer.empty[Array[scala.collection.mutable.ArrayBuffer[Int]]]
+    // r19: primitive growable columns (boxed ArrayBuffer[Long]/[Int] id and
+    // level accesses sat inside every tie-break of the beam hot loop)
+    private var ids = new Array[Long](64)
+    private var vecs = new Array[Array[Double]](64)
+    private var levels = new Array[Int](64)
+    private var neighbors = new Array[Array[IntBuf]](64)
+    private var count = 0
     private var entry = -1
+    // epoch-stamped visited marks, reused across searchLayer calls (the
+    // boxed HashSet[Int] was the other top allocation site)
+    private var marks = new Array[Int](64)
+    private var stamp = 0
+    private val cand = new BeamHeap(rootIsWorst = false)
+    private val res = new BeamHeap(rootIsWorst = true)
+
+    private[ann] def size: Int = count
+    private[ann] def idAt(i: Int): Long = ids(i)
 
     private def dot(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0; var i = 0
@@ -1018,47 +1132,59 @@ object Ann {
       s
     }
 
-    /** Greedy beam search at one level: returns up to `ef` (sim, node)
-      * candidates, best first; deterministic via (−sim, id) ordering.
+    /** Greedy beam search at one level into `res` (worst-first, capped at
+      * `ef`); deterministic via the (−sim, id) ordering — see [[BeamHeap]]
+      * for the bit-identity argument vs the boxed r18 form.
       */
     private def searchLayer(
-        q: Array[Double], ep: Int, ef: Int, level: Int): Seq[(Double, Int)] = {
-      val visited = scala.collection.mutable.HashSet(ep)
-      implicit val ord: Ordering[(Double, Int)] =
-        Ordering.by { case (s, n) => (-s, ids(n)) }
-      // candidates: best-first; results: worst-first cap at ef
-      val cand = scala.collection.mutable.PriorityQueue((dot(q, vecs(ep)), ep))(ord.reverse)
-      val res = scala.collection.mutable.PriorityQueue((dot(q, vecs(ep)), ep))(ord)
+        q: Array[Double], ep: Int, ef: Int, level: Int): Unit = {
+      stamp += 1
+      val st = stamp
+      marks(ep) = st
+      val epS = dot(q, vecs(ep))
+      cand.clear(); res.clear()
+      cand.add(epS, ep, ids)
+      res.add(epS, ep, ids)
       while (cand.nonEmpty) {
-        val (cs, c) = cand.dequeue()
-        val worst = res.head._1
+        val cs = cand.headScore; val c = cand.headNode
+        cand.removeHead(ids)
+        val worst = res.headScore
         if (cs < worst && res.size >= ef) { cand.clear() }
         else {
           val ns = neighbors(c)(level)
           var i = 0
-          while (i < ns.length) {
+          while (i < ns.len) {
             val n = ns(i)
-            if (visited.add(n)) {
+            if (marks(n) != st) {
+              marks(n) = st
               val s = dot(q, vecs(n))
-              if (res.size < ef || s > res.head._1 ||
-                (s == res.head._1 && ids(n) < ids(res.head._2))) {
-                cand.enqueue((s, n))
-                res.enqueue((s, n))
-                if (res.size > ef) res.dequeue()
+              if (res.size < ef || s > res.headScore ||
+                (s == res.headScore && ids(n) < ids(res.headNode))) {
+                cand.add(s, n, ids)
+                res.add(s, n, ids)
+                if (res.size > ef) res.removeHead(ids)
               }
             }
             i += 1
           }
         }
       }
-      res.toSeq.sortBy { case (s, n) => (-s, ids(n)) }
     }
 
     def insert(id: Long, v: Array[Double]): Unit = {
-      val node = ids.length
+      val node = count
+      if (count == ids.length) {
+        val cap = count * 2
+        ids = java.util.Arrays.copyOf(ids, cap)
+        vecs = java.util.Arrays.copyOf(vecs, cap)
+        levels = java.util.Arrays.copyOf(levels, cap)
+        neighbors = java.util.Arrays.copyOf(neighbors, cap)
+        marks = java.util.Arrays.copyOf(marks, cap)
+      }
       val lvl = math.min(15, math.floor(-math.log(uniformOf(id)) * mL).toInt)
-      ids += id; vecs += v; levels += lvl
-      neighbors += Array.fill(lvl + 1)(scala.collection.mutable.ArrayBuffer.empty[Int])
+      ids(node) = id; vecs(node) = v; levels(node) = lvl
+      neighbors(node) = Array.fill(lvl + 1)(new IntBuf())
+      count += 1
       if (entry < 0) { entry = node; return }
       var ep = entry
       val topLvl = levels(entry)
@@ -1071,7 +1197,7 @@ object Ann {
           improved = false
           val ns = neighbors(best)(l)
           var i = 0
-          while (i < ns.length) {
+          while (i < ns.len) {
             val s = dot(v, vecs(ns(i)))
             if (s > bestS || (s == bestS && ids(ns(i)) < ids(best))) {
               best = ns(i); bestS = s; improved = true
@@ -1085,23 +1211,40 @@ object Ann {
       // connect at each level from min(topLvl, lvl) down to 0
       l = math.min(topLvl, lvl)
       while (l >= 0) {
-        val found = searchLayer(v, ep, efConstruction, l)
+        searchLayer(v, ep, efConstruction, l)
+        val (fS, fN) = res.sortedBestFirst(ids)
         val cap = if (l == 0) 2 * m else m
-        val selected = found.take(m)
-        selected.foreach { case (_, n) =>
-          neighbors(node)(l) += n
+        val take = math.min(m, fN.length)
+        var si = 0
+        while (si < take) {
+          val n = fN(si)
+          neighbors(node)(l).add(n)
           val back = neighbors(n)(l)
-          back += node
-          if (back.length > cap) {
-            // prune to the cap best by similarity to n (ties: lower id)
-            val pruned = back
-              .map(x => (dot(vecs(n), vecs(x)), x))
-              .sortBy { case (s, x) => (-s, ids(x)) }
-              .take(cap).map(_._2)
-            back.clear(); back ++= pruned
+          back.add(node)
+          if (back.len > cap) {
+            // prune to the cap best by similarity to n (ties: lower id) —
+            // same (−sim, id) insertion sort as the beam drain
+            val bs = new Array[Double](back.len)
+            val bn = new Array[Int](back.len)
+            var bi = 0
+            while (bi < back.len) {
+              val x = back(bi)
+              val s = dot(vecs(n), vecs(x))
+              var j = bi - 1
+              while (j >= 0 && {
+                val c = java.lang.Double.compare(-s, -bs(j))
+                c < 0 || (c == 0 && ids(x) < ids(bn(j)))
+              }) {
+                bs(j + 1) = bs(j); bn(j + 1) = bn(j); j -= 1
+              }
+              bs(j + 1) = s; bn(j + 1) = x
+              bi += 1
+            }
+            back.reset(bn, cap)
           }
+          si += 1
         }
-        ep = found.head._2
+        ep = fN(0)
         l -= 1
       }
       if (lvl > levels(entry)) entry = node
@@ -1119,9 +1262,10 @@ object Ann {
       shard,
       if (entry < 0) -1L else ids(entry),
       if (entry < 0) -1 else levels(entry),
-      Array.tabulate(ids.length)(i => (ids(i), levels(i))),
-      (for { i <- ids.indices; l <- 0 to levels(i) } yield
-        (ids(i), l, neighbors(i)(l).map(ids(_)).toArray)).toArray)
+      Array.tabulate(count)(i => (ids(i), levels(i))),
+      (for { i <- 0 until count; l <- 0 to levels(i) } yield
+        (ids(i), l, Array.tabulate(neighbors(i)(l).len)(j =>
+          ids(neighbors(i)(l)(j))))).toArray)
 
     /** Immutable flat-array (CSR) view of the finished graph — the ONE
       * searchable representation ([[searchFrozen]]): the transient probes
@@ -1130,7 +1274,7 @@ object Ann {
       * Flattening is one linear copy, trivially cheap next to insert.
       */
     def freeze(key: Long, cell: Int): FrozenShard = {
-      val n = ids.length
+      val n = count
       val levelBase = new Array[Int](n)
       var tot = 0
       var i = 0
@@ -1141,7 +1285,7 @@ object Ann {
       while (i < n) {
         var l = 0
         while (l <= levels(i)) {
-          adjOff(slot) = acc; acc += neighbors(i)(l).length; slot += 1; l += 1
+          adjOff(slot) = acc; acc += neighbors(i)(l).len; slot += 1; l += 1
         }
         i += 1
       }
@@ -1154,13 +1298,14 @@ object Ann {
         while (l <= levels(i)) {
           val ns = neighbors(i)(l)
           var j = 0
-          while (j < ns.length) { adjFlat(p) = ns(j); p += 1; j += 1 }
+          while (j < ns.len) { adjFlat(p) = ns(j); p += 1; j += 1 }
           l += 1
         }
         i += 1
       }
-      FrozenShard(key, cell, entry, ids.toArray, levels.toArray,
-        vecs.toArray, levelBase, adjOff, adjFlat)
+      FrozenShard(key, cell, entry,
+        java.util.Arrays.copyOf(ids, n), java.util.Arrays.copyOf(levels, n),
+        java.util.Arrays.copyOf(vecs, n), levelBase, adjOff, adjFlat)
     }
   }
 
@@ -1224,38 +1369,51 @@ object Ann {
       l -= 1
     }
     // ef-bounded beam at level 0 (candidates best-first, results
-    // worst-first capped at ef — the searchLayer orderings)
+    // worst-first capped at ef — the searchLayer orderings; r19:
+    // primitive BeamHeap + boolean visited marks replace the boxed
+    // PriorityQueue/HashSet, same (−sim, id) total order, bit-identical
+    // results — see BeamHeap's scaladoc)
     val efq = math.max(ef, k + 1)
-    val visited = scala.collection.mutable.HashSet(ep)
-    implicit val ord: Ordering[(Double, Int)] =
-      Ordering.by { case (s, n) => (-s, ids(n)) }
-    val cand = scala.collection.mutable.PriorityQueue((dot(q, vecs(ep)), ep))(ord.reverse)
-    val res = scala.collection.mutable.PriorityQueue((dot(q, vecs(ep)), ep))(ord)
+    val visited = new Array[Boolean](ids.length)
+    visited(ep) = true
+    val epS = dot(q, vecs(ep))
+    val cand = new BeamHeap(rootIsWorst = false)
+    val res = new BeamHeap(rootIsWorst = true)
+    cand.add(epS, ep, ids)
+    res.add(epS, ep, ids)
     while (cand.nonEmpty) {
-      val (cs, c) = cand.dequeue()
-      val worst = res.head._1
+      val cs = cand.headScore; val c = cand.headNode
+      cand.removeHead(ids)
+      val worst = res.headScore
       if (cs < worst && res.size >= efq) { cand.clear() }
       else {
         val base = fs.levelBase(c) // level 0
         var i = fs.adjOff(base); val end = fs.adjOff(base + 1)
         while (i < end) {
           val n = fs.adjFlat(i)
-          if (visited.add(n)) {
+          if (!visited(n)) {
+            visited(n) = true
             val s = dot(q, vecs(n))
-            if (res.size < efq || s > res.head._1 ||
-              (s == res.head._1 && ids(n) < ids(res.head._2))) {
-              cand.enqueue((s, n))
-              res.enqueue((s, n))
-              if (res.size > efq) res.dequeue()
+            if (res.size < efq || s > res.headScore ||
+              (s == res.headScore && ids(n) < ids(res.headNode))) {
+              cand.add(s, n, ids)
+              res.add(s, n, ids)
+              if (res.size > efq) res.removeHead(ids)
             }
           }
           i += 1
         }
       }
     }
-    res.toSeq.sortBy { case (s, n) => (-s, ids(n)) }
-      .iterator.map { case (s, n) => (ids(n), s) }
-      .filter(_._1 != selfId).take(k).toSeq
+    val (rS, rN) = res.sortedBestFirst(ids)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    var i = 0
+    while (i < rN.length && out.length < k) {
+      val id = ids(rN(i))
+      if (id != selfId) out += ((id, rS(i)))
+      i += 1
+    }
+    out.toSeq
   }
 
   /** Sharded HNSW approximate top-k — the GRAPH-index ANN scale path next
@@ -1369,7 +1527,7 @@ object Ann {
   /** Shared by the in-task probe and the oracle dump: ascending-id
     * insertion makes the graph a pure function of the shard's rows.
     */
-  private def buildShardGraph(
+  private[ann] def buildShardGraph(
       rows: Array[(Long, Array[Double])], m: Int, ef: Int): HnswGraph = {
     val g = new HnswGraph(m, math.max(ef, 2 * m))
     rows.sortBy(_._1).foreach { case (id, vn) => g.insert(id, vn) }
