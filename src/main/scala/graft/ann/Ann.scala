@@ -2434,8 +2434,14 @@ object Ann {
       val spark = shards.sparkSession
       import spark.implicits._
       val centsB = spark.sparkContext.broadcast(quantizer)
+      // r19 (guide §5): newAssigned has THREE consumers (cell counts,
+      // rebuild-key derivation, the rebuild rows) and each re-ran the
+      // batch scan + assignment; one persist bounded by the batch size
+      // pays it once, dropped before insert returns on every path.
       val newAssigned = ivfPrep(newRows, idCol, vecCol)
         .map { case (id, _, _, vn) => (centsB.value.assign(vn), id, vn) }
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
       val newCellCounts: Map[Int, Long] = newAssigned
         .groupByKey { case (cell, _, _) => cell }.count().collect().toMap
       if (newCellCounts.isEmpty) return this
@@ -2458,21 +2464,26 @@ object Ann {
       if (hitCells.size.toDouble / allCells.size >= InsertRebuildCutover) {
         val unionCorpus =
           corpus.union(newRows.select(corpus.columns.map(col).toSeq: _*))
+        // r19 (guide §5): counts + build shared one assignment pass —
+        // same persist treatment as buildHnswRoutedIndexWithQuantizer
         val assignedAll = ivfPrep(unionCorpus, idCol, vecCol)
           .map { case (id, _, _, vn) =>
             (centsB.value.assign(vn), id, vn)
           }
-        val counts: Map[Int, Long] = assignedAll
-          .groupByKey { case (c, _, _) => c }.count().collect().toMap
-        val subF = counts.map { case (c, n) =>
-          c -> routedSubFactorOf(n, maxShardRows)
-        }
-        val next = buildFrozenShards(assignedAll, subF, m, ef, maxShardRows,
-          "HnswRoutedIndex.insert(rebuild)")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val n = next.count()
-        return new HnswRoutedIndex(unionCorpus, idCol, vecCol, quantizer, m,
-          ef, maxShardRows, n, next, removed)
+        try {
+          val counts: Map[Int, Long] = assignedAll
+            .groupByKey { case (c, _, _) => c }.count().collect().toMap
+          val subF = counts.map { case (c, n) =>
+            c -> routedSubFactorOf(n, maxShardRows)
+          }
+          val next = buildFrozenShards(assignedAll, subF, m, ef, maxShardRows,
+            "HnswRoutedIndex.insert(rebuild)")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val n = next.count()
+          return new HnswRoutedIndex(unionCorpus, idCol, vecCol, quantizer, m,
+            ef, maxShardRows, n, next, removed)
+        } finally assignedAll.unpersist()
       }
       // layout invariant: the standing factor is always derivable from the
       // standing count, so "did this insert change the layout?" is pure
@@ -2513,6 +2524,7 @@ object Ann {
       val nextCorpus = corpus.union(newRows.select(corpus.columns.map(col).toSeq: _*))
       new HnswRoutedIndex(nextCorpus, idCol, vecCol, quantizer, m, ef,
         maxShardRows, n, next, removed)
+      } finally newAssigned.unpersist()
     }
 
     /** [[insert]] minus rows whose ids already stand — already-indexed
@@ -2936,19 +2948,28 @@ object Ann {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val centsB = spark.sparkContext.broadcast(quantizer)
+    // r19 (guide §5 persist-when-reused): the assigned frame feeds TWO
+    // sequential consumers — the per-cell counts (sub-shard factors) and
+    // the shard build — and each consumption re-ran scan + normalize +
+    // quantizer assignment (at the 2M×5120-cell bracket the assignment
+    // alone is ~9-14 s/pass). One bounded persist pays the pass once;
+    // unpersisted as soon as the shards materialize.
     val assigned = ivfPrep(embeddings, idCol, vecCol)
       .map { case (id, _, _, vn) => (centsB.value.assign(vn), id, vn) }
-    val cellCounts: Map[Int, Long] = assigned
-      .groupByKey { case (cell, _, _) => cell }.count().collect().toMap
-    val subFactors: Map[Int, Int] = cellCounts.map { case (c, n) =>
-      c -> routedSubFactorOf(n, maxShardRows)
-    }
-    val shards = buildFrozenShards(assigned, subFactors, m, ef,
-      maxShardRows, "buildHnswRoutedIndex")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = shards.count() // materialize: a standing index builds NOW
-    new HnswRoutedIndex(embeddings, idCol, vecCol, quantizer, m, ef,
-      maxShardRows, n, shards, None)
+    try {
+      val cellCounts: Map[Int, Long] = assigned
+        .groupByKey { case (cell, _, _) => cell }.count().collect().toMap
+      val subFactors: Map[Int, Int] = cellCounts.map { case (c, n) =>
+        c -> routedSubFactorOf(n, maxShardRows)
+      }
+      val shards = buildFrozenShards(assigned, subFactors, m, ef,
+        maxShardRows, "buildHnswRoutedIndex")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = shards.count() // materialize: a standing index builds NOW
+      new HnswRoutedIndex(embeddings, idCol, vecCol, quantizer, m, ef,
+        maxShardRows, n, shards, None)
+    } finally assigned.unpersist()
   }
 
   /** (cell, id, normalized vector) → one frozen graph per routed shard
