@@ -16,6 +16,16 @@ import sys
 import numpy as np
 import pandas as pd
 
+# r19 (optimization guide §6, file layout): pandas' default writes ONE
+# ~1M-row row group per call — /tmp/sf10dup documents landed as a SINGLE
+# row group (scan parallelism 1 on a 32-core box) and sf100 embeddings as
+# two ~282 MB row groups (2-way scans + ~270 MB vectored-read buffers per
+# task, the 8 GB-heap OOM in HnswIndexMaintenanceProbe's post-insert
+# batch). 32k rows/group keeps every corpus splittable to >= 15 tasks at
+# the smallest envelope scale while staying well above the tiny-group
+# overhead regime; logical content is unchanged (same seeds, same rows).
+ROW_GROUP = 32768
+
 VOCAB = ["a", "agg", "batch", "big", "column", "customer", "data", "dup",
          "fast", "filter", "group", "hash", "join", "key", "line", "merge",
          "order", "part", "query", "row", "scan", "slow", "small", "sort",
@@ -45,7 +55,7 @@ def gen_sf1(out):
     uniques = [doc_text(rng) for _ in range(49_500)]
     planted = [uniques[0]] * 1000  # the identical boilerplate class
     df = docs_frame(uniques + planted, 0)
-    df.to_parquet(f"{out}/documents.parquet", index=False)
+    df.to_parquet(f"{out}/documents.parquet", index=False, row_group_size=ROW_GROUP)
     erng = np.random.default_rng(43)
     n_emb, dim = 20_000, 64
     emb = erng.standard_normal((n_emb, dim)).astype(np.float32)
@@ -53,7 +63,7 @@ def gen_sf1(out):
         "vec_id": np.arange(n_emb, dtype=np.int64),
         "embedding": list(emb),
         "label": erng.integers(0, 10, size=n_emb).astype(np.int32),
-    }).to_parquet(f"{out}/embeddings.parquet", index=False)
+    }).to_parquet(f"{out}/embeddings.parquet", index=False, row_group_size=ROW_GROUP)
     # r14: 10x relational tables (keys + quantities only — exactly the
     # columns the j1/j8 interval-join envelope rows read) so the custom
     # IntervalStabJoin physical join gets an sf1 trend line beside the
@@ -64,7 +74,7 @@ def gen_sf1(out):
     okeys = np.sort(rrng.choice(
         np.arange(1, 4 * n_ord, dtype=np.int64), size=n_ord, replace=False))
     pd.DataFrame({"o_orderkey": okeys}).to_parquet(
-        f"{out}/orders.parquet", index=False)
+        f"{out}/orders.parquet", index=False, row_group_size=ROW_GROUP)
     lines = rrng.integers(1, 8, size=n_ord)  # 1-7 lines/order, ~6M rows
     l_ok = np.repeat(okeys, lines)
     l_ln = np.concatenate([np.arange(1, n + 1, dtype=np.int64) for n in lines])
@@ -72,7 +82,7 @@ def gen_sf1(out):
         "l_orderkey": l_ok,
         "l_linenumber": l_ln,
         "l_quantity": rrng.integers(1, 51, size=len(l_ok)).astype(np.float64),
-    }).to_parquet(f"{out}/lineitem.parquet", index=False)
+    }).to_parquet(f"{out}/lineitem.parquet", index=False, row_group_size=ROW_GROUP)
     print(f"sf1 -> {out}: {len(df)} docs, {n_emb}x{dim} embeddings, "
           f"{n_ord} orders, {len(l_ok)} lineitems")
 
@@ -89,7 +99,7 @@ def gen_sf10(out):
     uniques = [doc_text(rng) for _ in range(495_000)]
     planted = [uniques[0]] * 10_000
     df = docs_frame(uniques + planted, 0)
-    df.to_parquet(f"{out}/documents.parquet", index=False)
+    df.to_parquet(f"{out}/documents.parquet", index=False, row_group_size=ROW_GROUP)
     erng = np.random.default_rng(53)
     n_emb, dim = 20_000, 64
     emb = erng.standard_normal((n_emb, dim)).astype(np.float32)
@@ -97,13 +107,13 @@ def gen_sf10(out):
         "vec_id": np.arange(n_emb, dtype=np.int64),
         "embedding": list(emb),
         "label": erng.integers(0, 10, size=n_emb).astype(np.int32),
-    }).to_parquet(f"{out}/embeddings.parquet", index=False)
+    }).to_parquet(f"{out}/embeddings.parquet", index=False, row_group_size=ROW_GROUP)
     rrng = np.random.default_rng(55)
     n_ord = 15_000_000
     okeys = np.sort(rrng.choice(
         np.arange(1, 4 * n_ord, dtype=np.int64), size=n_ord, replace=False))
     pd.DataFrame({"o_orderkey": okeys}).to_parquet(
-        f"{out}/orders.parquet", index=False)
+        f"{out}/orders.parquet", index=False, row_group_size=ROW_GROUP)
     lines = rrng.integers(1, 8, size=n_ord)
     l_ok = np.repeat(okeys, lines)
     l_ln = np.concatenate([np.arange(1, n + 1, dtype=np.int64) for n in lines])
@@ -111,7 +121,7 @@ def gen_sf10(out):
         "l_orderkey": l_ok,
         "l_linenumber": l_ln,
         "l_quantity": rrng.integers(1, 51, size=len(l_ok)).astype(np.float64),
-    }).to_parquet(f"{out}/lineitem.parquet", index=False)
+    }).to_parquet(f"{out}/lineitem.parquet", index=False, row_group_size=ROW_GROUP)
     print(f"sf10 -> {out}: {len(df)} docs, {n_emb}x{dim} embeddings, "
           f"{n_ord} orders, {len(l_ok)} lineitems")
 
@@ -130,7 +140,7 @@ def gen_sf10dup(out):
     texts = [t for t in classes for _ in range(400)]
     texts += [doc_text(rng) for _ in range(100_000)]
     df = docs_frame(texts, 0)
-    df.to_parquet(f"{out}/documents.parquet", index=False)
+    df.to_parquet(f"{out}/documents.parquet", index=False, row_group_size=ROW_GROUP)
     erng = np.random.default_rng(47)
     n_emb, dim = 200_000, 64
     emb = erng.standard_normal((n_emb, dim)).astype(np.float32)
@@ -138,7 +148,7 @@ def gen_sf10dup(out):
         "vec_id": np.arange(n_emb, dtype=np.int64),
         "embedding": list(emb),
         "label": erng.integers(0, 10, size=n_emb).astype(np.int32),
-    }).to_parquet(f"{out}/embeddings.parquet", index=False)
+    }).to_parquet(f"{out}/embeddings.parquet", index=False, row_group_size=ROW_GROUP)
     print(f"sf10dup -> {out}: {len(df)} docs (1000x400 identical + 100k "
           f"uniques), {n_emb}x{dim} embeddings")
 
@@ -155,7 +165,7 @@ def gen_sf100(out):
     texts = [t for t in classes for _ in range(400)]
     texts += [doc_text(rng) for _ in range(1_000_000)]
     df = docs_frame(texts, 0)
-    df.to_parquet(f"{out}/documents.parquet", index=False)
+    df.to_parquet(f"{out}/documents.parquet", index=False, row_group_size=ROW_GROUP)
     erng = np.random.default_rng(49)
     n_emb, dim = 2_000_000, 64
     emb = erng.standard_normal((n_emb, dim)).astype(np.float32)
@@ -163,7 +173,7 @@ def gen_sf100(out):
         "vec_id": np.arange(n_emb, dtype=np.int64),
         "embedding": list(emb),
         "label": erng.integers(0, 10, size=n_emb).astype(np.int32),
-    }).to_parquet(f"{out}/embeddings.parquet", index=False)
+    }).to_parquet(f"{out}/embeddings.parquet", index=False, row_group_size=ROW_GROUP)
     print(f"sf100 -> {out}: {len(df)} docs (10000x400 identical + 1M "
           f"uniques), {n_emb}x{dim} embeddings")
 
@@ -174,7 +184,7 @@ def gen_sf1dup(out):
     texts = [t for t in classes for _ in range(400)]
     texts += [doc_text(rng) for _ in range(10_000)]
     df = docs_frame(texts, 0)
-    df.to_parquet(f"{out}/documents.parquet", index=False)
+    df.to_parquet(f"{out}/documents.parquet", index=False, row_group_size=ROW_GROUP)
     print(f"sf1dup -> {out}: {len(df)} docs (100x400 identical + 10k uniques)")
 
 
