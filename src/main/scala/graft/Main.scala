@@ -48,11 +48,11 @@ object Main {
   private var progressEnabled = false
 
   private def session(): SparkSession = {
-    val s = SparkSession.builder()
+    val s = SessionTuning(SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString))
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     if (progressEnabled) graft.ops.Progress.attachStageProgress(s)

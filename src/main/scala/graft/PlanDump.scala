@@ -26,10 +26,10 @@ object PlanDump {
     val only = if (args.length > 2) Some(args(2).split(",").toSet) else None
     val exec = sys.env.get("SPARK_GRAFT_PLAN_EXEC").contains("1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val spark = SessionTuning(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -20,11 +20,11 @@ object StageProfile {
     val names = args(1).split(",").toSeq
     val runs = if (args.length > 2) args(2).toInt else 3
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val spark = SessionTuning(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      .config("spark.scheduler.listenerbus.eventqueue.capacity", "200000")
+      .config("spark.scheduler.listenerbus.eventqueue.capacity", "200000"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     @volatile var record = false

@@ -1006,18 +1006,41 @@ object Ann {
     * [[HnswGraph]] (r19: the boxed `ArrayBuffer[Int]` adjacency measured
     * as a top allocation site in the 2M-row shard builds).
     */
-  private[ann] final class IntBuf(initCap: Int = 8) {
+  /** Adjacency list with the edge SCORE carried alongside each neighbor
+    * (r20, guide §1.2 step 2): the backlink-prune in [[HnswGraph.insert]]
+    * re-ran one dot product per stored edge on EVERY overflow — at m=16
+    * that is 33 d-dim dots per level-0 prune, paid repeatedly as the
+    * graph grows. Every edge's score is already in hand when the edge is
+    * added (`fS(si)` = dot(v, vecs(n)), and dot is elementwise-commutative
+    * in IEEE — a(i)*b(i) == b(i)*a(i) exactly, same ascending-i summation
+    * order — so the stored double equals the recomputed
+    * dot(vecs(n), vecs(x)) bit-for-bit). Pruning therefore sorts stored
+    * scores instead of recomputing them; graphs are bit-identical
+    * (HnswPrimitiveEquivalenceSpec pins dump + search equality against
+    * the boxed reference implementation).
+    */
+  private[ann] final class EdgeBuf(initCap: Int = 8) {
     private[ann] var arr = new Array[Int](initCap)
+    private[ann] var sc = new Array[Double](initCap)
     private[ann] var len = 0
     @inline def apply(i: Int): Int = arr(i)
-    def add(x: Int): Unit = {
-      if (len == arr.length) arr = java.util.Arrays.copyOf(arr, arr.length * 2)
-      arr(len) = x; len += 1
+    @inline def score(i: Int): Double = sc(i)
+    def add(x: Int, s: Double): Unit = {
+      if (len == arr.length) {
+        arr = java.util.Arrays.copyOf(arr, arr.length * 2)
+        sc = java.util.Arrays.copyOf(sc, sc.length * 2)
+      }
+      arr(len) = x; sc(len) = s; len += 1
     }
-    /** Replace contents with the first `n` entries of `xs`. */
-    def reset(xs: Array[Int], n: Int): Unit = {
-      if (n > arr.length) arr = java.util.Arrays.copyOf(xs, n)
-      else System.arraycopy(xs, 0, arr, 0, n)
+    /** Replace contents with the first `n` entries of `xs`/`ss`. */
+    def reset(xs: Array[Int], ss: Array[Double], n: Int): Unit = {
+      if (n > arr.length) {
+        arr = java.util.Arrays.copyOf(xs, n)
+        sc = java.util.Arrays.copyOf(ss, n)
+      } else {
+        System.arraycopy(xs, 0, arr, 0, n)
+        System.arraycopy(ss, 0, sc, 0, n)
+      }
       len = n
     }
   }
@@ -1113,7 +1136,7 @@ object Ann {
     private var ids = new Array[Long](64)
     private var vecs = new Array[Array[Double]](64)
     private var levels = new Array[Int](64)
-    private var neighbors = new Array[Array[IntBuf]](64)
+    private var neighbors = new Array[Array[EdgeBuf]](64)
     private var count = 0
     private var entry = -1
     // epoch-stamped visited marks, reused across searchLayer calls (the
@@ -1183,7 +1206,7 @@ object Ann {
       }
       val lvl = math.min(15, math.floor(-math.log(uniformOf(id)) * mL).toInt)
       ids(node) = id; vecs(node) = v; levels(node) = lvl
-      neighbors(node) = Array.fill(lvl + 1)(new IntBuf())
+      neighbors(node) = Array.fill(lvl + 1)(new EdgeBuf())
       count += 1
       if (entry < 0) { entry = node; return }
       var ep = entry
@@ -1218,18 +1241,21 @@ object Ann {
         var si = 0
         while (si < take) {
           val n = fN(si)
-          neighbors(node)(l).add(n)
+          // fS(si) = dot(v, vecs(n)) — the edge score, identical both
+          // directions (IEEE elementwise commutativity, see [[EdgeBuf]])
+          neighbors(node)(l).add(n, fS(si))
           val back = neighbors(n)(l)
-          back.add(node)
+          back.add(node, fS(si))
           if (back.len > cap) {
             // prune to the cap best by similarity to n (ties: lower id) —
-            // same (−sim, id) insertion sort as the beam drain
+            // same (−sim, id) insertion sort as the beam drain, over the
+            // CARRIED scores (r20: no dot recomputation per overflow)
             val bs = new Array[Double](back.len)
             val bn = new Array[Int](back.len)
             var bi = 0
             while (bi < back.len) {
               val x = back(bi)
-              val s = dot(vecs(n), vecs(x))
+              val s = back.score(bi)
               var j = bi - 1
               while (j >= 0 && {
                 val c = java.lang.Double.compare(-s, -bs(j))
@@ -1240,7 +1266,7 @@ object Ann {
               bs(j + 1) = s; bn(j + 1) = x
               bi += 1
             }
-            back.reset(bn, cap)
+            back.reset(bn, bs, cap)
           }
           si += 1
         }
@@ -1950,55 +1976,67 @@ object Ann {
     val quantB = spark.sparkContext.broadcast(quantizer)
     val routedCellsB = spark.sparkContext.broadcast(routedCells)
     // only routed cells cross the exchange: a transient probe never pays
-    // for cells no query visits. NOT persisted, deliberately: the lineage
-    // runs twice (the counts action below, then the caller's final
-    // action) at the cost of one repeated assignment pass — numCells dots
-    // per row (flat; the two-level quantizer pays ~2√C), ~seconds at the
-    // sf100 bracket vs the graph builds'
-    // minutes — because a MEMORY_AND_DISK block would leak past the query
-    // in library use with no unpersist hook (the ivfTopKWithCentroids
-    // adjudication). Callers probing one corpus repeatedly should persist
-    // the embeddings themselves.
+    // for cells no query visits. r20 (guide §5 persist-when-reused): the
+    // assigned frame feeds TWO consumers — the counts action below and
+    // the shard-build job — and each consumption re-ran scan + normalize
+    // + quantizer assignment (numCells dots per row; ~7-15 s/pass at the
+    // sf100 bracket). It now persists for exactly the span of this call:
+    // the candidate rows (bounded by queries × probed shards × k — ids
+    // only, never vectors) are materialized EAGERLY via localCheckpoint
+    // and the assigned blocks are dropped in a finally, so no corpus-
+    // sized cache outlives the call (the ivfTopKWithCentroids leak
+    // adjudication is honored by eagerness rather than by recompute).
+    // The checkpointed candidate blocks live until the returned frame is
+    // GC'd (ContextCleaner) — the same lifetime the components family's
+    // eager actions already rely on. Like every localCheckpoint in this
+    // library, the blocks are executor-local: a lost executor fails the
+    // consumer instead of recomputing (fine on local[N]; cluster callers
+    // wanting fault tolerance persist the embeddings themselves and
+    // re-probe).
     val assigned = prep(embeddings)
       .map { case (id, vn) => (quantB.value.assign(vn), id, vn) }
       .filter { case (cell, _, _) => routedCellsB.value.contains(cell) }
-
-    // cell sizes → sub-shard factors (≤ numCells rows collected); a cell's
-    // count is unaffected by dropping OTHER cells, so the dump (which
-    // counts the full corpus) derives identical factors for routed cells
-    val cellCounts: Map[Int, Long] = assigned
-      .groupByKey { case (cell, _, _) => cell }.count().collect().toMap
-    val subFactors: Map[Int, Int] = cellCounts.map { case (c, n) =>
-      c -> routedSubFactorOf(n, maxShardRows) // 2^20 bound enforced inside
-    }
-    val subFactorsB = spark.sparkContext.broadcast(subFactors)
-    val queriesB = spark.sparkContext.broadcast(queries)
-    val routesB = spark.sparkContext.broadcast(routes)
-    val kk = k; val mm = m; val eff = ef; val cap = maxShardRows
-
-    val candidates = assigned
-      .groupByKey { case (cell, id, _) =>
-        routedShardKey(cell, routedSubOf(id, subFactorsB.value(cell)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candidates = try {
+      // cell sizes → sub-shard factors (≤ numCells rows collected); a
+      // cell's count is unaffected by dropping OTHER cells, so the dump
+      // (which counts the full corpus) derives identical factors for
+      // routed cells
+      val cellCounts: Map[Int, Long] = assigned
+        .groupByKey { case (cell, _, _) => cell }.count().collect().toMap
+      val subFactors: Map[Int, Int] = cellCounts.map { case (c, n) =>
+        c -> routedSubFactorOf(n, maxShardRows) // 2^20 bound enforced inside
       }
-      .flatMapGroups { (key, it) =>
-        val cell = (key >>> 20).toInt
-        val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
-        it.foreach { case (_, id, vn) =>
-          buf += ((id, vn))
-          require(buf.length <= 8L * cap,
-            s"hnswRoutedTopK: sub-shard for cell $cell exceeds 8x " +
-              s"maxShardRows=$cap — the hash spread degenerated (adversarial " +
-              "ids?); raise maxShardRows or investigate the id space")
+      val subFactorsB = spark.sparkContext.broadcast(subFactors)
+      val queriesB = spark.sparkContext.broadcast(queries)
+      val routesB = spark.sparkContext.broadcast(routes)
+      val kk = k; val mm = m; val eff = ef; val cap = maxShardRows
+
+      assigned
+        .groupByKey { case (cell, id, _) =>
+          routedShardKey(cell, routedSubOf(id, subFactorsB.value(cell)))
         }
-        val g = buildShardGraph(buf.toArray, mm, eff).freeze(key, cell)
-        val qs = routesB.value(cell) // key exists: corpus filtered to routed cells
-        qs.iterator.flatMap { qi =>
-          val (qid, qv) = queriesB.value(qi)
-          searchFrozen(g, qv, qid, kk, eff).iterator
-            .map { case (nid, _) => (qid, nid) }
+        .flatMapGroups { (key, it) =>
+          val cell = (key >>> 20).toInt
+          val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
+          it.foreach { case (_, id, vn) =>
+            buf += ((id, vn))
+            require(buf.length <= 8L * cap,
+              s"hnswRoutedTopK: sub-shard for cell $cell exceeds 8x " +
+                s"maxShardRows=$cap — the hash spread degenerated (adversarial " +
+                "ids?); raise maxShardRows or investigate the id space")
+          }
+          val g = buildShardGraph(buf.toArray, mm, eff).freeze(key, cell)
+          val qs = routesB.value(cell) // key exists: corpus filtered to routed cells
+          qs.iterator.flatMap { qi =>
+            val (qid, qv) = queriesB.value(qi)
+            searchFrozen(g, qv, qid, kk, eff).iterator
+              .map { case (nid, _) => (qid, nid) }
+          }
         }
-      }
-      .toDF("query_id", "neighbor_id")
+        .toDF("query_id", "neighbor_id")
+        .localCheckpoint(true) // eager: both assigned passes happen HERE
+    } finally assigned.unpersist()
 
     exactRerank(candidates, embeddings, idCol, vecCol, k)
   }

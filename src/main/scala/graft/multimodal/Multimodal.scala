@@ -282,14 +282,34 @@ object Multimodal {
     * → [[imageAHash]] → the SAME pigeonhole banding as text simhash
     * ([[graft.text.Dedup.simhashPairs]], 8 bands × 8 bits) — decode swaps,
     * everything downstream is shared. Output: (d1, d2, hd), sorted.
+    *
+    * The signature frame is materialized EAGERLY ([[signedOnce]]) so the
+    * payload decode runs exactly once — see the note there.
     */
   def imageNearDupPairs(
       assets: DataFrame, idCol: String, payloadCol: String,
       maxHamming: Int, bands: Int = 8): DataFrame =
     graft.text.Dedup.simhashPairs(
-      decodeImageFeatures(assets, idCol, payloadCol)
-        .select(col("asset_id").as("doc_id"), col("phash").as("simhash")),
+      signedOnce(decodeImageFeatures(assets, idCol, payloadCol)
+        .select(col("asset_id").as("doc_id"), col("phash").as("simhash"))),
       maxHamming, bands = bands, bits = 64)
+
+  /** r20 (guide §2.3/§8 — decide with small rows, decode big rows once):
+    * [[graft.text.Dedup.simhashPairs]] consumes its signature frame in
+    * THREE plan branches (distinct-sig banding, the hd-0 self-join, the
+    * cross-sig expansion), and broadcast joins at gate scale give those
+    * branches no common exchange to reuse — so a decode-UDF signature
+    * source re-decoded every payload up to five times. The signature rows
+    * are 16 bytes each regardless of payload size, so one eager
+    * localCheckpoint materializes the proxy and every branch reads blocks
+    * instead of re-decoding. Blocks live until the returned frame is GC'd
+    * (ContextCleaner), the components family's eager-action lifetime;
+    * executor-local like every localCheckpoint here (fine on local[N] —
+    * cluster callers wanting fault tolerance materialize signatures to a
+    * table themselves).
+    */
+  private def signedOnce(signed: DataFrame): DataFrame =
+    signed.localCheckpoint(true)
 
   /** REAL audio decode: canonical RIFF/WAVE with 8-bit mono PCM — the
     * chunk walk is a genuine parse (magic, chunk sizes, word-aligned skip
@@ -480,7 +500,8 @@ object Multimodal {
       maxHamming: Int, bands: Int = 8): DataFrame = {
     val f = udf { (bytes: Array[Byte]) => audioFingerprint(decodeWavPcm8(bytes)) }
     graft.text.Dedup.simhashPairs(
-      assets.select(col(idCol).as("doc_id"), f(col(payloadCol)).as("simhash")),
+      signedOnce(
+        assets.select(col(idCol).as("doc_id"), f(col(payloadCol)).as("simhash"))),
       maxHamming, bands = bands, bits = 64)
   }
 
@@ -525,7 +546,8 @@ object Multimodal {
       clipSignature(decodeFrames(bytes).map(imageAHash))
     }
     graft.text.Dedup.simhashPairs(
-      assets.select(col(idCol).as("doc_id"), f(col(payloadCol)).as("simhash")),
+      signedOnce(
+        assets.select(col(idCol).as("doc_id"), f(col(payloadCol)).as("simhash"))),
       maxHamming, bands = bands, bits = 64)
   }
 
@@ -577,9 +599,9 @@ object Multimodal {
       assets: DataFrame, idCol: String, payloadCol: String,
       maxHamming: Int, bands: Int = 8): DataFrame =
     graft.text.Dedup.simhashPairs(
-      clipSignaturesLenient(assets, idCol, payloadCol)
+      signedOnce(clipSignaturesLenient(assets, idCol, payloadCol)
         .where(col("simhash").isNotNull)
-        .select(col("doc_id"), col("simhash")),
+        .select(col("doc_id"), col("simhash"))),
       maxHamming, bands = bands, bits = 64)
 
   /** LENIENT distributed image decode: the corrupt-corpus form of
