@@ -1308,44 +1308,87 @@ object Dedup {
     */
   private val classTableMemo = new graft.ops.PlanMemo()
 
+  private val digestTableMemo = new graft.ops.PlanMemo()
+
   private def classTableKey(
       docs: DataFrame, idCol: String, textCol: String, k: Int): AnyRef =
     (System.identityHashCode(docs.sparkSession),
       docs.queryExecution.logical.canonicalized, "classTable", idCol, textCol, k)
 
+  private def digestTableKey(
+      docs: DataFrame, idCol: String, textCol: String, k: Int): AnyRef =
+    (System.identityHashCode(docs.sparkSession),
+      docs.queryExecution.logical.canonicalized, "digestTable", idCol, textCol, k)
+
   /** Drop the collapsed-class memo entry for exactly these arguments
-    * (blocking unpersist); returns whether one existed.
+    * (blocking unpersist, the per-doc digest entry included); returns
+    * whether a class entry existed.
     */
   def releaseClassTable(
-      docs: DataFrame, idCol: String, textCol: String, k: Int = 3): Boolean =
+      docs: DataFrame, idCol: String, textCol: String, k: Int = 3): Boolean = {
+    digestTableMemo.release(digestTableKey(docs, idCol, textCol, k))
     classTableMemo.release(classTableKey(docs, idCol, textCol, k))
+  }
 
   /** Drop EVERY memoized collapsed-class table and unpersist their blocks. */
-  def clearClassTables(): Unit = classTableMemo.clear()
+  def clearClassTables(): Unit = {
+    digestTableMemo.clear()
+    classTableMemo.clear()
+  }
+
+  /** Per-doc shingle-set digests: (doc_id, n, h64, h32) — 28 bytes a row
+    * regardless of document size, from ONE fused [[hashedShingleDocs]]
+    * pass (no shingle string ever allocated). Memoized + persisted: both
+    * the class aggregation ([[classTable]]) and the star-edge join
+    * ([[routedEdges]]) consume it, and before r20 each consumer re-ran
+    * its own full-corpus shingle pass (the classTable one through the
+    * ~3× slower string-array path — the dominant stage of the sf100
+    * routed arm at 873 executor-CPU-s).
+    */
+  private[text] def digestTable(
+      docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    digestTableMemo.get(digestTableKey(docs, idCol, textCol, k)) {
+      hashedShingleDocs(docs, idCol, textCol, k)
+        .select(col("doc_id"), col("n").cast("long").as("n"),
+          xxhash64(col("hs")).as("h64"), hash(col("hs")).as("h32"))
+    }
 
   /** Digest-collapsed duplicate classes of a corpus: one row per DISTINCT
     * shingle set — (h64, h32, n, rep = min member doc id, cnt = member
-    * count, shingles = one member's shingle array). Memoized + persisted
-    * (see [[classTableMemo]]).
+    * count, shingles = the REP member's shingle array). Memoized +
+    * persisted (see [[classTableMemo]]).
     *
-    * `first(shingles)` is safe even though members of a class may hold the
-    * same shingle SET in different first-occurrence ORDERS: every consumer
-    * is order-insensitive (minhash takes a min over elements; exact verify
-    * re-sorts through [[hashShingleArray]]), so ANY member's array yields
-    * identical results.
+    * r20 build shape (guide §2.3 — shuffle metadata, not payloads): the
+    * class relation aggregates the NARROW [[digestTable]] rows (28 B/row
+    * exchange instead of the former full shingle-array exchange), and the
+    * shingle strings the banding/verify stages need are computed for the
+    * REP DOCS ONLY (a semi-join back to the corpus — broadcast when the
+    * class count allows, exactly the duplicate-heavy regime this path is
+    * routed for). Previously every document paid the string-array shingle
+    * pass; now only one document per class does.
+    *
+    * Using the rep's OWN array (formerly `first(shingles)` — an arbitrary
+    * member's) is output-identical: class members hold the same shingle
+    * SET (possibly in different first-occurrence orders), and every
+    * consumer is order-insensitive (minhash takes a min over elements;
+    * exact verify re-sorts through [[hashShingleArray]]), so ANY member's
+    * array yields identical results.
     */
   private[text] def classTable(
       docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
     classTableMemo.get(classTableKey(docs, idCol, textCol, k)) {
-      shingleDocs(docs, idCol, textCol, k)
-        .select(col("doc_id"), col("shingles"),
-          hashShingleArray(col("shingles")).as("hs"))
-        .select(col("doc_id"), col("shingles"),
-          size(col("hs")).cast("long").as("n"),
-          xxhash64(col("hs")).as("h64"), hash(col("hs")).as("h32"))
+      val narrow = digestTable(docs, idCol, textCol, k)
         .groupBy("h64", "h32", "n")
-        .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("cnt"),
-          first(col("shingles")).as("shingles"))
+        .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("cnt"))
+      val repDocs = docs.join(
+        narrow.select(col("rep").as("__rep_id")),
+        docs(idCol) === col("__rep_id"), "left_semi")
+      narrow.join(
+        shingleDocs(repDocs, idCol, textCol, k)
+          .select(col("doc_id").as("rep"), col("shingles")),
+        Seq("rep"))
+        .select(col("h64"), col("h32"), col("n"), col("rep"), col("cnt"),
+          col("shingles"))
     }
 
   /** The measured 100 TB dedup ROUTING, productized (r13): canonical-doc
@@ -1570,11 +1613,27 @@ object Dedup {
       .select(col("doc_id"), col("hs"), size(col("hs")).cast("long").as("n"))
     val inter = colOf(graft.functions.SortedLongIntersectCount(
       expression(col("h1")), expression(col("h2"))))
-    val repPairs = candidates
+    // r20 join-strategy pin (guide §3.1): these two joins attach the
+    // hashed-shingle ARRAYS to the candidate pairs, so their shuffled
+    // sides are the fattest relations of the routed path (~5 GB at the
+    // sf100 bracket). Planned as SortMergeJoin, the sorts of the
+    // array-carrying sides spilled 16.4 GB per run; AQE's runtime
+    // SMJ→SHJ rewrite (SessionTuning) sat right at its per-partition
+    // threshold here and flapped between plans across runs. The hints
+    // pin ShuffledHashJoin with the SMALL side as build — the bare
+    // (d1, d2) candidate pairs for the first join, the per-rep digest
+    // rows for the second — so the array side always STREAMS and nothing
+    // sorts. Build-side memory is one partition of the hinted side
+    // (~12 MB / ~75 MB at the sf100 bracket); it scales down with
+    // shuffle-partition count, the same §2.2 sizing rule as every other
+    // exchange. Output unchanged (join strategy only); the sf0.1 gate
+    // cost of forgoing a size-based broadcast here measured inside noise
+    // (the candidate/rep relations are a few hundred rows there).
+    val repPairs = candidates.hint("shuffle_hash")
       .join(repHashed.select(col("doc_id").as("d1"), col("hs").as("h1"),
         col("n").as("n1")), "d1")
       .join(repHashed.select(col("doc_id").as("d2"), col("hs").as("h2"),
-        col("n").as("n2")), "d2")
+        col("n").as("n2")).hint("shuffle_hash"), "d2")
       .withColumn("inter", inter)
       .where(col("inter") / (col("n1") + col("n2") - col("inter")) >= threshold)
       .select(col("d1"), col("d2"))
@@ -1582,14 +1641,13 @@ object Dedup {
     // stage 1's edges: member → class rep for multi-doc non-empty classes
     // (identical non-empty sets have j = 1.0, qualifying at any t <= 1;
     // empty shingle sets are not duplicates of each other). This per-doc
-    // pass needs ONLY the sorted-distinct hash array, so it runs the
-    // fused hashedShingleDocs kernel (no shingle string ever allocated —
-    // the string+rehash path measured 3× slower); the digest arithmetic
-    // is identical to classTable's because hashShingleArray(shingles)
-    // and HashedShingles produce the same sorted-distinct hs (spec-pinned).
-    val digested = hashedShingleDocs(docs, idCol, textCol, k)
-      .select(col("doc_id"), col("n").cast("long").as("n"),
-        xxhash64(col("hs")).as("h64"), hash(col("hs")).as("h32"))
+    // pass needs ONLY the digest columns, so it reads the memoized
+    // [[digestTable]] — the SAME persisted frame the class aggregation
+    // consumed, so the corpus shingle pass runs once per corpus, not once
+    // per consumer (r20; the digest arithmetic identity to the string
+    // path — hashShingleArray(shingles) == HashedShingles — stays
+    // spec-pinned).
+    val digested = digestTable(docs, idCol, textCol, k)
     val starEdges = digested
       .join(classes.where(col("cnt") >= 2 && col("n") > 0)
         .select(col("h64"), col("h32"), col("n"), col("rep")),
